@@ -1,0 +1,351 @@
+package graft
+
+/** DuckDB-SQL twins of every oracle-checkable [[Queries]] entry.
+  *
+  * Contract (see SURVEY.md §7): identical column names, identical
+  * ordering, computed integers CAST to BIGINT on both sides, floating
+  * scores rounded (5 dp; RRF 6 dp) on both sides *before* ordering so
+  * sub-ulp engine differences can't flip ranks or hashes.
+  *
+  * The SQL fragments below are the cross-engine contract for
+  * [[graft.functions.TextOps]] / [[graft.functions.VectorOps]] — change
+  * either side only in lockstep.
+  */
+object OracleSql {
+
+  /** Tokenizer twin of TextOps.tokenize. */
+  private def toks(textExpr: String = "text"): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Cast a float list to double — twin of VectorOps.toDouble. */
+  private def dvec(c: String): String = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+
+  /** Rounded cosine — twin of VectorOps.cosineRounded (5 dp). */
+  private def cosine(a: String, b: String): String =
+    s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 5)"
+
+  /** 3-token md5 shingles (distinct) — twin of TextOps.shingles + array_distinct. */
+  private val shingleExpr: String =
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) ELSE [] END)"
+
+  /** min-hash for one seed — twin of TextOps.minHash. */
+  private def minHash(seed: Int): String =
+    s"list_min(list_transform(sh, s -> md5('$seed:' || s)))"
+
+  private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared chunk CTE body (32-token windows, 8 overlap) — twin of
+    * Queries.chunks / Chunker.fixedSize(32, 8).
+    */
+  private val chunkCte: String =
+    s"""tk AS (SELECT doc_id, source, lang, ${toks()} AS toks FROM documents),
+       |tn AS (SELECT doc_id, source, lang, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+       |ch0 AS (SELECT doc_id, source, lang, toks, n, unnest(generate_series(0, n - 1, 24)) AS st FROM tn),
+       |ch AS (SELECT doc_id, source, lang,
+       |        CAST(st // 24 AS BIGINT) AS chunk_index,
+       |        array_to_string(toks[st + 1 : st + 32], ' ') AS chunk,
+       |        CAST(least(32, n - st) AS BIGINT) AS chunk_tokens
+       |       FROM ch0)""".stripMargin
+
+  /** BM25 scoring CTEs (k1=1.2, b=0.75) — twin of Search.bm25Scores. */
+  private val bm25Cte: String =
+    s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT doc_id, term FROM tok WHERE term IN ($queryTermsSql)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM qt GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM qt GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |        SUM( ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+       |             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+       |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY tf.doc_id)""".stripMargin
+
+  private val knnCte: String =
+    s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "scan_pruned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "knn_topk" ->
+      s"""WITH $knnCte
+         |SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim
+         |FROM c, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "knn_pergroup" ->
+      s"""WITH $knnCte,
+         |s AS (SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim FROM c, q),
+         |r AS (SELECT label, vec_id, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk FROM s)
+         |SELECT label, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |b100 AS (SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |qv AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |cv AS (SELECT vec_id AS doc_id, ${dvec("embedding")} AS ev FROM embeddings),
+         |k100 AS (SELECT doc_id, ${cosine("ev", "qv")} AS cos_sim FROM cv, qv
+         |         ORDER BY cos_sim DESC, doc_id LIMIT 100),
+         |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk_a FROM b100),
+         |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk_b FROM k100)
+         |SELECT doc_id,
+         |       ROUND(COALESCE(1.0 / (60 + rk_a), 0) + COALESCE(1.0 / (60 + rk_b), 0), 6) AS rrf,
+         |       rk_a, rk_b
+         |FROM ra FULL OUTER JOIN rb USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "filtered_search" ->
+      s"""WITH f AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 200),
+         |q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT e.vec_id, e.label, ${dvec("e.embedding")} AS ev
+         |      FROM embeddings e JOIN f ON e.vec_id = f.doc_id)
+         |SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim
+         |FROM c, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "chunk_explode" ->
+      s"""WITH $chunkCte
+         |SELECT doc_id, chunk_index, chunk, chunk_tokens, source FROM ch
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "chunk_stats" ->
+      s"""WITH $chunkCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+         |       CAST(max(chunk_tokens) AS BIGINT) AS max_chunk_tokens
+         |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "list_documents" ->
+      s"""WITH $chunkCte
+         |SELECT doc_id, min(source) AS source, min(lang) AS lang, CAST(count(*) AS BIGINT) AS chunk_count
+         |FROM ch GROUP BY doc_id ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin,
+
+    "list_libraries" ->
+      s"""WITH $chunkCte
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS document_count,
+         |       CAST(count(*) AS BIGINT) AS chunk_count
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    "get_document" ->
+      s"""WITH $chunkCte
+         |SELECT doc_id, min(source) AS source, min(lang) AS lang,
+         |       string_agg(chunk, chr(10) || chr(10) ORDER BY chunk_index) AS content,
+         |       CAST(count(*) AS BIGINT) AS chunk_count
+         |FROM ch WHERE doc_id = 42 GROUP BY doc_id""".stripMargin,
+
+    "delete_document" ->
+      s"""WITH $chunkCte
+         |SELECT source, CAST(count(*) AS BIGINT) AS total_chunks,
+         |       CAST(count(*) FILTER (WHERE doc_id % 50 = 0) AS BIGINT) AS deleted_chunks,
+         |       CAST(count(*) FILTER (WHERE doc_id % 50 <> 0) AS BIGINT) AS remaining_chunks
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    "ingest_dedup_status" ->
+      """WITH inc AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' updated-v2' ELSE text END AS text
+        |             FROM documents),
+        |ex AS (SELECT doc_id, sha256(text) AS old_hash FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT inc.doc_id AS doc_id,
+        |       CASE WHEN ex.old_hash IS NULL THEN 'indexed'
+        |            WHEN sha256(inc.text) = ex.old_hash THEN 'skipped'
+        |            ELSE 'replaced' END AS status,
+        |       sha256(inc.text) AS content_hash
+        |FROM inc LEFT JOIN ex ON inc.doc_id = ex.doc_id ORDER BY doc_id""".stripMargin,
+
+    "title_extract" ->
+      """WITH m AS (SELECT doc_id, source,
+        |             CASE WHEN doc_id % 3 = 0 THEN '# Heading ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+        |                  ELSE text END AS md FROM documents),
+        |h AS (SELECT doc_id, source, list_filter(string_split(md, chr(10)), l -> starts_with(trim(l), '#')) AS heads FROM m)
+        |SELECT doc_id,
+        |       CASE WHEN len(heads) > 0 THEN substr(trim(ltrim(trim(heads[1]), '#')), 1, 200)
+        |            ELSE substr(string_split(string_split(source, '/')[-1], '\')[-1], 1, 200) END AS title
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "upsert_merge" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, source, lang FROM documents WHERE doc_id < 50
+        |) ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        |       CAST(count(*) AS BIGINT) AS dup_count
+        |FROM corpus GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY keeper_doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
+         |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
+         |tk AS (SELECT doc_id, ${toks()} AS toks FROM corpus),
+         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
+         |shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh,
+         |         md5(${minHash(0)} || ${minHash(1)}) AS b0,
+         |         md5(${minHash(2)} || ${minHash(3)}) AS b1,
+         |         md5(${minHash(4)} || ${minHash(5)}) AS b2,
+         |         md5(${minHash(6)} || ${minHash(7)}) AS b3
+         |        FROM shf),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS key FROM sig
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 4) AS jaccard
+         |        FROM cand JOIN shf sa ON cand.id_a = sa.doc_id JOIN shf sb ON cand.id_b = sb.doc_id)
+         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         |tk AS (SELECT doc_id, ${toks()} AS toks FROM d),
+         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 4) AS jaccard
+         |FROM shx a, shx b WHERE a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, ${dvec("embedding")} AS emb FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, label, emb FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, label, list_prepend(emb[1] + 0.05, emb[2:64]) AS emb
+         |  FROM e WHERE vec_id < 20)
+         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cosine("a.emb", "b.emb")} AS cos_sim
+         |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosine("a.emb", "b.emb")} >= 0.8
+         |ORDER BY label, id_a, id_b""".stripMargin,
+
+    "simhash_sketch" -> {
+      val bits = (1 to 16)
+        .map(i =>
+          s"CASE WHEN 2 * len(list_filter(toks, t -> strpos('0123456789abcdef', substr(md5(t), $i, 1)) >= 9)) > len(toks) THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents)
+         |SELECT doc_id, $bits AS simhash16 FROM tk ORDER BY doc_id""".stripMargin
+    },
+
+    "text_stats" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(${toks()}) AS term FROM documents)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+         |       CAST(count(*) AS BIGINT) AS total_tokens,
+         |       CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "lang_id" -> {
+      val lists = graft.operators.TextAnalysis.StopwordsByLang.map { case (lang, words) =>
+        lang -> words.map(w => s"'$w'").mkString("[", ", ", "]")
+      }
+      val counts = lists
+        .map { case (lang, arr) => s"len(list_filter(toks, t -> list_contains($arr, t))) AS c_$lang" }
+        .mkString(",\n       ")
+      val caseChain = lists
+        .map { case (lang, _) => s"WHEN c_$lang = m AND m > 0 THEN '$lang'" }
+        .mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, lang AS claimed_lang, ${toks()} AS toks FROM documents),
+         |c AS (SELECT doc_id, claimed_lang,
+         |       $counts
+         |      FROM tk),
+         |g AS (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c),
+         |p AS (SELECT doc_id, claimed_lang, CASE $caseChain ELSE 'und' END AS predicted_lang FROM g)
+         |SELECT doc_id, claimed_lang, predicted_lang, claimed_lang = predicted_lang AS agree
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "token_topk" ->
+      s"""WITH tok AS (SELECT source, unnest(${toks()}) AS term FROM documents),
+         |g AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY source, term),
+         |r AS (SELECT source, term, cnt,
+         |       CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS BIGINT) AS rk FROM g)
+         |SELECT source, term, cnt, rk FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "quality_score" -> {
+      val en = graft.operators.TextAnalysis.StopwordsByLang.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |       CASE WHEN len(toks) > 0
+         |            THEN CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |            ELSE 0.0 END AS sr
+         |      FROM tk)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, ROUND(sr, 4) AS stop_ratio,
+         |       ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 64.0) * 0.5 + least(1.0, sr * 5.0) * 0.5, 4) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk)
+         |SELECT doc_id, list_min(sh) AS fingerprint, CAST(len(sh) AS BIGINT) AS n_shingles
+         |FROM shx WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+
+    "embed_hashed_bow" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+         |d AS (SELECT doc_id,
+         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+         |      FROM tok)
+         |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+         |FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
+        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,
+        |       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(sum(l_quantity), 2) AS sum_qty,
+        |       ROUND(sum(l_extendedprice), 2) AS sum_base,
+        |       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_orders" ->
+      """SELECT o_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
+        |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),
+        |m AS (SELECT user_id, t, event_id,
+        |       CASE WHEN pt IS NULL OR t - pt > 1800000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id,
+        |       SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS sessions,
+        |       CAST(count(*) AS BIGINT) AS events,
+        |       ROUND(CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT sid) AS DOUBLE), 4) AS avg_session_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,319 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Named query registry: every SURVEY.md §2 operator applied to the
+  * driver's test tables. Each entry has a DuckDB twin in [[OracleSql]]
+  * with identical column names, types (computed ints as long), rounding
+  * (scores to 5 dp before ordering) and ORDER BY.
+  */
+object Queries {
+
+  /** The fixed text query used by the BM25/hybrid demos. */
+  val QueryTerms: Seq[String] = Seq("spark", "filter", "join", "stream")
+
+  private def docs(s: SparkSession, dir: String)   = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String)   = Tables.embeddings(s, dir)
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** One-row DataFrame holding the query vector (vec_id = 0). */
+  private def queryVecDf(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+
+  /** (doc_id, lang, source, term) token occurrence table. */
+  private def tokenTable(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenTable(docs(s, dir), "text", Seq("doc_id", "lang", "source"))
+
+  /** Shared chunks DataFrame: 32-token windows, 8-token overlap. */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    Chunker.fixedSize(docs(s, dir), "text", chunkSize = 32, overlap = 8,
+      keep = Seq("doc_id", "source", "lang"))
+
+  // ── A. Scan / search core ────────────────────────────────────────────
+
+  def scanPruned(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("n_chars") > 300 && col("lang") === "en")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  def knnTopK(s: SparkSession, dir: String): DataFrame =
+    Search.knnTopK(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id", k = 10
+    ).select("vec_id", "label", "cos_sim")
+
+  def knnPerGroup(s: SparkSession, dir: String): DataFrame =
+    Search.knnTopKPerGroup(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      groupCol = "label", k = 3
+    ).orderBy("label", "rk")
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(
+      tokenTable(s, dir).select("doc_id", "term"),
+      idCol = "doc_id", queryTerms = QueryTerms, k = 10
+    )
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val bm25Leg = Search
+      .bm25TopK(tokenTable(s, dir).select("doc_id", "term"), "doc_id", QueryTerms, 100)
+    val knnLeg = Search.knnTopK(
+      embs(s, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "doc_id", k = 100
+    ).select("doc_id", "cos_sim")
+    Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
+  }
+
+  def filteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val filtered = docs(s, dir)
+      .filter(Catalog.filterFor(Map("lang" -> "en")) && col("n_chars") > 200)
+      .select(col("doc_id"))
+    Search.knnTopK(
+      embs(s, dir).join(filtered, col("vec_id") === col("doc_id")).drop("doc_id")
+        .select("vec_id", "label", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id", k = 10
+    ).select("vec_id", "label", "cos_sim")
+  }
+
+  // ── A. Chunking ──────────────────────────────────────────────────────
+
+  def chunkExplode(s: SparkSession, dir: String): DataFrame =
+    chunks(s, dir)
+      .select("doc_id", "chunk_index", "chunk", "chunk_tokens", "source")
+      .orderBy("doc_id", "chunk_index")
+
+  def chunkStats(s: SparkSession, dir: String): DataFrame =
+    chunks(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        count("*").as("n_chunks"),
+        sum("chunk_tokens").as("sum_chunk_tokens"),
+        max("chunk_tokens").as("max_chunk_tokens")
+      )
+      .orderBy("doc_id")
+
+  // ── A. Catalog ───────────────────────────────────────────────────────
+
+  def listDocuments(s: SparkSession, dir: String): DataFrame =
+    Catalog.listDocuments(chunks(s, dir), "doc_id", Seq("source", "lang"),
+      limit = 20, offset = 5)
+
+  def listLibraries(s: SparkSession, dir: String): DataFrame =
+    Catalog.listLibraries(chunks(s, dir), "source", "doc_id")
+
+  def getDocument(s: SparkSession, dir: String): DataFrame =
+    Catalog.getDocument(
+      chunks(s, dir).filter(col("doc_id") === 42),
+      "doc_id", "chunk_index", "chunk", Seq("source", "lang")
+    )
+
+  def deleteDocument(s: SparkSession, dir: String): DataFrame =
+    Catalog.deleteReport(chunks(s, dir), "source", pmod(col("doc_id"), lit(50)) === 0)
+
+  def ingestDedupStatus(s: SparkSession, dir: String): DataFrame = {
+    val incoming = docs(s, dir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" updated-v2")))
+        .otherwise(col("text")).as("text")
+    )
+    val existing = docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select("doc_id", "text")
+    Catalog.ingestStatus(incoming, existing, "doc_id", "text").orderBy("doc_id")
+  }
+
+  def titleExtract(s: SparkSession, dir: String): DataFrame = {
+    val md = when(
+      pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("# Heading "), col("doc_id").cast("string"), lit("\n"), col("text"))
+    ).otherwise(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), md.as("md"))
+      .select(col("doc_id"), TextOps.extractTitle(col("md"), col("source")).as("title"))
+      .orderBy("doc_id")
+  }
+
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val oldRows = docs(s, dir).filter(col("doc_id") < 100).select("doc_id", "source")
+    val newRows = docs(s, dir).filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("source"), col("lang"))
+    Catalog.upsertLike(oldRows, newRows)
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+  }
+
+  // ── B. Dedup ─────────────────────────────────────────────────────────
+
+  /** documents ∪ planted exact duplicates (doc_id % 20 == 0 → +10000). */
+  private def corpusWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(
+      d.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    )
+  }
+
+  /** documents ∪ planted near-duplicates (doc_id < 25 → +10000, last 5
+    * tokens dropped).
+    */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val toks = TextOps.tokenize(col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") < 25)
+        .select(
+          (col("doc_id") + 10000).as("doc_id"),
+          array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(1))), " ").as("text")
+        )
+    )
+  }
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(corpusWithExactDups(s, dir), "text", "doc_id")
+      .select("content_hash", "keeper_doc_id", "dup_count")
+      .orderBy("keeper_doc_id")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(corpusWithNearDups(s, dir), "text", "doc_id",
+      numHashes = 8, shingleK = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  def simNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      docs(s, dir).filter(col("doc_id") < 40).select("doc_id", "text"),
+      "text", "doc_id"
+    ).orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(50)
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select("vec_id", "label", "embedding")
+    val dim = 64
+    val perturbed = concat(
+      array(element_at(col("embedding"), 1).cast("double") + 0.05),
+      VectorOps.toDouble(slice(col("embedding"), 2, dim - 1))
+    )
+    val corpus = e
+      .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("embedding"))
+      .unionAll(
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 10000).as("vec_id"), col("label"), perturbed.as("embedding"))
+      )
+    Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id", "label", threshold = 0.8)
+      .orderBy("label", "id_a", "id_b")
+  }
+
+  def simhashSketch(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashSketch(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
+  // ── E. Text analysis ─────────────────────────────────────────────────
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(tokenTable(s, dir), "lang", "doc_id")
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
+  def tokenTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerGroup(
+      tokenTable(s, dir).select("source", "term"), "source", k = 5)
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
+  def embedHashedBow(s: SparkSession, dir: String): DataFrame =
+    tokenTable(s, dir)
+      .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count("*").as("cnt"))
+      .orderBy("doc_id", "dim")
+
+  // ── D. Multimodal ────────────────────────────────────────────────────
+
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .features(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("content")),
+        "content", "doc_id"
+      )
+      .orderBy("doc_id")
+
+  // ── F. OLAP / events ─────────────────────────────────────────────────
+
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        count("*").as("cnt")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q3Orders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        // ts is long nanoseconds (see Tables.events); exact integer math.
+        (expr("ts DIV 3600000000000") * 3600).as("hour_start"),
+        col("event_type")
+      )
+      .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val sessions = events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000").as("t"))
+      .withColumn("pt", lag("t", 1).over(wOrd))
+      .withColumn("brk",
+        when(col("pt").isNull || col("t") - col("pt") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id")
+      .agg(
+        countDistinct("sid").as("sessions"),
+        count("*").as("events")
+      )
+      .withColumn("avg_session_events",
+        round(col("events").cast("double") / col("sessions").cast("double"), 4))
+      .orderBy("user_id")
+  }
+
+  // ── C. ANN (rows-only: no SQL oracle — MLlib KMeans not replicable) ──
+
+  def annProbe(s: SparkSession, dir: String): DataFrame =
+    Ann.probe(
+      Ann.build(embs(s, dir), "embedding", "vec_id", k = 10, seed = 42),
+      queryVecDf(s, dir), "q_vec", nProbe = 3, topK = 10
+    )
+}

@@ -1,13 +1,66 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every implemented SURVEY.md §2 operator has a `queries` entry; every
+  * SQL-expressible one has a DuckDB twin in [[OracleSql]] (same column
+  * names, types, rounding and ordering — the driver hash-compares).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hybrid BM25+vector RRF search — the reference's core capability
+    * (reference: server.py:229 `search`, store.py:261).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.hybridRrf(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference surface
+    "scan_pruned"         -> (Queries.scanPruned(_, _)),
+    "knn_topk"            -> (Queries.knnTopK(_, _)),
+    "knn_pergroup"        -> (Queries.knnPerGroup(_, _)),
+    "bm25_topk"           -> (Queries.bm25TopK(_, _)),
+    "hybrid_rrf"          -> (Queries.hybridRrf(_, _)),
+    "filtered_search"     -> (Queries.filteredSearch(_, _)),
+    "chunk_explode"       -> (Queries.chunkExplode(_, _)),
+    "chunk_stats"         -> (Queries.chunkStats(_, _)),
+    "list_documents"      -> (Queries.listDocuments(_, _)),
+    "list_libraries"      -> (Queries.listLibraries(_, _)),
+    "get_document"        -> (Queries.getDocument(_, _)),
+    "delete_document"     -> (Queries.deleteDocument(_, _)),
+    "ingest_dedup_status" -> (Queries.ingestDedupStatus(_, _)),
+    "title_extract"       -> (Queries.titleExtract(_, _)),
+    "upsert_merge"        -> (Queries.upsertMerge(_, _)),
+    // B. dedup suite
+    "dedup_exact"         -> (Queries.dedupExact(_, _)),
+    "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
+    "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
+    "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
+    "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
+    // C. ANN
+    "ann_probe"           -> (Queries.annProbe(_, _)),
+    // D. multimodal
+    "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
+    // E. text analysis
+    "text_stats"          -> (Queries.textStats(_, _)),
+    "lang_id"             -> (Queries.langId(_, _)),
+    "token_topk"          -> (Queries.tokenTopK(_, _)),
+    "quality_score"       -> (Queries.qualityScore(_, _)),
+    "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
+    "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
+    // F. OLAP / events
+    "q1_pricing"          -> (Queries.q1Pricing(_, _)),
+    "q3_orders"           -> (Queries.q3Orders(_, _)),
+    "events_window"       -> (Queries.eventsWindow(_, _)),
+    "events_sessionize"   -> (Queries.eventsSessionize(_, _))
+  )
+
+  /** DuckDB-equivalent SQL per query key (rows-only checks for the rest:
+    * ann_probe — MLlib KMeans centroids aren't SQL-replicable).
+    */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

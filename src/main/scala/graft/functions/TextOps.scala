@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by search, dedup and analysis
+  * operators. All pure built-in expressions (codegen-friendly, no UDFs),
+  * and each has an exact DuckDB-SQL twin in [[graft.OracleSql]] — the
+  * tokenizer definition below IS the cross-engine contract.
+  *
+  * Reference anchors: chunker.py:49 `_token_length` (token counting),
+  * store.py:197 FTS tokenization (BM25 leg).
+  */
+object TextOps {
+
+  /** Canonical tokenizer: lowercase, split on runs of non-alphanumerics,
+    * drop empties. DuckDB twin:
+    * `list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'), t -> t <> '')`.
+    */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Number of tokens (the whitespace-proxy for reference token counts). */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** md5-hashed k-token shingles of a token array: element i covers
+    * tokens [i, i+k). Hashing keeps shingle payloads fixed-width (16
+    * bytes hex) — at 100 TB the shuffle carries hashes, never raw text.
+    */
+  def shingles(tokens: Column, k: Int = 3): Column =
+    when(
+      size(tokens) >= k,
+      transform(
+        sequence(lit(1), size(tokens) - (k - 1)),
+        i =>
+          md5(concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*))
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** One min-hash value: lexicographic min over `md5(seed:shingle)`.
+    * md5 re-keyed per seed is a valid min-wise independent family and —
+    * crucially — computes identically in DuckDB for the oracle.
+    */
+  def minHash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** LSH band keys from 2-row bands over `numHashes` min-hashes. */
+  def bandKeys(shingleArr: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes % 2 == 0, "bands of 2 need an even numHashes")
+    (0 until numHashes by 2).map { i =>
+      md5(concat(minHash(shingleArr, i), minHash(shingleArr, i + 1)))
+    }
+  }
+
+  /** 16-bit SimHash rendered as a '0'/'1' string (deterministic,
+    * oracle-able). Bit i is set when, over all tokens, hex digit i of
+    * md5(token) is >= 8 more often than not — i.e. the sign of a ±1 sum.
+    */
+  def simHash16(tokens: Column): Column = {
+    val n = size(tokens)
+    val bits = (1 to 16).map { i =>
+      val c = size(filter(tokens, t =>
+        conv(substring(md5(t), i, 1), 16, 10).cast("int") >= 8))
+      when(c * 2 > n, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Hashed bag-of-words dimension for a term: 6 bits of md5 → [0, 64).
+    * Twin of a feature-hashing embedder (reference: embedder.py:41) —
+    * deterministic, vocabulary-free, and cheap at any scale.
+    */
+  def hashedBowDim(term: Column, dims: Int = 64): Column =
+    (conv(substring(md5(term), 1, 2), 16, 10).cast("long") % dims)
+
+  /** First-markdown-heading title with source-basename fallback
+    * (reference: ingestor.py:482 `_extract_title`).
+    */
+  def extractTitle(text: Column, source: Column): Column = {
+    val heads = filter(split(text, "\n"), l => trim(l).startsWith("#"))
+    val fromHead = substring(trim(ltrim(trim(element_at(heads, 1)), "#")), 1, 200)
+    val basename = substring(element_at(split(element_at(split(source, "/"), -1), "\\\\"), -1), 1, 200)
+    when(size(heads) > 0, fromHead).otherwise(basename)
+  }
+
+  /** Stopword membership count (used by language-ID and quality score). */
+  def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(stopwords)))
+}

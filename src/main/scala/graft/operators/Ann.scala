@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IVF-style ANN index: KMeans coarse quantizer + cluster-pruned probe
+  * (reference: the IVF-PQ hint at store.py:274; here as a batch index
+  * build, the Spark-appropriate piece of a vector store).
+  *
+  * Build: distributed MLlib KMeans (fixed seed) → every vector gets a
+  * cluster id; at scale the assigned table is written partitioned by
+  * cluster id so a probe prunes partitions at the scan.
+  *
+  * Probe: centroids are O(k·dim) — inspected on the driver (they already
+  * live there post-fit) to pick the nProbe nearest cells, then a single
+  * pruned scan + cosine top-k over ~nProbe/k of the corpus.
+  */
+object Ann {
+
+  final case class Index(model: KMeansModel, assigned: DataFrame, vecCol: String, idCol: String)
+
+  def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index = {
+    val featurized = df.withColumn("_features", array_to_vector(VectorOps.toDouble(col(vecCol))))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("_features").setPredictionCol("cluster")
+      .fit(featurized)
+    Index(model, model.transform(featurized).drop("_features"), vecCol, idCol)
+  }
+
+  /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
+  def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame = {
+    val q = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val nearestCells = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    Search
+      .knnTopK(
+        index.assigned.filter(col("cluster").isInCollection(nearestCells.toSeq)),
+        queryDf, index.vecCol, queryVec, index.idCol, topK
+      )
+      .select(col(index.idCol), col("cluster"), col("cos_sim"))
+  }
+
+  /** Exact top-k baseline for recall measurement. */
+  def exact(df: DataFrame, queryDf: DataFrame, vecCol: String, queryVec: String, idCol: String, topK: Int): DataFrame =
+    Search.knnTopK(df, queryDf, vecCol, queryVec, idCol, topK).select(idCol, "cos_sim")
+}

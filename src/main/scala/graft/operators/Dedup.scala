@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Deduplication suite for LLM training-data pipelines.
+  *
+  * Reference anchors: content-hash dedup ingestor.py:182-205 (sha256 +
+  * skip-if-unchanged) and store.py:206 `find_existing`. Everything else
+  * (MinHash/LSH, n-gram Jaccard, SimHash, embedding near-dup) extends
+  * the surface for corpus-scale cleaning.
+  *
+  * Scale design: no operator ever forms a global cross join. Candidate
+  * pairs come only from hash-bucket joins (LSH bands) or explicit blocks;
+  * the expensive verify step (exact Jaccard / cosine) runs on candidates
+  * only. All joins key on fixed-width hashes, so shuffles carry 16-byte
+  * keys rather than document text.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per content hash that occurs more than
+    * once, with the kept (minimum) id and the duplicate count.
+    * Hash-partitioned groupBy — embarrassingly scalable.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(
+        min(col(idCol)).as(s"keeper_$idCol"),
+        count("*").as("dup_count")
+      )
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup keep-first: drop all but the min-id row per hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash + banded-LSH near-duplicate pairs with exact-Jaccard verify.
+    *
+    * Pipeline: tokens → k-shingles (md5) → `numHashes` min-hashes →
+    * bands of 2 → candidate pairs share ≥1 band key → verified Jaccard
+    * over distinct shingle sets, keep pairs ≥ threshold.
+    *
+    * The band join is the only shuffle of pair-like data and its
+    * cardinality is |bucket|² summed over buckets — at 100 TB the band
+    * keys keep buckets tiny, so the all-pairs blow-up never happens.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val withShingles = df
+      .select(
+        col(idCol),
+        array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+
+    val bandCols = TextOps.bandKeys(col("sh"), numHashes)
+    val banded = withShingles.select(
+      col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key"))
+    )
+
+    // Candidate pairs: same (band, key), ordered ids, distinct.
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
+    val candidates = a
+      .join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    verifyJaccard(candidates, withShingles, idCol, threshold)
+  }
+
+  /** Exact Jaccard over md5-shingle sets for given candidate pairs. */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      withShingles: DataFrame, // (idCol, sh: array<string> distinct)
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val sa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Blocked pairwise n-gram Jaccard: all pairs *within a block* only.
+    * Pass a small blocking predicate/projection; never run unblocked at
+    * scale (that is what [[minHashLshPairs]] is for).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val s = df.select(
+      col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh")
+    )
+    val sa = s.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = s.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    sa.crossJoin(sb)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash sketch per row (see TextOps.simHash16). */
+  def simHashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      TextOps.simHash16(TextOps.tokenize(col(textCol))).as("simhash16")
+    )
+
+  /** Embedding near-duplicate pairs, blocked by a partition column
+    * (label locally; an LSH bucket or coarse-quantizer cell at scale).
+    * Cosine is computed only within blocks.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorOps.cosineRounded(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Batch search operators: vector KNN, BM25 full-text, hybrid RRF fusion.
+  *
+  * Spark-first re-expression of the reference's hybrid search
+  * (reference: store.py:261 `Store.search`, vector leg store.py:313,
+  * FTS leg store.py:197, fusion server.py:228-238).
+  *
+  * Scale design:
+  *  - the query side (one vector / a handful of terms) is always the
+  *    broadcast side; the corpus is never collected or re-shuffled;
+  *  - global top-k goes through `orderBy(...).limit(k)` which Spark
+  *    executes as TakeOrderedAndProject (per-partition heap + driver
+  *    merge of k rows — no full sort shuffle);
+  *  - per-group top-k uses a window `row_number`, never a self-join;
+  *  - BM25 term statistics (df per query term, corpus N / avgdl) are
+  *    tiny aggregates joined back by broadcast.
+  */
+object Search {
+
+  /** Brute-force cosine top-k against a one-row query DataFrame.
+    *
+    * `queryDf` must have a single row holding `queryVecCol`; it is
+    * explicitly broadcast so the plan is a broadcast nested-loop over
+    * the corpus scan — the exact-search baseline at any corpus size.
+    */
+  def knnTopK(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      corpusVec: String,
+      queryVec: String,
+      idCol: String,
+      k: Int,
+      scoreName: String = "cos_sim"
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queryDf))
+      .withColumn(scoreName, VectorOps.cosineRounded(col(corpusVec), col(queryVec)))
+      .drop(queryVec)
+    scored.orderBy(col(scoreName).desc, col(idCol)).limit(k)
+  }
+
+  /** Per-group cosine top-k via window row_number (no self-join). */
+  def knnTopKPerGroup(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      corpusVec: String,
+      queryVec: String,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      scoreName: String = "cos_sim"
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queryDf))
+      .withColumn(scoreName, VectorOps.cosineRounded(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreName).desc, col(idCol))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col(idCol), col(scoreName), col("rk"))
+  }
+
+  /** BM25 scores for every document matching at least one query term.
+    *
+    * @param tokens  DataFrame of (idCol, term) — one row per token
+    *                occurrence (pre-exploded so it can be reused).
+    * @return (idCol, score) for matching docs, unrounded.
+    */
+  def bm25Scores(
+      tokens: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    // Per-doc length; corpus stats are a one-row aggregate (broadcast).
+    val dl = tokens.groupBy(idCol).agg(count("*").cast("double").as("dl"))
+    val stats = dl.agg(
+      count("*").cast("double").as("n"),
+      avg("dl").as("avgdl")
+    )
+    val qTok = tokens.filter(col("term").isInCollection(queryTerms))
+    // tf per (doc, term); df per term — df has at most |queryTerms| rows.
+    val tf = qTok.groupBy(idCol, "term").agg(count("*").cast("double").as("tf"))
+    val df = qTok.groupBy("term").agg(countDistinct(idCol).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy(idCol)
+      .agg(sum("contrib").as("score"))
+  }
+
+  /** BM25 top-k with the canonical rounded score. */
+  def bm25TopK(
+      tokens: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame =
+    bm25Scores(tokens, idCol, queryTerms)
+      .withColumn("bm25", round(col("score"), 5))
+      .select(col(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank-fusion of two ranked legs on a shared id.
+    *
+    * Ranks are dense integers (window row_number over each leg's rounded
+    * score), so the fused score is a sum of exact rationals — fully
+    * deterministic. Missing legs contribute 0, matching the usual RRF
+    * treatment (reference: server.py:228-238 hybrid docstring).
+    */
+  def rrfFuse(
+      legA: DataFrame, // (id, scoreA) — already scored, higher = better
+      legB: DataFrame, // (id, scoreB)
+      idCol: String,
+      scoreA: String,
+      scoreB: String,
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    val wA = Window.orderBy(col(scoreA).desc, col(idCol))
+    val wB = Window.orderBy(col(scoreB).desc, col(idCol))
+    val ra = legA.withColumn("rk_a", row_number().over(wA).cast("long"))
+    val rb = legB.withColumn("rk_b", row_number().over(wB).cast("long"))
+    ra
+      .join(rb, Seq(idCol), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rk_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("rk_b")), lit(0.0)),
+          6
+        )
+      )
+      .select(col(idCol), col("rrf"), col("rk_a"), col("rk_b"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}
