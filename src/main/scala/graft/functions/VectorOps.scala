@@ -40,6 +40,15 @@ object VectorOps {
   def cosineRounded(a: Column, b: Column, scale: Int = 5): Column =
     round(cosine(a, b), scale)
 
+  /** L2-normalize to the unit sphere (doubles). On unit vectors,
+    * euclidean distance is monotone in cosine — this is what lets a
+    * euclidean KMeans coarse quantizer serve a cosine search.
+    */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v, x => x.cast("double") / n)
+  }
+
   /** Squared euclidean distance in double precision. */
   def sqDist(a: Column, b: Column): Column =
     aggregate(

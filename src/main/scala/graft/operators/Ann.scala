@@ -23,7 +23,10 @@ object Ann {
   final case class Index(model: KMeansModel, assigned: DataFrame, vecCol: String, idCol: String)
 
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index = {
-    val featurized = df.withColumn("_features", array_to_vector(VectorOps.toDouble(col(vecCol))))
+    // Cluster on L2-normalized vectors: euclidean cells on the unit
+    // sphere are cosine cells, so a cosine probe's neighbors
+    // concentrate in few cells.
+    val featurized = df.withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
     val model = new KMeans()
       .setK(k).setSeed(seed).setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(featurized)
@@ -32,7 +35,9 @@ object Ann {
 
   /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
   def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame = {
-    val q = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val qRaw = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qNorm)
     val nearestCells = index.model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, math.sqrt(c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
       .sortBy(_._2).take(nProbe).map(_._1)

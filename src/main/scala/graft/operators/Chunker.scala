@@ -63,7 +63,7 @@ object Chunker {
     s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
 
   /** chunker.py:55 `_merge_splits` — greedy merge with overlap carry. */
-  private[operators] def mergeSplits(
+  private[graft] def mergeSplits(
       splits: Seq[String],
       separator: String,
       chunkSize: Int,
@@ -89,7 +89,7 @@ object Chunker {
   }
 
   /** chunker.py:81 `_split_recursive`. */
-  private[operators] def splitRecursive(
+  private[graft] def splitRecursive(
       text: String,
       separators: Seq[String],
       chunkSize: Int,

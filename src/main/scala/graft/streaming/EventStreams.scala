@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming operators over the events stream (SURVEY §2 F5).
+  *
+  * The reference is a request/response server; its streaming analog is
+  * continuous ingest + continuous analytics. Both operators here follow
+  * the standard Spark shapes: watermarked tumbling-window aggregation,
+  * and explicit session state via mapGroupsWithState — the two patterns
+  * that survive unbounded input (state is bounded by watermark /
+  * timeout, never by collecting the stream).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, sessionStart: Long, events: Int, totalValue: Double, closed: Boolean)
+
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** Tumbling-window counts per event_type with a watermark: late rows
+    * beyond 10 minutes are dropped and window state is evicted — the
+    * aggregation's memory is O(active windows), not O(stream).
+    */
+  def windowedCounts(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(functions_window(col("ts"), window), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total_value"))
+
+  // `window` the function vs our parameter name — rebind for clarity.
+  private def functions_window(c: org.apache.spark.sql.Column, w: String) =
+    org.apache.spark.sql.functions.window(c, w)
+
+  /** Gap-based sessionization with explicit state: session boundaries
+    * are event-time gaps > `gapMs`. State per key is a fixed-size
+    * summary — bounded regardless of stream length.
+    *
+    * Pass `GroupStateTimeout.ProcessingTimeTimeout` to additionally
+    * emit `closed=true` records after `gapMs` of processing-time
+    * silence (note: timeout batches keep the query perpetually
+    * schedulable, so `processAllAvailable` won't quiesce — use the
+    * default NoTimeout in tests/backfills).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout
+  ): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.start, s.n, s.total, closed = true)
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse {
+              val h = sorted.head
+              SessionState(h.ts.getTime, h.ts.getTime, 0, 0.0)
+            }
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              s =
+                if (t - s.last > gapMs) SessionState(t, t, 1, e.value) // new session
+                else s.copy(last = t, n = s.n + 1, total = s.total + e.value)
+            }
+            state.update(s)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, s.start, s.n, s.total, closed = false)
+          }
+      }
+  }
+
+  /** Wire a streaming windowed-count query to a memory sink (testing /
+    * demo harness; production would write a Delta/parquet sink).
+    */
+  def startWindowedToMemory(spark: SparkSession, events: DataFrame, name: String) =
+    windowedCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** ANN index build + probe quality (SURVEY §2 A15/C2): probe recall vs
+  * exact top-k must be ≥ 0.9 at nProbe=3 of 10 cells on the test
+  * embeddings.
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF probe achieves >= 0.9 recall vs exact top-10") {
+    val embs = Tables.embeddings(spark, sf)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val index = Ann.build(embs, "embedding", "vec_id", k = 10, seed = 42)
+    val probe = Ann.probe(index, queryDf, "q_vec", nProbe = 3, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Ann.exact(embs, queryDf, "embedding", "q_vec", "vec_id", topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (probe & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; probe=$probe exact=$exact")
+  }
+
+  test("build assigns every vector to one of k clusters") {
+    val index = Ann.build(Tables.embeddings(spark, sf), "embedding", "vec_id", k = 10, seed = 42)
+    assert(index.assigned.count() == 500)
+    val clusters = index.assigned.select("cluster").distinct().as[Int].collect().toSet
+    assert(clusters.subsetOf((0 until 10).toSet) && clusters.size > 1)
+  }
+}

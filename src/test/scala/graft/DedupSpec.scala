@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactGroups finds identical texts and keeps the min id") {
+    val df = Seq(
+      (1L, "same text here"),
+      (2L, "same text here"),
+      (3L, "different text"),
+      (9L, "same text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactGroups(df, "text", "doc_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keeper_doc_id") == 1L)
+    assert(out.head.getAs[Long]("dup_count") == 3L)
+  }
+
+  test("exactDedup keeps exactly one row per distinct content") {
+    val df = Seq(
+      (1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("minHashLshPairs recovers a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val nearDup = (1 to 55).map(i => s"alpha$i").mkString(" ") // drop last 5 tokens
+    val other = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected only the planted pair, got ${pairs.toSeq}")
+    // true jaccard: shingles(60 tokens)=58, shingles(55)=53, all shared → 53/58
+    assert(math.abs(pairs.head._3 - BigDecimal(53.0 / 58.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("ngramJaccardPairs computes exact set Jaccard") {
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "a b c d x")    // shingles: abc bcd cdx → inter 2, union 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "text", "doc_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("embeddingNearDupPairs finds only the planted high-cosine pair within blocks") {
+    val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) = vNear(0) + 0.01f
+    val vOther = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq(
+      (1L, 0, v), (2L, 0, vNear), (3L, 0, vOther),
+      (4L, 1, v) // same vector but different block → must not pair
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("simHashSketch is deterministic and equal texts get equal sketches") {
+    val df = Seq((1L, "spark filter join"), (2L, "spark filter join"), (3L, "totally different words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashSketch(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L).length == 16 && out(1L).forall(c => c == '0' || c == '1'))
+  }
+}

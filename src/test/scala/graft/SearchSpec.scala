@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokens(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokenize(col("text"))).as("term"))
+
+  test("BM25 matches the hand-computed score on a tiny fixture") {
+    // corpus: 3 docs; query term "cat" appears in doc 1 (x2, dl=4) and doc 2 (x1, dl=2)
+    val toks = tokens(
+      1L -> "cat cat dog bird",
+      2L -> "cat fish",
+      3L -> "dog dog dog"
+    )
+    val out = Search.bm25Scores(toks, "doc_id", Seq("cat")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, avgdl=3 → idf = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1.6)
+    def tfn(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    assert(math.abs(out(1L) - idf * tfn(2, 4)) < 1e-12)
+    assert(math.abs(out(2L) - idf * tfn(1, 2)) < 1e-12)
+    assert(!out.contains(3L), "doc without query terms must not be scored")
+  }
+
+  test("BM25 ranks rarer terms higher than common ones") {
+    val toks = tokens(
+      1L -> "rare common common",
+      2L -> "common common common",
+      3L -> "common filler filler",
+      4L -> "filler filler filler"
+    )
+    val out = Search.bm25Scores(toks, "doc_id", Seq("rare", "common")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L), "doc with the rare term should outrank common-only doc")
+  }
+
+  test("knnTopK returns the query's nearest vectors in cosine order") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val out = Search.knnTopK(corpus, q, "embedding", "q_vec", "vec_id", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("rrfFuse combines legs and prefers doubly-ranked ids") {
+    val legA = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "sa")
+    val legB = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "sb")
+    val out = Search.rrfFuse(legA, legB, "id", "sa", "sb", k = 4).collect()
+    val top = out.head
+    assert(top.getLong(0) == 2L, "id 2 is in both legs and must fuse highest")
+    // id 2: 1/62 + 1/61 ; id 1: 1/61 only
+    val expected = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.getDouble(1) - expected) < 1e-9)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates a stream into hourly windows (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(15), 2, "view", 5.0)
+    )
+    val q = EventStreams
+      .windowedCounts(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total_value FROM win_test ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gaps and accumulates within a session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // user 1: two events 5 min apart (one session), then 40 min gap → new session
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(45), 1, "view", 10.0)
+    )
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, events, totalValue FROM sess_test").collect()
+      assert(rows.length == 1)
+      // the 40-min gap resets the running session: final state is the NEW session
+      assert(rows.head.getLong(0) == 1L)
+      assert(rows.head.getInt(1) == 1 && rows.head.getDouble(2) == 10.0)
+    } finally q.stop()
+  }
+}
