@@ -30,10 +30,20 @@ object TextOps {
   def shingles(tokens: Column, k: Int = 3): Column =
     when(
       size(tokens) >= k,
+      transform(rawShingles(tokens, k), s => md5(s))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Un-hashed k-token shingle strings. Callers that feed aggregations
+    * should `explode` this and apply `md5` as a top-level column — md5
+    * inside a lambda runs interpreted (HOFs are codegen fallbacks),
+    * md5 over exploded rows is whole-stage-codegen'd.
+    */
+  def rawShingles(tokens: Column, k: Int = 3): Column =
+    when(
+      size(tokens) >= k,
       transform(
         sequence(lit(1), size(tokens) - (k - 1)),
-        i =>
-          md5(concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*))
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)
       )
     ).otherwise(array().cast("array<string>"))
 

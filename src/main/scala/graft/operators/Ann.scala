@@ -26,9 +26,12 @@ object Ann {
     // Cluster on L2-normalized vectors: euclidean cells on the unit
     // sphere are cosine cells, so a cosine probe's neighbors
     // concentrate in few cells.
-    val featurized = df.withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
+    val featurized = df
+      .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
+      .cache() // KMeans re-reads its input every iteration
     val model = new KMeans()
-      .setK(k).setSeed(seed).setFeaturesCol("_features").setPredictionCol("cluster")
+      .setK(k).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(featurized)
     Index(model, model.transform(featurized).drop("_features"), vecCol, idCol)
   }

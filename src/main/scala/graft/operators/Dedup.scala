@@ -56,18 +56,34 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.3
   ): DataFrame = {
-    val withShingles = df
+    require(numHashes % 2 == 0, "bands of 2 need an even numHashes")
+    // One row per (doc, distinct shingle): md5 runs as a top-level
+    // codegen'd projection, once per shingle — never inside a lambda.
+    // Tokens are bound to an attribute before the explode (GenerateExec
+    // has no CSE — an inlined tokenize would re-run per element_at).
+    val shRows = df
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(
         col(idCol),
-        array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh")
+        explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("raw")
       )
-      .filter(size(col("sh")) > 0)
+      .select(col(idCol), md5(col("raw")).as("shm"))
 
-    val bandCols = TextOps.bandKeys(col("sh"), numHashes)
-    val banded = withShingles.select(
-      col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key"))
-    )
+    // Signature + the shingle set in ONE hash-partitioned aggregation:
+    // each min-hash is a partial-agg min — the 100 TB-safe shape.
+    val minCols = (0 until numHashes).map { seed =>
+      min(md5(concat(lit(s"$seed:"), col("shm")))).as(s"h$seed")
+    }
+    val aggCols = minCols :+ collect_set(col("shm")).as("sh")
+    val sig = shRows
+      .groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .cache() // read 3x below (bands + both verify sides); O(docs) rows
+
+    val bandCols = (0 until numHashes by 2).map { i =>
+      md5(concat(col(s"h$i"), col(s"h${i + 1}")))
+    }
+    val banded = sig.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
 
     // Candidate pairs: same (band, key), ordered ids, distinct.
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
@@ -78,7 +94,7 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    verifyJaccard(candidates, withShingles, idCol, threshold)
+    verifyJaccard(candidates, sig.select(col(idCol), col("sh")), idCol, threshold)
   }
 
   /** Exact Jaccard over md5-shingle sets for given candidate pairs. */
@@ -110,10 +126,9 @@ object Dedup {
       idCol: String,
       shingleK: Int = 3
   ): DataFrame = {
-    val s = df.select(
-      col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleK)).as("sh")
-    )
+    val s = df
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), array_distinct(TextOps.shingles(col("_toks"), shingleK)).as("sh"))
     val sa = s.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = s.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     sa.crossJoin(sb)
@@ -142,11 +157,19 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Precompute each row's norm once (O(n) passes) so the O(pairs)
+    // stage is a single zip_with fold per pair, not three.
+    val withNorm = df.select(
+      col(blockCol),
+      col(idCol),
+      col(vecCol).as("v"),
+      VectorOps.l2Norm(col(vecCol)).as("nrm")
+    )
+    val a = withNorm.select(col(blockCol), col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col(blockCol), col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", VectorOps.cosineRounded(col("v_a"), col("v_b")))
+      .withColumn("cos_sim", round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 5))
       .filter(col("cos_sim") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos_sim"))
   }

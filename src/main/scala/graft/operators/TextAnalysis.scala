@@ -94,15 +94,21 @@ object TextAnalysis {
 
   /** Min-shingle-hash fingerprint per document — a 1-permutation MinHash
     * usable as a cheap near-dup blocking key at corpus scale.
+    * Explode + partial-agg min/count: md5 runs codegen'd once per
+    * shingle, and the aggregation shape is 100 TB-safe.
     */
-  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sh = array_distinct(TextOps.shingles(TextOps.tokenize(col(textCol))))
-    df.select(
-      col(idCol),
-      array_min(sh).as("fingerprint"),
-      size(sh).cast("long").as("n_shingles")
-    ).filter(col("n_shingles") > 0)
-  }
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextOps.tokenize(col(textCol)).as("toks"))
+      // tokens bound to an attribute BEFORE the generator: GenerateExec
+      // has no subexpression elimination, so an inlined tokenize would
+      // re-run inside every element_at of the shingle lambda.
+      .select(col(idCol), explode(array_distinct(TextOps.rawShingles(col("toks")))).as("raw"))
+      .select(col(idCol), md5(col("raw")).as("shm"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("shm")).as("fingerprint"),
+        count("*").cast("long").as("n_shingles")
+      )
 
   /** Explode a documents DataFrame to one row per token occurrence,
     * keeping `keep` columns — the shared input for corpusStats /

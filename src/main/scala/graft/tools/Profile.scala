@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query profiler: runMain graft.tools.Profile <name> <sfDir> [n]
+  * Prints wall times for n repetitions plus the formatted plan.
+  */
+object Profile {
+  /** Dissection pipelines for perf debugging. */
+  val diag: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    Map(
+      "d_scan" -> ((s, dir) => Tables.documents(s, dir).select("doc_id", "text")),
+      "d_tokens" -> ((s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))),
+      "d_rawsh" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text")))).as("sh"))),
+      "d_explode" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))),
+      "d_md5" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))
+          .select(col("doc_id"), md5(col("raw")).as("shm"))),
+      "d_amin" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            array_min(transform(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text")))), x => md5(x))).as("fp"))),
+      "d_rep" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text")))).as("sh"))
+          .repartition(32)
+          .select(col("doc_id"), explode(col("sh")).as("raw"))
+          .select(col("doc_id"), md5(col("raw")).as("shm"))
+          .groupBy("doc_id").agg(min("shm").as("fingerprint"), count("*").as("n"))),
+      "d_agg" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))
+          .select(col("doc_id"), md5(col("raw")).as("shm"))
+          .groupBy("doc_id").agg(min("shm").as("fingerprint"), count("*").as("n")))
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = diag.getOrElse(name, SparkEntry.queries(name))
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
