@@ -40,6 +40,14 @@ object VectorOps {
   def cosineRounded(a: Column, b: Column, scale: Int = 5): Column =
     round(cosine(a, b), scale)
 
+  /** Codegen'd single-loop cosine via the native `cosine_sim` Catalyst
+    * expression (graft.plans.CosineSimilarity). Call
+    * `GraftFunctions.register(spark)` once per session (operators using
+    * this do it from `df.sparkSession`). Bit-identical to [[cosine]].
+    */
+  def cosineFastRounded(a: Column, b: Column, scale: Int = 5): Column =
+    round(call_function("cosine_sim", a, b), scale)
+
   /** L2-normalize to the unit sphere (doubles). On unit vectors,
     * euclidean distance is monotone in cosine — this is what lets a
     * euclidean KMeans coarse quantizer serve a cosine search.

