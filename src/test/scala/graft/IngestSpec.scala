@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Ingest, Multimodal}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkFolder(): Path = {
+    val dir = Files.createTempDirectory("graft_ingest")
+    Files.writeString(dir.resolve("readme.md"), "# Readme Title\n\nsome markdown body text here")
+    Files.writeString(dir.resolve("notes.txt"), "plain notes content with several words inside")
+    Files.write(dir.resolve("image.png"), Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3))
+    Files.writeString(dir.resolve("ignored.xyz"), "unsupported extension")
+    val sub = Files.createDirectory(dir.resolve("sub"))
+    Files.writeString(sub.resolve("deep.txt"), "nested file payload")
+    dir
+  }
+
+  test("folder scan filters unsupported extensions and recurses") {
+    val dir = mkFolder()
+    val out = Ingest.folder(spark, dir.toString)
+    val types = out.select("file_type").as[String].collect().sorted.toSeq
+    assert(types == Seq("md", "png", "txt", "txt"))
+    assert(out.filter(col("source").contains("ignored.xyz")).count() == 0)
+    assert(out.filter(col("source").contains("sub/deep.txt")).count() == 1)
+  }
+
+  test("convertStub decodes text formats and stubs binaries deterministically") {
+    val dir = mkFolder()
+    val out = Ingest.convertStub(Ingest.folder(spark, dir.toString))
+      .select("file_type", "text").as[(String, String)].collect().toMap
+    assert(out("md").startsWith("# Readme Title"))
+    assert(out("txt").nonEmpty)
+    assert(out("png").contains("[stub-converted png 6 bytes]"))
+  }
+
+  test("pipeline produces a ChunkRecord-shaped table with embeddings") {
+    val dir = mkFolder()
+    val out = Ingest.pipeline(spark, dir.toString, "docs")
+    val cols = out.columns.toSet
+    assert(Set("doc_id", "library", "source", "title", "content_hash",
+      "chunk_index", "chunk", "embedding").subsetOf(cols))
+    assert(out.count() >= 4) // one chunk per small file at least
+    val title = out.filter(col("source").endsWith("readme.md")).select("title").as[String].head()
+    assert(title == "Readme Title")
+    val emb = out.select("embedding").as[Seq[Double]].head()
+    assert(emb.length == 64)
+    assert(math.abs(math.sqrt(emb.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+
+  test("statuses: skip unchanged, replace changed, index new (by source+library)") {
+    val dir = mkFolder()
+    // persist the first scan as the "store" (a real store is durable;
+    // a lazily cached DataFrame would alias the mutated folder)
+    val storePath = Files.createTempDirectory("graft_store").resolve("chunks").toString
+    Ingest.folder(spark, dir.toString).withColumn("library", lit("docs"))
+      .write.parquet(storePath)
+    val first = spark.read.parquet(storePath)
+    // mutate one file, add one file, re-scan
+    Files.writeString(dir.resolve("notes.txt"), "CHANGED content")
+    Files.writeString(dir.resolve("fresh.md"), "brand new doc")
+    val second = Ingest.folder(spark, dir.toString).withColumn("library", lit("docs"))
+    val st = Ingest.statuses(second, first)
+      .select("source", "status").as[(String, String)].collect()
+      .map { case (s, v) => s.split('/').last -> v }.toMap
+    assert(st("notes.txt") == "replaced")
+    assert(st("fresh.md") == "indexed")
+    assert(st("readme.md") == "skipped")
+    assert(st("image.png") == "skipped")
+  }
+
+  test("multimodal decodeStub appends typed metadata via mapPartitions") {
+    val dir = mkFolder()
+    val out = Multimodal.decodeStub(Ingest.folder(spark, dir.toString), "content")
+    assert(out.schema("meta").dataType == Multimodal.MetaSchema)
+    val meta = out.filter(col("file_type") === "png").select("meta.*").collect().head
+    assert(meta.getAs[Int]("width") > 0 && meta.getAs[Int]("n_frames") > 0)
+    // deterministic: same input → same fake decode
+    val again = Multimodal.decodeStub(Ingest.folder(spark, dir.toString), "content")
+      .filter(col("file_type") === "png").select("meta.*").collect().head
+    assert(meta == again)
+  }
+}
