@@ -316,4 +316,19 @@ object Queries {
       Ann.build(embs(s, dir), "embedding", "vec_id", k = 10, seed = 42),
       queryVecDf(s, dir), "q_vec", nProbe = 3, topK = 10
     )
+
+  /** Single-row ANN quality report: probe recall@10 vs exact top-10
+    * (rows-only — KMeans centroids aren't SQL-replicable).
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = queryVecDf(s, dir)
+    val index = Ann.build(embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val probe = Ann.probe(index, q, "q_vec", nProbe = 3, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Ann.exact(embs(s, dir), q, "embedding", "q_vec", "vec_id", topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = if (exact.isEmpty) 0.0 else (probe & exact).size.toDouble / exact.size
+    Seq((10, 3, recall)).toDF("top_k", "n_probe", "recall")
+  }
 }

@@ -43,6 +43,7 @@ object SparkEntry {
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
     // C. ANN
     "ann_probe"           -> (Queries.annProbe(_, _)),
+    "ann_recall"          -> (Queries.annRecall(_, _)),
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     // E. text analysis
