@@ -308,6 +308,26 @@ object OracleSql {
          |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
          |FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
+    "token_counts" ->
+      s"""SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_enrich" ->
+      """SELECT c.c_mktsegment AS mktsegment,
+        |       CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS day_start,
+        |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY mktsegment, day_start ORDER BY mktsegment, day_start""".stripMargin,
+
+    "q5_region" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS line_count,
+        |       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,

@@ -232,6 +232,20 @@ object Queries {
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  /** Whitespace vs BPE-ish token counts (training-data token budgeting).
+    * The BPE-ish pattern (letter runs | digit runs | single symbol)
+    * matches GPT-style pre-tokenization granularity.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens")
+      )
+      .orderBy("doc_id")
+
   def embedHashedBow(s: SparkSession, dir: String): DataFrame =
     tokenTable(s, dir)
       .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))
@@ -277,6 +291,37 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
+
+  /** Stream-table enrichment: events joined to the customer dimension
+    * (broadcast — the dim is small relative to the fact stream) rolled
+    * up per market segment and day.
+    */
+  def eventsEnrich(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("user_id") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("mktsegment"),
+        (expr("ts DIV 86400000000000") * 86400).as("day_start")
+      )
+      .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("mktsegment", "day_start")
+
+  /** Fact-over-broadcast-dim-chain: revenue per region through
+    * supplier → nation → region (only the fact table streams).
+    */
+  def q5Region(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count("*").as("line_count"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")
+      )
+      .orderBy("r_name")
 
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

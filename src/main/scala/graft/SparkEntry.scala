@@ -56,8 +56,11 @@ object SparkEntry {
     // F. OLAP / events
     "q1_pricing"          -> (Queries.q1Pricing(_, _)),
     "q3_orders"           -> (Queries.q3Orders(_, _)),
+    "q5_region"           -> (Queries.q5Region(_, _)),
     "events_window"       -> (Queries.eventsWindow(_, _)),
-    "events_sessionize"   -> (Queries.eventsSessionize(_, _))
+    "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
+    "events_enrich"       -> (Queries.eventsEnrich(_, _)),
+    "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key (rows-only checks for the rest:
