@@ -358,7 +358,7 @@ object Queries {
 
   def annProbe(s: SparkSession, dir: String): DataFrame =
     Ann.probe(
-      Ann.build(embs(s, dir), "embedding", "vec_id", k = 10, seed = 42),
+      Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42),
       queryVecDf(s, dir), "q_vec", nProbe = 3, topK = 10
     )
 
@@ -368,7 +368,7 @@ object Queries {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = queryVecDf(s, dir)
-    val index = Ann.build(embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
     val probe = Ann.probe(index, q, "q_vec", nProbe = 3, topK = 10)
       .select("vec_id").as[Long].collect().toSet
     val exact = Ann.exact(embs(s, dir), q, "embedding", "q_vec", "vec_id", topK = 10)

@@ -22,6 +22,25 @@ object Ann {
 
   final case class Index(model: KMeansModel, assigned: DataFrame, vecCol: String, idCol: String)
 
+  // An IVF index is an offline artifact: built once, probed many times
+  // (at scale: persisted partitioned-by-cluster). Memoize per build key
+  // so repeated probes in one session don't refit.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Long), Index]()
+
+  /** Memoizing build keyed on (data key, columns, k, seed). `dataKey`
+    * identifies the source (e.g. the parquet dir).
+    */
+  def buildCached(dataKey: String, df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index =
+    indexCache.computeIfAbsent(
+      (dataKey, vecCol, idCol, k, seed),
+      _ => {
+        val idx = build(df, vecCol, idCol, k, seed)
+        idx.assigned.cache().count() // materialize assignments once
+        idx
+      }
+    )
+
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index = {
     // Cluster on L2-normalized vectors: euclidean cells on the unit
     // sphere are cosine cells, so a cosine probe's neighbors

@@ -78,6 +78,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events already seen within the
+    * watermark horizon (the streaming face of the reference's
+    * idempotent-ingest hash skip, ingestor.py:182). State is bounded by
+    * the watermark — Spark evicts ids older than the horizon.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicates(idCols :+ "ts")
+
   /** Wire a streaming windowed-count query to a memory sink (testing /
     * demo harness; production would write a Delta/parquet sink).
     */

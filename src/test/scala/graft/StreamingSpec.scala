@@ -30,6 +30,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops replayed events within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val e1 = Event(1, ts(0), 1, "click", 1.0)
+    val e2 = Event(2, ts(1), 2, "view", 2.0)
+    input.addData(e1, e2, e1) // replay of e1 in the same batch
+    val q = EventStreams.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(e1) // replay across batches
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_test").head.getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps and accumulates within a session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
