@@ -81,26 +81,32 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    // Per-doc length; corpus stats are a one-row aggregate (broadcast).
-    val dl = tokens.groupBy(idCol).agg(count("*").cast("double").as("dl"))
-    val stats = dl.agg(
-      count("*").cast("double").as("n"),
-      avg("dl").as("avgdl")
-    )
-    val qTok = tokens.filter(col("term").isInCollection(queryTerms))
-    // tf per (doc, term); df per term — df has at most |queryTerms| rows.
-    val tf = qTok.groupBy(idCol, "term").agg(count("*").cast("double").as("tf"))
-    val df = qTok.groupBy("term").agg(countDistinct(idCol).cast("double").as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = col("tf") * lit(k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
-    tf
-      .join(broadcast(df), "term")
-      .join(dl, idCol)
+    // ONE shuffle of the token table: doc length + per-query-term tf
+    // pivoted into a single map-side-combined aggregation (the pivot is
+    // |queryTerms| wide — a handful of columns).
+    def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
+    val perDocAggs = count("*").cast("double").as("dl") +:
+      queryTerms.map(t => count(when(col("term") === t, true)).cast("double").as(tfCol(t)))
+    val perDoc = tokens.groupBy(col(idCol)).agg(perDocAggs.head, perDocAggs.tail: _*)
+
+    // Corpus stats (N, avgdl, df per term) — a one-row broadcast.
+    val statAggs = count("*").cast("double").as("n") +: avg("dl").as("avgdl") +:
+      queryTerms.map(t => count(when(col(tfCol(t)) > 0, true)).cast("double").as(s"df_${tfCol(t)}"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+
+    val contribs = queryTerms.map { t =>
+      val tf = col(tfCol(t))
+      val df = col(s"df_${tfCol(t)}")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      val tfNorm = tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * tfNorm).otherwise(lit(0.0))
+    }
+    perDoc
+      .filter(queryTerms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("contrib", idf * tfNorm)
-      .groupBy(idCol)
-      .agg(sum("contrib").as("score"))
+      .withColumn("score", contribs.reduce(_ + _))
+      .select(col(idCol), col("score"))
   }
 
   /** BM25 top-k with the canonical rounded score. */
