@@ -83,6 +83,16 @@ object OracleSql {
          |       CAST(row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk FROM s)
          |SELECT label, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
+    "knn_batch" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+         |sc AS (SELECT qs.query_id, cs.vec_id, ${cosine("ev", "qv")} AS cos_sim
+         |       FROM cs, qs WHERE cs.vec_id <> qs.query_id),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+
     "bm25_topk" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,

@@ -73,6 +73,16 @@ object Queries {
     Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
   }
 
+  /** Batch retrieval: top-3 neighbors for each of the first 8 vectors. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame =
+    Search.knnBatch(
+      embs(s, dir).select(col("vec_id"), col("embedding")),
+      embs(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      corpusVec = "embedding", queryVec = "q_vec",
+      corpusId = "vec_id", queryId = "query_id", k = 3, excludeSelf = true
+    ).orderBy("query_id", "rk")
+
   def filteredSearch(s: SparkSession, dir: String): DataFrame = {
     val filtered = docs(s, dir)
       .filter(Catalog.filterFor(Map("lang" -> "en")) && col("n_chars") > 200)

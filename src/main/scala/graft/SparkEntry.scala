@@ -23,6 +23,7 @@ object SparkEntry {
     "scan_pruned"         -> (Queries.scanPruned(_, _)),
     "knn_topk"            -> (Queries.knnTopK(_, _)),
     "knn_pergroup"        -> (Queries.knnPerGroup(_, _)),
+    "knn_batch"           -> (Queries.knnBatch(_, _)),
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
     "hybrid_rrf"          -> (Queries.hybridRrf(_, _)),
     "filtered_search"     -> (Queries.filteredSearch(_, _)),

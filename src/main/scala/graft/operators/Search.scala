@@ -68,6 +68,33 @@ object Search {
       .select(col(groupCol), col(idCol), col(scoreName), col("rk"))
   }
 
+  /** Batch KNN: top-k per query for a whole DataFrame of query vectors
+    * — the batch-retrieval workload (offline eval, hard-negative
+    * mining). The query set broadcasts; per-query top-k is a window
+    * row_number, so corpus rows stream once through one join.
+    */
+  def knnBatch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusVec: String,
+      queryVec: String,
+      corpusId: String,
+      queryId: String,
+      k: Int,
+      scoreName: String = "cos_sim",
+      excludeSelf: Boolean = false
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf) joined.filter(col(corpusId) =!= col(queryId)) else joined)
+      .withColumn(scoreName, VectorOps.cosineFastRounded(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(queryId).orderBy(col(scoreName).desc, col(corpusId))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col(scoreName), col("rk"))
+  }
+
   /** BM25 scores for every document matching at least one query term.
     *
     * @param tokens  DataFrame of (idCol, term) — one row per token
