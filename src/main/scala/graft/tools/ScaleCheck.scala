@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft._
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-behavior check: replicate the documents corpus N× (distinct
+  * ids, salted text so hashes differ) and time the operators whose cost
+  * is corpus-shaped. Verifies the operators' scaling curve, not just
+  * their sf0.1 wall time: near-linear growth here means the dataflow
+  * has no hidden all-pairs/driver-side bottleneck.
+  *
+  * runMain graft.tools.ScaleCheck [sfDir] [maxFactor]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val maxFactor = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(factor: Int): DataFrame = {
+      val d = Tables.documents(spark, sfDir)
+      val reps = spark.range(factor).select(col("id").as("rep"))
+      d.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          // salt the text so content hashes/shingles differ across replicas
+          concat(col("text"), lit(" salt"), col("rep").cast("string")).as("text"),
+          col("lang"), col("source"), col("n_chars")
+        )
+    }
+
+    def time(label: String, df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-28s ${s}%7.2f s  ($n rows)")
+      s
+    }
+
+    // warmup
+    Tables.documents(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
+
+    for (factor <- Seq(1, maxFactor / 4, maxFactor).distinct.filter(_ >= 1)) {
+      val c = corpus(factor)
+      val rows = c.count()
+      println(s"\n[scale] === corpus x$factor (${rows} docs) ===")
+      time(s"dedup_exact", Dedup.exactGroups(c, "text", "doc_id"))
+      time(s"dedup_minhash_lsh", Dedup.minHashLshPairs(c, "text", "doc_id", threshold = 0.3))
+      time(s"doc_fingerprint", TextAnalysis.fingerprint(c, "text", "doc_id"))
+      time(s"bm25_topk", Search.bm25TopK(
+        TextAnalysis.tokenTable(c, "text", Seq("doc_id")).select("doc_id", "term"),
+        "doc_id", Queries.QueryTerms, 10))
+      time(s"chunk_explode", Chunker.fixedSize(c, "text", 32, 8, Seq("doc_id", "source")))
+      time(s"quality_score", TextAnalysis.qualityScore(c, "text", "doc_id"))
+    }
+    spark.stop()
+  }
+}
