@@ -139,4 +139,15 @@ object Catalog {
     */
   def upsertLike(oldRows: DataFrame, newRows: DataFrame): DataFrame =
     oldRows.unionByName(newRows, allowMissingColumns = true)
+
+  /** Replace-by-key upsert: incoming rows win, old rows survive only if
+    * their key is absent from incoming — the reference's replace path
+    * (delete_document + upsert_chunks, ingestor.py:205). An anti-join +
+    * union: both sides shuffle once on the key, no row-at-a-time logic.
+    */
+  def upsertByKey(oldRows: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    incoming.unionByName(
+      oldRows.join(incoming.select(key).distinct(), Seq(key), "left_anti"),
+      allowMissingColumns = true
+    )
 }

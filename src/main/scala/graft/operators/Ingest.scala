@@ -90,6 +90,28 @@ object Ingest {
       )
   }
 
+  /** Typed pipeline: the same dataflow surfaced as
+    * `Dataset[graft.model.ChunkRecord]` — the reference's row type
+    * (store.py:18) with a stable composite chunk id.
+    */
+  def pipelineTyped(
+      spark: SparkSession,
+      path: String,
+      library: String
+  ): org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
+    import spark.implicits._
+    pipeline(spark, path, library)
+      .select(
+        concat(col("doc_id"), lit(":"), col("chunk_index").cast("string")).as("id"),
+        col("doc_id"), col("library"), col("source"), col("content_hash"),
+        col("title"), col("chunk").as("content"), col("embedding"),
+        col("chunk_index"), col("last_modified").as("created_at"),
+        lit("{}").as("metadata"), col("file_type"), col("last_modified"),
+        lit(0).as("page")
+      )
+      .as[graft.model.ChunkRecord]
+  }
+
   /** Re-ingest statuses against an existing store, keyed on
     * (source, library) with hash-skip (ingestor.py:182-205,
     * store.py:206 `find_existing`).

@@ -88,6 +88,30 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * so the join state is evicted once the interval can no longer
+    * match — bounded memory on unbounded streams.
+    */
+  def purchaseAttribution(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(
+      clicks,
+      expr(
+        s"""p_user = c_user AND
+           |click_ts <= purchase_ts AND
+           |click_ts >= purchase_ts - INTERVAL $lookback""".stripMargin)
+    )
+  }
+
   /** Wire a streaming windowed-count query to a memory sink (testing /
     * demo harness; production would write a Delta/parquet sink).
     */

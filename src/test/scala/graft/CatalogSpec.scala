@@ -66,6 +66,14 @@ class CatalogSpec extends SparkSpec {
     assert(out == Map(1L -> "skipped", 2L -> "replaced", 3L -> "indexed"))
   }
 
+  test("upsertByKey: incoming wins, old survives only when key absent") {
+    val oldRows = Seq((1L, "old-1"), (2L, "old-2"), (3L, "old-3")).toDF("id", "text")
+    val incoming = Seq((2L, "new-2"), (4L, "new-4")).toDF("id", "text")
+    val out = Catalog.upsertByKey(oldRows, incoming, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "old-1"), (2L, "new-2"), (3L, "old-3"), (4L, "new-4")))
+  }
+
   test("upsertLike null-fills columns missing on either side") {
     val oldRows = Seq((1L, "srcA")).toDF("id", "source")
     val newRows = Seq((2L, "srcB", "en")).toDF("id", "source", "lang")

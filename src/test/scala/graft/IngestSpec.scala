@@ -50,6 +50,16 @@ class IngestSpec extends SparkSpec {
     assert(math.abs(math.sqrt(emb.map(x => x * x).sum) - 1.0) < 1e-9)
   }
 
+  test("pipelineTyped yields the reference ChunkRecord row type") {
+    val dir = mkFolder()
+    val ds = graft.operators.Ingest.pipelineTyped(spark, dir.toString, "docs")
+    val rec = ds.filter(_.source.endsWith("readme.md")).head()
+    assert(rec.id == s"${rec.doc_id}:${rec.chunk_index}")
+    assert(rec.library == "docs")
+    assert(rec.page == 0 && rec.metadata == "{}")
+    assert(rec.embedding.length == 64)
+  }
+
   test("statuses: skip unchanged, replace changed, index new (by source+library)") {
     val dir = mkFolder()
     // persist the first scan as the "store" (a real store is durable;

@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution joins purchases to preceding clicks within the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 0.0),    // within the hour → attributed
+      Event(2, ts(30), 7, "click", 0.0),   // within the hour → attributed
+      Event(3, ts(45), 7, "purchase", 99.0),
+      Event(4, ts(50), 8, "purchase", 5.0) // no clicks for user 8
+    )
+    val q = EventStreams.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, click_id FROM attr_test ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((3L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps and accumulates within a session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
