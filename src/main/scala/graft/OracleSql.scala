@@ -365,6 +365,14 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
 
+    "events_json" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |       CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS null_k,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

@@ -343,6 +343,24 @@ object Queries {
       .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Semi-structured processing: extract a field from the JSON props
+    * column (codegen'd get_json_object, no UDF) and aggregate.
+    */
+  def eventsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .groupBy("event_type")
+      .agg(
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        count(when(col("k").isNull, true)).as("null_k"),
+        count("*").as("n")
+      )
+      .orderBy("event_type")
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val sessions = events(s, dir)

@@ -61,6 +61,7 @@ object SparkEntry {
     "events_window"       -> (Queries.eventsWindow(_, _)),
     "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
+    "events_json"         -> (Queries.eventsJson(_, _)),
     "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 
