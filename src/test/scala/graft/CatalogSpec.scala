@@ -58,6 +58,16 @@ class CatalogSpec extends SparkSpec {
     assert(remaining.filter(col("doc_id") === 10).count() == 0)
   }
 
+  test("deleting a nonexistent doc changes nothing; getDocument missing is empty") {
+    // (reference: test_store.py delete_nonexistent_doc_returns_zero /
+    //  get_document_missing_returns_empty)
+    val doomed = Seq(Tuple1(999L)).toDF("doc_id")
+    assert(Catalog.deleteDocuments(chunkFixture, doomed, "doc_id").count() == chunkFixture.count())
+    val missing = Catalog.getDocument(
+      chunkFixture.filter(col("doc_id") === 999), "doc_id", "chunk_index", "chunk", Seq("library"))
+    assert(missing.count() == 0)
+  }
+
   test("ingestStatus classifies indexed/skipped/replaced like the reference") {
     val existing = Seq((1L, "unchanged"), (2L, "old content")).toDF("id", "text")
     val incoming = Seq((1L, "unchanged"), (2L, "new content"), (3L, "brand new")).toDF("id", "text")

@@ -51,6 +51,18 @@ class ChunkerSpec extends SparkSpec {
     assert(out.mkString("").length >= 10) // characters preserved across splits
   }
 
+  test("unicode text survives chunking (non-ascii counts zero proxy tokens)") {
+    // (reference: test_chunker.py unicode_text — the HF tokenizer counts
+    //  CJK tokens; our whitespace proxy counts ascii-alphanumeric runs,
+    //  so pure-CJK text falls below the min floor and is indexed whole.)
+    val cjk = "数据 处理 管道 质量 评分"
+    val out = Chunker.recursiveChunks(cjk, chunkSize = 512, overlap = 64, minTokens = 5)
+    assert(out == Seq(cjk))
+    val mixed = "spark 数据 pipeline 处理 engine quality scoring tokens here now"
+    val outMixed = Chunker.recursiveChunks(mixed, chunkSize = 512, overlap = 64, minTokens = 5)
+    assert(outMixed.nonEmpty && outMixed.head.contains("数据"))
+  }
+
   test("fixed-size chunker covers every token and respects bounds") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq((1L, (1 to 75).map(i => s"t$i").mkString(" ")))).toDF("doc_id", "text")

@@ -52,6 +52,17 @@ class SearchSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("knnTopK on an empty corpus returns empty; never more than k rows") {
+    // (reference: test_store.py search_empty_table / at_most_top_k)
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val empty = corpus.filter(col("vec_id") < 0)
+    assert(Search.knnTopK(empty, q, "embedding", "q_vec", "vec_id", 5).count() == 0)
+    assert(Search.knnTopK(corpus, q, "embedding", "q_vec", "vec_id", 5).count() == 2)
+    assert(Search.knnTopK(corpus, q, "embedding", "q_vec", "vec_id", 1).count() == 1)
+  }
+
   test("rrfFuse combines legs and prefers doubly-ranked ids") {
     val legA = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "sa")
     val legB = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "sb")
