@@ -61,10 +61,11 @@ object Search {
     val scored = corpus
       .crossJoin(broadcast(queryDf))
       .withColumn(scoreName, VectorOps.cosineFastRounded(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(groupCol).orderBy(col(scoreName).desc, col(idCol))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+      .select(groupCol, idCol, scoreName)
+    // bounded-heap custom operator: same ranks as the window idiom
+    // (ordering is total via the id tie-break), no per-partition sort
+    graft.plans.TopK
+      .perKey(scored, Seq(groupCol), Seq((scoreName, false), (idCol, true)), k)
       .select(col(groupCol), col(idCol), col(scoreName), col("rk"))
   }
 
@@ -88,10 +89,9 @@ object Search {
     val joined = corpus.crossJoin(broadcast(queries))
     val scored = (if (excludeSelf) joined.filter(col(corpusId) =!= col(queryId)) else joined)
       .withColumn(scoreName, VectorOps.cosineFastRounded(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(queryId).orderBy(col(scoreName).desc, col(corpusId))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+      .select(queryId, corpusId, scoreName)
+    graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq((scoreName, false), (corpusId, true)), k)
       .select(col(queryId), col(corpusId), col(scoreName), col("rk"))
   }
 

@@ -109,6 +109,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 
@@ -126,5 +127,15 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val (id, info, builder) = cosineSimDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    ensureStrategy(spark)
+  }
+
+  /** Idempotently add the TopKPerKey planner strategy to a session that
+    * wasn't built with spark.sql.extensions.
+    */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!ss.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      ss.experimental.extraStrategies = ss.experimental.extraStrategies :+ TopKPerKeyStrategy
   }
 }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator extension: top-k rows per key WITHOUT sorting whole
+  * partitions.
+  *
+  * `Window.partitionBy(...).orderBy(...) + row_number <= k` — the
+  * DataFrame idiom — shuffles on the key and then SORTS every partition
+  * in full before discarding all but k rows per key. This operator
+  * keeps a bounded k-row heap per key instead: same shuffle, O(n log k)
+  * compute, O(keys·k) memory, no sort spill. The win grows with
+  * rows-per-key — exactly the batch-retrieval shape (every corpus row
+  * scored against every query).
+  *
+  * Full custom-operator stack: logical node → planner Strategy →
+  * physical exec, injected via GraftExtensions
+  * (`injectPlannerStrategy`). Results are identical to the window
+  * idiom whenever the ordering is total (callers break ties, as the
+  * Search operators do).
+  */
+case class TopKPerKeyNode(
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val partExprsLocal = partitionExprs
+    val orderLocal = order
+    val outputAttrs = output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprsLocal, childOutput)
+      // downstream operators (whole-stage codegen) require UnsafeRow
+      val outputProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val ordering = new LazilyGeneratedOrdering(orderLocal, childOutput)
+      // heap head = WORST kept row, so `reverse` the sort ordering
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val heapCmp = ordering.reversed() // worst-first
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, heapCmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) {
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          // `row` sorts before the current worst → it belongs in the top k
+          heap.poll()
+          heap.add(row.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { heap =>
+        val arr = new Array[UnsafeRow](heap.size)
+        var i = arr.length - 1
+        while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 } // best-first
+        var rk = 1
+        arr.foreach { r =>
+          val joined = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(childOutput.length + 1)
+          var c = 0
+          while (c < childOutput.length) {
+            joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+          }
+          joined.update(childOutput.length, rk.toLong)
+          out += outputProj(joined).copy()
+          rk += 1
+        }
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(part, order, k, rank, child) =>
+      TopKPerKeyExec(part, order, k, rank, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: append a `rankName` column holding 1..k per key.
+  * `orderBy` entries are (columnName, ascending) — keep the composite
+  * ordering total (add an id tie-break) for deterministic ranks.
+  */
+object TopK {
+  def perKey(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderBy: Seq[(String, Boolean)],
+      k: Int,
+      rankName: String = "rk"
+  ): DataFrame = {
+    val spark = df.sparkSession
+    GraftFunctions.ensureStrategy(spark)
+    val analyzed = df.queryExecution.analyzed
+    val attrByName = analyzed.output.map(a => a.name -> a).toMap
+    val partExprs: Seq[Expression] = partitionCols.map(attrByName(_))
+    val resolvedOrders = orderBy.map { case (name, asc) =>
+      SortOrder(
+        attrByName(name),
+        if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+        else org.apache.spark.sql.catalyst.expressions.Descending
+      )
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    GraftBridge.ofRows(spark, TopKPerKeyNode(partExprs, resolvedOrders, k, rankAttr, analyzed))
+  }
+}

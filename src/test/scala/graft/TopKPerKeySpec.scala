@@ -1,0 +1,52 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = (for {
+    g <- 0 until 5
+    i <- 0 until 100
+  } yield (g.toLong, (g * 100 + i).toLong, math.sin(g * 7 + i * 3) * 100))
+    .toDF("grp", "id", "score")
+
+  test("TopK.perKey matches the window row_number idiom exactly") {
+    val viaWindow = fixture
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rk") <= 7)
+      .select("grp", "id", "score", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaTopK = TopK.perKey(fixture, Seq("grp"), Seq(("score", false), ("id", true)), 7)
+      .select("grp", "id", "score", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaTopK == viaWindow)
+  }
+
+  test("TopK.perKey plan uses the custom exec and no Sort operator") {
+    val df = TopK.perKey(fixture, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("!TopKPerKey"), s"plan node must be valid (no missing input):\n$plan")
+    assert(!plan.contains("Sort "), s"bounded-heap operator must not sort partitions:\n$plan")
+  }
+
+  test("empty partition list means global top-k") {
+    val out = TopK.perKey(fixture, Seq.empty, Seq(("score", false), ("id", true)), 5)
+    val rows = out.orderBy("rk").collect()
+    assert(rows.length == 5)
+    val bestByHand = fixture.orderBy(col("score").desc, col("id")).limit(5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(rows.map(_.getAs[Long]("id")).toSeq == bestByHand)
+  }
+
+  test("k larger than group size returns whole groups with contiguous ranks") {
+    val small = Seq((1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 3L, 1.0)).toDF("grp", "id", "score")
+    val out = TopK.perKey(small, Seq("grp"), Seq(("score", false), ("id", true)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)))
+  }
+}
