@@ -365,6 +365,17 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
 
+    "events_asof" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type,
+        |             CASE WHEN event_type = 'error' THEN epoch_ms(ts) END AS err_t
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, t, event_type,
+        |       max(err_t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_t
+        |      FROM o)
+        |SELECT user_id, event_id AS purchase_id, t, last_err_t
+        |FROM f WHERE event_type = 'purchase' ORDER BY user_id, purchase_id""".stripMargin,
+
     "events_json" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -343,6 +343,21 @@ object Queries {
       .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
+  /** As-of lookup: for each purchase event, the timestamp of the most
+    * recent preceding error by the same user (running-max window —
+    * no self-join).
+    */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000000").as("t"), col("event_type"))
+    Events
+      .asOfLastMarker(base, "user_id", "t", "event_id",
+        col("event_type") === "error", col("t"), "last_err_t")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("t"), col("last_err_t"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Semi-structured processing: extract a field from the JSON props
     * column (codegen'd get_json_object, no UDF) and aggregate.
     */

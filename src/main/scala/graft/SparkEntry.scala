@@ -62,6 +62,7 @@ object SparkEntry {
     "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
+    "events_asof"         -> (Queries.eventsAsof(_, _)),
     "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 
