@@ -71,6 +71,39 @@ object Ann {
       .select(col(index.idCol), col("cluster"), col("cos_sim"))
   }
 
+  /** Persist the index partitioned by cluster id — the at-scale layout:
+    * a probe's nProbe-cluster filter prunes whole partitions at the
+    * file listing, so a probe scans ~nProbe/k of the corpus bytes.
+    */
+  def writeIndex(index: Index, path: String): Unit =
+    index.assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Probe a persisted index directory: cluster pruning happens at the
+    * parquet partition level (visible as PartitionFilters in explain).
+    */
+  def probePersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[org.apache.spark.ml.linalg.Vector],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val qRaw = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
+    val q = qRaw.map(_ / qNorm)
+    val nearestCells = centroids.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(nearestCells.toSeq))
+    Search
+      .knnTopK(pruned, queryDf, vecCol, queryVec, idCol, topK)
+      .select(col(idCol), col("cluster"), col("cos_sim"))
+  }
+
   /** Exact top-k baseline for recall measurement. */
   def exact(df: DataFrame, queryDf: DataFrame, vecCol: String, queryVec: String, idCol: String, topK: Int): DataFrame =
     Search.knnTopK(df, queryDf, vecCol, queryVec, idCol, topK).select(idCol, "cos_sim")
