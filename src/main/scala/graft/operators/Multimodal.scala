@@ -36,6 +36,32 @@ object Multimodal {
       (length(col(binCol)).cast("long") % 480).as("fake_h")
     )
 
+  /** STUB resize: computes target dimensions preserving aspect ratio
+    * from the decoded meta (a real implementation would transform
+    * pixels; the dimension math and column contract are real).
+    */
+  def resizeStub(decoded: DataFrame, maxSide: Int): DataFrame =
+    decoded
+      .withColumn("_scale",
+        when(greatest(col("meta.width"), col("meta.height")) > maxSide,
+          lit(maxSide.toDouble) / greatest(col("meta.width"), col("meta.height")).cast("double"))
+          .otherwise(lit(1.0)))
+      .withColumn("resized_w", ceil(col("meta.width") * col("_scale")).cast("int"))
+      .withColumn("resized_h", ceil(col("meta.height") * col("_scale")).cast("int"))
+      .drop("_scale")
+
+  /** STUB frame sampler: one row per sampled frame index with a
+    * deterministic per-frame digest (a real video decoder would emit
+    * frame bytes). The explode shape — row-per-frame with bounded
+    * frames per row — is the real contract a downstream embedder sees.
+    */
+  def frameSampleStub(decoded: DataFrame, binCol: String, everyN: Int): DataFrame =
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(everyN))))
+      .withColumn("frame_digest",
+        md5(concat(md5(col(binCol)), lit(":"), col("frame_idx").cast("string"))))
+
   /** STUB decoder: a real implementation would parse image/audio headers
     * and decode frames here. Deterministic fake: dimensions derived from
     * the payload length, format from the first byte. Runs as a single
@@ -51,12 +77,15 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val meta =
           if (bytes == null || bytes.isEmpty) Row(0, 0, "empty", 0)
-          else Row(
-            1 + (math.abs(java.util.Arrays.hashCode(bytes)) % 640),
-            1 + (math.abs(java.util.Arrays.hashCode(bytes).toLong * 31).toInt % 480),
-            f"fmt${bytes(0) & 0x07}",
-            1 + (bytes.length % 30)
-          )
+          else {
+            val h = java.util.Arrays.hashCode(bytes)
+            Row(
+              1 + java.lang.Math.floorMod(h, 640),
+              1 + java.lang.Math.floorMod(h * 31, 480),
+              f"fmt${bytes(0) & 0x07}",
+              1 + (bytes.length % 30)
+            )
+          }
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(enc).toDF(outSchema.fieldNames: _*)

@@ -81,6 +81,22 @@ class IngestSpec extends SparkSpec {
     assert(st("image.png") == "skipped")
   }
 
+  test("multimodal resize + frame-sample stages keep real column contracts") {
+    val dir = mkFolder()
+    val decoded = Multimodal.decodeStub(Ingest.folder(spark, dir.toString), "content")
+    val resized = Multimodal.resizeStub(decoded, maxSide = 128)
+    val r = resized.select("resized_w", "resized_h", "meta.width", "meta.height").collect()
+    r.foreach { row =>
+      assert(row.getInt(0) <= 128 && row.getInt(1) <= 128)
+      assert(row.getInt(0) > 0 && row.getInt(1) > 0)
+    }
+    val frames = Multimodal.frameSampleStub(decoded, "content", everyN = 5)
+    val perFile = frames.groupBy("source").count().collect()
+    assert(perFile.forall(_.getLong(1) >= 1))
+    // deterministic digests, unique per (source, frame)
+    assert(frames.select("frame_digest").distinct().count() == frames.count())
+  }
+
   test("multimodal decodeStub appends typed metadata via mapPartitions") {
     val dir = mkFolder()
     val out = Multimodal.decodeStub(Ingest.folder(spark, dir.toString), "content")
