@@ -36,6 +36,29 @@ object Profile {
           .select(col("doc_id"), explode(col("sh")).as("raw"))
           .select(col("doc_id"), md5(col("raw")).as("shm"))
           .groupBy("doc_id").agg(min("shm").as("fingerprint"), count("*").as("n"))),
+      // window-sort vs bounded-heap head-to-head: 200 queries x all
+      // vectors, top-10 per query (~400k scored pairs at sf0.1)
+      "d_topk_window" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = e.crossJoin(broadcast(q))
+          .withColumn("c", call_function("cosine_sim", col("embedding"), col("qv")))
+          .select("qid", "vec_id", "c")
+        scored.withColumn("rk",
+          row_number().over(Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 10)
+      }),
+      "d_topk_heap" -> ((s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 200).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = e.crossJoin(broadcast(q))
+          .withColumn("c", call_function("cosine_sim", col("embedding"), col("qv")))
+          .select("qid", "vec_id", "c")
+        graft.plans.TopK.perKey(scored, Seq("qid"), Seq(("c", false), ("vec_id", true)), 10)
+      }),
       "d_agg" -> ((s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))
@@ -55,7 +78,9 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = diag.getOrElse(name, SparkEntry.queries(name))
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "entry") (s, _) => SparkEntry.entry(s)
+      else diag.getOrElse(name, SparkEntry.queries(name))
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
