@@ -15,6 +15,27 @@ import org.apache.spark.sql.DataFrame
   */
 object Featurize {
 
+  /** Pure-projection hashed-BoW embedding: one fold over the token
+    * array builds the dense vector — no explode, no shuffle, no state.
+    * Works identically on batch and streaming DataFrames (a plain map
+    * stage), at O(dims) per token. One md5 per token.
+    */
+  def hashedBowInline(textCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
+    val toks = TextOps.tokenize(textCol)
+    val zero = array_repeat(lit(0.0), dims)
+    val counts = aggregate(
+      toks,
+      zero,
+      (acc, t) => {
+        val d = TextOps.hashedBowDim(t, dims)
+        zip_with(acc, sequence(lit(0), lit(dims - 1)),
+          (x, i) => x + when(i.cast("long") === d, 1.0).otherwise(0.0))
+      }
+    )
+    val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
+    when(norm > 0, transform(counts, x => x / norm)).otherwise(counts)
+  }
+
   /** Append an L2-normalized `embedding: array<double>` hashed-BoW
     * column; rows whose text has no tokens get the zero vector.
     */

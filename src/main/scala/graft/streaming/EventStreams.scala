@@ -112,6 +112,18 @@ object EventStreams {
     )
   }
 
+  /** Continuous document ingest: a stream of (doc_id, text) rows is
+    * chunked and embedded entirely with per-row projections/generators
+    * (fixed-size chunker + inline hashed-BoW) — no stateful operator,
+    * so it runs in plain append mode with unbounded throughput. The
+    * streaming face of the reference's ingest pipeline
+    * (ingestor.py:133: convert → chunk → embed → store).
+    */
+  def ingestStream(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 8): DataFrame =
+    graft.operators.Chunker
+      .fixedSize(docs, "text", chunkSize, overlap, keep = Seq("doc_id"))
+      .withColumn("embedding", graft.operators.Featurize.hashedBowInline(col("chunk"), 64))
+
   /** Wire a streaming windowed-count query to a memory sink (testing /
     * demo harness; production would write a Delta/parquet sink).
     */

@@ -30,6 +30,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream chunks and embeds a document stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, (1 to 100).map(i => s"alpha$i").mkString(" ")),
+      (2L, "short doc body")
+    )
+    val q = EventStreams.ingestStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingest_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, chunk_index, size(embedding) AS d FROM ingest_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.count(_._1 == 1L) == 2) // 100 tokens / (64-8) step -> 2 chunks
+      assert(rows.count(_._1 == 2L) == 1)
+      assert(rows.forall(_._3 == 64))
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed events within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
