@@ -338,6 +338,30 @@ object OracleSql {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
+    "pii_scrub" ->
+      """WITH m AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 now' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS phones,
+        |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_hash
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "contamination_check" ->
+      s"""WITH bt AS (SELECT ${toks()} AS toks FROM documents WHERE doc_id < 10),
+         |bs AS (SELECT DISTINCT unnest($shingleExpr) AS shm FROM bt),
+         |ct AS (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id >= 10),
+         |cs AS (SELECT doc_id, unnest($shingleExpr) AS shm FROM ct)
+         |SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(bs.shm) AS BIGINT) AS n_contaminated,
+         |       ROUND(CAST(count(bs.shm) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS ratio
+         |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
+         |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,

@@ -256,6 +256,32 @@ object Queries {
       )
       .orderBy("doc_id")
 
+  /** PII scrub over documents with planted emails/phones (synthetic
+    * text has none, so plant deterministically on both sides).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com ok"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" call 555-123-4567 now")).otherwise(lit(""))
+      ).as("text")
+    )
+    TextAnalysis.piiScrub(planted, "text", "doc_id").orderBy("doc_id")
+  }
+
+  /** Decontamination: fraction of each doc's shingles present in the
+    * "benchmark" slice (doc_id < 10).
+    */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contamination(
+      docs(s, dir).filter(col("doc_id") >= 10),
+      docs(s, dir).filter(col("doc_id") < 10),
+      "text", "doc_id"
+    ).orderBy("doc_id")
+
   def embedHashedBow(s: SparkSession, dir: String): DataFrame =
     tokenTable(s, dir)
       .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))

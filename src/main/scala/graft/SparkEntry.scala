@@ -54,6 +54,8 @@ object SparkEntry {
     "quality_score"       -> (Queries.qualityScore(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
+    "pii_scrub"           -> (Queries.piiScrub(_, _)),
+    "contamination_check" -> (Queries.contaminationCheck(_, _)),
     // F. OLAP / events
     "q1_pricing"          -> (Queries.q1Pricing(_, _)),
     "q3_orders"           -> (Queries.q3Orders(_, _)),

@@ -110,6 +110,55 @@ object TextAnalysis {
         count("*").cast("long").as("n_shingles")
       )
 
+  /** PII patterns shared with the oracle (kept to constructs with
+    * identical Java-regex / RE2 semantics: explicit classes, no
+    * lookaround).
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails/phones, reporting counts — the training-data PII
+    * scrub pass (pure codegen'd regexp expressions, one map stage).
+    */
+  def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("emails"),
+      regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("phones"),
+      md5(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>")
+      ).as("scrubbed_hash")
+    )
+
+  /** Benchmark-contamination check: per corpus doc, the fraction of its
+    * distinct 3-token shingles that appear anywhere in the benchmark
+    * set. The benchmark shingle set is distinct + broadcast (tiny
+    * relative to the corpus); the corpus streams once.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    def shingleRows(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
+      df.select(keep :+ TextOps.tokenize(col(textCol)).as("_toks"): _*)
+        .select(keep :+ explode(array_distinct(TextOps.rawShingles(col("_toks")))).as("raw"): _*)
+        .withColumn("shm", md5(col("raw"))).drop("raw")
+    val bench = shingleRows(benchmark, Seq.empty).select("shm").distinct()
+    shingleRows(corpus, Seq(col(idCol)))
+      .join(broadcast(bench.withColumn("_hit", lit(1L))), Seq("shm"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count("*").as("n_shingles"),
+        count(col("_hit")).as("n_contaminated")
+      )
+      .withColumn("ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
   /** Explode a documents DataFrame to one row per token occurrence,
     * keeping `keep` columns — the shared input for corpusStats /
     * topTermsPerGroup / BM25.
