@@ -408,6 +408,29 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "events_percentiles" ->
+      """SELECT event_type,
+        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_rollup" ->
+      """SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type, day_start)
+        |ORDER BY event_type ASC NULLS FIRST, day_start ASC NULLS FIRST""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

@@ -402,6 +402,42 @@ object Queries {
       )
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles per event type. */
+  def eventsPercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count("*").as("n")
+      )
+      .orderBy("event_type")
+
+  /** Multi-level rollup: (event_type, day) totals with subtotal and
+    * grand-total rows (null-marked), one pass.
+    */
+  def eventsRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), (expr("ts DIV 86400000000000") * 86400).as("day_start"), col("value"))
+      .rollup("event_type", "day_start")
+      .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day_start").asc_nulls_first)
+
+  /** Wide per-user activity profile: event counts pivoted by type
+    * (explicit CASE sums — engine-portable and codegen'd).
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === types.head, true)).as(s"n_${types.head}"),
+        types.tail.map(t => count(when(col("event_type") === t, true)).as(s"n_$t")): _*
+      )
+      .orderBy("user_id")
+  }
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val sessions = events(s, dir)

@@ -65,6 +65,9 @@ object SparkEntry {
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),
+    "events_percentiles"  -> (Queries.eventsPercentiles(_, _)),
+    "events_rollup"       -> (Queries.eventsRollup(_, _)),
+    "events_pivot"        -> (Queries.eventsPivot(_, _)),
     "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 
