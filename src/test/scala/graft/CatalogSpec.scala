@@ -76,6 +76,17 @@ class CatalogSpec extends SparkSpec {
     assert(out == Map(1L -> "skipped", 2L -> "replaced", 3L -> "indexed"))
   }
 
+  test("serverInfo reports environment and path readability (reference server_info)") {
+    graft.plans.GraftFunctions.register(spark)
+    val row = graft.operators.Info
+      .serverInfo(spark, Some("/root/testdata/sf0.001/documents.parquet")).head()
+    assert(row.getAs[String]("spark_version").startsWith("4."))
+    assert(row.getAs[Boolean]("cosine_sim_registered"))
+    assert(row.getAs[String]("path_check").startsWith("exists"))
+    val missing = graft.operators.Info.serverInfo(spark, Some("/no/such/file")).head()
+    assert(missing.getAs[String]("path_check") == "missing")
+  }
+
   test("upsertByKey: incoming wins, old survives only when key absent") {
     val oldRows = Seq((1L, "old-1"), (2L, "old-2"), (3L, "old-3")).toDF("id", "text")
     val incoming = Seq((2L, "new-2"), (4L, "new-4")).toDF("id", "text")
