@@ -57,7 +57,7 @@ object Ann {
 
   /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
   def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame = {
-    val qRaw = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val qRaw = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
     val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
     val q = qRaw.map(_ / qNorm)
     val nearestCells = index.model.clusterCenters.zipWithIndex
@@ -92,7 +92,7 @@ object Ann {
       nProbe: Int,
       topK: Int
   ): DataFrame = {
-    val qRaw = queryDf.select(queryVec).head.getSeq[Float](0).map(_.toDouble).toArray
+    val qRaw = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
     val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
     val q = qRaw.map(_ / qNorm)
     val nearestCells = centroids.zipWithIndex

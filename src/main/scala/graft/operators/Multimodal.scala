@@ -88,6 +88,6 @@ object Multimodal {
           }
         Row.fromSeq(r.toSeq :+ meta)
       }
-    }(enc).toDF(outSchema.fieldNames: _*)
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 }
