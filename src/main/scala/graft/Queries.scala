@@ -467,6 +467,18 @@ object Queries {
       queryVecDf(s, dir), "q_vec", nProbe = 3, topK = 10
     )
 
+  /** IVF-PQ-style probe (rows-only): PQ codes + ADC ranking + exact
+    * re-rank at refine_factor=10 (reference: store.py:274, config.py:62).
+    */
+  def pqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val model = Pq.train(e, "embedding", "vec_id", m = 8, codes = 16)
+    Pq.probe(
+      Pq.encode(e.filter(col("vec_id") =!= 0), "embedding", model),
+      queryVecDf(s, dir), model, "embedding", "q_vec", "vec_id", k = 10
+    )
+  }
+
   /** Single-row ANN quality report: probe recall@10 vs exact top-10
     * (rows-only — KMeans centroids aren't SQL-replicable).
     */

@@ -45,6 +45,7 @@ object SparkEntry {
     // C. ANN
     "ann_probe"           -> (Queries.annProbe(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),
+    "pq_probe"            -> (Queries.pqProbe(_, _)),
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     // E. text analysis

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Product quantization for embedding compression + fast approximate
+  * distance (reference: the IVF-PQ index hint at store.py:274).
+  *
+  * Design for scale, following standard practice (FAISS-style):
+  *  - codebooks train on a driver-side SAMPLE (PQ codebooks need a few
+  *    thousand vectors regardless of corpus size — sampling is the
+  *    at-scale behavior, not a shortcut);
+  *  - encoding is a distributed single pass with the codebooks
+  *    broadcast (here: closure-captured arrays in a mapPartitions);
+  *  - the ADC probe is pure expressions over the tiny code arrays with
+  *    the query's distance table inlined as literals — the corpus scan
+  *    reads m bytes per vector instead of dim floats (m=8, dim=64 →
+  *    32× less I/O);
+  *  - exact re-rank of the top `k * refineFactor` ADC candidates
+  *    mirrors the reference's `search_refine_factor` (config.py:62).
+  */
+object Pq {
+
+  /** Per-subspace codebooks: codebooks(j)(c) is the c-th centroid of
+    * subspace j (each of length dim/m).
+    */
+  final case class Model(m: Int, dim: Int, codebooks: Array[Array[Array[Double]]])
+
+  /** Train codebooks with a seeded local Lloyd's over a sample.
+    * Deterministic: sample = first `sampleSize` rows by id order.
+    */
+  def train(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      codes: Int = 16,
+      sampleSize: Int = 4096,
+      iters: Int = 15,
+      seed: Long = 42L
+  ): Model = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(idCol)
+      .limit(sampleSize)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      lloyd(pts, codes, iters, rnd)
+    }
+    Model(m, dim, codebooks)
+  }
+
+  /** Tiny deterministic Lloyd's: k-means++-free (seeded random init
+    * from distinct points), fixed iterations, stable tie-breaks.
+    */
+  private def lloyd(
+      pts: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      rnd: scala.util.Random
+  ): Array[Array[Double]] = {
+    val n = pts.length
+    var centers = Array.tabulate(math.min(k, n))(i => pts(rnd.nextInt(n)).clone())
+    if (centers.length < k) centers = centers ++ Array.fill(k - centers.length)(centers.head.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        val c = nearest(p, centers)
+        counts(c) += 1
+        var d = 0
+        while (d < p.length) { sums(c)(d) += p(d); d += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  private def nearest(p: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var i = 0
+      while (i < p.length) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed encode: append `codes: array<int>` (m entries). One
+    * mapPartitions pass; the codebooks travel in the task closure
+    * (≈ m·codes·sub doubles — a few KB).
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "codes", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val mLocal = model
+    df.mapPartitions { rows =>
+      val sub = mLocal.dim / mLocal.m
+      rows.map { r =>
+        val v = r.getSeq[Float](vecIdx)
+        val codes = Array.tabulate(mLocal.m) { j =>
+          val p = Array.tabulate(sub)(i => v(j * sub + i).toDouble)
+          nearest(p, mLocal.codebooks(j))
+        }
+        Row.fromSeq(r.toSeq :+ codes.toSeq)
+      }
+    }(enc).toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** ADC (asymmetric distance) probe: approximate squared distances via
+    * the query's per-subspace table (literal arrays — pure expressions
+    * over the m-byte codes), take top `k * refineFactor` candidates,
+    * then exact-cosine re-rank to k (reference: search_refine_factor).
+    */
+  def probe(
+      encoded: DataFrame, // carries idCol, vecCol (for re-rank) and codes
+      queryDf: DataFrame,
+      model: Model,
+      vecCol: String,
+      queryVec: String,
+      idCol: String,
+      k: Int,
+      refineFactor: Int = 10
+  ): DataFrame = {
+    val q = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
+    val sub = model.dim / model.m
+    // distance table: table(j)(c) = ||q_j - codebook_j(c)||^2
+    val table: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      val qj = q.slice(j * sub, (j + 1) * sub)
+      model.codebooks(j).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < qj.length) { val t = qj(i) - cent(i); d += t * t; i += 1 }
+        d
+      }
+    }
+    val tableCols = table.map(row => array(row.map(lit): _*))
+    val adc = (0 until model.m)
+      .map(j => element_at(tableCols(j), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val candidates = encoded
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k * refineFactor)
+    Search
+      .knnTopK(candidates.drop("adc_dist"), queryDf, vecCol, queryVec, idCol, k)
+      .select(col(idCol), col("cos_sim"))
+  }
+}

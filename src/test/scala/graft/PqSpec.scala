@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.embeddings(spark, sf)
+  private lazy val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+
+  test("PQ encode emits m small codes per vector (32x compression)") {
+    val model = Pq.train(embs, "embedding", "vec_id", m = 8, codes = 16)
+    val encoded = Pq.encode(embs, "embedding", model)
+    val codes = encoded.select("codes").as[Seq[Int]].collect()
+    assert(codes.length == 500)
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // encoding is deterministic
+    val again = Pq.encode(embs, "embedding", model).select("codes").as[Seq[Int]].collect()
+    assert(codes.toSeq == again.toSeq)
+  }
+
+  test("ADC probe with exact re-rank reaches high recall vs exact top-10") {
+    val model = Pq.train(embs, "embedding", "vec_id", m = 8, codes = 16)
+    val encoded = Pq.encode(embs.filter(col("vec_id") =!= 0), "embedding", model)
+    val approx = Pq.probe(encoded, queryDf, model, "embedding", "q_vec", "vec_id", k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = graft.operators.Ann
+      .exact(embs.filter(col("vec_id") =!= 0), queryDf, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall; approx=$approx exact=$exact")
+  }
+}
