@@ -93,6 +93,19 @@ object OracleSql {
          |      FROM sc)
          |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
 
+    "phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 2
+         |             THEN list_filter(generate_series(1, len(toks) - 1),
+         |                    i -> toks[i] = 'filter' AND toks[i+1] = 'join')
+         |             ELSE [] END AS pos
+         |      FROM tk)
+         |SELECT doc_id, CAST(len(pos) AS BIGINT) AS phrase_count,
+         |       CAST(list_min(pos) AS BIGINT) AS first_pos
+         |FROM p WHERE len(pos) > 0
+         |ORDER BY phrase_count DESC, doc_id LIMIT 20""".stripMargin,
+
     "bm25_topk" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,

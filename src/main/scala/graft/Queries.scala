@@ -56,6 +56,25 @@ object Queries {
       groupCol = "label", k = 3
     ).orderBy("label", "rk")
 
+  /** Exact-phrase search ("filter join"): per-doc occurrence count and
+    * first position via array expressions over bound token arrays.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextOps.phrasePositions(col("toks"), Seq("filter", "join")).as("pos")
+      )
+      .filter(size(col("pos")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("pos")).cast("long").as("phrase_count"),
+        array_min(col("pos")).cast("long").as("first_pos")
+      )
+      .orderBy(col("phrase_count").desc, col("doc_id"))
+      .limit(20)
+
   def bm25TopK(s: SparkSession, dir: String): DataFrame =
     Search.bm25TopK(
       tokenTable(s, dir).select("doc_id", "term"),

@@ -93,6 +93,25 @@ object TextOps {
     when(size(heads) > 0, fromHead).otherwise(basename)
   }
 
+  /** Positions (1-based) where the exact token phrase starts inside a
+    * bound token-array column — pure array expressions, no positional
+    * self-join (the classic phrase-query plan killer at scale).
+    */
+  def phrasePositions(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty)
+    val n = size(tokens)
+    val span = phrase.length - 1
+    when(
+      n >= phrase.length,
+      filter(
+        sequence(lit(1), n - span),
+        i => phrase.zipWithIndex
+          .map { case (w, j) => element_at(tokens, i + j) === w }
+          .reduce(_ && _)
+      )
+    ).otherwise(array().cast("array<int>"))
+  }
+
   /** Stopword membership count (used by language-ID and quality score). */
   def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(stopwords)))
