@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.ChunkStore
+import org.apache.spark.sql.functions._
+
+class ChunkStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): ChunkStore =
+    new ChunkStore(
+      java.nio.file.Files.createTempDirectory("graft_store").resolve("chunks").toString,
+      "doc_id")
+
+  test("upsert batches resolve latest-wins on read") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "v1 of doc 1"), (2L, "v1 of doc 2")).toDF("doc_id", "content"))
+    store.upsert(Seq((2L, "v2 of doc 2"), (3L, "new doc 3")).toDF("doc_id", "content"))
+    val out = store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "v1 of doc 1"), (2L, "v2 of doc 2"), (3L, "new doc 3")))
+  }
+
+  test("tombstones hide deleted docs; later upsert resurrects") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "content"))
+    store.delete(Seq(Tuple1(1L)).toDF("doc_id"))
+    assert(store.read(spark).select("doc_id").as[Long].collect().toSet == Set(2L))
+    store.upsert(Seq((1L, "a-again")).toDF("doc_id", "content"))
+    val out = store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a-again"), (2L, "b")))
+  }
+
+  test("compact preserves the resolved view and shrinks the delta chain") {
+    val store = freshStore()
+    for (i <- 0 until 5)
+      store.upsert(Seq((i.toLong % 3, s"batch$i")).toDF("doc_id", "content"))
+    store.delete(Seq(Tuple1(0L)).toDF("doc_id"))
+    val before = store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val filesBefore = store.fileCount(spark)
+    store.compact(spark)
+    val after = store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before)
+    assert(store.fileCount(spark) < filesBefore,
+      s"compaction should shrink file count (${store.fileCount(spark)} vs $filesBefore)")
+  }
+}
