@@ -35,6 +35,20 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Hyperplane-LSH signature — twin of Lsh.bucket. The md5-derived
+    * integer weights are computed once driver-side ([[graft.operators.Lsh.plane]])
+    * and inlined as literals on BOTH sides, so the bucketing is
+    * cross-engine identical. The sum is an explicit left-to-right chain,
+    * matching Spark's sequential aggregate fold term for term.
+    */
+  private def lshSig(vec: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { i =>
+      val sum = graft.operators.Lsh.plane(i, dim).zipWithIndex
+        .map { case (w, d) => s"$vec[${d + 1}] * ($w)" }
+        .mkString(" + ")
+      s"CASE WHEN $sum >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
   /** Shared chunk CTE body (32-token windows, 8 overlap) — twin of
     * Queries.chunks / Chunker.fixedSize(32, 8).
     */
@@ -258,6 +272,29 @@ object OracleSql {
          |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosine("a.emb", "b.emb")} >= 0.8
          |ORDER BY label, id_a, id_b""".stripMargin,
+
+    "lsh_pairs" ->
+      s"""WITH e AS (SELECT vec_id, ${dvec("embedding")} AS emb FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, emb FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS vec_id, list_prepend(emb[1] + 0.05, emb[2:64]) AS emb
+         |  FROM e WHERE vec_id < 20),
+         |b AS (SELECT vec_id, emb, ${lshSig("emb", 64, 8)} AS bkt FROM corpus)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cosine("a.emb", "c.emb")} AS cos_sim
+         |FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+         |WHERE ${cosine("a.emb", "c.emb")} >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "lsh_query" ->
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |qs AS (SELECT ${lshSig("qv", 64, 8)} AS qsig FROM q),
+         |cs AS (SELECT vec_id, ev, ${lshSig("ev", 64, 8)} AS sig FROM c),
+         |cand AS (SELECT vec_id, ev FROM cs, qs
+         |         WHERE len(list_filter(generate_series(1, 8), i -> substr(sig, i, 1) <> substr(qsig, i, 1))) <= 1)
+         |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim
+         |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "simhash_sketch" -> {
       val bits = (1 to 16)

@@ -223,22 +223,48 @@ object Queries {
       "text", "doc_id"
     ).orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(50)
 
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  /** embeddings ∪ planted near-dups (vec_id < 20 → +10000, first
+    * component shifted +0.05), all cast to double.
+    */
+  private def embCorpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select("vec_id", "label", "embedding")
     val dim = 64
     val perturbed = concat(
       array(element_at(col("embedding"), 1).cast("double") + 0.05),
       VectorOps.toDouble(slice(col("embedding"), 2, dim - 1))
     )
-    val corpus = e
-      .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("embedding"))
+    e.select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("embedding"))
       .unionAll(
         e.filter(col("vec_id") < 20)
           .select((col("vec_id") + 10000).as("vec_id"), col("label"), perturbed.as("embedding"))
       )
-    Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id", "label", threshold = 0.8)
-      .orderBy("label", "id_a", "id_b")
   }
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(embCorpusWithNearDups(s, dir), "embedding", "vec_id",
+      "label", threshold = 0.8)
+      .orderBy("label", "id_a", "id_b")
+
+  /** LSH-bucketed near-dup pairs: the unblocked-at-scale twin of
+    * [[dedupEmbedding]] — candidate pairs come from hyperplane-LSH
+    * bucket collisions instead of a label block, so the same shape
+    * works when no blocking column exists.
+    */
+  def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Lsh.nearDupPairs(embCorpusWithNearDups(s, dir).drop("label"), "embedding", "vec_id",
+      dim = 64, nPlanes = 8, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Multi-probe LSH query: top-10 cosine among corpus vectors whose
+    * bucket is within hamming 1 of the query signature (bucket pruning
+    * instead of a corpus scan).
+    */
+  def lshQuery(s: SparkSession, dir: String): DataFrame =
+    Lsh.query(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      "embedding", "q_vec", "vec_id", dim = 64, nPlanes = 8, k = 10
+    ).select("vec_id", "cos_sim")
 
   def simhashSketch(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashSketch(docs(s, dir), "text", "doc_id").orderBy("doc_id")

@@ -47,6 +47,8 @@ object SparkEntry {
     "ann_probe"           -> (Queries.annProbe(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),
     "pq_probe"            -> (Queries.pqProbe(_, _)),
+    "lsh_pairs"           -> (Queries.lshPairs(_, _)),
+    "lsh_query"           -> (Queries.lshQuery(_, _)),
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     // E. text analysis

@@ -20,9 +20,23 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Lsh {
 
-  /** Deterministic integer hyperplane i over `dim` dims. */
-  private def plane(i: Int, dim: Int): Seq[Int] =
-    (0 until dim).map(d => ((i * 31 + d * 17) % 7) - 3)
+  /** Deterministic integer hyperplane i over `dim` dims.
+    *
+    * Weights are md5-derived (first 16 bits of md5("i:d"), mod 7,
+    * centered to [-3, 3]) — an i.i.d.-like small-int family with no
+    * algebraic structure, so planes are pairwise distinct and every
+    * signature bit is informative. Computed driver-side once; the same
+    * literals are inlined into the DuckDB oracle SQL, which is what
+    * makes this index family hash-verifiable end-to-end.
+    */
+  private[graft] def plane(i: Int, dim: Int): Seq[Int] =
+    (0 until dim).map { d =>
+      val h = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"$i:$d".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      (v % 7) - 3
+    }
 
   /** Bucket signature: one '0'/'1' char per hyperplane (sign of the
     * projection). Pure codegen-friendly expressions.

@@ -35,6 +35,22 @@ class LshSpec extends SparkSpec {
     assert(Set(9001L, 9002L).subsetOf(hits), s"planted neighbors missed: $hits")
   }
 
+  test("hyperplane family: 32 pairwise-distinct planes, bits informative and uncorrelated") {
+    val planes = (0 until 32).map(i => Lsh.plane(i, 64))
+    assert(planes.distinct.size == 32, "planes must be pairwise distinct")
+    // weights should use the full [-3, 3] range in every plane
+    planes.foreach(p => assert(p.toSet.size >= 5, s"degenerate weight spread: ${p.toSet}"))
+    val sigs = Tables.embeddings(spark, sf).limit(200)
+      .select(Lsh.bucket(col("embedding"), 64, 32)).as[String].collect()
+    val informative = (0 until 32).count(i => sigs.map(_.charAt(i)).toSet.size == 2)
+    assert(informative >= 32, s"only $informative of 32 bits informative")
+    // no two bit positions may be copies (or complements) of each other
+    for (i <- 0 until 32; j <- (i + 1) until 32) {
+      val same = sigs.count(s => s(i) == s(j))
+      assert(same != 0 && same != sigs.length, s"bits $i and $j are degenerate copies")
+    }
+  }
+
   test("bucket signatures are deterministic and nPlanes chars long") {
     val df = Tables.embeddings(spark, sf).limit(50)
     val b1 = df.select(Lsh.bucket(col("embedding"), 64, 10)).as[String].collect()
