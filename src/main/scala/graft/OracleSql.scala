@@ -41,6 +41,29 @@ object OracleSql {
     * cross-engine identical. The sum is an explicit left-to-right chain,
     * matching Spark's sequential aggregate fold term for term.
     */
+  /** 64-bit SimHash CTE chain — twin of Dedup.simHash64 over a source
+    * table/CTE with (doc_id, text); yields `sg(doc_id, sig)`.
+    */
+  private def simhashCtes(src: String): String = {
+    val digits = (1 to 16)
+      .map(p => s"(strpos('0123456789abcdef', substr(hh, $p, 1)) - 1) AS v$p")
+      .mkString(", ")
+    val sums = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val k = 3 - j % 4
+      s"sum((v$p >> $k) & 1) AS c$j"
+    }.mkString(", ")
+    val sig = (0 until 64)
+      .map(j => s"CASE WHEN 2 * c$j > n THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""tk_s AS (SELECT doc_id, ${toks()} AS toks FROM $src),
+       |tok_s AS (SELECT doc_id, unnest(toks) AS t FROM tk_s),
+       |h_s AS (SELECT doc_id, md5(t) AS hh FROM tok_s),
+       |v_s AS (SELECT doc_id, $digits FROM h_s),
+       |c_s AS (SELECT doc_id, count(*) AS n, $sums FROM v_s GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sig AS sig FROM c_s)""".stripMargin
+  }
+
   private def lshSig(vec: String, dim: Int, nPlanes: Int): String =
     (0 until nPlanes).map { i =>
       val sum = graft.operators.Lsh.plane(i, dim).zipWithIndex
@@ -296,14 +319,25 @@ object OracleSql {
          |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim
          |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "simhash_sketch" -> {
-      val bits = (1 to 16)
-        .map(i =>
-          s"CASE WHEN 2 * len(list_filter(toks, t -> strpos('0123456789abcdef', substr(md5(t), $i, 1)) >= 9)) > len(toks) THEN '1' ELSE '0' END")
-        .mkString(" || ")
-      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents)
-         |SELECT doc_id, $bits AS simhash16 FROM tk ORDER BY doc_id""".stripMargin
-    },
+    "simhash_sketch" ->
+      s"""WITH ${simhashCtes("documents")}
+         |SELECT doc_id, sig AS simhash64 FROM sg ORDER BY doc_id""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text || ' simdup' AS text
+         |  FROM documents WHERE doc_id < 25),
+         |${simhashCtes("corpus")},
+         |bk AS (SELECT doc_id, sig, band, substr(sig, band * 8 + 1, 8) AS key
+         |       FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |hm AS (SELECT id_a, id_b,
+         |        CAST(len(list_filter(generate_series(1, 64), i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT) AS hamming
+         |       FROM cand)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin,
 
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(${toks()}) AS term FROM documents)

@@ -267,7 +267,24 @@ object Queries {
     ).select("vec_id", "cos_sim")
 
   def simhashSketch(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashSketch(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+    Dedup.simHash64(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
+  /** documents ∪ planted minimal edits (doc_id < 25 → +10000, one
+    * appended token) — the smallest possible text change, which is what
+    * SimHash hamming distance is designed to catch.
+    */
+  private def corpusWithTokenAppend(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(
+      d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 10000).as("doc_id"), concat(col("text"), lit(" simdup")).as("text"))
+    )
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(corpusWithTokenAppend(s, dir), "text", "doc_id",
+      bands = 8, maxHamming = 7)
+      .orderBy("id_a", "id_b")
 
   // ── E. Text analysis ─────────────────────────────────────────────────
 

@@ -43,6 +43,7 @@ object SparkEntry {
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
+    "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN
     "ann_probe"           -> (Queries.annProbe(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),

@@ -62,20 +62,6 @@ object TextOps {
     }
   }
 
-  /** 16-bit SimHash rendered as a '0'/'1' string (deterministic,
-    * oracle-able). Bit i is set when, over all tokens, hex digit i of
-    * md5(token) is >= 8 more often than not — i.e. the sign of a ±1 sum.
-    */
-  def simHash16(tokens: Column): Column = {
-    val n = size(tokens)
-    val bits = (1 to 16).map { i =>
-      val c = size(filter(tokens, t =>
-        conv(substring(md5(t), i, 1), 16, 10).cast("int") >= 8))
-      when(c * 2 > n, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
-
   /** Hashed bag-of-words dimension for a term: 6 bits of md5 → [0, 64).
     * Twin of a feature-hashing embedder (reference: embedder.py:41) —
     * deterministic, vocabulary-free, and cheap at any scale.

@@ -139,12 +139,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash sketch per row (see TextOps.simHash16). */
-  def simHashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      TextOps.simHash16(TextOps.tokenize(col(textCol))).as("simhash16")
+  /** 64-bit SimHash signature per row, rendered as a 64-char '0'/'1'
+    * string, computed with ONE md5 per token: explode → md5 as a
+    * top-level codegen'd column → 16 hex-digit values → 64 bit-sums in
+    * a single partial-agg-friendly hash aggregation. Bit j is the sign
+    * of Σ_tokens (±1), i.e. set when more than half the token hashes
+    * have bit j set. Rows with zero tokens produce no signature (the
+    * explode drops them) — identical on the DuckDB side.
+    */
+  def simHash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(col("_toks")).as("_t"))
+      .select(col(idCol), md5(col("_t")).as("_h"))
+    // 16 hex digits of the first 16 chars = 64 bits, shared via CSE.
+    val digits = hashed.select(
+      col(idCol) +: (1 to 16).map(p =>
+        conv(substring(col("_h"), p, 1), 16, 10).cast("int").as(s"_v$p")): _*
     )
+    val bitSums = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val k = 3 - j % 4
+      sum(shiftright(col(s"_v$p"), k).bitwiseAND(lit(1))).as(s"_c$j")
+    }
+    val aggd = digits.groupBy(col(idCol)).agg(count(lit(1)).as("_n"), bitSums: _*)
+    val sig = concat((0 until 64).map(j =>
+      when(col(s"_c$j") * 2 > col("_n"), lit("1")).otherwise(lit("0"))): _*)
+    aggd.select(col(idCol), sig.as("simhash64"))
+  }
+
+  /** SimHash near-dup pairs via hamming-band bucketing: the 64-bit
+    * signature splits into `bands` equal substrings; docs sharing any
+    * band become candidates (pigeonhole: every pair within hamming
+    * `bands - 1` shares at least one clean band), then the exact
+    * hamming distance filters to ≤ maxHamming. Candidate generation is
+    * a hash join on short band keys — never all-pairs.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bands: Int = 8,
+      maxHamming: Int = 7
+  ): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands, "band guarantee needs maxHamming < bands")
+    val width = 64 / bands
+    val sig = simHash64(df, textCol, idCol).cache() // O(docs) fixed-width rows
+    val banded = sig.select(
+      col(idCol), col("simhash64"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("simhash64"), b * width + 1, width)): _*)).as(Seq("band", "key"))
+    )
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("simhash64").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("simhash64").as("sig_b"))
+    val candidates = a
+      .join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+    // O(candidates) verify — 64 char compares per surviving pair.
+    val ham = size(filter(
+      sequence(lit(1), lit(64)),
+      i => substr(col("sig_a"), i, lit(1)) =!= substr(col("sig_b"), i, lit(1))
+    )).cast("long")
+    candidates
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** Embedding near-duplicate pairs, blocked by a partition column
     * (label locally; an LSH bucket or coarse-quantizer cell at scale).

@@ -63,12 +63,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
-  test("simHashSketch is deterministic and equal texts get equal sketches") {
+  test("simHash64 is deterministic and equal texts get equal signatures") {
     val df = Seq((1L, "spark filter join"), (2L, "spark filter join"), (3L, "totally different words"))
       .toDF("doc_id", "text")
-    val out = Dedup.simHashSketch(df, "text", "doc_id").collect()
+    val out = Dedup.simHash64(df, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == out(2L))
-    assert(out(1L).length == 16 && out(1L).forall(c => c == '0' || c == '1'))
+    assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
+    assert(out(1L) != out(3L))
+  }
+
+  test("simHashPairs pairs a one-token edit within the hamming budget, skips unrelated docs") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 80).map(i => s"zw$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"), // minimal edit → small hamming distance
+      (3L, other)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "text", "doc_id", bands = 8, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 }
