@@ -147,6 +147,19 @@ object OracleSql {
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    "bm25_phrase" ->
+      s"""WITH $bm25Cte,
+         |tkp AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |pp AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 2
+         |             THEN CAST(len(list_filter(generate_series(1, len(toks) - 1),
+         |                          i -> toks[i] = 'filter' AND toks[i+1] = 'join')) AS DOUBLE)
+         |             ELSE 0.0 END AS pc
+         |       FROM tkp)
+         |SELECT sc.doc_id, ROUND(sc.score + 0.5 * ln(1.0 + pp.pc), 5) AS bm25p
+         |FROM sc JOIN pp ON sc.doc_id = pp.doc_id
+         |ORDER BY bm25p DESC, sc.doc_id LIMIT 10""".stripMargin,
+
     "hybrid_rrf" ->
       s"""WITH $bm25Cte,
          |b100 AS (SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100),

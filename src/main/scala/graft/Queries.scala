@@ -81,6 +81,11 @@ object Queries {
       idCol = "doc_id", queryTerms = QueryTerms, k = 10
     )
 
+  /** BM25 + exact-phrase boost ("filter join") — proximity-aware FTS. */
+  def bm25Phrase(s: SparkSession, dir: String): DataFrame =
+    Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
+      QueryTerms, Seq("filter", "join"), k = 10)
+
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val bm25Leg = Search
       .bm25TopK(tokenTable(s, dir).select("doc_id", "term"), "doc_id", QueryTerms, 100)

@@ -25,6 +25,7 @@ object SparkEntry {
     "knn_pergroup"        -> (Queries.knnPerGroup(_, _)),
     "knn_batch"           -> (Queries.knnBatch(_, _)),
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
+    "bm25_phrase"         -> (Queries.bm25Phrase(_, _)),
     "phrase_search"       -> (Queries.phraseSearch(_, _)),
     "hybrid_rrf"          -> (Queries.hybridRrf(_, _)),
     "filtered_search"     -> (Queries.filteredSearch(_, _)),

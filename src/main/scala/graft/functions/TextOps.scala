@@ -80,10 +80,24 @@ object TextOps {
   }
 
   /** Positions (1-based) where the exact token phrase starts inside a
-    * bound token-array column — pure array expressions, no positional
-    * self-join (the classic phrase-query plan killer at scale).
+    * bound token-array column — one fused codegen'd scan per row via
+    * the native [[graft.plans.PhrasePositions]] expression; no
+    * positional self-join (the classic phrase-query plan killer at
+    * scale) and no interpreted HOF fallback.
     */
   def phrasePositions(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty)
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.PhrasePositions(
+      GraftBridge.expression(tokens),
+      GraftBridge.expression(array(phrase.map(lit): _*))
+    ))
+  }
+
+  /** The composed-HOF twin of [[phrasePositions]] — interpreted
+    * (codegen fallback), kept as the cross-check reference for specs.
+    */
+  def phrasePositionsHof(tokens: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty)
     val n = size(tokens)
     val span = phrase.length - 1

@@ -149,6 +149,36 @@ object Search {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** BM25 with an exact-phrase proximity boost: the FTS score plus
+    * `boost · ln(1 + phrase occurrences)`. Phrase counting is the
+    * native codegen'd [[graft.plans.PhrasePositions]] scan over the
+    * same bound token arrays that feed the BM25 explode, so the text
+    * is tokenized once; everything else keeps the single-shuffle BM25
+    * shape.
+    */
+  def bm25PhraseTopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      phrase: Seq[String],
+      k: Int,
+      boost: Double = 0.5
+  ): DataFrame = {
+    val toks = docs.select(col(idCol), graft.functions.TextOps.tokenize(col(textCol)).as("_toks"))
+    val tokens = toks.select(col(idCol), explode(col("_toks")).as("term"))
+    val pc = toks.select(
+      col(idCol),
+      size(graft.functions.TextOps.phrasePositions(col("_toks"), phrase)).cast("double").as("_pc")
+    )
+    bm25Scores(tokens, idCol, queryTerms)
+      .join(pc, Seq(idCol))
+      .withColumn("bm25p", round(col("score") + lit(boost) * log(lit(1.0) + col("_pc")), 5))
+      .select(col(idCol), col("bm25p"))
+      .orderBy(col("bm25p").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank-fusion of two ranked legs on a shared id.
     *
     * Ranks are dense integers (window row_number over each leg's rounded

@@ -109,6 +109,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.phrasePositionsDescriptor)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
@@ -123,10 +124,20 @@ object GraftFunctions {
     }
   )
 
+  val phrasePositionsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("phrase_positions"),
+    new ExpressionInfo(classOf[PhrasePositions].getName, "phrase_positions"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "phrase_positions takes exactly 2 arguments")
+      PhrasePositions(children.head, children(1))
+    }
+  )
+
   /** Register on an already-constructed session (driver-owned sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineSimDescriptor, phrasePositionsDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     ensureStrategy(spark)
   }
 

@@ -9,4 +9,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst expression as a Column (ExpressionUtils is
+    * private[sql]) — lets graft build native expressions without going
+    * through the function registry.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
