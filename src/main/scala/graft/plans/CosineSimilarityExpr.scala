@@ -26,6 +26,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even for non-null array columns when elements may be null
+  // (a null element null-poisons the result, like the HOF form)
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt: NumericType, _), ArrayType(rt: NumericType, _)) =>
       TypeCheckResult.TypeCheckSuccess
@@ -46,6 +50,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = numericAt(a, i, lt)
       val y = numericAt(b, i, rt)
       dot += x * y; na += x * x; nb += y * y
@@ -67,6 +72,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _           => arr.getByte(i).toDouble
   }
 
+  /** Whether either input array may contain null elements — when true,
+    * a null element must null-poison the result, exactly like the HOF
+    * form (zip_with product null → aggregate propagates null).
+    */
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _                          => false
+    }
+  }
+
   private def javaGetter(t: NumericType, arr: String, i: String): String = t match {
     case FloatType   => s"(double) $arr.getFloat($i)"
     case DoubleType  => s"$arr.getDouble($i)"
@@ -85,15 +101,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // null-element poisoning only compiled in when the schema allows
+      // null elements — the common containsNull=false case stays a
+      // branch-free fused loop.
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $x = ${javaGetter(elemType(left), a, i)};
          |  double $y = ${javaGetter(elemType(right), b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

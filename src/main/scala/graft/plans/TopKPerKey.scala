@@ -132,6 +132,15 @@ object TopK {
     val spark = df.sparkSession
     GraftFunctions.ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
+    // a name→attribute map would silently bind to the LAST duplicate
+    // (classic post-join hazard) — fail loudly instead
+    val referenced = (partitionCols ++ orderBy.map(_._1)).distinct
+    val dupes = analyzed.output.groupBy(_.name).collect {
+      case (n, as) if as.size > 1 && referenced.contains(n) => n
+    }
+    require(dupes.isEmpty,
+      s"TopK.perKey: ambiguous column name(s) ${dupes.mkString(", ")} — " +
+        "the input has duplicate columns; alias them before calling perKey")
     val attrByName = analyzed.output.map(a => a.name -> a).toMap
     val partExprs: Seq[Expression] = partitionCols.map(attrByName(_))
     val resolvedOrders = orderBy.map { case (name, asc) =>

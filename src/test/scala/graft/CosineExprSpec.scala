@@ -36,4 +36,14 @@ class CosineExprSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("null array elements null-poison the result, matching the HOF form") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE), 3.0D), array(1.0D, 2.0D, 3.0D)) AS n," +
+        " cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS ok")
+    val r = df.head
+    assert(r.isNullAt(0), "null element must yield null, not garbage")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+  }
 }

@@ -49,4 +49,12 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(out == Set((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)))
   }
+
+  test("duplicate referenced column names fail loudly instead of binding silently") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(fixture.select(col("grp"), col("score"), col("score")),
+        Seq("grp"), Seq(("score", false)), 3)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }
