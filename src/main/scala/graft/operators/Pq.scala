@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 /** Product quantization for embedding compression + fast approximate
   * distance (reference: the IVF-PQ index hint at store.py:274).
@@ -99,29 +99,29 @@ object Pq {
     best
   }
 
-  /** Distributed encode: append `codes: array<int>` (m entries). One
-    * mapPartitions pass; the codebooks travel in the task closure
-    * (≈ m·codes·sub doubles — a few KB).
+  /** Distributed encode: append `codes: array<int>` (m entries) as PURE
+    * column expressions — the codebooks are inlined as literals (m·codes
+    * ·sub doubles, a few KB of plan), per-subspace distances are explicit
+    * left-to-right sums (bit-identical to the driver-side [[nearest]]
+    * loop), and the argmin is `array_position(dists, array_min(dists))`
+    * (first-minimum tie-break, same as `nearest`'s strict `<`). Staying
+    * in expressions keeps the encode inside whole-stage codegen — no
+    * SerializeFromObject boundary, unlike a mapPartitions.
     */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "codes", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)))
-    val vecIdx = df.schema.fieldIndex(vecCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val mLocal = model
-    df.mapPartitions { rows =>
-      val sub = mLocal.dim / mLocal.m
-      rows.map { r =>
-        val v = r.getSeq[Float](vecIdx)
-        val codes = Array.tabulate(mLocal.m) { j =>
-          val p = Array.tabulate(sub)(i => v(j * sub + i).toDouble)
-          nearest(p, mLocal.codebooks(j))
-        }
-        Row.fromSeq(r.toSeq :+ codes.toSeq)
+    val sub = model.dim / model.m
+    val v = col(vecCol)
+    val codeCols = (0 until model.m).map { j =>
+      val dists = model.codebooks(j).toSeq.map { cent =>
+        (0 until sub).map { i =>
+          val x = element_at(v, j * sub + i + 1).cast("double") - lit(cent(i))
+          x * x
+        }.reduce(_ + _)
       }
-    }(enc).toDF(schema.fieldNames.toIndexedSeq: _*)
+      val dArr = array(dists: _*)
+      (array_position(dArr, array_min(dArr)) - 1).cast("int")
+    }
+    df.withColumn("codes", array(codeCols: _*))
   }
 
   /** ADC (asymmetric distance) probe: approximate squared distances via

@@ -20,6 +20,13 @@ class PqSpec extends SparkSpec {
     assert(codes.toSeq == again.toSeq)
   }
 
+  test("encode stays inside whole-stage codegen (no object serialization boundary)") {
+    val model = Pq.train(embs, "embedding", "vec_id", m = 8, codes = 16)
+    val plan = Pq.encode(embs, "embedding", model).queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
+      s"encode must be pure expressions:\n${plan.take(2000)}")
+  }
+
   test("ADC probe with exact re-rank reaches high recall vs exact top-10") {
     val model = Pq.train(embs, "embedding", "vec_id", m = 8, codes = 16)
     val encoded = Pq.encode(embs.filter(col("vec_id") =!= 0), "embedding", model)
