@@ -70,4 +70,57 @@ object Featurize {
       )
       .drop("_m", "_raw")
   }
+
+  /** Model-embedder seam (reference: embedder.py:41 `embed_documents`):
+    * run an arbitrary text→vector model per partition behind the SAME
+    * `embedding: array<double>` column contract as [[hashedBow]].
+    *
+    * `model` is a factory invoked once per partition — the ONNX-session
+    * pattern (load weights once, then score row after row); only the
+    * factory travels in the closure, so a real model loads from
+    * executor-local files, never the driver. The default stand-in
+    * reproduces the hashed-BoW embedding bit-for-bit, which is what
+    * lets FeaturizeSpec prove the swap changes neither schema nor any
+    * downstream result.
+    */
+  def embedWithModel(
+      df: DataFrame,
+      textCol: String,
+      keep: Seq[String],
+      dims: Int = 64,
+      model: () => String => Array[Double] = () => hashedBowStubModel(64)
+  ): DataFrame = {
+    val in = df.select(keep.map(col) :+ col(textCol).as("_text"): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      in.schema.fields.dropRight(1) :+ org.apache.spark.sql.types.StructField(
+        "embedding",
+        // containsNull=true to match hashedBow's transform() output type
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val textIdx = in.schema.length - 1
+    in.mapPartitions { rows =>
+      val scorer = model() // once per partition
+      rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ scorer(r.getString(textIdx)).toSeq)
+      }
+    }(enc).toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Deterministic stand-in model: the driver-side twin of
+    * [[hashedBow]] (same tokenizer, same md5 bucketing, same L2
+    * normalization) — exists so specs can assert the seam preserves
+    * results exactly.
+    */
+  def hashedBowStubModel(dims: Int): String => Array[Double] = { text =>
+    val counts = new Array[Double](dims)
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val v = md(0) & 0xff // first md5 byte = first 2 hex chars, unsigned
+      counts(v % dims) += 1.0
+    }
+    val norm = math.sqrt(counts.map(x => x * x).sum)
+    if (norm > 0) counts.map(_ / norm) else counts
+  }
 }

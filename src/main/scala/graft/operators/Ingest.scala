@@ -69,26 +69,74 @@ object Ingest {
       )
     )
 
-  /** Full pipeline to a chunk-store table shaped like the reference's
-    * ChunkRecord (store.py:18): doc identity, title, chunks with
-    * indexes, hashed-BoW featurization per chunk.
+  /** Deterministic JSON rendering of a user metadata map (sorted keys),
+    * carried verbatim onto every chunk of the ingest call — the analog
+    * of the `metadata` argument of the reference's ingest_* tools.
     */
-  def pipeline(spark: SparkSession, path: String, library: String): DataFrame = {
-    val converted = convertStub(folder(spark, path))
+  private[graft] def metadataJson(m: Map[String, String]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    if (m.isEmpty) "{}"
+    else m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+  }
+
+  /** Core convert → page-split → chunk → featurize dataflow over any
+    * file table with the [[folder]] schema (source, file_type,
+    * last_modified, n_bytes, content, content_hash) — the shared seam
+    * behind [[pipeline]] (folders) and [[urlPipeline]] (pre-fetched
+    * URLs).
+    *
+    * Page provenance (store.py:18 `page`): form-feed characters in the
+    * converted text are treated as page breaks (the converter's page
+    * delimiter); chunking runs per page and `chunk_index` is re-derived
+    * globally per document in (page, within-page) order, so single-page
+    * documents are chunked exactly as before with page = 0.
+    */
+  def pipelineFrom(
+      files: DataFrame,
+      library: String,
+      metadata: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val converted = convertStub(files)
       .withColumn("doc_id", sha2(col("source"), 256))
       .withColumn("title", TextOps.extractTitle(col("text"), col("source")))
-    val chunks = Chunker.fixedSize(
-      converted, "text", chunkSize = 512, overlap = 64,
-      keep = Seq("doc_id", "source", "title", "file_type", "last_modified", "content_hash")
+    val docCols = Seq("doc_id", "source", "title", "file_type", "last_modified", "content_hash")
+    val paged = converted.select(
+      docCols.map(col) :+ posexplode(split(col("text"), "\f")).as(Seq("page", "_ptext")): _*
     )
+    val perPage = Chunker.fixedSize(
+      paged, "_ptext", chunkSize = 512, overlap = 64,
+      keep = docCols :+ "page"
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("page", "chunk_index")
+    val chunks = perPage
+      .withColumn("page", col("page").cast("long"))
+      .withColumn("chunk_index", row_number().over(w).cast("long") - 1)
     Featurize
       .hashedBow(
-        chunks.withColumn("library", lit(library)),
+        chunks
+          .withColumn("library", lit(library))
+          .withColumn("metadata", lit(metadataJson(metadata))),
         "chunk", dims = 64,
         keep = Seq("doc_id", "library", "source", "title", "file_type",
-          "last_modified", "content_hash", "chunk_index", "chunk")
+          "last_modified", "content_hash", "metadata", "page", "chunk_index", "chunk")
       )
   }
+
+  /** Full folder pipeline to a chunk-store table shaped like the
+    * reference's ChunkRecord (store.py:18): doc identity, title, page
+    * provenance, chunks with global indexes, hashed-BoW featurization
+    * and the caller's metadata on every chunk.
+    */
+  def pipeline(
+      spark: SparkSession,
+      path: String,
+      library: String,
+      metadata: Map[String, String] = Map.empty
+  ): DataFrame =
+    pipelineFrom(folder(spark, path), library, metadata)
 
   /** Typed pipeline: the same dataflow surfaced as
     * `Dataset[graft.model.ChunkRecord]` — the reference's row type
@@ -97,20 +145,61 @@ object Ingest {
   def pipelineTyped(
       spark: SparkSession,
       path: String,
-      library: String
+      library: String,
+      metadata: Map[String, String] = Map.empty
   ): org.apache.spark.sql.Dataset[graft.model.ChunkRecord] = {
     import spark.implicits._
-    pipeline(spark, path, library)
+    pipeline(spark, path, library, metadata)
       .select(
         concat(col("doc_id"), lit(":"), col("chunk_index").cast("string")).as("id"),
         col("doc_id"), col("library"), col("source"), col("content_hash"),
         col("title"), col("chunk").as("content"), col("embedding"),
         col("chunk_index"), col("last_modified").as("created_at"),
-        lit("{}").as("metadata"), col("file_type"), col("last_modified"),
-        lit(0).as("page")
+        col("metadata"), col("file_type"), col("last_modified"),
+        col("page").cast("int").as("page")
       )
       .as[graft.model.ChunkRecord]
   }
+
+  /** URL-ingest seam (reference: server.py:101-137 `ingest_url`). The
+    * fetch itself is STUBBED OUT — this is a zero-egress batch engine,
+    * so callers supply a pre-fetched `(url, content: binary)` table
+    * (a crawl dump, a WARC extract). This validates URL schemes the
+    * way server.py:121 does (http/https only), derives file_type from
+    * the URL path (default html), and emits the [[folder]] schema so
+    * the standard pipeline takes over unchanged.
+    *
+    * Rows with rejected schemes are kept with `url_valid = false` so
+    * ingest reports can surface them; [[urlPipeline]] filters them out.
+    */
+  def urlSource(urls: DataFrame): DataFrame = {
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val pathPart = regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^?#]*)", 1)
+    val ext = lower(element_at(split(pathPart, "\\."), -1))
+    val fetchedAt =
+      if (urls.columns.contains("fetched_at")) col("fetched_at") else lit("")
+    urls
+      .withColumn("url_valid", scheme.isin("http", "https"))
+      .select(
+        col("url").as("source"),
+        when(ext.isInCollection(SupportedExtensions), ext).otherwise(lit("html")).as("file_type"),
+        fetchedAt.as("last_modified"),
+        length(col("content")).cast("long").as("n_bytes"),
+        col("content"),
+        sha2(col("content"), 256).as("content_hash"),
+        col("url_valid")
+      )
+  }
+
+  /** Convert/chunk/featurize a pre-fetched URL table (valid schemes
+    * only) — `ingest_url` minus the network.
+    */
+  def urlPipeline(
+      urls: DataFrame,
+      library: String,
+      metadata: Map[String, String] = Map.empty
+  ): DataFrame =
+    pipelineFrom(urlSource(urls).filter(col("url_valid")).drop("url_valid"), library, metadata)
 
   /** Re-ingest statuses against an existing store, keyed on
     * (source, library) with hash-skip (ingestor.py:182-205,

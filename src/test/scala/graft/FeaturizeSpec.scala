@@ -28,6 +28,34 @@ class FeaturizeSpec extends SparkSpec {
     assert(inline(3L).forall(_ == 0.0))
   }
 
+  test("model-embedder seam reproduces the hashed-BoW contract exactly") {
+    val df = Tables.documents(spark, sf).limit(100).select("doc_id", "text")
+    val viaModel = Featurize.embedWithModel(df, "text", keep = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaAgg = Featurize.hashedBow(df, "text", 64, keep = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaModel.keySet == viaAgg.keySet)
+    for (k <- viaModel.keySet)
+      viaModel(k).zip(viaAgg(k)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12, s"doc $k diverges between model seam and agg")
+      }
+    // schema contract identical → any downstream plan is unchanged
+    val a = Featurize.embedWithModel(df, "text", keep = Seq("doc_id")).schema
+    val b = Featurize.hashedBow(df, "text", 64, keep = Seq("doc_id"))
+      .select("doc_id", "embedding").schema
+    assert(a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("model factory runs once per partition (session-load pattern)") {
+    val counter = spark.sparkContext.longAccumulator("model_loads")
+    val df = Tables.documents(spark, sf).limit(64).select("doc_id", "text").repartition(4)
+    Featurize.embedWithModel(df, "text", keep = Seq("doc_id"), dims = 64,
+      model = () => { counter.add(1); Featurize.hashedBowStubModel(64) })
+      .count()
+    assert(counter.value <= 8, s"factory ran ${counter.value} times for 4 partitions")
+  }
+
   test("embedding is L2-normalized for non-empty docs") {
     val df = Seq(Tuple1("some words to embed right here")).toDF("text")
     val v = df.select(Featurize.hashedBowInline(col("text"), 64)).head.getSeq[Double](0)

@@ -60,6 +60,48 @@ class IngestSpec extends SparkSpec {
     assert(rec.embedding.length == 64)
   }
 
+  test("page breaks and user metadata flow through to every ChunkRecord") {
+    val dir = Files.createTempDirectory("graft_paged")
+    // three pages separated by form-feed (the converter's page delimiter)
+    val pages = Seq(
+      (1 to 60).map(i => s"pageone$i").mkString(" "),
+      (1 to 60).map(i => s"pagetwo$i").mkString(" "),
+      (1 to 60).map(i => s"pagethree$i").mkString(" ")
+    ).mkString("\f")
+    Files.writeString(dir.resolve("book.txt"), pages)
+    val ds = Ingest.pipelineTyped(spark, dir.toString, "docs",
+      metadata = Map("team" -> "search", "tier" -> "gold"))
+    val recs = ds.collect().sortBy(_.chunk_index)
+    assert(recs.map(_.page).toSeq == Seq(0, 1, 2), s"pages: ${recs.map(_.page).toSeq}")
+    assert(recs.map(_.chunk_index).toSeq == Seq(0L, 1L, 2L), "chunk_index must be global per doc")
+    assert(recs.forall(_.metadata == """{"team":"search","tier":"gold"}"""))
+    assert(recs.head.content.startsWith("pageone1") && recs.last.content.startsWith("pagethree1"))
+  }
+
+  test("urlSource validates schemes like the reference and urlPipeline ingests the valid rows") {
+    val urls = Seq(
+      ("https://docs.example.com/guide.md", "# Guide\n\nbody words here for chunks"),
+      ("http://example.com/data.csv", "a,b\n1,2"),
+      ("ftp://example.com/file.txt", "nope"),
+      ("file:///etc/passwd", "nope"),
+      ("javascript:alert(1)", "nope")
+    ).map { case (u, t) => (u, t.getBytes("UTF-8")) }.toDF("url", "content")
+    val src = Ingest.urlSource(urls)
+    val valid = src.filter(col("url_valid")).select("source", "file_type")
+      .as[(String, String)].collect().toMap
+    assert(valid.keySet == Set("https://docs.example.com/guide.md", "http://example.com/data.csv"))
+    assert(valid("https://docs.example.com/guide.md") == "md")
+    assert(valid("http://example.com/data.csv") == "csv")
+    assert(src.filter(!col("url_valid")).count() == 3)
+
+    val out = Ingest.urlPipeline(urls, "web", Map("crawl" -> "c1"))
+    assert(out.select("source").distinct().count() == 2)
+    val md = out.filter(col("source").endsWith("guide.md"))
+    assert(md.select("title").as[String].head() == "Guide")
+    assert(out.select("metadata").as[String].head() == """{"crawl":"c1"}""")
+    assert(out.select("embedding").as[Seq[Double]].head().length == 64)
+  }
+
   test("statuses: skip unchanged, replace changed, index new (by source+library)") {
     val dir = mkFolder()
     // persist the first scan as the "store" (a real store is durable;
