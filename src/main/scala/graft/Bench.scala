@@ -39,7 +39,36 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val nFailed = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // Regression diff against the checked-in sf0.1 baseline (BASELINE.md
+    // twin; resource lines are "<query> <seconds>"). Ratios make the
+    // "within 2x of baseline" gate computable per round.
+    val baseline: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/graft/baseline_sf01.txt")
+      if (in == null) Map.empty
+      else scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+") match {
+            case Array(n, t) => Some(n -> t.toDouble)
+            case _           => None
+          }
+        }.toMap
+    }
+    val extra =
+      if (baseline.isEmpty || !sfDir.contains("sf0.1")) ""
+      else {
+        val shared = results.collect { case (k, Right(v)) if baseline.contains(k) => k -> v }
+        val baseTotal = shared.map { case (k, _) => baseline(k) }.sum
+        val curTotal = shared.map(_._2).sum
+        val ratio = if (baseTotal > 0) curTotal / baseTotal else 1.0
+        // flag queries >2x baseline AND >0.3s absolute (codegen jitter floor)
+        val regs = shared.collect {
+          case (k, v) if v > 2 * baseline(k) && v - baseline(k) > 0.3 =>
+            "\"" + k + "\":" + f"${v / baseline(k)}%.2f"
+        }.mkString("{", ",", "}")
+        f""","baseline_total":$baseTotal%.2f,"vs_baseline":$ratio%.3f,"regressions":$regs"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

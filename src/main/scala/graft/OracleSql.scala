@@ -336,21 +336,35 @@ object OracleSql {
       s"""WITH ${simhashCtes("documents")}
          |SELECT doc_id, sig AS simhash64 FROM sg ORDER BY doc_id""".stripMargin,
 
-    "simhash_pairs" ->
+    "simhash_pairs" -> {
+      // signature as four 16-bit words — twin of Dedup.simHashWords
+      val words = (0 until 4).map { t =>
+        (0 until 16).map { b =>
+          val j = t * 16 + b
+          s"CASE WHEN 2 * c$j > n THEN ${1 << (15 - b)} ELSE 0 END"
+        }.mkString(" + ") + s" AS w$t"
+      }.mkString(",\n       ")
+      val bandRows = (0 until 4)
+        .map(t => s"SELECT doc_id, w0, w1, w2, w3, $t AS band, w$t AS key FROM sgw")
+        .mkString("\n  UNION ALL ")
+      val ham = (0 until 4).map(t => s"bit_count(xor(w${t}_a, w${t}_b))").mkString(" + ")
+      val pairWords = (0 until 4)
+        .flatMap(t => Seq(s"a.w$t AS w${t}_a", s"b.w$t AS w${t}_b")).mkString(", ")
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000 AS doc_id, text || ' simdup' AS text
          |  FROM documents WHERE doc_id < 25),
          |${simhashCtes("corpus")},
-         |bk AS (SELECT doc_id, sig, band, substr(sig, band * 8 + 1, 8) AS key
-         |       FROM (SELECT doc_id, sig, unnest(generate_series(0, 7)) AS band FROM sg)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |sgw AS (SELECT doc_id,
+         |       $words
+         |       FROM c_s),
+         |bk AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $pairWords
          |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |hm AS (SELECT id_a, id_b,
-         |        CAST(len(list_filter(generate_series(1, 64), i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT) AS hamming
-         |       FROM cand)
-         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin,
+         |hm AS (SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming FROM cand)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(${toks()}) AS term FROM documents)

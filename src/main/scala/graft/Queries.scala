@@ -288,7 +288,7 @@ object Queries {
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(corpusWithTokenAppend(s, dir), "text", "doc_id",
-      bands = 8, maxHamming = 7)
+      bands = 4, maxHamming = 3)
       .orderBy("id_a", "id_b")
 
   // ── E. Text analysis ─────────────────────────────────────────────────

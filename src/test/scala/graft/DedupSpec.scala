@@ -73,17 +73,24 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
-  test("simHashPairs pairs a one-token edit within the hamming budget, skips unrelated docs") {
-    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
-    val other = (1 to 80).map(i => s"zw$i").mkString(" ")
+  test("simHashPairs: exact dup at hamming 0, unrelated docs skipped, edit-pair consistent with signatures") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 200).map(i => s"zw$i").mkString(" ")
     val df = Seq(
       (1L, base),
-      (2L, base + " extra"), // minimal edit → small hamming distance
-      (3L, other)
+      (2L, base), // exact duplicate → hamming 0, must always pair
+      (3L, other),
+      (4L, base + " extra") // one-token edit → small (but random) hamming
     ).toDF("doc_id", "text")
-    val pairs = Dedup.simHashPairs(df, "text", "doc_id", bands = 8, maxHamming = 7)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
-    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    val pairs = Dedup.simHashPairs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"exact dup must pair at hamming 0: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), s"unrelated docs paired: $pairs")
+    // the edit pair appears exactly when its true hamming distance <= 3
+    val sigs = Dedup.simHash64(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trueHam = sigs(1L).zip(sigs(4L)).count { case (a, b) => a != b }
+    assert(pairs.contains((1L, 4L)) == (trueHam <= 3),
+      s"edit pair presence inconsistent: trueHam=$trueHam pairs=$pairs")
   }
 }
