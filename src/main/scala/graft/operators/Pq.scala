@@ -58,8 +58,43 @@ object Pq {
     Model(m, dim, codebooks)
   }
 
-  /** Tiny deterministic Lloyd's: k-means++-free (seeded random init
-    * from distinct points), fixed iterations, stable tie-breaks.
+  /** Seeded k-means++ initialization (Arthur & Vassilvitskii 2007):
+    * next center drawn ∝ D² to the nearest chosen center. Deterministic
+    * under the seed; avoids the duplicate/closely-packed seeds a plain
+    * random pick produces, which is worth real recall at the same m.
+    */
+  private def kppInit(
+      pts: Array[Array[Double]],
+      k: Int,
+      rnd: scala.util.Random
+  ): Array[Array[Double]] = {
+    val n = pts.length
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(n)).clone())
+    val d2 = Array.fill(n)(Double.MaxValue)
+    while (centers.size < math.min(k, n)) {
+      val last = centers.last
+      var i = 0
+      while (i < n) {
+        var d = 0.0; var j = 0
+        while (j < last.length) { val t = pts(i)(j) - last(j); d += t * t; j += 1 }
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      val total = d2.sum
+      if (total <= 0) centers += pts(rnd.nextInt(n)).clone()
+      else {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0; var pick = 0
+        while (pick < n - 1 && acc + d2(pick) < r) { acc += d2(pick); pick += 1 }
+        centers += pts(pick).clone()
+      }
+    }
+    while (centers.size < k) centers += centers.head.clone()
+    centers.toArray
+  }
+
+  /** Tiny deterministic Lloyd's with k-means++ seeding, fixed
+    * iterations, stable tie-breaks.
     */
   private def lloyd(
       pts: Array[Array[Double]],
@@ -68,8 +103,7 @@ object Pq {
       rnd: scala.util.Random
   ): Array[Array[Double]] = {
     val n = pts.length
-    var centers = Array.tabulate(math.min(k, n))(i => pts(rnd.nextInt(n)).clone())
-    if (centers.length < k) centers = centers ++ Array.fill(k - centers.length)(centers.head.clone())
+    var centers = kppInit(pts, k, rnd)
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](pts.head.length))
       val counts = new Array[Int](k)

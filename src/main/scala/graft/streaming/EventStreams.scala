@@ -112,6 +112,21 @@ object EventStreams {
     )
   }
 
+  /** Stream-static enrichment: join the event stream to a static
+    * dimension table (customer) — Spark broadcasts the dim per
+    * micro-batch, so the stream never shuffles and the state is zero
+    * (a stateless map-side join). The streaming face of the batch
+    * `events_enrich` query; at scale the dim is either broadcast-sized
+    * or pre-bucketed to avoid a per-batch shuffle.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String = "user_id",
+      dimKey: String = "c_custkey"
+  ): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
   /** Continuous document ingest: a stream of (doc_id, text) rows is
     * chunked and embedded entirely with per-row projections/generators
     * (fixed-size chunker + inline hashed-BoW) — no stateful operator,

@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim joins the stream to a broadcast static dim, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 100, "click", 1.0),
+      Event(2, ts(2), 200, "view", 2.0),
+      Event(3, ts(3), 999, "click", 3.0) // no dim row → left outer null
+    )
+    val dim = Seq((100L, "BUILDING"), (200L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val enriched = EventStreams.enrichWithDim(input.toDF(), dim)
+    val q = enriched.select("event_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, c_mktsegment FROM enrich_test ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq((1L, Some("BUILDING")), (2L, Some("MACHINERY")), (3L, None)))
+      // stateless: no state store rows in the progress metrics
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps and accumulates within a session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
