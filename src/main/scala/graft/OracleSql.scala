@@ -434,6 +434,24 @@ object OracleSql {
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    "token_shards" ->
+      s"""WITH $chunkCte,
+         |sh AS (SELECT doc_id, chunk_index, chunk_tokens,
+         |        CAST(floor((sum(chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_index
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens) / 64) AS BIGINT) AS shard_id
+         |       FROM ch)
+         |SELECT doc_id, shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(chunk_tokens) AS BIGINT) AS shard_tokens
+         |FROM sh GROUP BY doc_id, shard_id ORDER BY doc_id, shard_id""".stripMargin,
+
     "events_enrich" ->
       """SELECT c.c_mktsegment AS mktsegment,
         |       CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS day_start,

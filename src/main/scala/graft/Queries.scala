@@ -356,6 +356,25 @@ object Queries {
       .agg(count("*").as("cnt"))
       .orderBy("doc_id", "dim")
 
+  /** Deterministic stratified training-mix sample: up to 20 docs per
+    * lang, chosen by md5-hash order (reproducible corpus mixing).
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id", quota = 20)
+      .select("lang", "doc_id", "sample_rank")
+      .orderBy("lang", "sample_rank")
+
+  /** Token-budget sharding of the chunk stream: ~64-token shards per
+    * doc (sequence packing for training), reported per shard.
+    */
+  def tokenShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardStats(
+      Sampling.tokenShards(
+        chunks(s, dir).select("doc_id", "chunk_index", "chunk_tokens"),
+        "doc_id", "chunk_tokens", budget = 64, orderCols = Seq("chunk_index")),
+      "doc_id", "chunk_tokens")
+      .orderBy("doc_id", "shard_id")
+
   // ── D. Multimodal ────────────────────────────────────────────────────
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

@@ -62,6 +62,8 @@ object SparkEntry {
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
+    "sample_stratified"   -> (Queries.sampleStratified(_, _)),
+    "token_shards"        -> (Queries.tokenShards(_, _)),
     // F. OLAP / events
     "q1_pricing"          -> (Queries.q1Pricing(_, _)),
     "q3_orders"           -> (Queries.q3Orders(_, _)),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified takes at most quota per stratum, deterministically") {
+    val df = Tables.documents(spark, sf).select("doc_id", "lang")
+    val s1 = Sampling.stratified(df, "lang", "doc_id", quota = 7)
+    val perLang = s1.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.forall(_ <= 7))
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratified(df, "lang", "doc_id", quota = 7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "same corpus must yield the same sample")
+    // a different seed yields a different (but equally sized) mix
+    val ids3 = Sampling.stratified(df, "lang", "doc_id", quota = 7, seed = "v2")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids3.size == ids1.size && ids3 != ids1)
+  }
+
+  test("tokenShards packs contiguous chunks within the standard tolerance") {
+    val chunks = Seq(
+      // doc 1: 10 chunks of 30 tokens, budget 64 → shards of ~2-3 chunks
+      (1 to 10).map(i => (1L, i.toLong, 30L)),
+      Seq((2L, 1L, 100L)) // oversize chunk still gets a shard
+    ).flatten.toDF("doc_id", "chunk_index", "chunk_tokens")
+    val sharded = Sampling.tokenShards(chunks, "doc_id", "chunk_tokens", budget = 64,
+      orderCols = Seq("chunk_index"))
+    // contiguity: shard_id is non-decreasing in chunk order
+    val doc1 = sharded.filter(col("doc_id") === 1).orderBy("chunk_index")
+      .select("shard_id").as[Long].collect().toSeq
+    assert(doc1 == doc1.sorted)
+    val stats = Sampling.shardStats(sharded, "doc_id", "chunk_tokens")
+      .filter(col("doc_id") === 1).select("shard_tokens").as[Long].collect()
+    // tolerance: every shard in [budget - max_chunk + 1, budget + max_chunk - 1]
+    assert(stats.dropRight(1).forall(t => t >= 64 - 30 + 1 && t <= 64 + 30 - 1),
+      s"shard sizes out of tolerance: ${stats.toSeq}")
+    assert(sharded.filter(col("doc_id") === 2).select("shard_id").as[Long].head() == 0L)
+  }
+}
