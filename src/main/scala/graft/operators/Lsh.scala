@@ -39,9 +39,21 @@ object Lsh {
     }
 
   /** Bucket signature: one '0'/'1' char per hyperplane (sign of the
-    * projection). Pure codegen-friendly expressions.
+    * projection) — one fused codegen'd loop via the native
+    * [[graft.plans.HyperplaneSig]] expression (planes as a reference
+    * object, no per-plane interpreted HOF pass).
     */
   def bucket(vecCol: Column, dim: Int, nPlanes: Int): Column = {
+    val planes = Array.tabulate(nPlanes)(i => plane(i, dim).toArray)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.HyperplaneSig(
+        org.apache.spark.sql.GraftBridge.expression(vecCol), planes))
+  }
+
+  /** The composed-HOF twin of [[bucket]] — interpreted (codegen
+    * fallback), kept as the cross-check reference for specs.
+    */
+  def bucketHof(vecCol: Column, dim: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { i =>
       val h = array(plane(i, dim).map(lit): _*)
       val proj = aggregate(

@@ -51,6 +51,15 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("native bucket signature matches the HOF form over the corpus") {
+    val df = Tables.embeddings(spark, sf)
+    val cmp = df.select(
+      Lsh.bucket(col("embedding"), 64, 16).as("nat"),
+      Lsh.bucketHof(col("embedding"), 64, 16).as("hof")
+    )
+    assert(cmp.filter(col("nat") =!= col("hof")).count() == 0)
+  }
+
   test("bucket signatures are deterministic and nPlanes chars long") {
     val df = Tables.embeddings(spark, sf).limit(50)
     val b1 = df.select(Lsh.bucket(col("embedding"), 64, 10)).as[String].collect()
