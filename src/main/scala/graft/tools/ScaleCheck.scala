@@ -62,6 +62,17 @@ object ScaleCheck {
         "doc_id", Queries.QueryTerms, 10))
       time(s"chunk_explode", Chunker.fixedSize(c, "text", 32, 8, Seq("doc_id", "source")))
       time(s"quality_score", TextAnalysis.qualityScore(c, "text", "doc_id"))
+      time(s"simhash_pairs", Dedup.simHashPairs(c, "text", "doc_id"))
+      time(s"phrase_search", c
+        .select(col("doc_id"), graft.functions.TextOps.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.functions.TextOps.phrasePositions(col("toks"), Seq("filter", "join")).as("pos"))
+        .filter(size(col("pos")) > 0))
+      val e = Tables.embeddings(spark, sfDir)
+      val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
+      time(s"lsh_bucket_assign", embCorpus.select(col("vec_id"),
+        Lsh.bucket(col("embedding"), 64, 16).as("bkt")))
     }
     spark.stop()
   }
