@@ -50,6 +50,9 @@ object Ann {
       .cache() // KMeans re-reads its input every iteration
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10)
+      // keep the default kmeans|| init: random init was measured to drop
+      // probe recall 0.9 → 0.4 on this corpus — the extra init passes
+      // are what place centroids well at coarse-quantizer granularity
       .setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(featurized)
     Index(model, model.transform(featurized).drop("_features"), vecCol, idCol)
