@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, Lsh, Pq}
+import org.apache.spark.sql.functions._
+
+/** Randomized (seeded, deterministic) equivalence properties for the
+  * native codegen expressions against straightforward reference
+  * implementations — the guard that keeps `doGenCode` and
+  * `nullSafeEval` honest as they evolve.
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("phrase_positions equals a naive sliding-window scan on random inputs") {
+    val vocab = Vector("a", "b", "ab", "ba", "x")
+    val rows = Seq.fill(300) {
+      val toks = Vector.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      toks
+    }
+    val phrase = Seq("a", "b", "a")
+    def naive(toks: Vector[String]): Seq[Int] =
+      if (toks.size < phrase.size) Seq.empty
+      else (0 to toks.size - phrase.size).collect {
+        case i if toks.slice(i, i + phrase.size) == phrase => i + 1
+      }
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    val out = df.select(col("id"), TextOps.phrasePositions(col("toks"), phrase).as("pos"))
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) == naive(t), s"row $i toks=$t")
+    }
+  }
+
+  test("HyperplaneSig equals the HOF bucket on adversarial vectors (zeros, negatives, ties)") {
+    val vecs = Seq.fill(200)(Array.fill(16)((rnd.nextInt(7) - 3).toFloat)) ++
+      Seq(Array.fill(16)(0.0f), Array.fill(16)(-1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cmp = df.select(
+      Lsh.bucket(col("v"), 16, 12).as("nat"),
+      Lsh.bucketHof(col("v"), 16, 12).as("hof"))
+    assert(cmp.filter(col("nat") =!= col("hof")).count() == 0)
+  }
+
+  test("PqEncode matches the driver-side nearest-centroid loop on random vectors") {
+    val dim = 16
+    val base = Seq.tabulate(64)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = base.toDF("vec_id", "embedding")
+    val model = Pq.train(df, "embedding", "vec_id", m = 4, codes = 8, sampleSize = 64)
+    val sub = dim / model.m
+    def nearestRef(p: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cents.indices) {
+        var d = 0.0
+        for (i <- p.indices) { val t = p(i) - cents(c)(i); d += t * t }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val encoded = Pq.encode(df, "embedding", model)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    base.foreach { case (id, v) =>
+      val expect = (0 until model.m).map { j =>
+        nearestRef(Array.tabulate(sub)(i => v(j * sub + i).toDouble), model.codebooks(j))
+      }
+      assert(encoded(id) == expect, s"vec $id")
+    }
+  }
+
+  test("simHash64 string and simHashWords pack the same bits") {
+    val texts = Seq.fill(50)(
+      Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(300)}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val strs = Dedup.simHash64(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = Dedup.simHashWords(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    strs.foreach { case (id, s) =>
+      val packed = words(id)
+      (0 until 64).foreach { j =>
+        val bit = (packed(j / 16) >> (15 - j % 16)) & 1
+        assert((s.charAt(j) == '1') == (bit == 1), s"doc $id bit $j")
+      }
+    }
+  }
+}
