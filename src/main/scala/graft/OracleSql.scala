@@ -529,6 +529,21 @@ object OracleSql {
         |SELECT user_id, event_id AS purchase_id, t, last_err_t
         |FROM f WHERE event_type = 'purchase' ORDER BY user_id, purchase_id""".stripMargin,
 
+    "events_asof_join" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type, value FROM events),
+        |l AS (SELECT user_id, event_id, t, 1 AS side, CAST(NULL AS DOUBLE) AS rv
+        |      FROM o WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, CAST(NULL AS BIGINT) AS event_id, t, 0 AS side, ROUND(value, 2) AS rv
+        |      FROM o WHERE event_type = 'click'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (SELECT user_id, event_id, t, side,
+        |       max(CASE WHEN side = 0 THEN struct_pack(t := t, rv := rv) END)
+        |         OVER (PARTITION BY user_id ORDER BY t, side
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |      FROM u)
+        |SELECT user_id, event_id AS purchase_id, t, carried.rv AS last_click_value
+        |FROM m WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin,
+
     "events_json" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -470,6 +470,23 @@ object Queries {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** General two-table as-of join: for each purchase, the value of the
+    * same user's most recent click at-or-before the purchase time
+    * (union + one running window — no range self-join).
+    */
+  def eventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(
+      col("user_id"), col("event_id"), expr("ts DIV 1000000").as("t"),
+      col("event_type"), col("value"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "t")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), round(col("value"), 2).as("click_value"))
+    Events.asOfJoin(purchases, clicks, "user_id", "t", "click_value", "last_click_value")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("t"), col("last_click_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Semi-structured processing: extract a field from the JSON props
     * column (codegen'd get_json_object, no UDF) and aggregate.
     */

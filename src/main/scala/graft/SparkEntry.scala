@@ -73,6 +73,7 @@ object SparkEntry {
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),
+    "events_asof_join"    -> (Queries.eventsAsofJoin(_, _)),
     "events_percentiles"  -> (Queries.eventsPercentiles(_, _)),
     "events_rollup"       -> (Queries.eventsRollup(_, _)),
     "events_pivot"        -> (Queries.eventsPivot(_, _)),

@@ -139,6 +139,23 @@ object EventStreams {
       .fixedSize(docs, "text", chunkSize, overlap, keep = Seq("doc_id"))
       .withColumn("embedding", graft.operators.Featurize.hashedBowInline(col("chunk"), 64))
 
+  /** Continuous index maintenance: append each micro-batch of chunk
+    * rows as a ChunkStore delta (foreachBatch → upsert). Latest-wins
+    * merge-on-read means replayed documents just supersede themselves;
+    * a periodic `compact` bounds read amplification. The streaming face
+    * of the reference's upsert loop (store.py:180) — state lives in the
+    * store layout, not in the stream.
+    */
+  def appendToChunkStore(
+      chunks: DataFrame,
+      store: graft.operators.ChunkStore
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    chunks.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.upsert(batch)
+      }
+
   /** Wire a streaming windowed-count query to a memory sink (testing /
     * demo harness; production would write a Delta/parquet sink).
     */

@@ -117,6 +117,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendToChunkStore lands micro-batches as deltas with latest-wins replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = new graft.operators.ChunkStore(
+      java.nio.file.Files.createTempDirectory("graft_stream_store").resolve("chunks").toString,
+      "doc_id")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams
+      .appendToChunkStore(input.toDF().toDF("doc_id", "content"), store)
+      .start()
+    try {
+      input.addData((1L, "v1"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, "v2")) // replay doc 1 → supersedes in-place
+      q.processAllAvailable()
+      val out = store.read(spark).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out == Seq((1L, "v2"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps and accumulates within a session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
