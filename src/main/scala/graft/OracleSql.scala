@@ -35,6 +35,38 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** MinHash-LSH pair CTE chain (corpus plant → shingles → signatures →
+    * bands → verified pairs in `ver`) — shared by dedup_minhash_lsh and
+    * dedup_clusters.
+    */
+  private lazy val minhashPairCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
+       |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
+       |tk AS (SELECT doc_id, ${toks()} AS toks FROM corpus),
+       |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
+       |shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, sh,
+       |         md5(${minHash(0)} || ${minHash(1)}) AS b0,
+       |         md5(${minHash(2)} || ${minHash(3)}) AS b1,
+       |         md5(${minHash(4)} || ${minHash(5)}) AS b2,
+       |         md5(${minHash(6)} || ${minHash(7)}) AS b3
+       |        FROM shf),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, b0 AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, b1 FROM sig
+       |  UNION ALL SELECT doc_id, 2, b2 FROM sig
+       |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT id_a, id_b,
+       |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 4) AS jaccard
+       |        FROM cand JOIN shf sa ON cand.id_a = sa.doc_id JOIN shf sb ON cand.id_b = sb.doc_id)""".stripMargin
+
   /** Hyperplane-LSH signature — twin of Lsh.bucket. The md5-derived
     * integer weights are computed once driver-side ([[graft.operators.Lsh.plane]])
     * and inlined as literals on BOTH sides, so the bucketing is
@@ -258,33 +290,20 @@ object OracleSql {
         |FROM corpus GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY keeper_doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id,
-         |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
-         |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
-         |tk AS (SELECT doc_id, ${toks()} AS toks FROM corpus),
-         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
-         |shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh,
-         |         md5(${minHash(0)} || ${minHash(1)}) AS b0,
-         |         md5(${minHash(2)} || ${minHash(3)}) AS b1,
-         |         md5(${minHash(4)} || ${minHash(5)}) AS b2,
-         |         md5(${minHash(6)} || ${minHash(7)}) AS b3
-         |        FROM shf),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, b0 AS key FROM sig
-         |  UNION ALL SELECT doc_id, 1, b1 FROM sig
-         |  UNION ALL SELECT doc_id, 2, b2 FROM sig
-         |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |ver AS (SELECT id_a, id_b,
-         |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 4) AS jaccard
-         |        FROM cand JOIN shf sa ON cand.id_a = sa.doc_id JOIN shf sb ON cand.id_b = sb.doc_id)
+      s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |p AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |r AS (
+         |  SELECT id AS u, id AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+         |)
+         |SELECT u AS id, min(v) AS cluster_id FROM r GROUP BY u ORDER BY id""".stripMargin,
 
     "sim_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),

@@ -222,6 +222,15 @@ object Queries {
       numHashes = 8, shingleK = 3, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** Keeper assignment: connected components over the minhash-LSH pair
+    * graph — every near-dup doc mapped to its cluster's min id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(corpusWithNearDups(s, dir), "text", "doc_id",
+        numHashes = 8, shingleK = 3, threshold = 0.3)
+    ).orderBy("id")
+
   def simNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       docs(s, dir).filter(col("doc_id") < 40).select("doc_id", "text"),

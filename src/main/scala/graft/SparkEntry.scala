@@ -41,6 +41,7 @@ object SparkEntry {
     // B. dedup suite
     "dedup_exact"         -> (Queries.dedupExact(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
+    "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),

@@ -254,6 +254,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Duplicate-cluster resolution: given near-dup pairs (from any of
+    * the pair generators), assign every member the minimum id reachable
+    * through the pair graph — its cluster's canonical "keeper". This is
+    * the step that turns pairwise output into actionable dedup.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the minimum — O(component diameter) rounds, each a
+    * single join+agg, with a driver-side convergence check per round
+    * (an O(1) count, not data). Duplicate clusters are shallow in
+    * practice, so rounds ≈ 2–4; for adversarially long chains switch
+    * to large-star/small-star. Never materializes the transitive
+    * closure.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("vlbl").as("nlbl"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = updated
+        .join(labels.select(col("id"), col("lbl").as("_old")), "id")
+        .filter(col("lbl") =!= col("_old"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a partition column
     * (label locally; an LSH bucket or coarse-quantizer cell at scale).
     * Cosine is computed only within blocks.

@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("duplicateClusters resolves chains and keeps singletons apart") {
+    // chain 1-2-3-4 (diameter 3 → needs multiple propagation rounds),
+    // separate pair 10-11, and 20-21
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("simHash64 is deterministic and equal texts get equal signatures") {
     val df = Seq((1L, "spark filter join"), (2L, "spark filter join"), (3L, "totally different words"))
       .toDF("doc_id", "text")
