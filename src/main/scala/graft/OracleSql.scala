@@ -35,6 +35,23 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Quality-score CTE (qs: doc_id, lang, n_tokens, stop_ratio,
+    * quality) — shared by quality_score and quality_filter.
+    */
+  private lazy val qualityCte: String = {
+    val en = graft.operators.TextAnalysis.StopwordsByLang.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""tkq AS (SELECT doc_id, lang, ${toks()} AS toks FROM documents),
+       |cq AS (SELECT doc_id, lang, toks,
+       |       CASE WHEN len(toks) > 0
+       |            THEN CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |            ELSE 0.0 END AS sr
+       |      FROM tkq),
+       |qs AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens, ROUND(sr, 4) AS stop_ratio,
+       |        ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 64.0) * 0.5 + least(1.0, sr * 5.0) * 0.5, 4) AS quality
+       |       FROM cq)""".stripMargin
+  }
+
   /** MinHash-LSH pair CTE chain (corpus plant → shingles → signatures →
     * bands → verified pairs in `ver`) — shared by dedup_minhash_lsh and
     * dedup_clusters.
@@ -419,19 +436,17 @@ object OracleSql {
          |       CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS BIGINT) AS rk FROM g)
          |SELECT source, term, cnt, rk FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
-    "quality_score" -> {
-      val en = graft.operators.TextAnalysis.StopwordsByLang.toMap.apply("en")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |       CASE WHEN len(toks) > 0
-         |            THEN CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |            ELSE 0.0 END AS sr
-         |      FROM tk)
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, ROUND(sr, 4) AS stop_ratio,
-         |       ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 64.0) * 0.5 + least(1.0, sr * 5.0) * 0.5, 4) AS quality
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+    "quality_score" ->
+      s"""WITH $qualityCte
+         |SELECT doc_id, n_tokens, stop_ratio, quality FROM qs ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH $qualityCte,
+         |r AS (SELECT lang, doc_id, quality,
+         |       ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS q_rank
+         |      FROM qs)
+         |SELECT lang, doc_id, quality, q_rank FROM r
+         |WHERE q_rank >= 0.25 ORDER BY lang, doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),

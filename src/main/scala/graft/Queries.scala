@@ -315,6 +315,17 @@ object Queries {
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  /** Per-language quality curation: drop the bottom quartile of docs by
+    * quality score within each lang.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs(s, dir), "text", "doc_id")
+      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+    TextAnalysis.quantileFilter(scored, "lang", "quality", "doc_id", minQuantile = 0.25)
+      .select("lang", "doc_id", "quality", "q_rank")
+      .orderBy("lang", "doc_id")
+  }
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 

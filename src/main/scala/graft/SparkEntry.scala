@@ -59,6 +59,7 @@ object SparkEntry {
     "lang_id"             -> (Queries.langId(_, _)),
     "token_topk"          -> (Queries.tokenTopK(_, _)),
     "quality_score"       -> (Queries.qualityScore(_, _)),
+    "quality_filter"      -> (Queries.qualityFilter(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),

@@ -92,6 +92,27 @@ object TextAnalysis {
     )
   }
 
+  /** Corpus curation cut: keep rows whose score sits at or above the
+    * `minQuantile` percentile WITHIN their group (per-language quality
+    * thresholds, not one global cut — the shape quality filtering takes
+    * in a multilingual training corpus). percent_rank over one window —
+    * a single shuffle on the group key; the rank is rounded so the cut
+    * is reproducible cross-engine.
+    */
+  def quantileFilter(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      minQuantile: Double
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol), col(idCol))
+    scored
+      .withColumn("q_rank", round(percent_rank().over(w), 6))
+      .filter(col("q_rank") >= minQuantile)
+  }
+
   /** Min-shingle-hash fingerprint per document — a 1-permutation MinHash
     * usable as a cheap near-dup blocking key at corpus scale.
     * Explode + partial-agg min/count: md5 runs codegen'd once per
