@@ -259,22 +259,48 @@ object Dedup {
     * through the pair graph — its cluster's canonical "keeper". This is
     * the step that turns pairwise output into actionable dedup.
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the minimum — O(component diameter) rounds, each a
-    * single join+agg, with a driver-side convergence check per round
-    * (an O(1) count, not data). Duplicate clusters are shallow in
-    * practice, so rounds ≈ 2–4; for adversarially long chains switch
-    * to large-star/small-star. Never materializes the transitive
-    * closure.
+    * Two regimes, chosen by measured pair count:
+    *  - pair graph ≤ `localThreshold` (default 1M pairs ≈ 16 MB):
+    *    union-find on the driver — near-linear, instant, the same
+    *    bounded-artifact pattern as PQ's codebook sample. Most real
+    *    dedup sweeps land here (the GRAPH is only the duplicates, not
+    *    the corpus).
+    *  - larger graphs: distributed min-label propagation WITH path
+    *    compression (pointer jumping) — O(log diameter) rounds, each
+    *    two joins, a driver-side O(1) convergence count per round.
+    *    Never materializes the transitive closure.
     */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      localThreshold: Long = 1L << 20
   ): DataFrame = {
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgesOne = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .distinct().cache()
+    val nPairs = edgesOne.count()
+    if (nPairs <= localThreshold) {
+      val es = edgesOne.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesOne.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv } // min-id root
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster_id")
+    }
+    val edges = edgesOne
+      .unionAll(edgesOne.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()
@@ -285,9 +311,13 @@ object Dedup {
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("vlbl").as("nlbl"))
-      val updated = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // path compression: lbl := lbl's label (labels are node ids)
+      val updated = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("_lbl2")), Seq("lbl"), "left_outer")
+        .select(col("id"), coalesce(col("_lbl2"), col("lbl")).as("lbl"))
         .cache()
       val changed = updated
         .join(labels.select(col("id"), col("lbl").as("_old")), "id")

@@ -63,15 +63,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
-  test("duplicateClusters resolves chains and keeps singletons apart") {
+  test("duplicateClusters resolves chains and keeps singletons apart (both regimes)") {
     // chain 1-2-3-4 (diameter 3 → needs multiple propagation rounds),
     // separate pair 10-11, and 20-21
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (21L, 20L))
       .toDF("id_a", "id_b")
-    val out = Dedup.duplicateClusters(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    val local = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(local == expect)
+    // force the distributed min-label loop (threshold 0)
+    val dist = Dedup.duplicateClusters(pairs, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
   test("simHash64 is deterministic and equal texts get equal signatures") {
