@@ -463,6 +463,20 @@ object OracleSql {
          |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
          |FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
+    "embed_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+         |d AS (SELECT doc_id,
+         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+         |      FROM tok),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS tf FROM d GROUP BY doc_id, dim),
+         |dfreq AS (SELECT dim, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY dim),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf)
+         |SELECT tf.doc_id, tf.dim, tf.tf,
+         |       ROUND(tf.tf * ln(1.0 + nn.n / dfreq.df), 5) AS tfidf
+         |FROM tf JOIN dfreq USING (dim) CROSS JOIN nn
+         |ORDER BY tf.doc_id, tf.dim""".stripMargin,
+
     "token_counts" ->
       s"""SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens

@@ -395,6 +395,11 @@ object Queries {
       "doc_id", "chunk_tokens")
       .orderBy("doc_id", "shard_id")
 
+  /** Sparse hashed TF-IDF features over the document token table. */
+  def embedTfidf(s: SparkSession, dir: String): DataFrame =
+    Featurize.hashedTfidf(tokenTable(s, dir).select("doc_id", "term"), "doc_id")
+      .orderBy("doc_id", "dim")
+
   // ── D. Multimodal ────────────────────────────────────────────────────
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

@@ -62,6 +62,7 @@ object SparkEntry {
     "quality_filter"      -> (Queries.qualityFilter(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
+    "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),

@@ -71,6 +71,25 @@ object Featurize {
       .drop("_m", "_raw")
   }
 
+  /** Sparse hashed TF-IDF features: (id, dim, tfidf) rows where dim is
+    * the md5 feature bucket, tf the in-doc bucket count and
+    * idf = ln(1 + N/df) with df = docs containing the bucket. The df
+    * table is O(dims) (64 rows) — a broadcast — and N a one-row agg, so
+    * the whole thing is two partial-agg shuffles over the token table:
+    * the 100 TB shape. Scores round to 5 dp (cross-engine ln parity,
+    * same convention as BM25).
+    */
+  def hashedTfidf(tokens: DataFrame, idCol: String, dims: Int = 64): DataFrame = {
+    val dimmed = tokens.select(col(idCol), TextOps.hashedBowDim(col("term"), dims).as("dim"))
+    val tf = dimmed.groupBy(col(idCol), col("dim")).agg(count("*").as("tf"))
+    val df = tf.groupBy("dim").agg(count("*").cast("double").as("df"))
+    val n = tf.select(col(idCol)).distinct().agg(count("*").cast("double").as("n"))
+    tf.join(broadcast(df), "dim")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(lit(1.0) + col("n") / col("df")), 5))
+      .select(col(idCol), col("dim"), col("tf"), col("tfidf"))
+  }
+
   /** Model-embedder seam (reference: embedder.py:41 `embed_documents`):
     * run an arbitrary text→vector model per partition behind the SAME
     * `embedding: array<double>` column contract as [[hashedBow]].
