@@ -1,0 +1,25 @@
+package graft
+
+/** Fitted-model constants captured while [[Queries]] run, consumed by
+  * [[OracleSql.dynamic]] to generate DuckDB twins with the artifacts
+  * inlined as literals — the same trick that made the LSH family
+  * hash-verifiable (Lsh.scala planes), extended to fitted models:
+  * KMeans is seed-fixed and PQ training is fully deterministic, so
+  * after a query runs, its centroids/codebooks are known driver-side
+  * constants the oracle can re-apply independently.
+  *
+  * [[Verify]] executes every query BEFORE dumping oracle_sql.json, so
+  * the holders are always populated in the driver's flow; if a query
+  * failed, its dynamic twin is simply omitted (driver falls back to the
+  * weaker rows-only check instead of comparing against a stale twin).
+  */
+object OracleArtifacts {
+
+  /** (unit-sphere KMeans centroids, probed cell ids) from ann_probe. */
+  @volatile var ann: Option[(Array[Array[Double]], Seq[Int])] = None
+
+  /** (PQ model, query ADC distance table) from pq_probe. */
+  @volatile var pq: Option[(operators.Pq.Model, Array[Array[Double]])] = None
+
+  def clear(): Unit = { ann = None; pq = None }
+}

@@ -152,6 +152,91 @@ object OracleSql {
     s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
        |c AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0)""".stripMargin
 
+  // ── Dynamic twins: fitted-model artifacts inlined as literals ────────
+
+  /** Double literal that DuckDB parses as DOUBLE (bare decimals parse as
+    * DECIMAL and would change the arithmetic): exponent notation forces
+    * the double type, and shortest-round-trip repr parses back to the
+    * identical IEEE value (verified over random doubles).
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E')) s else s + "E0"
+  }
+
+  /** Explicit sequential squared-distance chain `(v[o+1]-c1)^2 + …` —
+    * term-for-term twin of the NearestCentroid/PqEncode codegen loops
+    * (same left-to-right accumulation, each term (a-b)*(a-b)).
+    */
+  private def distChain(vec: String, offset: Int, cent: Array[Double]): String =
+    cent.zipWithIndex.map { case (cv, i) =>
+      val e = s"$vec[${offset + i + 1}] - (${dlit(cv)})"
+      s"($e) * ($e)"
+    }.mkString(" + ")
+
+  /** IVF assignment CTE chain over `embeddings` with the fitted
+    * unit-sphere centroids inlined; yields asg(vec_id, ev, cluster).
+    * Twin of Ann.assign: normalize, per-centroid sequential squared
+    * distance, first-minimum tie-break (list_indexof finds the first
+    * occurrence of the minimum, matching the strict-< codegen loop).
+    */
+  private def annCtes(centroids: Array[Array[Double]]): String = {
+    val dists = centroids.map(c => distChain("nv", 0, c)).mkString(",\n        ")
+    s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+       |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+       |dst AS (SELECT vec_id, ev, [$dists] AS dl FROM nrm),
+       |asg AS (SELECT vec_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst)""".stripMargin
+  }
+
+  /** Twins generated from fitted-model constants captured at query run
+    * time ([[OracleArtifacts]]). KMeans is seed-fixed and PQ training is
+    * deterministic, so after the query executes its centroids/codebooks
+    * are driver-side constants — the same pattern that made the LSH
+    * family hash-verifiable (md5-derived planes inlined on both sides).
+    */
+  def dynamic: Map[String, String] = {
+    val annEntries = OracleArtifacts.ann.toSeq.flatMap { case (cents, cells) =>
+      val ctes = annCtes(cents)
+      val inCells = cells.mkString(", ")
+      Seq(
+        "ann_probe" ->
+          s"""WITH $ctes
+             |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
+             |FROM asg, q WHERE cluster IN ($inCells)
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+        "ann_recall" ->
+          s"""WITH $ctes,
+             |probe AS (SELECT vec_id FROM asg, q WHERE cluster IN ($inCells)
+             |          ORDER BY ${cosine("ev", "qv")} DESC, vec_id LIMIT 10),
+             |ex AS (SELECT vec_id FROM c, q ORDER BY ${cosine("ev", "qv")} DESC, vec_id LIMIT 10)
+             |SELECT CAST(10 AS BIGINT) AS top_k, CAST(${cells.size} AS BIGINT) AS n_probe,
+             |       ROUND(CAST((SELECT count(*) FROM ex JOIN probe USING (vec_id)) AS DOUBLE) / 10.0, 4) AS recall""".stripMargin
+      )
+    }
+    val pqEntries = OracleArtifacts.pq.toSeq.map { case (model, table) =>
+      val sub = model.dim / model.m
+      val dlCols = (0 until model.m).map { j =>
+        val lists = model.codebooks(j).map(c => distChain("ev", j * sub, c)).mkString(", ")
+        s"[$lists] AS dl$j"
+      }.mkString(",\n        ")
+      val codeCols = (0 until model.m)
+        .map(j => s"list_indexof(dl$j, list_min(dl$j)) - 1 AS k$j").mkString(", ")
+      val adcExpr = (0 until model.m).map { j =>
+        "[" + table(j).map(dlit).mkString(", ") + s"][k$j + 1]"
+      }.mkString(" + ")
+      "pq_probe" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |dst AS (SELECT vec_id, ev, $dlCols FROM c),
+           |cd AS (SELECT vec_id, ev, $codeCols FROM dst),
+           |cand AS (SELECT vec_id, ev FROM cd ORDER BY $adcExpr ASC, vec_id LIMIT 100)
+           |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
+    (annEntries ++ pqEntries).toMap
+  }
+
   val sql: Map[String, String] = Map(
     "scan_pruned" ->
       """SELECT doc_id, lang, n_chars FROM documents

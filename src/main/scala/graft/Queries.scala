@@ -587,38 +587,51 @@ object Queries {
       .orderBy("user_id")
   }
 
-  // ── C. ANN (rows-only: no SQL oracle — MLlib KMeans not replicable) ──
+  // ── C. ANN — oracle-checked: the fitted constants (KMeans centroids,
+  // PQ codebooks, query ADC table) are deterministic driver-side
+  // artifacts, stashed in [[OracleArtifacts]] so [[OracleSql.dynamic]]
+  // can inline them into DuckDB twins.
 
-  def annProbe(s: SparkSession, dir: String): DataFrame =
-    Ann.probe(
-      Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42),
-      queryVecDf(s, dir), "q_vec", nProbe = 3, topK = 10
-    )
+  /** Build (memoized) + stash artifacts + return (index, probed cells). */
+  private def annIndexAndCells(s: SparkSession, dir: String): (Ann.Index, Seq[Int]) = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val cells = Ann.nearestCells(
+      index.centroids, Ann.queryVector(queryVecDf(s, dir), "q_vec"), nProbe = 3)
+    OracleArtifacts.ann = Some((index.centroids, cells))
+    (index, cells)
+  }
 
-  /** IVF-PQ-style probe (rows-only): PQ codes + ADC ranking + exact
-    * re-rank at refine_factor=10 (reference: store.py:274, config.py:62).
+  def annProbe(s: SparkSession, dir: String): DataFrame = {
+    val (index, cells) = annIndexAndCells(s, dir)
+    Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
+  }
+
+  /** IVF-PQ-style probe: PQ codes + ADC ranking + exact re-rank at
+    * refine_factor=10 (reference: store.py:274, config.py:62).
     */
   def pqProbe(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val model = Pq.train(e, "embedding", "vec_id", m = 8, codes = 16)
+    val qDf = queryVecDf(s, dir)
+    OracleArtifacts.pq =
+      Some((model, Pq.distanceTable(model, Ann.queryVector(qDf, "q_vec"))))
     Pq.probe(
       Pq.encode(e.filter(col("vec_id") =!= 0), "embedding", model),
-      queryVecDf(s, dir), model, "embedding", "q_vec", "vec_id", k = 10
+      qDf, model, "embedding", "q_vec", "vec_id", k = 10
     )
   }
 
-  /** Single-row ANN quality report: probe recall@10 vs exact top-10
-    * (rows-only — KMeans centroids aren't SQL-replicable).
-    */
+  /** Single-row ANN quality report: probe recall@10 vs exact top-10. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = queryVecDf(s, dir)
-    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val probe = Ann.probe(index, q, "q_vec", nProbe = 3, topK = 10)
-      .select("vec_id").as[Long].collect().toSet
+    val (index, cells) = annIndexAndCells(s, dir)
+    val probe = Ann.probeCells(index, q, "q_vec", cells, topK = 10).select("vec_id")
     val exact = Ann.exact(embs(s, dir), q, "embedding", "q_vec", "vec_id", topK = 10)
-      .select("vec_id").as[Long].collect().toSet
-    val recall = if (exact.isEmpty) 0.0 else (probe & exact).size.toDouble / exact.size
-    Seq((10, 3, recall)).toDF("top_k", "n_probe", "recall")
+      .select("vec_id")
+    val hits = exact.join(probe, Seq("vec_id"), "left_semi").count()
+    val recall = BigDecimal(hits.toDouble / 10.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((10L, 3L, recall)).toDF("top_k", "n_probe", "recall")
   }
 }

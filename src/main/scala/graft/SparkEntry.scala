@@ -83,8 +83,11 @@ object SparkEntry {
     "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 
-  /** DuckDB-equivalent SQL per query key (rows-only checks for the rest:
-    * ann_probe — MLlib KMeans centroids aren't SQL-replicable).
+  /** DuckDB-equivalent SQL per query key. The static map covers the
+    * SQL-expressible queries; [[OracleSql.dynamic]] adds twins for the
+    * fitted-model queries (ann_probe / ann_recall / pq_probe) with the
+    * deterministic fitted constants inlined as literals — populated
+    * because [[Verify]] runs every query before dumping the SQL.
     */
-  def oracleSql: Map[String, String] = OracleSql.sql
+  def oracleSql: Map[String, String] = OracleSql.sql ++ OracleSql.dynamic
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,9 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference: the IVF-PQ hint at store.py:274; here as a batch index
   * build, the Spark-appropriate piece of a vector store).
   *
-  * Build: distributed MLlib KMeans (fixed seed) → every vector gets a
-  * cluster id; at scale the assigned table is written partitioned by
-  * cluster id so a probe prunes partitions at the scan.
+  * Build: distributed MLlib KMeans (fixed seed) fits the centroids; the
+  * per-vector cell ASSIGNMENT is then the native codegen
+  * [[graft.plans.NearestCentroid]] expression — naive sequential
+  * squared-euclidean with a first-minimum tie-break — rather than
+  * `model.transform`. Numerically that is the same assignment (MLlib's
+  * fastSquaredDistance differs only at ulp level), but the naive form is
+  * exactly SQL-replicable, which makes the whole probe hash-verifiable
+  * against a DuckDB twin with the fitted centroids inlined as literals.
+  * At scale the assigned table is written partitioned by cluster id so a
+  * probe prunes partitions at the file listing.
   *
   * Probe: centroids are O(k·dim) — inspected on the driver (they already
   * live there post-fit) to pick the nProbe nearest cells, then a single
@@ -20,7 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Ann {
 
-  final case class Index(model: KMeansModel, assigned: DataFrame, vecCol: String, idCol: String)
+  final case class Index(
+      centroids: Array[Array[Double]], // unit-sphere space, k x dim
+      assigned: DataFrame,             // source columns + `cluster` int
+      vecCol: String,
+      idCol: String
+  )
 
   // An IVF index is an offline artifact: built once, probed many times
   // (at scale: persisted partitioned-by-cluster). Memoize per build key
@@ -55,24 +67,53 @@ object Ann {
       // are what place centroids well at coarse-quantizer granularity
       .setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(featurized)
-    Index(model, model.transform(featurized).drop("_features"), vecCol, idCol)
+    val centroids = model.clusterCenters.map(_.toArray)
+    featurized.unpersist()
+    Index(centroids, assign(df, vecCol, centroids), vecCol, idCol)
   }
 
-  /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
-  def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame = {
-    val qRaw = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
+  /** Append `cluster` via the SQL-replicable nearest-centroid codegen
+    * expression (input L2-normalized in-loop to match the unit-sphere
+    * centroid space).
+    */
+  def assign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn(
+      "cluster",
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          centroids, normalizeInput = true)))
+
+  /** The nProbe cells nearest to a query vector (driver-side — the
+    * centroid table is O(k·dim) and already lives on the driver).
+    */
+  def nearestCells(centroids: Array[Array[Double]], qRaw: Array[Double], nProbe: Int): Seq[Int] = {
     val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
     val q = qRaw.map(_ / qNorm)
-    val nearestCells = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, math.sqrt(c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  /** Collect the one-row query vector as doubles (driver-side). */
+  def queryVector(queryDf: DataFrame, queryVec: String): Array[Double] =
+    queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
+  def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame =
+    probeCells(index, queryDf, queryVec,
+      nearestCells(index.centroids, queryVector(queryDf, queryVec), nProbe), topK)
+
+  /** Probe restricted to an explicit cell list (cells are driver-side
+    * constants — the same list is inlined into the DuckDB twin).
+    */
+  def probeCells(index: Index, queryDf: DataFrame, queryVec: String, cells: Seq[Int], topK: Int): DataFrame =
     Search
       .knnTopK(
-        index.assigned.filter(col("cluster").isInCollection(nearestCells.toSeq)),
+        index.assigned.filter(col("cluster").isInCollection(cells)),
         queryDf, index.vecCol, queryVec, index.idCol, topK
       )
-      .select(col(index.idCol), col("cluster"), col("cos_sim"))
-  }
+      .select(col(index.idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
 
   /** Persist the index partitioned by cluster id — the at-scale layout:
     * a probe's nProbe-cluster filter prunes whole partitions at the
@@ -81,13 +122,38 @@ object Ann {
   def writeIndex(index: Index, path: String): Unit =
     index.assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance: assign NEW vectors to the existing
+    * centroids and append them into the persisted partitioned layout —
+    * no rebuild, probes see the new rows immediately (reference:
+    * store.py:197 rebuilds its FTS index on every upsert; at Spark scale
+    * the equivalent is delta assignment into the same partitioning).
+    * Works identically from a streaming `foreachBatch` sink. Re-cluster
+    * (full [[build]]) only when drift degrades recall — see
+    * [[assignmentCost]].
+    */
+  def appendToIndex(path: String, delta: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Unit =
+    assign(delta, vecCol, centroids).write.partitionBy("cluster").mode("append").parquet(path)
+
+  /** Mean squared distance of (normalized) vectors to their assigned
+    * centroid — the k-means cost. Track it over appends: when the
+    * delta's cost drifts well above the build-time cost, the centroids
+    * no longer describe the data and a re-cluster is due.
+    */
+  def assignmentCost(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Double = {
+    val nv = VectorOps.normalize(col(vecCol))
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    assign(df, vecCol, centroids)
+      .select(VectorOps.sqDist(nv, element_at(cents, col("cluster") + 1)).as("d2"))
+      .agg(avg("d2")).head().getDouble(0)
+  }
+
   /** Probe a persisted index directory: cluster pruning happens at the
     * parquet partition level (visible as PartitionFilters in explain).
     */
   def probePersisted(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       path: String,
-      centroids: Array[org.apache.spark.ml.linalg.Vector],
+      centroids: Array[Array[Double]],
       queryDf: DataFrame,
       queryVec: String,
       vecCol: String,
@@ -95,16 +161,11 @@ object Ann {
       nProbe: Int,
       topK: Int
   ): DataFrame = {
-    val qRaw = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
-    val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
-    val q = qRaw.map(_ / qNorm)
-    val nearestCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, math.sqrt(c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
-      .sortBy(_._2).take(nProbe).map(_._1)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(nearestCells.toSeq))
+    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
     Search
       .knnTopK(pruned, queryDf, vecCol, queryVec, idCol, topK)
-      .select(col(idCol), col("cluster"), col("cos_sim"))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
   }
 
   /** Exact top-k baseline for recall measurement. */

@@ -150,6 +150,21 @@ object Pq {
           org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
           model.codebooks)))
 
+  /** ADC distance table for a query: table(j)(c) = ||q_j − codebook_j(c)||².
+    * Driver-side constants — also what the DuckDB oracle twin inlines.
+    */
+  def distanceTable(model: Model, q: Array[Double]): Array[Array[Double]] = {
+    val sub = model.dim / model.m
+    Array.tabulate(model.m) { j =>
+      val qj = q.slice(j * sub, (j + 1) * sub)
+      model.codebooks(j).map { cent =>
+        var d = 0.0; var i = 0
+        while (i < qj.length) { val t = qj(i) - cent(i); d += t * t; i += 1 }
+        d
+      }
+    }
+  }
+
   /** ADC (asymmetric distance) probe: approximate squared distances via
     * the query's per-subspace table (literal arrays — pure expressions
     * over the m-byte codes), take top `k * refineFactor` candidates,
@@ -166,16 +181,7 @@ object Pq {
       refineFactor: Int = 10
   ): DataFrame = {
     val q = queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
-    val sub = model.dim / model.m
-    // distance table: table(j)(c) = ||q_j - codebook_j(c)||^2
-    val table: Array[Array[Double]] = Array.tabulate(model.m) { j =>
-      val qj = q.slice(j * sub, (j + 1) * sub)
-      model.codebooks(j).map { cent =>
-        var d = 0.0; var i = 0
-        while (i < qj.length) { val t = qj(i) - cent(i); d += t * t; i += 1 }
-        d
-      }
-    }
+    val table = distanceTable(model, q)
     val tableCols = table.map(row => array(row.map(lit): _*))
     val adc = (0 until model.m)
       .map(j => element_at(tableCols(j), element_at(col("codes"), j + 1) + 1))

@@ -27,7 +27,7 @@ class SkewAndLayoutSpec extends SparkSpec {
 
     val queryDf = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_vec"))
-    val probed = Ann.probePersisted(spark, dir, index.model.clusterCenters,
+    val probed = Ann.probePersisted(spark, dir, index.centroids,
       queryDf, "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
 
     // identical results to the in-memory probe
