@@ -28,4 +28,36 @@ class AnnSpec extends SparkSpec {
     val clusters = index.assigned.select("cluster").distinct().as[Int].collect().toSet
     assert(clusters.subsetOf((0 until 10).toSet) && clusters.size > 1)
   }
+
+  test("incremental append: probe finds new vectors without rebuild, old recall unchanged") {
+    val embs = Tables.embeddings(spark, sf)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val index = Ann.build(embs, "embedding", "vec_id", k = 10, seed = 42)
+    val dir = java.nio.file.Files.createTempDirectory("annappend").toString + "/idx"
+    Ann.writeIndex(index, dir)
+
+    val before = Ann.probePersisted(spark, dir, index.centroids, queryDf,
+      "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    // Upsert a near-copy of the query vector under a fresh id: it must
+    // land in the query's own cell and dominate the probe's top-k.
+    val delta = queryDf
+      .select(lit(999999L).as("vec_id"), lit("new").as("label"), col("q_vec").as("embedding"))
+    Ann.appendToIndex(dir, delta, "embedding", index.centroids)
+
+    val after = Ann.probePersisted(spark, dir, index.centroids, queryDf,
+      "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.contains(999999L), s"appended vector not visible to probe: $after")
+    // old neighbors unchanged modulo the one slot the new exact-match takes
+    assert((before -- after).size <= 1, s"old recall degraded: before=$before after=$after")
+
+    // drift metric: the delta (drawn from the same distribution) should
+    // cost no more than ~the corpus-wide assignment cost
+    val corpusCost = Ann.assignmentCost(embs, "embedding", index.centroids)
+    val deltaCost = Ann.assignmentCost(delta, "embedding", index.centroids)
+    assert(deltaCost <= corpusCost * 2,
+      s"unexpected drift signal: delta=$deltaCost corpus=$corpusCost")
+  }
 }
