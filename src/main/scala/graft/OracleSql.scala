@@ -708,6 +708,13 @@ object OracleSql {
         |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "events_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN user_id % 10 = 0 THEN 1 ELSE user_id END AS key, value FROM events)
+        |SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(sum(value), 2) AS total_value
+        |FROM f JOIN customer ON key = c_custkey
+        |GROUP BY mktsegment ORDER BY mktsegment""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

@@ -566,6 +566,39 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Skew-mitigated fact-dim join: 10% of users collapse onto one hot
+    * key (the pathological single-giant-key case AQE can't split inside
+    * one shuffle block), joined via [[Skew.saltedJoin]] — the hot key's
+    * rows spread over 8 salted sub-keys. Results are identical to the
+    * plain join, which is exactly what the DuckDB twin checks.
+    */
+  def eventsSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = events(s, dir).select(
+      when(pmod(col("user_id"), lit(10)) === 0, lit(1L)).otherwise(col("user_id")).as("key"),
+      col("event_id"), col("value"))
+    val dim = Tables.customer(s, dir).select(col("c_custkey").as("key"), col("c_mktsegment"))
+    Skew.saltedJoin(fact, dim, "key", "event_id", saltFactor = 8)
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("mktsegment")
+  }
+
+  /** Reference-faithful recursive chunking (chunker.py:55/81/107) run as
+    * a distributed Dataset flatMap over documents — per-row imperative
+    * semantics, so no SQL twin (rows-only check); parity with the
+    * reference algorithm is property-tested in ChunkerSpec.
+    */
+  def chunkRecursive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Chunker.recursiveChunks(text, chunkSize = 64, overlap = 16, minTokens = 8)
+          .zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
+      }
+      .toDF("doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "chunk_index")
+  }
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val sessions = events(s, dir)

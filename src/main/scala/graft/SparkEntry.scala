@@ -31,6 +31,7 @@ object SparkEntry {
     "filtered_search"     -> (Queries.filteredSearch(_, _)),
     "chunk_explode"       -> (Queries.chunkExplode(_, _)),
     "chunk_stats"         -> (Queries.chunkStats(_, _)),
+    "chunk_recursive"     -> (Queries.chunkRecursive(_, _)),
     "list_documents"      -> (Queries.listDocuments(_, _)),
     "list_libraries"      -> (Queries.listLibraries(_, _)),
     "get_document"        -> (Queries.getDocument(_, _)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "events_percentiles"  -> (Queries.eventsPercentiles(_, _)),
     "events_rollup"       -> (Queries.eventsRollup(_, _)),
     "events_pivot"        -> (Queries.eventsPivot(_, _)),
+    "events_skew_join"    -> (Queries.eventsSkewJoin(_, _)),
     "token_counts"        -> (Queries.tokenCounts(_, _))
   )
 

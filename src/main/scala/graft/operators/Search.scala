@@ -185,6 +185,13 @@ object Search {
     * score), so the fused score is a sum of exact rationals — fully
     * deterministic. Missing legs contribute 0, matching the usual RRF
     * treatment (reference: server.py:228-238 hybrid docstring).
+    *
+    * Each leg is truncated to its top `maxLegSize` rows FIRST (a
+    * TakeOrderedAndProject — per-partition heap, no sort shuffle), so
+    * the global rank window that follows is provably bounded: without
+    * the truncation an unlimited leg would funnel the whole corpus
+    * through a single-partition sort. Ranks beyond maxLegSize contribute
+    * < 1/(rrfK + maxLegSize) each — standard RRF truncation.
     */
   def rrfFuse(
       legA: DataFrame, // (id, scoreA) — already scored, higher = better
@@ -193,12 +200,16 @@ object Search {
       scoreA: String,
       scoreB: String,
       k: Int,
-      rrfK: Int = 60
+      rrfK: Int = 60,
+      maxLegSize: Int = 1000
   ): DataFrame = {
+    require(maxLegSize >= k, s"maxLegSize $maxLegSize must be >= k $k")
+    val la = legA.orderBy(col(scoreA).desc, col(idCol)).limit(maxLegSize)
+    val lb = legB.orderBy(col(scoreB).desc, col(idCol)).limit(maxLegSize)
     val wA = Window.orderBy(col(scoreA).desc, col(idCol))
     val wB = Window.orderBy(col(scoreB).desc, col(idCol))
-    val ra = legA.withColumn("rk_a", row_number().over(wA).cast("long"))
-    val rb = legB.withColumn("rk_b", row_number().over(wB).cast("long"))
+    val ra = la.withColumn("rk_a", row_number().over(wA).cast("long"))
+    val rb = lb.withColumn("rk_b", row_number().over(wB).cast("long"))
     ra
       .join(rb, Seq(idCol), "full_outer")
       .withColumn(

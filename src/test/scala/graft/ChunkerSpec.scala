@@ -63,6 +63,44 @@ class ChunkerSpec extends SparkSpec {
     assert(outMixed.nonEmpty && outMixed.head.contains("数据"))
   }
 
+  test("recursive chunking keeps reference invariants on adversarial separator inputs") {
+    val rnd = new scala.util.Random(7)
+    val seps = Seq("\n\n", "\n", " ")
+    def tl(s: String): Int = s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+    (1 to 80).foreach { _ =>
+      // adversarial mix: bare separator runs, empty pieces, oversized
+      // single tokens, normal word runs — joined by random separators
+      val pieces = (0 to rnd.nextInt(30)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => "w" * (rnd.nextInt(40) + 1)
+          case 1 => (0 to rnd.nextInt(20)).map(_ => s"t${rnd.nextInt(100)}").mkString(" ")
+          case 2 => seps(rnd.nextInt(seps.size)) * (rnd.nextInt(3) + 1)
+          case _ => ""
+        }
+      }
+      val text = pieces.mkString(seps(rnd.nextInt(seps.size)))
+      val out = Chunker.recursiveChunks(text, chunkSize = 16, overlap = 4, minTokens = 2)
+      assert(out == Chunker.recursiveChunks(text, chunkSize = 16, overlap = 4, minTokens = 2),
+        "chunking must be deterministic")
+      assert(out.forall(_.nonEmpty), s"empty chunk from: ${text.take(80)}")
+      // reference floor semantics (chunker.py:107): every surviving chunk
+      // meets minTokens, or the whole doc fell back to a single chunk
+      assert(out.forall(tl(_) >= 2) || out == Seq(text.trim) || out.isEmpty,
+        s"floor violated: ${out.map(tl)}")
+    }
+  }
+
+  test("chunk_recursive query equals driver-side reference application per doc") {
+    val got = Queries.chunkRecursive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        Chunker.recursiveChunks(r.getString(1), chunkSize = 64, overlap = 16, minTokens = 8)
+          .zipWithIndex.map { case (c, i) => (r.getLong(0), i.toLong, c) }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expected)
+  }
+
   test("fixed-size chunker covers every token and respects bounds") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq((1L, (1 to 75).map(i => s"t$i").mkString(" ")))).toDF("doc_id", "text")

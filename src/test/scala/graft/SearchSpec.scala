@@ -73,4 +73,21 @@ class SearchSpec extends SparkSpec {
     val expected = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(top.getDouble(1) - expected) < 1e-9)
   }
+
+  test("rrfFuse bounds unlimited legs internally (global window stays provably small)") {
+    // an "unlimited" leg: 5000 rows, no caller-side limit
+    val legA = spark.range(5000).select(col("id"), (lit(10000) - col("id")).cast("double").as("sa"))
+    val legB = spark.range(5000).select(col("id"), (col("id") % 97).cast("double").as("sb"))
+    val bounded = Search.rrfFuse(legA, legB, "id", "sa", "sb", k = 5, maxLegSize = 50)
+    // result must equal fusing the pre-limited top-50 legs (truncation is
+    // rank-preserving: each leg's top-50 is exactly what the guard keeps)
+    val preLimited = Search.rrfFuse(
+      legA.orderBy(col("sa").desc, col("id")).limit(50),
+      legB.orderBy(col("sb").desc, col("id")).limit(50),
+      "id", "sa", "sb", k = 5)
+    assert(bounded.collect().toSeq == preLimited.collect().toSeq)
+    assertThrows[IllegalArgumentException] {
+      Search.rrfFuse(legA, legB, "id", "sa", "sb", k = 100, maxLegSize = 10)
+    }
+  }
 }
