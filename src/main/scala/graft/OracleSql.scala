@@ -562,6 +562,32 @@ object OracleSql {
          |FROM tf JOIN dfreq USING (dim) CROSS JOIN nn
          |ORDER BY tf.doc_id, tf.dim""".stripMargin,
 
+    "bpe_tokens" -> {
+      // Twin of Queries.bpeTokens: the SAME checked-in merge table,
+      // applied in rank order as a flat replace() chain. Each symbol is
+      // fully wrapped (' x ') so a pair pattern ' l  r ' can neither
+      // false-match a symbol of which l/r is a prefix nor share a
+      // boundary between consecutive occurrences — making the string
+      // replace exactly the left-to-right non-overlapping list merge of
+      // Bpe.encodeWord. Merge symbols are [a-z0-9]+ by construction
+      // (single-char non-alnum pre-tokens have no pairs), so inlining
+      // them in SQL literals needs no escaping. Chain staged through
+      // CTEs of 60 (DuckDB binder caps expression recursion at 128).
+      val stages = graft.operators.Bpe.merges.grouped(60).toSeq
+      val chainCtes = stages.zipWithIndex.map { case (st, idx) =>
+        val e = st.foldLeft("s") { case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')" }
+        s"s${idx + 1} AS (SELECT w, $e AS s FROM s$idx)"
+      }
+      s"""WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM documents),
+         |wd AS (SELECT DISTINCT w FROM pt),
+         |s0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM wd),
+         |${chainCtes.mkString(",\n")},
+         |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s${stages.size})
+         |SELECT pt.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens, CAST(sum(enc.n) AS BIGINT) AS bpe_tokens
+         |FROM pt JOIN enc USING (w)
+         |GROUP BY pt.doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "token_counts" ->
       s"""SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS ws_tokens,
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens

@@ -343,6 +343,31 @@ object Queries {
       )
       .orderBy("doc_id")
 
+  /** True BPE token budgeting: the checked-in merge table
+    * (resources/graft/bpe_merges.txt, trained by graft.tools.TrainBpe)
+    * applied per pre-token via the native codegen
+    * [[graft.plans.BpeWordTokens]] expression — a pure map over the
+    * exploded pre-token stream followed by one map-side-combined
+    * aggregation; no join, no shuffle beyond the per-doc groupBy.
+    * Upgrades the regex proxy in [[tokenCounts]] to real merges
+    * (reference: chunker.py:24 — token-aware sizing needs a tokenizer).
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pre = docs(s, dir).select(
+      col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(Bpe.PretokenRegex), lit(0))).as("w"))
+    pre
+      .select(
+        col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BpeWordTokens(
+            org.apache.spark.sql.GraftBridge.expression(col("w")),
+            Bpe.mergesArray)).as("n"))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_pretokens"), sum("n").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrub over documents with planted emails/phones (synthetic
     * text has none, so plant deterministically on both sides).
     */

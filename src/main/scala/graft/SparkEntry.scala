@@ -82,7 +82,8 @@ object SparkEntry {
     "events_rollup"       -> (Queries.eventsRollup(_, _)),
     "events_pivot"        -> (Queries.eventsPivot(_, _)),
     "events_skew_join"    -> (Queries.eventsSkewJoin(_, _)),
-    "token_counts"        -> (Queries.tokenCounts(_, _))
+    "token_counts"        -> (Queries.tokenCounts(_, _)),
+    "bpe_tokens"          -> (Queries.bpeTokens(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the
