@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FormattedMode
+import graft.plans.GraftFunctions
+
+/** Round gate for physical-plan shape: every registered query's formatted
+  * plan is compared against its checked-in snapshot
+  * (`plans_baseline/<name>.txt`, refreshed by `runMain graft.tools.Plans
+  * <sfDir> plans_baseline` after an INTENTIONAL shape change) on the
+  * regression-class signals from tools/diff_plans.py — lost broadcasts,
+  * lost pushed filters, new sorts / exchanges / object serializations /
+  * codegen fallbacks. Plan shapes are SF-invariant here (verified round 5:
+  * sf0.001-generated plans diff clean against sf0.01 snapshots in both
+  * directions — broadcasts are hint-driven, CBO/AQE don't alter
+  * explainString pre-execution), so the gate runs at sf0.001.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val snapDir = Paths.get("plans_baseline")
+
+  // (signal, pattern, moreIsWorse) — mirror of tools/diff_plans.py SIGNALS
+  private val signals: Seq[(String, scala.util.matching.Regex, Boolean)] = Seq(
+    ("broadcast", "Broadcast(HashJoin|ExchangeExec|Exchange|NestedLoopJoin)".r, false),
+    ("pushed_filters", "PushedFilters: \\[[^\\]]".r, false),
+    ("sort", "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Sort\\b".r, true),
+    ("exchange", "\\bExchange\\b".r, true),
+    ("serialize", "SerializeFromObject".r, true),
+    ("codegen_fallback", "CodegenFallback".r, true)
+  )
+
+  private def counts(plan: String): Map[String, Int] =
+    signals.map { case (n, p, _) => n -> p.findAllMatchIn(plan).size }.toMap
+
+  test("plans_baseline snapshots exist for every registered query") {
+    assert(Files.isDirectory(snapDir),
+      "plans_baseline/ missing — run: sbt 'runMain graft.tools.Plans /root/testdata/sf0.01 plans_baseline'")
+    val missing = SparkEntry.queries.keySet.filterNot(n => Files.exists(snapDir.resolve(s"$n.txt")))
+    assert(missing.isEmpty, s"no plan snapshot for: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"plan shape unchanged: $name") {
+      val snap = snapDir.resolve(s"$name.txt")
+      assume(Files.exists(snap), s"snapshot missing (covered by the existence test)")
+      GraftFunctions.register(spark)
+      val plan = fn(spark, sf).queryExecution.explainString(FormattedMode)
+      val now = counts(plan)
+      val base = counts(Files.readString(snap))
+      val regressions = signals.collect {
+        case (n, _, moreIsWorse) if (if (moreIsWorse) now(n) > base(n) else now(n) < base(n)) =>
+          s"$n ${base(n)}->${now(n)}"
+      }
+      assert(regressions.isEmpty,
+        s"plan-shape regression in $name: ${regressions.mkString(", ")} — " +
+          "if intentional, refresh plans_baseline/ via graft.tools.Plans")
+    }
+  }
+}
