@@ -35,6 +35,35 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Twin of Bpe.PretokenRegex (no escaping needed in a SQL literal). */
+  private val bpePretokenRegex: String = graft.operators.Bpe.PretokenRegex
+
+  /** BPE encode CTE chain — shared by every BPE twin. Yields `pt`
+    * (doc_id, w: pre-tokens of lower(text)) and `enc` (w, n: BPE token
+    * count of w under the SAME checked-in merge table as the Spark
+    * side), the merges applied in rank order as a flat replace() chain.
+    * Each symbol is fully wrapped (' x ') so a pair pattern ' l  r ' can
+    * neither false-match a symbol of which l/r is a prefix nor share a
+    * boundary between consecutive occurrences — making the string
+    * replace exactly the left-to-right non-overlapping list merge of
+    * Bpe.encodeWord. Merge symbols are [a-z0-9]+ by construction
+    * (single-char non-alnum pre-tokens have no pairs), so inlining them
+    * in SQL literals needs no escaping. Chain staged through CTEs of 60
+    * (DuckDB binder caps expression recursion at 128).
+    */
+  private lazy val bpeEncCtes: String = {
+    val stages = graft.operators.Bpe.merges.grouped(60).toSeq
+    val chainCtes = stages.zipWithIndex.map { case (st, idx) =>
+      val e = st.foldLeft("s") { case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')" }
+      s"s${idx + 1} AS (SELECT w, $e AS s FROM s$idx)"
+    }
+    s"""pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$bpePretokenRegex')) AS w FROM documents),
+       |wd AS (SELECT DISTINCT w FROM pt),
+       |s0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM wd),
+       |${chainCtes.mkString(",\n")},
+       |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s${stages.size})""".stripMargin
+  }
+
   /** Quality-score CTE (qs: doc_id, lang, n_tokens, stop_ratio,
     * quality) — shared by quality_score and quality_filter.
     */
@@ -562,36 +591,37 @@ object OracleSql {
          |FROM tf JOIN dfreq USING (dim) CROSS JOIN nn
          |ORDER BY tf.doc_id, tf.dim""".stripMargin,
 
-    "bpe_tokens" -> {
-      // Twin of Queries.bpeTokens: the SAME checked-in merge table,
-      // applied in rank order as a flat replace() chain. Each symbol is
-      // fully wrapped (' x ') so a pair pattern ' l  r ' can neither
-      // false-match a symbol of which l/r is a prefix nor share a
-      // boundary between consecutive occurrences — making the string
-      // replace exactly the left-to-right non-overlapping list merge of
-      // Bpe.encodeWord. Merge symbols are [a-z0-9]+ by construction
-      // (single-char non-alnum pre-tokens have no pairs), so inlining
-      // them in SQL literals needs no escaping. Chain staged through
-      // CTEs of 60 (DuckDB binder caps expression recursion at 128).
-      val stages = graft.operators.Bpe.merges.grouped(60).toSeq
-      val chainCtes = stages.zipWithIndex.map { case (st, idx) =>
-        val e = st.foldLeft("s") { case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')" }
-        s"s${idx + 1} AS (SELECT w, $e AS s FROM s$idx)"
-      }
-      s"""WITH pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM documents),
-         |wd AS (SELECT DISTINCT w FROM pt),
-         |s0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM wd),
-         |${chainCtes.mkString(",\n")},
-         |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s${stages.size})
+    "bpe_tokens" ->
+      s"""WITH $bpeEncCtes
          |SELECT pt.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens, CAST(sum(enc.n) AS BIGINT) AS bpe_tokens
          |FROM pt JOIN enc USING (w)
-         |GROUP BY pt.doc_id ORDER BY doc_id""".stripMargin
-    },
+         |GROUP BY pt.doc_id ORDER BY doc_id""".stripMargin,
+
+    "chunk_token_budget" ->
+      // Twin of Queries.chunkTokenBudget: positioned pre-tokens (lateral
+      // generate_series keeps pos exact), per-word BPE counts from the
+      // shared enc chain, per-doc running sum, greedy budget-32 packing.
+      s"""WITH $bpeEncCtes,
+         |ptp AS (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '$bpePretokenRegex') AS ws FROM documents)),
+         |cnt AS (SELECT ptp.doc_id, ptp.pos, ptp.w, enc.n FROM ptp JOIN enc USING (w)),
+         |cum AS (SELECT doc_id, pos, w, n,
+         |        sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM cnt)
+         |SELECT doc_id, CAST((cum - n) // 32 AS BIGINT) AS chunk_index,
+         |       CAST(count(*) AS BIGINT) AS n_pretokens,
+         |       CAST(sum(n) AS BIGINT) AS chunk_tokens,
+         |       string_agg(w, ' ' ORDER BY pos) AS chunk
+         |FROM cum GROUP BY doc_id, chunk_index ORDER BY doc_id, chunk_index""".stripMargin,
 
     "token_counts" ->
-      s"""SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS ws_tokens,
-         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH $bpeEncCtes,
+         |bt AS (SELECT pt.doc_id, sum(enc.n) AS bpe FROM pt JOIN enc USING (w) GROUP BY pt.doc_id)
+         |SELECT d.doc_id AS doc_id, CAST(len(${toks("d.text")}) AS BIGINT) AS ws_tokens,
+         |       CAST(coalesce(bt.bpe, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,

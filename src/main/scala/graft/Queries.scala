@@ -333,13 +333,20 @@ object Queries {
     * The BPE-ish pattern (letter runs | digit runs | single symbol)
     * matches GPT-style pre-tokenization granularity.
     */
+  /** Per-doc token budget: whitespace proxy vs REAL BPE count. The BPE
+    * leg is the whole-text [[graft.plans.BpeTextTokens]] expression — one
+    * narrow codegen'd projection, no explode/shuffle (vs [[bpeTokens]],
+    * which demonstrates the exploded per-pre-token path).
+    */
   def tokenCounts(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
         col("doc_id"),
         size(TextOps.tokenize(col("text"))).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("bpe_tokens")
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BpeTextTokens(
+            org.apache.spark.sql.GraftBridge.expression(lower(col("text"))),
+            Bpe.mergesArray)).as("bpe_tokens")
       )
       .orderBy("doc_id")
 
@@ -366,6 +373,39 @@ object Queries {
       .groupBy("doc_id")
       .agg(count("*").as("n_pretokens"), sum("n").as("bpe_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Token-aware chunking: greedy packing of pre-tokens into chunks by
+    * REAL BPE token budget (reference: chunker.py sizes chunks by
+    * HF-tokenizer token counts, not word counts). A pre-token is assigned
+    * to the chunk where its running count starts, so no pre-token is ever
+    * split and chunks exceed the budget by at most one pre-token's
+    * tokens. One explode + one per-doc window cumsum + one groupBy —
+    * partitioned by doc_id throughout, so it scales with the corpus, not
+    * the document count per executor.
+    */
+  def chunkTokenBudget(s: SparkSession, dir: String, budget: Int = 32): DataFrame = {
+    val pre = docs(s, dir).select(
+      col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit(Bpe.PretokenRegex), lit(0)))
+        .as(Seq("pos", "w")))
+    val counted = pre.select(
+      col("doc_id"), col("pos"), col("w"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.BpeWordTokens(
+          org.apache.spark.sql.GraftBridge.expression(col("w")),
+          Bpe.mergesArray)).as("n"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    counted
+      .withColumn("cum", sum("n").over(byDoc))
+      .withColumn("chunk_index", floor((col("cum") - col("n")) / budget).cast("long"))
+      .groupBy("doc_id", "chunk_index")
+      .agg(
+        count("*").as("n_pretokens"),
+        sum("n").cast("long").as("chunk_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_index")
   }
 
   /** PII scrub over documents with planted emails/phones (synthetic

@@ -59,26 +59,43 @@ object Chunker {
 
   private val Separators = Seq("\n\n", "\n", " ", "")
 
-  private def tokenLen(s: String): Int =
+  /** Whitespace-token length — the default proxy for the reference's
+    * HF-tokenizer `len`.
+    */
+  def wsTokenLen(s: String): Int =
     s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+
+  /** REAL tokenizer length: BPE token count under the checked-in merge
+    * table — the faithful analogue of chunker.py:24's `_get_tokenizer`
+    * sizing (chunk budgets in actual tokens, not words).
+    */
+  private lazy val pretokenPattern = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+
+  def bpeTokenLen(s: String): Int = {
+    val m = pretokenPattern.matcher(s.toLowerCase)
+    var total = 0
+    while (m.find()) total += Bpe.encodeWord(m.group(), Bpe.merges).length
+    total
+  }
 
   /** chunker.py:55 `_merge_splits` — greedy merge with overlap carry. */
   private[graft] def mergeSplits(
       splits: Seq[String],
       separator: String,
       chunkSize: Int,
-      overlap: Int
+      overlap: Int,
+      lenFn: String => Int = wsTokenLen
   ): Seq[String] = {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
     var current = scala.collection.mutable.ArrayBuffer.empty[String]
     var currentLen = 0
     for (split <- splits) {
-      val splitLen = tokenLen(split)
+      val splitLen = lenFn(split)
       if (currentLen + splitLen > chunkSize && current.nonEmpty) {
         chunks += current.mkString(separator)
         while (current.nonEmpty && currentLen > overlap) {
           val removed = current.remove(0)
-          currentLen -= tokenLen(removed)
+          currentLen -= lenFn(removed)
         }
       }
       current += split
@@ -93,7 +110,8 @@ object Chunker {
       text: String,
       separators: Seq[String],
       chunkSize: Int,
-      overlap: Int
+      overlap: Int,
+      lenFn: String => Int = wsTokenLen
   ): Seq[String] = {
     if (separators.isEmpty) return Seq(text)
     val sep = separators.head
@@ -102,10 +120,10 @@ object Chunker {
       if (sep.isEmpty) text.map(_.toString)
       else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq
     val all = splits.filter(_.nonEmpty).flatMap { s =>
-      if (tokenLen(s) > chunkSize) splitRecursive(s, remaining, chunkSize, overlap)
+      if (lenFn(s) > chunkSize) splitRecursive(s, remaining, chunkSize, overlap, lenFn)
       else Seq(s)
     }
-    mergeSplits(all, sep, chunkSize, overlap)
+    mergeSplits(all, sep, chunkSize, overlap, lenFn)
   }
 
   /** chunker.py:107 `chunk` — with the min-token floor fallback. */
@@ -113,11 +131,12 @@ object Chunker {
       text: String,
       chunkSize: Int = 512,
       overlap: Int = 64,
-      minTokens: Int = 50
+      minTokens: Int = 50,
+      lenFn: String => Int = wsTokenLen
   ): Seq[String] = {
     if (text.trim.isEmpty) return Seq.empty
-    val raw = splitRecursive(text, Separators, chunkSize, overlap)
-    val filtered = raw.filter(tokenLen(_) >= minTokens)
+    val raw = splitRecursive(text, Separators, chunkSize, overlap, lenFn)
+    val filtered = raw.filter(lenFn(_) >= minTokens)
     if (filtered.isEmpty && raw.nonEmpty) Seq(text.trim) else filtered
   }
 }

@@ -44,8 +44,11 @@ case class BpeWordTokens(child: Expression, merges: Array[Array[String]])
 object BpeWordTokens {
 
   /** Static worker shared by eval and generated code. */
-  def count(word: UTF8String, merges: Array[Array[String]]): Int = {
-    var syms = graft.operators.Bpe.codePointSyms(word.toString)
+  def count(word: UTF8String, merges: Array[Array[String]]): Int =
+    countStr(word.toString, merges)
+
+  private[plans] def countStr(word: String, merges: Array[Array[String]]): Int = {
+    var syms = graft.operators.Bpe.codePointSyms(word)
     var m = 0
     while (m < merges.length && syms.length >= 2) {
       val l = merges(m)(0)
@@ -59,5 +62,50 @@ object BpeWordTokens {
       m += 1
     }
     syms.length
+  }
+}
+
+/** BPE token count of a WHOLE text: pre-tokenize (the shared
+  * [[graft.operators.Bpe.PretokenRegex]] over the already-lowered input —
+  * callers pass `lower(text)`) then sum per-pre-token encode lengths.
+  * Merges never cross pre-token boundaries, so this equals the sum of
+  * [[BpeWordTokens]] over the exploded pre-token stream — but as ONE
+  * narrow codegen'd projection with no explode, no shuffle, no join:
+  * the right shape for corpus-wide token budgeting at 100 TB.
+  */
+case class BpeTextTokens(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t          => TypeCheckResult.TypeCheckFailure(s"bpe_text_tokens expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTextTokens.count(input.asInstanceOf[UTF8String], merges)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+      s"${ev.value} = graft.plans.BpeTextTokens$$.MODULE$$.count($c, $m);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTextTokens {
+
+  private val pretoken =
+    java.util.regex.Pattern.compile(graft.operators.Bpe.PretokenRegex)
+
+  /** Static worker shared by eval and generated code. */
+  def count(text: UTF8String, merges: Array[Array[String]]): Long = {
+    val m = pretoken.matcher(text.toString)
+    var total = 0L
+    while (m.find()) total += BpeWordTokens.countStr(m.group(), merges)
+    total
   }
 }

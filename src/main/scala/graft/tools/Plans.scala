@@ -32,6 +32,7 @@ object Plans {
           .replaceAll("#\\d+", "#x")
           .replaceAll("plan_id=\\d+", "plan_id=x")
           .replaceAll("/tmp/[^\\s,\\]]*", "/tmp/...")
+          .replaceAll("@[0-9a-f]+", "@x") // JVM identity hash of reference objects
         java.nio.file.Files.writeString(java.nio.file.Paths.get(outDir, s"$name.txt"), stable)
         println(s"[plans] $name ok")
       } catch {

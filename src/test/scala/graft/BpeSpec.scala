@@ -78,6 +78,69 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("BpeTextTokens (whole-text, no explode) equals the exploded per-pre-token sum") {
+    val viaText = Queries.tokenCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaExplode = Queries.bpeTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    viaExplode.foreach { case (id, n) =>
+      assert(viaText(id) == n, s"doc $id: text-expr ${viaText(id)} vs exploded $n")
+    }
+    // docs with no pre-tokens (none in this corpus, but contract): 0 not null
+    assert(viaText.values.forall(_ > 0))
+  }
+
+  test("chunk_token_budget: lossless in-order packing, budget respected pre-token-greedily") {
+    val budget = 32
+    val chunks = Queries.chunkTokenBudget(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    val totals = Queries.bpeTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk indices are contiguous from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, s"doc $id gaps")
+      // packing is lossless: pre-token and token sums match the doc totals
+      assert(sorted.map(_._3).sum == totals(id)._1, s"doc $id pre-token count")
+      assert(sorted.map(_._4).sum == totals(id)._2, s"doc $id token count")
+      // greedy bound: a chunk only exceeds the budget by its final
+      // pre-token (no pre-token is split), so tokens-before-last < budget
+      sorted.foreach { case (_, ci, _, toks, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val lastN = Bpe.encodeWord(words.last, Bpe.merges).length
+        assert(toks - lastN < budget, s"doc $id chunk $ci overfull before its last pre-token")
+      }
+      // in-order reconstruction: concatenated chunks = the pre-token stream
+      val joined = sorted.map(_._5).mkString(" ")
+      val docText = Tables.documents(spark, sf).where(col("doc_id") === id)
+        .select("text").collect().head.getString(0)
+      val pre = s"(?:${Bpe.PretokenRegex})".r.findAllIn(docText.toLowerCase).mkString(" ")
+      assert(joined == pre, s"doc $id chunk concatenation diverges from pre-token stream")
+    }
+  }
+
+  test("recursiveChunks with bpeTokenLen: budgets hold in real tokens") {
+    import graft.operators.Chunker
+    val texts = Tables.documents(spark, sf).select("text").limit(10).collect().map(_.getString(0))
+    texts.foreach { t =>
+      val chunkSize = 64
+      val chunks = Chunker.recursiveChunks(t, chunkSize, overlap = 8, minTokens = 4,
+        lenFn = Chunker.bpeTokenLen)
+      assert(chunks.nonEmpty)
+      chunks.foreach { c =>
+        // a merged chunk respects the budget unless it is a single
+        // unsplittable atom (no separator left to split on)
+        assert(Chunker.bpeTokenLen(c) <= chunkSize || !c.exists(" \n".contains(_)),
+          s"chunk exceeds BPE budget and is splittable: '${c.take(60)}...'")
+      }
+      // BPE budgets produce >= as many chunks as ws budgets at equal size
+      // on this corpus (BPE count >= 1 per word, > 1 for off-vocab words)
+      val ws = Chunker.recursiveChunks(t, chunkSize, overlap = 8, minTokens = 4)
+      assert(chunks.length >= ws.length)
+    }
+  }
+
   test("bpe_tokens query: per-doc counts equal driver-side reference, and compress vs chars") {
     val got = Queries.bpeTokens(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
