@@ -18,7 +18,12 @@ object Featurize {
   /** Pure-projection hashed-BoW embedding: one fold over the token
     * array builds the dense vector — no explode, no shuffle, no state.
     * Works identically on batch and streaming DataFrames (a plain map
-    * stage), at O(dims) per token. One md5 per token.
+    * stage). One md5 per token.
+    *
+    * CONTRACT: streaming / small-dims only. The `zip_with` fold is
+    * O(dims) PER TOKEN (quadratic pain at dims ≳ 1k); the batch path is
+    * [[hashedBow]], whose explode + pivot aggregation is O(tokens) and
+    * is the shape to use for corpus-scale featurization.
     */
   def hashedBowInline(textCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
     val toks = TextOps.tokenize(textCol)
