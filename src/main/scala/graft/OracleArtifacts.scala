@@ -18,8 +18,13 @@ object OracleArtifacts {
   /** (unit-sphere KMeans centroids, probed cell ids) from ann_probe. */
   @volatile var ann: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** Same shape from ann_incremental (centroids fitted on the BASE
+    * subset only; the probe sees base + appended delta).
+    */
+  @volatile var annIncremental: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** (PQ model, query ADC distance table) from pq_probe. */
   @volatile var pq: Option[(operators.Pq.Model, Array[Array[Double]])] = None
 
-  def clear(): Unit = { ann = None; pq = None }
+  def clear(): Unit = { ann = None; annIncremental = None; pq = None }
 }

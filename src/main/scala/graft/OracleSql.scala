@@ -243,6 +243,13 @@ object OracleSql {
              |       ROUND(CAST((SELECT count(*) FROM ex JOIN probe USING (vec_id)) AS DOUBLE) / 10.0, 4) AS recall""".stripMargin
       )
     }
+    val annIncrEntries = OracleArtifacts.annIncremental.toSeq.map { case (cents, cells) =>
+      "ann_incremental" ->
+        s"""WITH ${annCtes(cents)}
+           |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
+           |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val pqEntries = OracleArtifacts.pq.toSeq.map { case (model, table) =>
       val sub = model.dim / model.m
       val dlCols = (0 until model.m).map { j =>
@@ -263,7 +270,7 @@ object OracleSql {
            |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ pqEntries).toMap
+    (annEntries ++ annIncrEntries ++ pqEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -704,6 +704,32 @@ object Queries {
     Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
   }
 
+  /** Incremental index maintenance end-to-end (reference: store.py:197
+    * rebuilds its index on every upsert; the Spark-scale equivalent is
+    * delta assignment into the same partitioned layout, no rebuild):
+    * fit IVF centroids on a 90% BASE subset, persist the
+    * partitioned-by-cluster layout, [[Ann.appendToIndex]] the remaining
+    * 10% as a delta, then probe the PERSISTED layout — the probe must
+    * see base and delta rows alike. The DuckDB twin assigns base ∪ delta
+    * (= all vectors) to the base-fitted centroids inlined as literals,
+    * so the hash check proves the appended rows land in the same cells
+    * the expression assigns.
+    */
+  def annIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val delta = all.filter(col("vec_id") % 10 === 7)
+    val index = Ann.buildCached(dir + "#incr-base", base, "embedding", "vec_id", k = 10, seed = 42)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_incr").resolve("idx").toString
+    Ann.writeIndex(index, path)
+    Ann.appendToIndex(path, delta, "embedding", index.centroids)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.annIncremental = Some((index.centroids, cells))
+    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
+      nProbe = 3, topK = 10)
+  }
+
   /** IVF-PQ-style probe: PQ codes + ADC ranking + exact re-rank at
     * refine_factor=10 (reference: store.py:274, config.py:62).
     */

@@ -84,7 +84,8 @@ object SparkEntry {
     "events_skew_join"    -> (Queries.eventsSkewJoin(_, _)),
     "token_counts"        -> (Queries.tokenCounts(_, _)),
     "bpe_tokens"          -> (Queries.bpeTokens(_, _)),
-    "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _))
+    "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
+    "ann_incremental"     -> (Queries.annIncremental(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -60,4 +60,27 @@ class AnnSpec extends SparkSpec {
     assert(deltaCost <= corpusCost * 2,
       s"unexpected drift signal: delta=$deltaCost corpus=$corpusCost")
   }
+
+  test("ann_incremental query: persisted base+delta probe equals the in-memory probe") {
+    val rows = Queries.annIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq, "cos_sim not descending")
+    // cross-check: same centroids applied in-memory over ALL vectors
+    // (base ∪ delta) through probeCells must reproduce the persisted path
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") % 10 =!= 7)
+    val index = Ann.buildCached(sf + "#incr-base", base, "embedding", "vec_id", k = 10, seed = 42)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(queryDf, "q_vec"), 3)
+    val inMem = Ann
+      .probeCells(index.copy(assigned = Ann.assign(embs, "embedding", index.centroids)),
+        queryDf, "q_vec", cells, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == inMem.toSeq, s"persisted vs in-memory diverge:\n$rows\n$inMem")
+    // the 10% delta is present in the probed layout (visibility, not luck)
+    val persistedHasDelta = rows.exists(_._1 % 10 == 7)
+    val inMemHasDelta = inMem.exists(_._1 % 10 == 7)
+    assert(persistedHasDelta == inMemHasDelta)
+  }
 }
