@@ -139,6 +139,25 @@ object EventStreams {
       .fixedSize(docs, "text", chunkSize, overlap, keep = Seq("doc_id"))
       .withColumn("embedding", graft.operators.Featurize.hashedBowInline(col("chunk"), 64))
 
+  /** Continuous token accounting: running REAL-BPE token totals per
+    * source over a document stream — the live face of `token_counts` /
+    * `token_shards` (training-data budgets are spent in tokens, not
+    * docs). [[graft.plans.BpeTextTokens]] is a pure projection, so the
+    * only state is the per-source running aggregate: one row per
+    * source, bounded regardless of stream volume, with map-side
+    * partial aggregation ahead of the state-store shuffle.
+    */
+  def tokenAccounting(docs: DataFrame, budget: Long = 1000000L): DataFrame =
+    docs
+      .withColumn("toks",
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BpeTextTokens(
+            org.apache.spark.sql.GraftBridge.expression(lower(col("text"))),
+            graft.operators.Bpe.mergesArray)))
+      .groupBy("source")
+      .agg(count("*").as("docs"), sum("toks").as("bpe_tokens"))
+      .withColumn("over_budget", col("bpe_tokens") > budget)
+
   /** Continuous index maintenance: append each micro-batch of chunk
     * rows as a ChunkStore delta (foreachBatch → upsert). Latest-wins
     * merge-on-read means replayed documents just supersede themselves;

@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenAccounting keeps running per-source BPE totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Bpe, Chunker}
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams
+      .tokenAccounting(input.toDF().toDF("doc_id", "source", "text"), budget = 30L)
+      .writeStream.format("memory").queryName("token_acct_test")
+      .outputMode(OutputMode.Complete()).start()
+    def totals(): Map[String, (Long, Long, Boolean)] = spark
+      .sql("SELECT source, docs, bpe_tokens, over_budget FROM token_acct_test")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    try {
+      input.addData((1L, "web", "the spark filter joins a window"), (2L, "code", "scan scan scan"))
+      q.processAllAvailable()
+      val t1 = totals()
+      val exp1 = Chunker.bpeTokenLen("the spark filter joins a window").toLong
+      val exp2 = Chunker.bpeTokenLen("scan scan scan").toLong
+      assert(t1("web") == ((1L, exp1, exp1 > 30)), s"web: ${t1("web")} vs $exp1")
+      assert(t1("code") == ((1L, exp2, exp2 > 30)))
+      // second batch accumulates into the same per-source state
+      input.addData((3L, "web", "partition column partition column partition column"))
+      q.processAllAvailable()
+      val t2 = totals()
+      val exp3 = Chunker.bpeTokenLen("partition column partition column partition column").toLong
+      assert(t2("web") == ((2L, exp1 + exp3, exp1 + exp3 > 30)), s"web after batch 2: ${t2("web")}")
+      assert(t2("code") == t1("code"))
+      assert(Bpe.merges.nonEmpty) // totals above used the real merge table
+    } finally q.stop()
+  }
+
   test("dedupStream drops replayed events within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
