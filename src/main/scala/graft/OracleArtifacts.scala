@@ -26,5 +26,10 @@ object OracleArtifacts {
   /** (PQ model, query ADC distance table) from pq_probe. */
   @volatile var pq: Option[(operators.Pq.Model, Array[Array[Double]])] = None
 
-  def clear(): Unit = { ann = None; annIncremental = None; pq = None }
+  /** (IVF centroids, probed cells, PQ model, query ADC table) from
+    * ivfpq_probe.
+    */
+  @volatile var ivfpq: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Array[Array[Double]])] = None
+
+  def clear(): Unit = { ann = None; annIncremental = None; pq = None; ivfpq = None }
 }

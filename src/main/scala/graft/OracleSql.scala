@@ -270,7 +270,35 @@ object OracleSql {
            |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ pqEntries).toMap
+    val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
+      // Composition of the two fitted-constant twins: IVF assignment
+      // (annCtes form, distinct names) filters to the probed cells,
+      // then the PQ ADC chain ranks and the exact cosine re-ranks.
+      val sub = model.dim / model.m
+      val ivfDists = cents.map(c => distChain("pnv", 0, c)).mkString(",\n        ")
+      val dlCols = (0 until model.m).map { j =>
+        val lists = model.codebooks(j).map(c => distChain("pev", j * sub, c)).mkString(", ")
+        s"[$lists] AS pdl$j"
+      }.mkString(",\n        ")
+      val codeCols = (0 until model.m)
+        .map(j => s"list_indexof(pdl$j, list_min(pdl$j)) - 1 AS pk$j").mkString(", ")
+      val adcExpr = (0 until model.m).map { j =>
+        "[" + table(j).map(dlit).mkString(", ") + s"][pk$j + 1]"
+      }.mkString(" + ")
+      "ivfpq_probe" ->
+        s"""WITH qq AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |pc AS (SELECT vec_id, ${dvec("embedding")} AS pev FROM embeddings WHERE vec_id <> 0),
+           |pnr AS (SELECT vec_id, pev, list_transform(pev, x -> x / sqrt(list_dot_product(pev, pev))) AS pnv FROM pc),
+           |pdst AS (SELECT vec_id, pev, [$ivfDists] AS pdl FROM pnr),
+           |pasg AS (SELECT vec_id, pev FROM pdst
+           |         WHERE (list_indexof(pdl, list_min(pdl)) - 1) IN (${cells.mkString(", ")})),
+           |padc AS (SELECT vec_id, pev, $dlCols FROM pasg),
+           |pcd AS (SELECT vec_id, pev, $codeCols FROM padc),
+           |pcand AS (SELECT vec_id, pev FROM pcd ORDER BY $adcExpr ASC, vec_id LIMIT 100)
+           |SELECT vec_id, ${cosine("pev", "qv")} AS cos_sim FROM pcand, qq
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
+    (annEntries ++ annIncrEntries ++ pqEntries ++ ivfpqEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -745,6 +745,29 @@ object Queries {
     )
   }
 
+  /** Full persisted IVF-PQ probe — the reference's actual index type
+    * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
+    * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,
+    * exact re-rank of the top 100. Reuses the ann_probe IVF centroids
+    * (same memoized fit) so the only extra cost is the PQ codebook
+    * train + one layout write.
+    */
+  def ivfpqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.train(e, "embedding", "vec_id", m = 8, codes = 16)
+    val qDf = queryVecDf(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").resolve("idx").toString
+    Pq.writeIvfPq(path, e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      index.centroids, model)
+    val qv = Ann.queryVector(qDf, "q_vec")
+    OracleArtifacts.ivfpq = Some(
+      (index.centroids, Ann.nearestCells(index.centroids, qv, 3), model,
+        Pq.distanceTable(model, qv)))
+    Pq.probeIvfPq(s, path, index.centroids, model, qDf, "q_vec", "embedding", "vec_id",
+      nProbe = 3, k = 10)
+  }
+
   /** Single-row ANN quality report: probe recall@10 vs exact top-10. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

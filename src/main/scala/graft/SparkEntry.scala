@@ -85,7 +85,8 @@ object SparkEntry {
     "token_counts"        -> (Queries.tokenCounts(_, _)),
     "bpe_tokens"          -> (Queries.bpeTokens(_, _)),
     "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
-    "ann_incremental"     -> (Queries.annIncremental(_, _))
+    "ann_incremental"     -> (Queries.annIncremental(_, _)),
+    "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -194,4 +194,46 @@ object Pq {
       .knnTopK(candidates.drop("adc_dist"), queryDf, vecCol, queryVec, idCol, k)
       .select(col(idCol), col("cos_sim"))
   }
+
+  /** Persist the FULL IVF-PQ index — the reference's actual index type
+    * (store.py:274 `IVF_PQ`): IVF cluster id as the partition key, the
+    * m-byte PQ codes for ADC, and the raw vector for exact re-rank.
+    * One distributed pass (assignment + encode are both codegen
+    * projections); at probe time whole cluster partitions are pruned at
+    * the file listing, the ADC ranks on codes alone, and only the
+    * k·refine candidates pay full-vector math.
+    */
+  def writeIvfPq(
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model
+  ): Unit =
+    encode(Ann.assign(df, vecCol, ivfCentroids), vecCol, model)
+      .select(col(idCol), col(vecCol), col("codes"), col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Probe a persisted IVF-PQ index: partition-pruned scan of the
+    * nProbe nearest cells → ADC rank → exact re-rank (reference:
+    * store.py:274 + config.py:62 refine factor).
+    */
+  def probeIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model,
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      k: Int,
+      refineFactor: Int = 10
+  ): DataFrame = {
+    val cells = Ann.nearestCells(ivfCentroids, Ann.queryVector(queryDf, queryVec), nProbe)
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, refineFactor)
+  }
 }

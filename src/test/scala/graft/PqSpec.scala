@@ -38,4 +38,20 @@ class PqSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall; approx=$approx exact=$exact")
   }
+
+  test("persisted IVF-PQ probe: partition-pruned scan, recall holds vs exact") {
+    val rows = Queries.ivfpqProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    val exact = graft.operators.Ann
+      .exact(embs.filter(col("vec_id") =!= 0), queryDf, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (rows.map(_._1).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ivfpq recall $recall (3 of 10 cells probed + ADC + refine)")
+    // pruning is structural: the probe plan reads only the probed cells
+    val plan = Queries.ivfpqProbe(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning in:\n${plan.take(1500)}")
+  }
 }
