@@ -15,31 +15,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Featurize {
 
-  /** Pure-projection hashed-BoW embedding: one fold over the token
-    * array builds the dense vector — no explode, no shuffle, no state.
-    * Works identically on batch and streaming DataFrames (a plain map
-    * stage). One md5 per token.
-    *
-    * CONTRACT: streaming / small-dims only. The `zip_with` fold is
-    * O(dims) PER TOKEN (quadratic pain at dims ≳ 1k); the batch path is
-    * [[hashedBow]], whose explode + pivot aggregation is O(tokens) and
-    * is the shape to use for corpus-scale featurization.
+  /** Pure-projection hashed-BoW embedding: the native codegen
+    * [[graft.plans.HashedBow]] expression over the token array — no
+    * explode, no shuffle, no state; O(tokens + dims) per row (one md5
+    * per token). Works identically on batch and streaming DataFrames (a
+    * plain map stage); semantics are pinned bit-for-bit to the batch
+    * [[hashedBow]] pipeline by FeaturizeSpec.
     */
-  def hashedBowInline(textCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
-    val toks = TextOps.tokenize(textCol)
-    val zero = array_repeat(lit(0.0), dims)
-    val counts = aggregate(
-      toks,
-      zero,
-      (acc, t) => {
-        val d = TextOps.hashedBowDim(t, dims)
-        zip_with(acc, sequence(lit(0), lit(dims - 1)),
-          (x, i) => x + when(i.cast("long") === d, 1.0).otherwise(0.0))
-      }
-    )
-    val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
-    when(norm > 0, transform(counts, x => x / norm)).otherwise(counts)
-  }
+  def hashedBowInline(textCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.HashedBow(
+        org.apache.spark.sql.GraftBridge.expression(TextOps.tokenize(textCol)), dims))
 
   /** Append an L2-normalized `embedding: array<double>` hashed-BoW
     * column; rows whose text has no tokens get the zero vector.
