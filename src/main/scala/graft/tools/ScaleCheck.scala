@@ -62,6 +62,14 @@ object ScaleCheck {
         "doc_id", Queries.QueryTerms, 10))
       time(s"chunk_explode", Chunker.fixedSize(c, "text", 32, 8, Seq("doc_id", "source")))
       time(s"quality_score", TextAnalysis.qualityScore(c, "text", "doc_id"))
+      // agg(sum) forces the expression — count() alone would prune the
+      // projection and time only the row count
+      time(s"bpe_text_tokens", c.select(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BpeTextTokens(
+            org.apache.spark.sql.GraftBridge.expression(lower(col("text"))),
+            Bpe.mergesArray)).as("n"))
+        .agg(sum("n").as("total_tokens")))
       time(s"simhash_pairs", Dedup.simHashPairs(c, "text", "doc_id"))
       time(s"phrase_search", c
         .select(col("doc_id"), graft.functions.TextOps.tokenize(col("text")).as("toks"))

@@ -69,6 +69,48 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("BpeTextTokens equals per-pre-token driver encode on random noisy strings") {
+    import graft.operators.Bpe
+    val alphabet = "abcz0193 ,.!#\n\t�数-  e r in st"
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(60))(alphabet.charAt(rnd.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.BpeTextTokens(
+          org.apache.spark.sql.GraftBridge.expression(lower(col("t"))),
+          Bpe.mergesArray)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pat = s"(?:${Bpe.PretokenRegex})".r
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val exp = pat.findAllIn(t.toLowerCase).map(Bpe.encodeWord(_, Bpe.merges).length.toLong).sum
+      assert(got(i.toLong) == exp, s"text '$t': ${got(i.toLong)} vs $exp")
+    }
+  }
+
+  test("HashedBow equals a driver-side md5-bucket reference on random token arrays") {
+    val dims = 64
+    val arrays = Seq.fill(100)(
+      Seq.fill(rnd.nextInt(30))(s"tok${rnd.nextInt(500)}"))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
+    val got = df.select(col("id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.HashedBow(
+          org.apache.spark.sql.GraftBridge.expression(col("toks")), dims)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    arrays.zipWithIndex.foreach { case (toks, i) =>
+      val counts = new Array[Double](dims)
+      toks.foreach { t =>
+        md5.reset()
+        counts((md5.digest(t.getBytes("UTF-8"))(0) & 0xff) % dims) += 1.0
+      }
+      val norm = math.sqrt(counts.map(x => x * x).sum)
+      val exp = if (norm > 0) counts.map(_ / norm).toSeq else counts.toSeq
+      assert(got(i.toLong) == exp, s"array $i diverges")
+    }
+  }
+
   test("simHash64 string and simHashWords pack the same bits") {
     val texts = Seq.fill(50)(
       Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(300)}").mkString(" "))
