@@ -23,6 +23,11 @@ object OracleArtifacts {
     */
   @volatile var annIncremental: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** IVF centroids from ann_batch_probe (cells are per-query, computed
+    * in SQL by the twin itself).
+    */
+  @volatile var annBatch: Option[Array[Array[Double]]] = None
+
   /** (PQ model, query ADC distance table) from pq_probe. */
   @volatile var pq: Option[(operators.Pq.Model, Array[Array[Double]])] = None
 
@@ -31,5 +36,5 @@ object OracleArtifacts {
     */
   @volatile var ivfpq: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Array[Array[Double]])] = None
 
-  def clear(): Unit = { ann = None; annIncremental = None; pq = None; ivfpq = None }
+  def clear(): Unit = { ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None }
 }

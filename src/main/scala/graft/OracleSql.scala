@@ -270,6 +270,33 @@ object OracleSql {
            |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val annBatchEntries = OracleArtifacts.annBatch.toSeq.map { cents =>
+      // Per-QUERY cell ranking in SQL (parallel unnest zips cluster ids
+      // with the inlined per-centroid distance list; row_number picks
+      // each query's 3 nearest cells), then the corpus assignment chain
+      // joins on cluster — the twin of Ann.probeBatch end to end.
+      val qDists = cents.map(c => distChain("qnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("nv2", 0, c)).mkString(", ")
+      "ann_batch_probe" ->
+        s"""WITH bq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |bqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS qnv FROM bq),
+           |bqd AS (SELECT query_id, qv, [$qDists] AS dl FROM bqn),
+           |bqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM bqd),
+           |bqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM bqc0) WHERE rn <= 3),
+           |bc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |bnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv2 FROM bc),
+           |bdst AS (SELECT vec_id, ev, [$cDists] AS cdl FROM bnr),
+           |basg AS (SELECT vec_id, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM bdst),
+           |sc AS (SELECT bqc.query_id, basg.vec_id, basg.cluster, ${cosine("ev", "qv")} AS cos_sim
+           |       FROM basg JOIN bqc USING (cluster)),
+           |r AS (SELECT query_id, vec_id, cluster, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM sc)
+           |SELECT query_id, vec_id, cluster, cos_sim, rk FROM r WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -298,7 +325,7 @@ object OracleSql {
            |SELECT vec_id, ${cosine("pev", "qv")} AS cos_sim FROM pcand, qq
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ pqEntries ++ ivfpqEntries).toMap
+    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -745,6 +745,22 @@ object Queries {
     )
   }
 
+  /** Batch IVF probe: 8 queries, each pruned to its own 3 nearest cells
+    * before scoring — [[Search.knnBatch]]'s brute-force crossJoin
+    * replaced by the co-partitioned cluster join (the hard-negative-
+    * mining shape at index scale).
+    */
+  def annBatchProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatch = Some(index.centroids)
+    Ann.probeBatch(index,
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "q_vec", "query_id", nProbe = 3, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Full persisted IVF-PQ probe — the reference's actual index type
     * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
     * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,

@@ -86,7 +86,8 @@ object SparkEntry {
     "bpe_tokens"          -> (Queries.bpeTokens(_, _)),
     "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
-    "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _))
+    "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
+    "ann_batch_probe"     -> (Queries.annBatchProbe(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -168,6 +168,47 @@ object Ann {
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
   }
 
+  /** Batch IVF probe: every query is pruned to its nProbe nearest cells
+    * and scored only against those cells' vectors — the hard-negative-
+    * mining shape (millions of training queries against a static index).
+    * Cell ranking is a |Q|×k broadcast join + per-query window (k is the
+    * centroid count — tiny); candidate scoring co-shuffles on `cluster`
+    * so each index vector meets only the queries probing its cell; the
+    * final per-query top-k is the bounded-heap [[graft.plans.TopK]]
+    * operator, never a global sort. ~nProbe/k of the brute-force
+    * [[Search.knnBatch]] work.
+    */
+  def probeBatch(
+      index: Index,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centDf = index.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cent")
+    val byQuery = Window.partitionBy(queryId).orderBy(col("_d2").asc, col("cluster").asc)
+    val qCells = queries
+      .withColumn("_qnv", VectorOps.normalize(col(queryVec)))
+      .crossJoin(broadcast(centDf))
+      .withColumn("_d2", VectorOps.sqDist(col("_qnv"), col("_cent")))
+      .withColumn("_rn", row_number().over(byQuery))
+      .filter(col("_rn") <= nProbe)
+      .select(col(queryId), col(queryVec), col("cluster"))
+    val scored = index.assigned
+      .join(qCells, "cluster")
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(index.vecCol), col(queryVec)))
+      .select(col(queryId), col(index.idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
+    graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq(("cos_sim", false), (index.idCol, true)), topK)
+      .select(col(queryId), col(index.idCol), col("cluster"), col("cos_sim"), col("rk"))
+  }
+
   /** Exact top-k baseline for recall measurement. */
   def exact(df: DataFrame, queryDf: DataFrame, vecCol: String, queryVec: String, idCol: String, topK: Int): DataFrame =
     Search.knnTopK(df, queryDf, vecCol, queryVec, idCol, topK).select(idCol, "cos_sim")

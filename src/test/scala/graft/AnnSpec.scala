@@ -61,6 +61,23 @@ class AnnSpec extends SparkSpec {
       s"unexpected drift signal: delta=$deltaCost corpus=$corpusCost")
   }
 
+  test("probeBatch equals per-query single probes (same cells, same ranking)") {
+    val embs = Tables.embeddings(spark, sf)
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    // shape: 8 queries x top-5, rk 1..5 per query
+    val byQ = Queries.annBatchProbe(spark, sf).collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach(rows => assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to 5L)))
+    // each query's hits equal the single-query probe over ITS OWN cells
+    (0L until 8L).foreach { qid =>
+      val qDf = embs.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      val single = Ann.probe(index, qDf, "q_vec", nProbe = 3, topK = 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val got = byQ(qid).sortBy(_.getLong(4)).map(_.getLong(1)).toSeq
+      assert(got == single, s"query $qid: batch $got vs single $single")
+    }
+  }
+
   test("ann_incremental query: persisted base+delta probe equals the in-memory probe") {
     val rows = Queries.annIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
