@@ -175,6 +175,27 @@ object EventStreams {
         if (!batch.isEmpty) store.upsert(batch)
       }
 
+  /** Continuous ANN index maintenance: each micro-batch of embedding
+    * rows is assigned to the EXISTING centroids and appended into the
+    * persisted partitioned-by-cluster layout ([[graft.operators.Ann
+    * .appendToIndex]]) — probes see new vectors at the next batch
+    * boundary with no rebuild (reference: store.py:197 rebuilds on every
+    * upsert; this is the at-scale replacement). Pair with
+    * [[graft.operators.Ann.assignmentCost]] on the deltas to decide when
+    * drift warrants a re-cluster.
+    */
+  def appendToAnnIndex(
+      vectors: DataFrame,
+      indexPath: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.operators.Ann.appendToIndex(indexPath, batch, vecCol, centroids)
+      }
+
   /** Wire a streaming windowed-count query to a memory sink (testing /
     * demo harness; production would write a Delta/parquet sink).
     */

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -167,6 +168,36 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(out == Seq((1L, "v2"), (2L, "b")))
     } finally q.stop()
+  }
+
+  test("appendToAnnIndex: streamed vectors become probe-visible, partitioned by cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Ann
+    val embs = Tables.embeddings(spark, sf)
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString + "/idx"
+    Ann.writeIndex(index, dir)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+
+    // stream in a near-copy of the query vector under a fresh id
+    val qVec = queryDf.as[Seq[Float]].head()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.appendToAnnIndex(
+      input.toDF().toDF("vec_id", "embedding"), dir, "embedding", index.centroids).start()
+    try {
+      input.addData((888888L, qVec))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = Ann.probePersisted(spark, dir, index.centroids, queryDf,
+      "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.contains(888888L), s"streamed vector not probe-visible: $after")
+    // the appended file landed under the assigned cluster partition
+    val clusters = spark.read.parquet(dir).filter(col("vec_id") === 888888L)
+      .select("cluster").as[Int].collect().toSeq
+    assert(clusters.length == 1)
   }
 
   test("sessionize splits on gaps and accumulates within a session") {
