@@ -134,6 +134,51 @@ object Ann {
   def appendToIndex(path: String, delta: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Unit =
     assign(delta, vecCol, centroids).write.partitionBy("cluster").mode("append").parquet(path)
 
+  final case class MaintenanceReport(deltaCost: Double, baseCost: Double, rebuilt: Boolean)
+
+  /** Drift-aware maintenance policy: append the delta under the existing
+    * centroids while its assignment cost stays within `driftFactor` of
+    * the index's build-time cost; beyond that the centroids no longer
+    * describe the incoming data, so re-cluster over existing + delta and
+    * rewrite the layout (reference: store.py:197 rebuilds unconditionally
+    * on every upsert — this bounds rebuilds to actual distribution
+    * shift). Returns the centroids now in force plus the decision.
+    */
+  def maintainIndex(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      baseCost: Double,
+      driftFactor: Double = 2.0,
+      k: Int = 10,
+      seed: Long = 42L
+  ): (Array[Array[Double]], MaintenanceReport) = {
+    val deltaCost = assignmentCost(delta, vecCol, centroids)
+    if (deltaCost <= baseCost * driftFactor) {
+      appendToIndex(path, delta, vecCol, centroids)
+      (centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = false))
+    } else {
+      val existing = spark.read.parquet(path).drop("cluster")
+      val all = existing.select(col(idCol), col(vecCol))
+        .unionByName(delta.select(col(idCol), col(vecCol)))
+      val fresh = build(all, vecCol, idCol, k, seed)
+      // never overwrite the layout we are still lazily reading from:
+      // materialize into a staging dir, then swap (Hadoop FS — the same
+      // local/HDFS/S3A seam ChunkStore compaction uses)
+      val staging = path + "-rebuild"
+      writeIndex(fresh, staging)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val hStaging = new org.apache.hadoop.fs.Path(staging)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(hPath, true)
+      fs.rename(hStaging, hPath)
+      (fresh.centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = true))
+    }
+  }
+
   /** Mean squared distance of (normalized) vectors to their assigned
     * centroid — the k-means cost. Track it over appends: when the
     * delta's cost drifts well above the build-time cost, the centroids

@@ -61,6 +61,46 @@ class AnnSpec extends SparkSpec {
       s"unexpected drift signal: delta=$deltaCost corpus=$corpusCost")
   }
 
+  test("maintainIndex appends in-distribution deltas, rebuilds on drift") {
+    val embs = Tables.embeddings(spark, sf)
+    val index = Ann.build(embs, "embedding", "vec_id", k = 10, seed = 42)
+    val baseCost = Ann.assignmentCost(embs, "embedding", index.centroids)
+    val dir = java.nio.file.Files.createTempDirectory("annmaint").toString + "/idx"
+    Ann.writeIndex(index, dir)
+
+    // in-distribution delta: fresh ids over the SAME vectors — cost
+    // ratio is exactly 1.0, any drift factor > 1 appends
+    val inDist = embs.limit(20)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val (cents1, rep1) = Ann.maintainIndex(spark, dir, inDist, "embedding", "vec_id",
+      index.centroids, baseCost, driftFactor = 1.05)
+    assert(!rep1.rebuilt && (cents1 eq index.centroids))
+    assert(rep1.deltaCost <= baseCost * 1.05)
+    assert(spark.read.parquet(dir).filter(col("vec_id") >= 500000L).count() == 20)
+
+    // drifted delta: a tight cluster at the antipode of the strongest
+    // centroid — the farthest a unit vector gets from this model
+    val c0 = index.centroids.maxBy(c => c.map(x => x * x).sum)
+    val n0 = math.sqrt(c0.map(x => x * x).sum)
+    val anti = c0.map(x => (-x / n0).toFloat)
+    import spark.implicits._
+    val drifted = spark.range(50)
+      .select((col("id") + 700000L).as("vec_id"),
+        typedLit(anti.toSeq).as("embedding"))
+    val (cents2, rep2) = Ann.maintainIndex(spark, dir, drifted, "embedding", "vec_id",
+      index.centroids, baseCost, driftFactor = 1.05)
+    assert(rep2.deltaCost > baseCost * 1.05,
+      s"drift not detected: ${rep2.deltaCost} vs base $baseCost")
+    assert(rep2.rebuilt, "drifted delta must trigger re-cluster")
+    // rebuilt layout contains everything and the new centroids fit the
+    // mixed distribution better than the old ones
+    val rebuilt = spark.read.parquet(dir)
+    assert(rebuilt.count() == embs.count() + 20 + 50)
+    val mixedOld = Ann.assignmentCost(rebuilt, "embedding", index.centroids)
+    val mixedNew = Ann.assignmentCost(rebuilt, "embedding", cents2)
+    assert(mixedNew < mixedOld, s"rebuild did not improve fit: $mixedNew vs $mixedOld")
+  }
+
   test("probeBatch equals per-query single probes (same cells, same ranking)") {
     val embs = Tables.embeddings(spark, sf)
     val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
