@@ -38,6 +38,26 @@ object OracleSql {
   /** Twin of Bpe.PretokenRegex (no escaping needed in a SQL literal). */
   private val bpePretokenRegex: String = graft.operators.Bpe.PretokenRegex
 
+  /** Twin of Queries.chunkTokenBudget (also nested by token_shards_bpe):
+    * positioned pre-tokens (parallel unnest keeps pos exact), per-word
+    * BPE counts from the shared enc chain, per-doc running sum, greedy
+    * budget-32 packing.
+    */
+  private lazy val chunkTokenBudgetSql: String =
+    s"""WITH $bpeEncCtes,
+       |ptp AS (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
+       |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '$bpePretokenRegex') AS ws FROM documents)),
+       |cnt AS (SELECT ptp.doc_id, ptp.pos, ptp.w, enc.n FROM ptp JOIN enc USING (w)),
+       |cum AS (SELECT doc_id, pos, w, n,
+       |        sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM cnt)
+       |SELECT doc_id, CAST((cum - n) // 32 AS BIGINT) AS chunk_index,
+       |       CAST(count(*) AS BIGINT) AS n_pretokens,
+       |       CAST(sum(n) AS BIGINT) AS chunk_tokens,
+       |       string_agg(w, ' ' ORDER BY pos) AS chunk
+       |FROM cum GROUP BY doc_id, chunk_index ORDER BY doc_id, chunk_index""".stripMargin
+
   /** BPE encode CTE chain — shared by every BPE twin. Yields `pt`
     * (doc_id, w: pre-tokens of lower(text)) and `enc` (w, n: BPE token
     * count of w under the SAME checked-in merge table as the Spark
@@ -659,23 +679,20 @@ object OracleSql {
          |FROM pt JOIN enc USING (w)
          |GROUP BY pt.doc_id ORDER BY doc_id""".stripMargin,
 
-    "chunk_token_budget" ->
-      // Twin of Queries.chunkTokenBudget: positioned pre-tokens (lateral
-      // generate_series keeps pos exact), per-word BPE counts from the
-      // shared enc chain, per-doc running sum, greedy budget-32 packing.
-      s"""WITH $bpeEncCtes,
-         |ptp AS (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
-         |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '$bpePretokenRegex') AS ws FROM documents)),
-         |cnt AS (SELECT ptp.doc_id, ptp.pos, ptp.w, enc.n FROM ptp JOIN enc USING (w)),
-         |cum AS (SELECT doc_id, pos, w, n,
-         |        sum(n) OVER (PARTITION BY doc_id ORDER BY pos
-         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |        FROM cnt)
-         |SELECT doc_id, CAST((cum - n) // 32 AS BIGINT) AS chunk_index,
-         |       CAST(count(*) AS BIGINT) AS n_pretokens,
-         |       CAST(sum(n) AS BIGINT) AS chunk_tokens,
-         |       string_agg(w, ' ' ORDER BY pos) AS chunk
-         |FROM cum GROUP BY doc_id, chunk_index ORDER BY doc_id, chunk_index""".stripMargin,
+    "chunk_token_budget" -> chunkTokenBudgetSql,
+
+    "token_shards_bpe" ->
+      // Sequence packing over the REAL-BPE chunk table: the full
+      // chunk_token_budget twin as a nested-WITH CTE, then the same
+      // running-sum shard window token_shards uses (budget 64).
+      s"""WITH ctb AS ($chunkTokenBudgetSql),
+         |shb AS (SELECT doc_id, chunk_index, chunk_tokens,
+         |        CAST(floor((sum(chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_index
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens) / 64) AS BIGINT) AS shard_id
+         |        FROM ctb)
+         |SELECT doc_id, shard_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(chunk_tokens) AS BIGINT) AS shard_tokens
+         |FROM shb GROUP BY doc_id, shard_id ORDER BY doc_id, shard_id""".stripMargin,
 
     "token_counts" ->
       s"""WITH $bpeEncCtes,

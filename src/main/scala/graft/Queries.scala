@@ -408,6 +408,19 @@ object Queries {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** Sequence packing over the REAL-BPE chunk table: same running-sum
+    * shard window as [[tokenShards]] but budgeted in actual tokens
+    * (budget 64 over budget-32 chunks) — the shards a trainer would
+    * pack sequences from.
+    */
+  def tokenShardsBpe(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardStats(
+      Sampling.tokenShards(
+        chunkTokenBudget(s, dir).select("doc_id", "chunk_index", "chunk_tokens"),
+        "doc_id", "chunk_tokens", budget = 64, orderCols = Seq("chunk_index")),
+      "doc_id", "chunk_tokens")
+      .orderBy("doc_id", "shard_id")
+
   /** PII scrub over documents with planted emails/phones (synthetic
     * text has none, so plant deterministically on both sides).
     */

@@ -87,7 +87,8 @@ object SparkEntry {
     "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
-    "ann_batch_probe"     -> (Queries.annBatchProbe(_, _))
+    "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
+    "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the
