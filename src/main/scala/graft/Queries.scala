@@ -447,6 +447,35 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** The reference's PRIMARY search flow end-to-end (server.py: embed the
+    * query text, then vector top-k — store.py:261): query text →
+    * hashed-BoW dims → sparse cosine against every document's hashed-BoW
+    * — one broadcast of the tiny query-dim table, one groupBy(doc) dot
+    * product. All counts stay integers until the final
+    * `dot / (sqrt·sqrt)` so both engines compute bit-identical doubles
+    * before the 5 dp round.
+    */
+  def semanticSearch(s: SparkSession, dir: String): DataFrame = {
+    val queryText = "spark filter join stream"
+    val qd = s.range(1)
+      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
+      .select(TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy("dim").agg(count("*").as("qcnt"))
+    val dd = tokenTable(s, dir)
+      .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy("doc_id", "dim").agg(count("*").as("cnt"))
+    val dn = dd.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("ss"))
+    val qn = qd.agg(sum(col("qcnt") * col("qcnt")).as("qss"))
+    dd.join(broadcast(qd), "dim")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("qcnt")).as("dot"))
+      .join(dn, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("dot") / (sqrt(col("ss")) * sqrt(col("qss"))), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
   def embedHashedBow(s: SparkSession, dir: String): DataFrame =
     tokenTable(s, dir)
       .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))

@@ -88,7 +88,8 @@ object SparkEntry {
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
-    "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _))
+    "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
+    "semantic_search"     -> (Queries.semanticSearch(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

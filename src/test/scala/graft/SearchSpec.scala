@@ -90,4 +90,14 @@ class SearchSpec extends SparkSpec {
       Search.rrfFuse(legA, legB, "id", "sa", "sb", k = 100, maxLegSize = 10)
     }
   }
+
+  test("semantic_search returns a descending, bounded cosine ranking over documents") {
+    val out = Queries.semanticSearch(spark, sf).collect()
+    assert(out.length == 10, "top-10 contract")
+    val sims = out.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse), "must be sorted by cos_sim desc")
+    assert(sims.forall(s => s >= -1e-9 && s <= 1.0 + 1e-9), "cosine must be in [0,1] for count vectors")
+    // every hit must actually share at least one hashed query dim (dot > 0)
+    assert(sims.forall(_ > 0.0), "only docs sharing a query dim can appear")
+  }
 }
