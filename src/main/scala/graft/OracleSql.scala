@@ -392,6 +392,13 @@ object OracleSql {
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    "bm25_indexed" ->
+      // Same twin as bm25_topk: the persisted-index probe must reproduce
+      // the full-scan scorer bit-for-bit (index contents are a pure
+      // function of the corpus).
+      s"""WITH $bm25Cte
+         |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
     "bm25_phrase" ->
       s"""WITH $bm25Cte,
          |tkp AS (SELECT doc_id, ${toks()} AS toks FROM documents),

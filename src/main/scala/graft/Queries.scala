@@ -81,6 +81,16 @@ object Queries {
       idCol = "doc_id", queryTerms = QueryTerms, k = 10
     )
 
+  /** BM25 over the PERSISTED inverted index (store.py:197
+    * `create_fts_index`): tokenize-once build (memoized, cold-pass
+    * cost), then a term-pruned postings probe — must hash-match the
+    * full-scan `bm25_topk` twin exactly.
+    */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
+  }
+
   /** BM25 + exact-phrase boost ("filter join") — proximity-aware FTS. */
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",

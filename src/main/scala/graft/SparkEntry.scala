@@ -89,7 +89,8 @@ object SparkEntry {
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
-    "semantic_search"     -> (Queries.semanticSearch(_, _))
+    "semantic_search"     -> (Queries.semanticSearch(_, _)),
+    "bm25_indexed"        -> (Queries.bm25Indexed(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted full-text (BM25) index — the Spark analog of the
+  * reference's `create_fts_index` (store.py:197): tokenize the corpus
+  * ONCE at build time and write an inverted index; every subsequent
+  * query probes the index instead of re-tokenizing the corpus.
+  *
+  * Layout (all parquet):
+  *   - `<dir>/postings`: one row per (term, doc, tf) with the doc length
+  *     denormalized in — range-partitioned by `term` and sorted within
+  *     partitions, so a probe's `term IN (...)` filter prunes files and
+  *     row groups via parquet min/max stats and never touches a
+  *     corpus-sized side table. At 100 TB a probe for a handful of terms
+  *     reads a few row groups, not the corpus.
+  *   - corpus stats (N, avgdl) are two doubles — kept driver-side in the
+  *     returned [[Fts.Index]], the same place the fitted IVF centroids
+  *     live after an ANN build.
+  *
+  * The probe reproduces [[Search.bm25Scores]]' exact arithmetic shape
+  * (per-term tf pivot columns, contributions summed in query-term
+  * order), so an index probe is bit-compatible with the full-scan
+  * scorer and shares its DuckDB oracle twin.
+  *
+  * Like the reference (store.py:197 `replace=True`), a re-ingest
+  * rebuilds: `build` overwrites the layout atomically per subdir.
+  */
+object Fts {
+
+  final case class Index(dir: String, nDocs: Double, avgdl: Double)
+
+  // An FTS index is an offline artifact: built once, probed many times.
+  // Memoize per (data key, columns) so repeated probes in one session
+  // don't re-tokenize (the cold build cost stays visible in the bench's
+  // cold pass — same amortized-cost framing as Ann.buildCached).
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Index]()
+
+  def buildCached(dataKey: String, docs: DataFrame, textCol: String, idCol: String): Index =
+    indexCache.computeIfAbsent(
+      (dataKey, textCol, idCol),
+      _ => build(docs, textCol, idCol,
+        java.nio.file.Files.createTempDirectory("graft_fts_").toString)
+    )
+
+  /** Tokenize once; write term-sorted postings with dl denormalized. */
+  def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
+    val toks = docs
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(col("_toks")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count("*").cast("double").as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count("*").cast("double").as("dl"))
+    tf.join(dl, Seq(idCol))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    val st = dl.agg(count("*").cast("double"), avg("dl")).head()
+    Index(outDir, st.getDouble(0), st.getDouble(1))
+  }
+
+  /** BM25 top-k over the persisted index: a term-pruned postings scan,
+    * one groupBy(doc) pivot, a one-row df aggregate broadcast back.
+    * Identical scoring shape to [[Search.bm25Scores]].
+    */
+  def probe(
+      spark: SparkSession,
+      index: Index,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
+    val p = spark.read.parquet(s"${index.dir}/postings")
+      .filter(col("term").isin(queryTerms: _*)) // pushed to the scan; prunes sorted row groups
+    val pivotAggs = first(col("dl")).as("dl") +:
+      queryTerms.map(t => sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(tfCol(t)))
+    val perDoc = p.groupBy(col(idCol)).agg(pivotAggs.head, pivotAggs.tail: _*)
+    // df per term: postings are unique per (term, doc), so a row count
+    // over the pruned scan is the document frequency.
+    val dfAggs = queryTerms
+      .map(t => count(when(col("term") === t, true)).cast("double").as(s"df_${tfCol(t)}"))
+    val stats = p.agg(dfAggs.head, dfAggs.tail: _*)
+      .withColumn("n", lit(index.nDocs))
+      .withColumn("avgdl", lit(index.avgdl))
+    val contribs = queryTerms.map { t =>
+      val tf = col(tfCol(t))
+      val df = col(s"df_${tfCol(t)}")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      val tfNorm = tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * tfNorm).otherwise(lit(0.0))
+    }
+    perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", round(contribs.reduce(_ + _), 5))
+      .select(col(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

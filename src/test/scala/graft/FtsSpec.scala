@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Fts, Search}
+import org.apache.spark.sql.functions._
+
+class FtsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsFixture = Seq(
+    (1L, "cat cat dog bird"),
+    (2L, "cat fish"),
+    (3L, "dog dog dog"),
+    (4L, "bird bird cat dog fish")
+  ).toDF("doc_id", "text")
+
+  private def fullScan(terms: Seq[String], k: Int) =
+    Search.bm25TopK(
+      docsFixture.select(col("doc_id"),
+        explode(graft.functions.TextOps.tokenize(col("text"))).as("term")),
+      "doc_id", terms, k)
+
+  test("index probe reproduces the full-scan BM25 scorer bit-for-bit") {
+    val dir = Files.createTempDirectory("fts_spec_").toString
+    val idx = Fts.build(docsFixture, "text", "doc_id", dir)
+    assert(idx.nDocs == 4.0)
+    assert(idx.avgdl == (4 + 2 + 3 + 5) / 4.0)
+    for (terms <- Seq(Seq("cat"), Seq("cat", "dog"), Seq("fish", "bird", "cat"))) {
+      val probed = Fts.probe(spark, idx, "doc_id", terms, k = 10).collect().toSeq
+      val scanned = fullScan(terms, 10).collect().toSeq
+      assert(probed == scanned, s"probe != full scan for terms=$terms")
+    }
+  }
+
+  test("probe pushes the term filter into the postings scan") {
+    val dir = Files.createTempDirectory("fts_spec_").toString
+    val idx = Fts.build(docsFixture, "text", "doc_id", dir)
+    val plan = Fts.probe(spark, idx, "doc_id", Seq("cat", "dog"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"expected term IN pushdown in:\n$plan")
+  }
+
+  test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
+    val dir = Files.createTempDirectory("fts_spec_").toString
+    Fts.build(docsFixture, "text", "doc_id", dir)
+    val more = docsFixture.union(Seq((5L, "cat cat cat cat")).toDF("doc_id", "text"))
+    val idx2 = Fts.build(more, "text", "doc_id", dir)
+    assert(idx2.nDocs == 5.0)
+    val top = Fts.probe(spark, idx2, "doc_id", Seq("cat"), k = 1).collect().head
+    assert(top.getLong(0) == 5L, "the new all-cat doc must rank first after rebuild")
+  }
+}
