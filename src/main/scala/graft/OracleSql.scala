@@ -605,6 +605,42 @@ object OracleSql {
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
+    "repetition_stats" ->
+      // Twin of TextAnalysis.repetitionStats. All counts are exact
+      // BIGINTs; each fraction is ONE double division (identical
+      // expression shape both sides) before the 5 dp round; `keep`
+      // compares the rounded values, so the flag is portable.
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)), l -> l <> '') AS lines,
+         |        ${toks()} AS toks FROM documents),
+         |ls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(lines) AS BIGINT) AS n_lines,
+         |        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines FROM t),
+         |gr AS (SELECT doc_id, 2 AS n, md5(g) AS g FROM
+         |         (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |            THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+         |            ELSE [] END) AS g FROM t)
+         |       UNION ALL
+         |       SELECT doc_id, 5 AS n, md5(g) AS g FROM
+         |         (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+         |            THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))
+         |            ELSE [] END) AS g FROM t)),
+         |pn AS (SELECT doc_id, n, max(c) AS maxc,
+         |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc, sum(c) AS totc
+         |       FROM (SELECT doc_id, n, g, count(*) AS c FROM gr GROUP BY doc_id, n, g)
+         |       GROUP BY doc_id, n),
+         |pv AS (SELECT doc_id, max(CASE WHEN n = 2 THEN maxc END) AS max2,
+         |        max(CASE WHEN n = 5 THEN dupc END) AS dup5,
+         |        max(CASE WHEN n = 5 THEN totc END) AS tot5
+         |       FROM pn GROUP BY doc_id),
+         |f AS (SELECT ls.doc_id, ls.n_tokens, ls.n_lines,
+         |       ROUND(CASE WHEN n_lines > 0 THEN CAST(dup_lines AS DOUBLE) / n_lines ELSE 0.0e0 END, 5) AS dup_line_frac,
+         |       ROUND(CASE WHEN n_tokens > 0 THEN CAST(coalesce(max2, 0) * 2 AS DOUBLE) / n_tokens ELSE 0.0e0 END, 5) AS top_2gram_frac,
+         |       ROUND(CASE WHEN coalesce(tot5, 0) > 0 THEN CAST(dup5 AS DOUBLE) / tot5 ELSE 0.0e0 END, 5) AS dup_5gram_frac
+         |      FROM ls LEFT JOIN pv USING (doc_id))
+         |SELECT *, (dup_line_frac <= 3.0e-1 AND top_2gram_frac <= 2.0e-1 AND dup_5gram_frac <= 1.5e-1) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "text_stats" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(${toks()}) AS term FROM documents)
          |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,

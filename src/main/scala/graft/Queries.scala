@@ -318,6 +318,12 @@ object Queries {
   def langId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  /** Gopher-style repetition filters over the corpus (dup-line /
+    * top-2-gram / dup-5-gram fractions + keep flag).
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(docs(s, dir), "text", "doc_id")
+
   def tokenTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTermsPerGroup(
       tokenTable(s, dir).select("source", "term"), "source", k = 5)

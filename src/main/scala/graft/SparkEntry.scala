@@ -90,7 +90,8 @@ object SparkEntry {
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
-    "bm25_indexed"        -> (Queries.bm25Indexed(_, _))
+    "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
+    "repetition_stats"    -> (Queries.repetitionStats(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

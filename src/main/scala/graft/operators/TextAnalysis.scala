@@ -27,6 +27,74 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "he", "zai")
   )
 
+  /** Gopher-style per-document repetition signals (Rae et al. 2021,
+    * §A1.1 repetition filters; same family as C4's heuristics): the
+    * fraction of repeated (non-empty, trimmed) lines, the share of
+    * tokens covered by the single most frequent 2-gram (overlaps can
+    * push it past 1.0 on degenerate docs — kept unclamped, as in the
+    * paper), and the share of 5-gram occurrences that are duplicates.
+    * `keep` applies the Gopher-ish thresholds (0.3 / 0.2 / 0.15) to the
+    * ROUNDED fractions so the flag is engine-portable.
+    *
+    * Shape at scale: line stats are a pure projection; both gram sizes
+    * ride ONE tagged explode (gram text md5'd at top level — the
+    * shuffle carries 16-byte hashes, never raw text) into two
+    * partial-agg shuffles on (doc, n, gram) then (doc, n). Linear work,
+    * no windows, no skew exposure beyond doc length itself.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val base = df.select(
+      col(idCol),
+      TextOps.tokenize(col(textCol)).as("_toks"),
+      lines.as("_lines"))
+    val lineStats = base.select(
+      col(idCol),
+      size(col("_toks")).cast("long").as("n_tokens"),
+      size(col("_lines")).cast("long").as("n_lines"),
+      (size(col("_lines")) - size(array_distinct(col("_lines")))).cast("long").as("dup_lines"))
+    // one explode for both gram sizes: the array must be a BOUND column
+    // (GenerateExec has no CSE — see PLANS.md codegen notes)
+    val tagged = base.select(
+      col(idCol),
+      concat(
+        transform(TextOps.rawShingles(col("_toks"), 2), g => struct(lit(2L).as("n"), g.as("g"))),
+        transform(TextOps.rawShingles(col("_toks"), 5), g => struct(lit(5L).as("n"), g.as("g")))
+      ).as("_ngrams"))
+    val grams = tagged
+      .select(col(idCol), explode(col("_ngrams")).as("ng"))
+      .select(col(idCol), col("ng.n").as("n"), md5(col("ng.g")).as("g"))
+    val perN = grams
+      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n")).agg(
+        max(col("c")).as("maxc"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
+        sum(col("c")).as("totc"))
+    val pivoted = perN.groupBy(col(idCol)).agg(
+      max(when(col("n") === 2, col("maxc"))).as("max2"),
+      max(when(col("n") === 5, col("dupc"))).as("dup5"),
+      max(when(col("n") === 5, col("totc"))).as("tot5"))
+    lineStats
+      .join(pivoted, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_lines"),
+        round(when(col("n_lines") > 0,
+          col("dup_lines").cast("double") / col("n_lines")).otherwise(lit(0.0)), 5)
+          .as("dup_line_frac"),
+        round(when(col("n_tokens") > 0,
+          (coalesce(col("max2"), lit(0L)) * 2).cast("double") / col("n_tokens")).otherwise(lit(0.0)), 5)
+          .as("top_2gram_frac"),
+        round(when(coalesce(col("tot5"), lit(0L)) > 0,
+          col("dup5").cast("double") / col("tot5")).otherwise(lit(0.0)), 5)
+          .as("dup_5gram_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= 0.3 && col("top_2gram_frac") <= 0.2 &&
+          col("dup_5gram_frac") <= 0.15)
+      .orderBy(idCol)
+  }
+
   /** Per-doc language prediction by stopword-hit argmax; 'und' when no
     * list matches. Deterministic tie-break: list order above.
     */
