@@ -605,6 +605,22 @@ object OracleSql {
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
+    "line_dedup" ->
+      // Twin of TextAnalysis.lineDedup (minDocs=3). string_agg skips the
+      // NULL (dropped) lines; COALESCE covers a doc whose every line was
+      // boilerplate (Spark's concat_ws over an empty array is '').
+      s"""WITH l AS (SELECT doc_id, unnest(ls) AS line, unnest(generate_series(1, len(ls))) AS pos
+         |           FROM (SELECT doc_id, regexp_split_to_array(text, '\\n') AS ls FROM documents)),
+         |lh AS (SELECT doc_id, pos, line, md5(trim(line)) AS h, trim(line) = '' AS blank FROM l),
+         |bp AS (SELECT h FROM (SELECT h, count(*) AS c FROM
+         |          (SELECT DISTINCT doc_id, h FROM lh WHERE NOT blank) GROUP BY h)
+         |       WHERE c >= 3),
+         |m AS (SELECT lh.*, h IN (SELECT h FROM bp) AS drp FROM lh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
+         |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "repetition_stats" ->
       // Twin of TextAnalysis.repetitionStats. All counts are exact
       // BIGINTs; each fraction is ONE double division (identical

@@ -324,6 +324,12 @@ object Queries {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), "text", "doc_id")
 
+  /** CCNet-style boilerplate removal: drop lines shared by >= 3 docs,
+    * rebuild the cleaned text.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lineDedup(docs(s, dir), "text", "doc_id", minDocs = 3)
+
   def tokenTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTermsPerGroup(
       tokenTable(s, dir).select("source", "term"), "source", k = 5)

@@ -91,7 +91,8 @@ object SparkEntry {
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
-    "repetition_stats"    -> (Queries.repetitionStats(_, _))
+    "repetition_stats"    -> (Queries.repetitionStats(_, _)),
+    "line_dedup"          -> (Queries.lineDedup(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

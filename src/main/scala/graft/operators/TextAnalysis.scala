@@ -95,6 +95,45 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** CCNet-style line-level corpus dedup (Wenzek'19 §4.1 — the
+    * boilerplate pass C4/CCNet run before doc-level dedup): a non-blank
+    * line appearing in >= minDocs DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, footers); drop those lines and
+    * reconstruct each document from what remains.
+    *
+    * Shape at scale: lines explode once, keyed by md5(trim(line)) so
+    * every shuffle carries 16-byte hashes; doc-frequency is two
+    * partial-agg shuffles ((h,doc) dedup, then h); the boilerplate set
+    * is SMALL by construction (only lines repeated across >= minDocs
+    * docs survive the filter) so it broadcasts to mark lines — no
+    * corpus-sized join. Reconstruction is one groupBy(doc) with a
+    * sorted collect_list, bounded by single-doc size.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String, minDocs: Int = 3): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), col("line"),
+        md5(trim(col("line"))).as("h"), (trim(col("line")) === "").as("blank"))
+    val boilerplate = lines
+      .filter(!col("blank"))
+      .select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs_with_line"))
+      .filter(col("docs_with_line") >= minDocs)
+      .select(col("h"), lit(true).as("bp"))
+    lines
+      .join(broadcast(boilerplate), Seq("h"), "left")
+      .withColumn("drop", coalesce(col("bp"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("dropped_lines"),
+        concat_ws("\n",
+          transform(
+            sort_array(collect_list(when(!col("drop"), struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+      .orderBy(idCol)
+  }
+
   /** Per-doc language prediction by stopword-hit argmax; 'und' when no
     * list matches. Deterministic tie-break: list order above.
     */
