@@ -791,6 +791,24 @@ object OracleSql {
         |SELECT lang, doc_id, sample_rank FROM r
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
+    "mix_temperature" ->
+      // Twin of Sampling.temperatureMix: keep_g = floor(sqrt(n_g*n_min))
+      // — exact integers under one correctly-rounded sqrt, so both
+      // engines derive identical quotas; selection is the md5-order
+      // permutation shared with sample_stratified.
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_g) AS n_min FROM c),
+        |q AS (SELECT lang, n_g,
+        |       least(n_g, CAST(floor(sqrt(CAST(n_g * n_min AS DOUBLE))) AS BIGINT)) AS keep_g
+        |      FROM c CROSS JOIN m),
+        |r AS (SELECT lang, doc_id,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank
+        |      FROM documents)
+        |SELECT r.lang, r.doc_id, r.mix_rank, q.n_g, q.keep_g
+        |FROM r JOIN q USING (lang) WHERE mix_rank <= keep_g
+        |ORDER BY lang, mix_rank""".stripMargin,
+
     "token_shards" ->
       s"""WITH $chunkCte,
          |sh AS (SELECT doc_id, chunk_index, chunk_tokens,

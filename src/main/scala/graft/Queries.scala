@@ -513,6 +513,12 @@ object Queries {
       .select("lang", "doc_id", "sample_rank")
       .orderBy("lang", "sample_rank")
 
+  /** Temperature-flattened (α=0.5) language mix: downsample
+    * high-resource langs toward balance, deterministically.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id")
+
   /** Token-budget sharding of the chunk stream: ~64-token shards per
     * doc (sequence packing for training), reported per shard.
     */

@@ -92,7 +92,8 @@ object SparkEntry {
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
-    "line_dedup"          -> (Queries.lineDedup(_, _))
+    "line_dedup"          -> (Queries.lineDedup(_, _)),
+    "mix_temperature"     -> (Queries.mixTemperature(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

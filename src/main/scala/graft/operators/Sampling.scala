@@ -15,6 +15,43 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Sampling {
 
+  /** Temperature-flattened mixture resampling (the mT5 §3.2 / CC
+    * multilingual-mix move, α = 0.5): group g of size n_g keeps
+    * `floor(sqrt(n_g · n_min))` rows — i.e. a keep RATE of
+    * sqrt(n_min/n_g), so the smallest group keeps ~everything and
+    * high-resource groups are downsampled toward balance. Anchoring the
+    * q ∝ p^α normalization at n_min (instead of Σ p^α) keeps every
+    * number an exact integer under ONE `sqrt` — sqrt is IEEE
+    * correctly-rounded where `pow` is not, so any engine reproduces the
+    * quotas bit-for-bit; a Σ-of-doubles would be summation-order-
+    * dependent. Selection within a group is the same deterministic
+    * md5-order permutation as [[stratified]].
+    *
+    * Shape at scale: one count aggregation, a two-row broadcast, one
+    * window shuffle keyed by the group column.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      seed: String = ""
+  ): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+    val nMin = counts.agg(min(col("n_g")).as("n_min"))
+    val quotas = counts
+      .crossJoin(broadcast(nMin))
+      .withColumn("keep_g",
+        least(col("n_g"), floor(sqrt((col("n_g") * col("n_min")).cast("double"))).cast("long")))
+      .select(col(groupCol), col("n_g"), col("keep_g"))
+    val order = md5(concat(lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(order, col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("mix_rank") <= col("keep_g"))
+      .orderBy(col(groupCol), col("mix_rank"))
+  }
+
   /** Deterministic stratified take: up to `quota` rows per stratum,
     * chosen by md5-hash order of the id (a uniform, seedable-by-prefix
     * permutation that both Spark and any SQL engine reproduce exactly).

@@ -40,4 +40,22 @@ class SamplingSpec extends SparkSpec {
       s"shard sizes out of tolerance: ${stats.toSeq}")
     assert(sharded.filter(col("doc_id") === 2).select("shard_id").as[Long].head() == 0L)
   }
+
+  test("temperatureMix keeps floor(sqrt(n_g*n_min)) per group — sqrt-flattened, smallest kept whole") {
+    val df = (
+      (1 to 16).map(i => (s"big", i.toLong)) ++
+      (17 to 20).map(i => (s"mid", i.toLong)) ++
+      Seq(("tiny", 21L))
+    ).toDF("lang", "doc_id")
+    val out = Sampling.temperatureMix(df, "lang", "doc_id")
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n_min=1: big 16 -> floor(sqrt(16))=4, mid 4 -> 2, tiny 1 -> 1
+    assert(kept == Map("big" -> 4L, "mid" -> 2L, "tiny" -> 1L))
+    // keep RATE falls with group size (downsample-only flattening)
+    assert(kept("big") / 16.0 < kept("mid") / 4.0)
+    assert(kept("tiny") == 1L, "smallest group is never downsampled")
+    // deterministic: same corpus, same mix
+    assert(out.collect().toSeq == Sampling.temperatureMix(df, "lang", "doc_id").collect().toSeq)
+  }
 }
