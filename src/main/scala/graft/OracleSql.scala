@@ -254,6 +254,24 @@ object OracleSql {
              |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
              |FROM asg, q WHERE cluster IN ($inCells)
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+        "hybrid_indexed" ->
+          // Both serving indexes fused: BM25 replayed from raw docs (the
+          // postings layout is a pure function of the corpus — proven
+          // separately by bm25_indexed), IVF probe from the centroid
+          // literals, RRF identical to hybrid_rrf's twin.
+          s"""WITH $bm25Cte,
+             |b100 AS (SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100),
+             |$ctes,
+             |k100 AS (SELECT vec_id AS doc_id, ${cosine("ev", "qv")} AS cos_sim
+             |         FROM asg, q WHERE cluster IN ($inCells)
+             |         ORDER BY cos_sim DESC, doc_id LIMIT 100),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk_a FROM b100),
+             |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk_b FROM k100)
+             |SELECT doc_id,
+             |       ROUND(COALESCE(1.0 / (60 + rk_a), 0) + COALESCE(1.0 / (60 + rk_b), 0), 6) AS rrf,
+             |       rk_a, rk_b
+             |FROM ra FULL OUTER JOIN rb USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
         "ann_recall" ->
           s"""WITH $ctes,
              |probe AS (SELECT vec_id FROM asg, q WHERE cluster IN ($inCells)

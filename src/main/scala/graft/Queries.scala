@@ -92,6 +92,22 @@ object Queries {
   }
 
   /** BM25 + exact-phrase boost ("filter join") — proximity-aware FTS. */
+  /** The reference's full SERVING path with both persisted indexes
+    * (store.py:197 FTS index + store.py:274 vector index + server.py:228
+    * hybrid fusion): BM25 leg probes the term-pruned postings layout,
+    * KNN leg probes the IVF cells, RRF fuses — neither leg re-scans the
+    * corpus. The twin replays the BM25 math from raw documents and the
+    * IVF probe from the fitted centroid literals.
+    */
+  def hybridIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (index, cells) = annIndexAndCells(s, dir)
+    val fts = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    val bm25Leg = Fts.probe(s, fts, "doc_id", QueryTerms, k = 100)
+    val knnLeg = Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 100)
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+    Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
+  }
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

@@ -93,7 +93,8 @@ object SparkEntry {
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
-    "mix_temperature"     -> (Queries.mixTemperature(_, _))
+    "mix_temperature"     -> (Queries.mixTemperature(_, _)),
+    "hybrid_indexed"      -> (Queries.hybridIndexed(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the
