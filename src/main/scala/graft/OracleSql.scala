@@ -623,6 +623,15 @@ object OracleSql {
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
+    "chunkstore_read" ->
+      // Twin of Queries.chunkstoreRead: replay the deterministic
+      // modification rules (upsert-wins for %7==3, tombstone for
+      // %13==5) directly over documents.
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+        |       md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS content_hash
+        |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin,
+
     "line_dedup" ->
       // Twin of TextAnalysis.lineDedup (minDocs=3). string_agg skips the
       // NULL (dropped) lines; COALESCE covers a doc whose every line was

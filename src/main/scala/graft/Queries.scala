@@ -334,6 +334,35 @@ object Queries {
   def langId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  private val chunkStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ChunkStore]()
+
+  /** The reference's store-maintenance loop (store.py:180 upsert,
+    * :237 delete) exercised end-to-end on driver data and verified via
+    * the DuckDB gate: base upsert → modified re-upsert of doc_id%7==3
+    * (text uppercased, lang→'xx') → tombstone delete of doc_id%13==5 →
+    * COMPACT → merge-on-read. The twin recomputes latest-wins from the
+    * modification rules, so the hash check proves delta ordering,
+    * tombstone drop, and compaction all preserve the right rows.
+    */
+  def chunkstoreRead(s: SparkSession, dir: String): DataFrame = {
+    val store = chunkStoreCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cs_").toString
+      val st = new ChunkStore(root, "doc_id")
+      val base = docs(s, dir).select("doc_id", "text", "lang", "source")
+      st.upsert(base)
+      st.upsert(base.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", upper(col("text")))
+        .withColumn("lang", lit("xx")))
+      st.delete(docs(s, dir).filter(col("doc_id") % 13 === 5).select("doc_id"))
+      st.compact(s)
+      st
+    })
+    store.read(s)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition filters over the corpus (dup-line /
     * top-2-gram / dup-5-gram fractions + keep flag).
     */

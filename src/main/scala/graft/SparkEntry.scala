@@ -94,7 +94,8 @@ object SparkEntry {
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
-    "hybrid_indexed"      -> (Queries.hybridIndexed(_, _))
+    "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
+    "chunkstore_read"     -> (Queries.chunkstoreRead(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the
