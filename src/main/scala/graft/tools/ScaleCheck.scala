@@ -71,6 +71,19 @@ object ScaleCheck {
             Bpe.mergesArray)).as("n"))
         .agg(sum("n").as("total_tokens")))
       time(s"simhash_pairs", Dedup.simHashPairs(c, "text", "doc_id"))
+      // hash-sum every output column: a bare count() lets Catalyst
+      // eliminate unique-keyed joins and prune the expensive columns
+      def forced(df: DataFrame): DataFrame =
+        df.agg(sum(hash(df.columns.map(col): _*).cast("long")).as("h"))
+      time(s"repetition_stats", forced(TextAnalysis.repetitionStats(c, "text", "doc_id")))
+      time(s"line_dedup", forced(TextAnalysis.lineDedup(c, "text", "doc_id")))
+      time(s"mix_temperature",
+        forced(Sampling.temperatureMix(c.select("doc_id", "lang"), "lang", "doc_id")))
+      time(s"fts_build+probe", {
+        val idx = Fts.build(c, "text", "doc_id",
+          java.nio.file.Files.createTempDirectory("graft_scale_fts_").toString)
+        Fts.probe(spark, idx, "doc_id", Queries.QueryTerms, 10)
+      })
       time(s"phrase_search", c
         .select(col("doc_id"), graft.functions.TextOps.tokenize(col("text")).as("toks"))
         .select(col("doc_id"),
