@@ -623,6 +623,28 @@ object OracleSql {
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
+    "quality_model" -> {
+      // Twin of TextAnalysis.modelQuality: the checked-in weights are
+      // constants, inlined as a VALUES table (dlit keeps them DOUBLE).
+      // keep uses the logit sign (sigmoid-monotone, exactly portable);
+      // the rounded sigmoid absorbs sum-order ulps like the BM25 twin.
+      val (w, b) = graft.operators.TextAnalysis.qualityWeights
+      val values = w.zipWithIndex
+        .map { case (wt, d) => s"($d, ${dlit(wt)})" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+         |d AS (SELECT doc_id,
+         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+         |      FROM tok),
+         |dd AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY doc_id, dim),
+         |w AS (SELECT * FROM (VALUES $values) AS t(dim, w)),
+         |z AS (SELECT doc_id, sum(w.w * dd.cnt) AS z FROM dd JOIN w USING (dim) GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ROUND(1.0e0 / (1.0e0 + exp(-(z + ${dlit(b)}))), 5) AS quality_prob,
+         |       (z + ${dlit(b)}) >= 0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
+
     "chunkstore_read" ->
       // Twin of Queries.chunkstoreRead: replay the deterministic
       // modification rules (upsert-wins for %7==3, tombstone for

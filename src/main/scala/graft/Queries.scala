@@ -369,6 +369,12 @@ object Queries {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), "text", "doc_id")
 
+  /** Model-based quality filter (DCLM/fastText pattern): sigmoid over
+    * the checked-in linear weights on hashed-BoW counts.
+    */
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.modelQuality(docs(s, dir), "text", "doc_id")
+
   /** CCNet-style boilerplate removal: drop lines shared by >= 3 docs,
     * rebuild the cleaned text.
     */

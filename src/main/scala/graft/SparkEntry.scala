@@ -95,7 +95,8 @@ object SparkEntry {
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
-    "chunkstore_read"     -> (Queries.chunkstoreRead(_, _))
+    "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),
+    "quality_model"       -> (Queries.qualityModel(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -95,6 +95,47 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Checked-in linear quality-classifier weights (64 hashed-BoW
+    * coefficients + intercept), trained offline by
+    * `graft.tools.TrainQuality` — the DCLM/fastText model-based-quality
+    * pattern with training decoupled from distributed scoring.
+    */
+  lazy val qualityWeights: (Array[Double], Double) = {
+    val in = getClass.getResourceAsStream("/graft/quality_weights.txt")
+    require(in != null, "resource graft/quality_weights.txt missing — run graft.tools.TrainQuality")
+    val vals = scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8)
+      .getLines().map(_.trim).filter(_.nonEmpty).map(_.toDouble).toArray
+    (vals.init, vals.last)
+  }
+
+  /** Model-based quality filter (Li'24 DCLM §4.2 / fastText classifier
+    * filtering): sigmoid(w · hashedBoW(text) + b) per document with the
+    * CHECKED-IN weights — scoring is one explode + two partial-agg
+    * shuffles + a 64-row broadcast join, no model runtime on the
+    * executors. Any linear model retrained offline (e.g. on human
+    * labels) drops into the same artifact file.
+    */
+  def modelQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val (w, b) = qualityWeights
+    import spark.implicits._
+    val weights = w.zipWithIndex.map { case (wt, d) => (d.toLong, wt) }
+      .toSeq.toDF("dim", "w")
+    df.select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("term"))
+      .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy(col(idCol), col("dim")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights), Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("cnt")).as("z"))
+      .select(
+        col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b)))), 5).as("quality_prob"),
+        // logit sign, not rounded-prob >= 0.5: sigmoid-monotone and
+        // exactly portable (no round-boundary coupling to exp())
+        ((col("z") + lit(b)) >= 0).as("keep"))
+      .orderBy(idCol)
+  }
+
   /** CCNet-style line-level corpus dedup (Wenzek'19 §4.1 — the
     * boilerplate pass C4/CCNet run before doc-level dedup): a non-blank
     * line appearing in >= minDocs DISTINCT documents is boilerplate
