@@ -369,6 +369,12 @@ object Queries {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), "text", "doc_id")
 
+  /** Lee'21-style duplicated-span removal: drop token positions covered
+    * by a 10-gram shared across >= 2 docs, rebuild token sequences.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanRemoval(docs(s, dir), "text", "doc_id")
+
   /** Model-based quality filter (DCLM/fastText pattern): sigmoid over
     * the checked-in linear weights on hashed-BoW counts.
     */

@@ -96,7 +96,8 @@ object SparkEntry {
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),
-    "quality_model"       -> (Queries.qualityModel(_, _))
+    "quality_model"       -> (Queries.qualityModel(_, _)),
+    "span_dedup"          -> (Queries.spanDedup(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -20,6 +20,54 @@ import org.apache.spark.sql.DataFrame
   */
 object Dedup {
 
+  /** Cross-document duplicated-SPAN removal — the n-gram approximation
+    * of Lee'21 exact-substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better": repeated spans, not whole near-dup docs,
+    * are what inflate memorization): any token position covered by an
+    * n-gram that appears in >= minDocs DISTINCT documents is dropped,
+    * and each document is rebuilt from its surviving tokens in order
+    * (token-level reconstruction, as in the paper's token-sequence
+    * formulation).
+    *
+    * Scale shape: grams and coverage are linear in corpus tokens; the
+    * duplicated-gram set joins back by a SHUFFLE join on 16-byte hashes
+    * (unlike line_dedup's broadcast — shared spans can be a large
+    * fraction of a crawl, so never assume they fit one executor);
+    * reconstruction is one groupBy(doc) bounded by doc length.
+    */
+  def duplicatedSpanRemoval(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 10,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val toksDf = df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+    val tok = toksDf.select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
+    val gr = toksDf
+      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
+      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
+    val dup = gr.select(col(idCol), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDocs).select("g")
+    val covered = gr.join(dup, "g")
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("_cov", lit(true))
+    tok
+      .join(covered, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_cov"), 1L).otherwise(0L)).as("dropped_tokens"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("_cov").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok"))).as("clean_text"))
+      .orderBy(idCol)
+  }
+
   /** Exact dedup groups: one row per content hash that occurs more than
     * once, with the kept (minimum) id and the duplicate count.
     * Hash-partitioned groupBy — embarrassingly scalable.
