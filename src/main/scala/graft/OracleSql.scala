@@ -183,6 +183,30 @@ object OracleSql {
        |        CAST(least(32, n - st) AS BIGINT) AS chunk_tokens
        |       FROM ch0)""".stripMargin
 
+  /** Twin of Queries.semanticSearch AND Fts.semanticProbe (the sidecar
+    * is a pure function of the corpus): dims/counts are exact integers
+    * on both sides; the only floating math is the final dot/(sqrt·sqrt),
+    * identical expression shape → bit-identical.
+    */
+  private lazy val semanticTwin: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+       |d AS (SELECT doc_id,
+       |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+       |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+       |      FROM tok),
+       |dd AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY doc_id, dim),
+       |qt AS (SELECT unnest(${toks("'spark filter join stream'")}) AS term),
+       |qd AS (SELECT CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+       |              + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim,
+       |              CAST(count(*) AS BIGINT) AS qcnt
+       |       FROM qt GROUP BY 1),
+       |dn AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM dd GROUP BY doc_id),
+       |qn AS (SELECT sum(qcnt * qcnt) AS qss FROM qd),
+       |dt AS (SELECT dd.doc_id, sum(dd.cnt * qd.qcnt) AS dot FROM dd JOIN qd USING (dim) GROUP BY dd.doc_id)
+       |SELECT dt.doc_id, ROUND(dt.dot / (sqrt(dn.ss) * sqrt(qn.qss)), 5) AS cos_sim
+       |FROM dt JOIN dn USING (doc_id) CROSS JOIN qn
+       |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
+
   /** BM25 scoring CTEs (k1=1.2, b=0.75) — twin of Search.bm25Scores. */
   private val bm25Cte: String =
     s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
@@ -789,27 +813,12 @@ object OracleSql {
          |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
          |FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
-    "semantic_search" ->
-      // Twin of Queries.semanticSearch: dims/counts are exact integers
-      // on both sides; the only floating math is the final
-      // dot/(sqrt·sqrt), identical expression shape → bit-identical.
-      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
-         |d AS (SELECT doc_id,
-         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
-         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
-         |      FROM tok),
-         |dd AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY doc_id, dim),
-         |qt AS (SELECT unnest(${toks("'spark filter join stream'")}) AS term),
-         |qd AS (SELECT CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
-         |              + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim,
-         |              CAST(count(*) AS BIGINT) AS qcnt
-         |       FROM qt GROUP BY 1),
-         |dn AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM dd GROUP BY doc_id),
-         |qn AS (SELECT sum(qcnt * qcnt) AS qss FROM qd),
-         |dt AS (SELECT dd.doc_id, sum(dd.cnt * qd.qcnt) AS dot FROM dd JOIN qd USING (dim) GROUP BY dd.doc_id)
-         |SELECT dt.doc_id, ROUND(dt.dot / (sqrt(dn.ss) * sqrt(qn.qss)), 5) AS cos_sim
-         |FROM dt JOIN dn USING (doc_id) CROSS JOIN qn
-         |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin,
+    "semantic_search" -> semanticTwin,
+
+    // Served-from-index variant: the docdims sidecar is a pure function
+    // of the corpus, so the probe must reproduce the from-scratch flow
+    // (and this same twin) exactly.
+    "semantic_indexed" -> semanticTwin,
 
     "embed_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),

@@ -108,6 +108,14 @@ object Queries {
     Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
   }
 
+  /** The primary text-query flow served from the index sidecar — must
+    * match `semantic_search` (and its twin) exactly.
+    */
+  def semanticIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    Fts.semanticProbe(s, idx, "doc_id", "spark filter join stream", k = 10)
+  }
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

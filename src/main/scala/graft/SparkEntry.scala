@@ -97,7 +97,8 @@ object SparkEntry {
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),
     "quality_model"       -> (Queries.qualityModel(_, _)),
-    "span_dedup"          -> (Queries.spanDedup(_, _))
+    "span_dedup"          -> (Queries.spanDedup(_, _)),
+    "semantic_indexed"    -> (Queries.semanticIndexed(_, _))
   )
 
   /** DuckDB-equivalent SQL per query key. The static map covers the

@@ -46,7 +46,12 @@ object Fts {
         java.nio.file.Files.createTempDirectory("graft_fts_").toString)
     )
 
-  /** Tokenize once; write term-sorted postings with dl denormalized. */
+  /** Tokenize once; write term-sorted postings with dl denormalized,
+    * plus the semantic sidecar: hashed-BoW doc-dim counts (`docdims`)
+    * and per-doc squared norms (`docnorms`) — so the text-query cosine
+    * flow is served from the index too, with no tokenize pass at query
+    * time.
+    */
   def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
     val toks = docs
       .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
@@ -57,8 +62,43 @@ object Fts {
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
+    val dims = toks
+      .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy(col(idCol), col("dim")).agg(count(lit(1)).as("cnt"))
+    dims.write.mode("overwrite").parquet(s"$outDir/docdims")
+    dims.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("ss"))
+      .write.mode("overwrite").parquet(s"$outDir/docnorms")
     val st = dl.agg(count("*").cast("double"), avg("dl")).head()
     Index(outDir, st.getDouble(0), st.getDouble(1))
+  }
+
+  /** Text-query cosine top-k served from the index sidecar — the same
+    * math as the from-scratch flow (Queries.semanticSearch twin), but
+    * the corpus side reads pre-aggregated (doc, dim, cnt) rows: no
+    * tokenize, no explode, no (doc, dim) shuffle at query time.
+    */
+  def semanticProbe(
+      spark: SparkSession,
+      index: Index,
+      idCol: String,
+      queryText: String,
+      k: Int
+  ): DataFrame = {
+    val qd = spark.range(1)
+      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
+      .select(TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy("dim").agg(count(lit(1)).as("qcnt"))
+    val dd = spark.read.parquet(s"${index.dir}/docdims")
+    val dn = spark.read.parquet(s"${index.dir}/docnorms")
+    val qn = qd.agg(sum(col("qcnt") * col("qcnt")).as("qss"))
+    dd.join(broadcast(qd), "dim")
+      .groupBy(col(idCol)).agg(sum(col("cnt") * col("qcnt")).as("dot"))
+      .join(dn, idCol)
+      .crossJoin(broadcast(qn))
+      .select(col(idCol),
+        round(col("dot") / (sqrt(col("ss")) * sqrt(col("qss"))), 5).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** BM25 top-k over the persisted index: a term-pruned postings scan,

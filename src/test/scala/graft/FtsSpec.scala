@@ -42,6 +42,12 @@ class FtsSpec extends SparkSpec {
       s"expected term IN pushdown in:\n$plan")
   }
 
+  test("semanticProbe from the sidecar equals the from-scratch semantic flow") {
+    val fromScratch = Queries.semanticSearch(spark, sf).collect().toSeq
+    val fromIndex = Queries.semanticIndexed(spark, sf).collect().toSeq
+    assert(fromScratch == fromIndex)
+  }
+
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
     val dir = Files.createTempDirectory("fts_spec_").toString
     Fts.build(docsFixture, "text", "doc_id", dir)
