@@ -222,4 +222,40 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head.getInt(1) == 1 && rows.head.getDouble(2) == 10.0)
     } finally q.stop()
   }
+
+  test("streaming session state logic agrees with batch window sessionization on real events") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), expr("timestamp_millis(ts DIV 1000000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // mapGroupsWithState on a BATCH Dataset runs each group once — the
+    // same state transition the stream applies incrementally
+    val streamed = EventStreams.sessionize(raw.as[Event], gapMs).collect()
+      .map(u => u.user_id -> u).toMap
+
+    // independent batch formulation: window break/sid, then the LAST session
+    val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val sess = raw
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("unix_millis(ts)").as("t"))
+      .withColumn("pt", lag("t", 1).over(wOrd))
+      .withColumn("brk", when(col("pt").isNull || col("t") - col("pt") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val last = sess.groupBy("user_id").agg(max("sid").as("lastSid"))
+    val expected = sess.join(last, "user_id").filter(col("sid") === col("lastSid"))
+      .groupBy("user_id")
+      .agg(min("t").as("start"), count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    assert(streamed.keySet == expected.keySet)
+    for ((u, (start, n, total)) <- expected) {
+      val s = streamed(u)
+      assert(s.sessionStart == start, s"user $u session start")
+      assert(s.events.toLong == n, s"user $u session event count")
+      assert(math.abs(s.totalValue - total) < 1e-6, s"user $u session value sum")
+    }
+  }
 }
