@@ -53,22 +53,28 @@ object Fts {
     * time.
     */
   def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
-    val toks = docs
+    // ONE corpus scan + tokenize + explode; every other aggregate derives
+    // from the (doc, term) count table, which is cached for the build's
+    // four outputs (at cluster scale: a persisted intermediate instead)
+    val tf = docs
       .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(col(idCol), explode(col("_toks")).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count("*").cast("double").as("tf"))
-    val dl = toks.groupBy(col(idCol)).agg(count("*").cast("double").as("dl"))
-    tf.join(dl, Seq(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tfl"))
+      .cache()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tfl")).cast("double").as("dl"))
+    tf.withColumn("tf", col("tfl").cast("double")).drop("tfl")
+      .join(dl, Seq(idCol))
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", idCol)
       .write.mode("overwrite").parquet(s"$outDir/postings")
-    val dims = toks
-      .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"))
-      .groupBy(col(idCol), col("dim")).agg(count(lit(1)).as("cnt"))
+    val dims = tf
+      .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"), col("tfl"))
+      .groupBy(col(idCol), col("dim")).agg(sum(col("tfl")).as("cnt"))
     dims.write.mode("overwrite").parquet(s"$outDir/docdims")
     dims.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("ss"))
       .write.mode("overwrite").parquet(s"$outDir/docnorms")
     val st = dl.agg(count("*").cast("double"), avg("dl")).head()
+    tf.unpersist()
     Index(outDir, st.getDouble(0), st.getDouble(1))
   }
 
