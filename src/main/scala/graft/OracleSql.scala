@@ -400,6 +400,23 @@ object OracleSql {
          |SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim
          |FROM c, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "sq_probe" ->
+      // Twin of Sq.probe (k=10, refine=40). Quantization is pure
+      // element-wise IEEE arithmetic (scale = maxabs/127, code =
+      // floor(x/s + 0.5)) so codes are bit-identical across engines —
+      // no fitted constants. The positive scale cancels in the cosine,
+      // so the approximate score uses the raw integer codes directly.
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |z AS (SELECT vec_id, ev, list_max(list_transform(ev, x -> abs(x))) / 127.0 AS s FROM c),
+         |cd AS (SELECT vec_id, ev,
+         |        CASE WHEN s > 0 THEN list_transform(ev, x -> CAST(floor(x / s + 0.5) AS DOUBLE))
+         |             ELSE list_transform(ev, x -> 0.0) END AS cv FROM z),
+         |ap AS (SELECT vec_id, ev, ${cosine("cv", "qv")} AS approx_sim
+         |       FROM cd, q ORDER BY approx_sim DESC, vec_id LIMIT 40)
+         |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+         |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "knn_pergroup" ->
       s"""WITH $knnCte,
          |s AS (SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim FROM c, q),
@@ -715,6 +732,37 @@ object OracleSql {
          |       CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lines,
          |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "perplexity_filter" -> {
+      // Twin of Lm.perplexity: the checked-in bigram LM is constants,
+      // inlined as two VALUES tables (dlit keeps the precomputed
+      // log-probs DOUBLE — score-time arithmetic is pure +/× on both
+      // sides, the rounded exp absorbs sum-order ulps). Buckets compare
+      // the ROUNDED ppl so the split is portable.
+      val m = graft.operators.Lm.model
+      val uniValues = m.uni.map { case (w, lp) => s"('$w', ${dlit(lp)})" }.mkString(", ")
+      val biValues = m.bi.map { case (bg, lp) => s"('$bg', ${dlit(lp)})" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |p AS (SELECT doc_id, NULL AS bg, toks[1] AS w FROM t WHERE len(toks) >= 1
+         |      UNION ALL
+         |      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i+1] AS w
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+         |uni AS (SELECT * FROM (VALUES $uniValues) AS u(w, ulp)),
+         |bi AS (SELECT * FROM (VALUES $biValues) AS b(bg, blp)),
+         |lp AS (SELECT p.doc_id,
+         |        CASE WHEN p.bg IS NULL THEN COALESCE(uni.ulp, ${dlit(m.oovLp)})
+         |             ELSE COALESCE(bi.blp, ${dlit(m.backoffLp)} + COALESCE(uni.ulp, ${dlit(m.oovLp)})) END AS lp
+         |       FROM p LEFT JOIN uni ON p.w = uni.w LEFT JOIN bi ON p.bg = bi.bg),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       ROUND(exp(-sum(lp) / count(*)), 5) AS ppl
+         |      FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.ppl,
+         |       CASE WHEN s.ppl IS NULL THEN 'empty'
+         |            WHEN s.ppl <= ${dlit(m.tHead)} THEN 'head'
+         |            WHEN s.ppl <= ${dlit(m.tTail)} THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     "repetition_stats" ->
       // Twin of TextAnalysis.repetitionStats. All counts are exact

@@ -48,6 +48,17 @@ object Queries {
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id", k = 10
     ).select("vec_id", "label", "cos_sim")
 
+  /** Int8 scalar-quantized probe: approximate cosine on SQ8 codes
+    * prunes to 40 candidates, exact cosine re-ranks to top 10 (the 4×
+    * memory lever for brute-force search — see [[Sq]]).
+    */
+  def sqProbe(s: SparkSession, dir: String): DataFrame =
+    Sq.probe(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      k = 10, refine = 40)
+
   def knnPerGroup(s: SparkSession, dir: String): DataFrame =
     Search.knnTopKPerGroup(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
@@ -394,6 +405,13 @@ object Queries {
     */
   def lineDedup(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lineDedup(docs(s, dir), "text", "doc_id", minDocs = 3)
+
+  /** CCNet-style LM-perplexity bucketing: per-doc bigram-LM perplexity
+    * under the checked-in model, head/middle/tail split at the trained
+    * thresholds.
+    */
+  def perplexityFilter(s: SparkSession, dir: String): DataFrame =
+    Lm.perplexity(docs(s, dir), "text", "doc_id")
 
   def tokenTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTermsPerGroup(

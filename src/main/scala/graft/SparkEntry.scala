@@ -93,6 +93,8 @@ object SparkEntry {
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
+    "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
+    "sq_probe"            -> (Queries.sqProbe(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),

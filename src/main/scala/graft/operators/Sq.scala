@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization (SQ8) for embedding columns — the standard
+  * 4× memory/IO compression for vector search (FAISS
+  * `ScalarQuantizer.QT_8bit`-style, symmetric per-vector scaling):
+  *
+  *   scale  = max(|v_i|) / 127
+  *   code_i = round(v_i / scale)  ∈ [-127, 127]   (int8)
+  *
+  * Search is ASYMMETRIC (query stays full-precision, like ADC): the
+  * cosine against the dequantized vector `code * scale` equals the
+  * cosine against the raw integer codes — the positive per-vector scale
+  * cancels — so the approximate score needs no reconstruction at all.
+  * At 100 TB the codes column is what you persist and scan (a quarter
+  * of the float32 bytes); the exact re-rank touches full vectors only
+  * for the tiny refined candidate set.
+  *
+  * Everything is deterministic element-wise arithmetic (floor(x+0.5)
+  * round-half-up, no libm beyond sqrt in the final cosine), so the
+  * whole probe has an exact DuckDB twin with NO fitted constants — the
+  * contrast to IVF/PQ, whose twins need centroid literals.
+  *
+  * Reference anchor: store.py:274 (index hint) — quantization is the
+  * other standard ANN memory lever next to IVF (A15) and PQ (C6).
+  */
+object Sq {
+
+  /** Add (scale, codes) columns: per-row scale and int codes in
+    * [-127, 127]. All-zero vectors get scale 0 and all-zero codes.
+    * Pure narrow projection (one transform over the array) — no
+    * shuffle, codegen-friendly HOFs.
+    */
+  def quantize(df: DataFrame, vecCol: String,
+               scaleCol: String = "sq_scale", codesCol: String = "sq_codes"): DataFrame = {
+    val dv = VectorOps.toDouble(col(vecCol))
+    val s = array_max(transform(dv, x => abs(x))) / 127.0
+    df.withColumn(scaleCol, s)
+      .withColumn(codesCol,
+        when(col(scaleCol) > 0,
+          transform(dv, x => floor(x / col(scaleCol) + 0.5).cast("int")))
+          .otherwise(transform(dv, _ => lit(0))))
+  }
+
+  /** Brute-force SQ probe with exact re-rank: approximate cosine on the
+    * int8 codes prunes the corpus to `refine` candidates
+    * (TakeOrderedAndProject — no full sort), then the exact cosine on
+    * the raw vectors re-ranks those to top `k`. Output carries both
+    * scores so the approximation error is observable per hit.
+    */
+  def probe(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      corpusVec: String,
+      queryVec: String,
+      idCol: String,
+      k: Int = 10,
+      refine: Int = 40): DataFrame = {
+    val quantized = quantize(corpus, corpusVec)
+    val approx = quantized
+      .crossJoin(broadcast(queryDf))
+      .withColumn("approx_sim",
+        VectorOps.cosineRounded(col("sq_codes"), col(queryVec)))
+      .select(col(idCol), col(corpusVec), col(queryVec), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(refine)
+    approx
+      .withColumn("cos_sim", VectorOps.cosineRounded(col(corpusVec), col(queryVec)))
+      .select(col(idCol), col("approx_sim"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

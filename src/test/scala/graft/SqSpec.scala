@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Sq
+import org.apache.spark.sql.functions._
+
+class SqSpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("codes are int8-bounded and reconstruction error is within scale/2 per element") {
+    val q = Sq.quantize(embs.select("vec_id", "embedding"), "embedding")
+    val rows = q.select("embedding", "sq_scale", "sq_codes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val s = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of int8 range: $codes")
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * s) <= s / 2 + 1e-12,
+          s"reconstruction error ${math.abs(x - c * s)} > half-step ${s / 2}")
+      }
+    }
+  }
+
+  test("zero vectors quantize to zero codes without dividing by zero") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f))).toDF("id", "v")
+    val out = Sq.quantize(df, "v").orderBy("id").collect()
+    assert(out(0).getDouble(2) == 0.0)
+    assert(out(0).getSeq[Int](3) == Seq(0, 0, 0))
+    assert(out(1).getSeq[Int](3) == Seq(64, -127, 32))
+  }
+
+  test("probe recall@10 vs exact brute force is high and re-ranked scores are exact") {
+    val corpus = embs.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val got = Sq.probe(corpus, queryDf, "embedding", "q_vec", "vec_id").collect()
+    assert(got.length == 10)
+    val exact = operators.Search
+      .knnTopK(corpus, queryDf, "embedding", "q_vec", "vec_id", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("cos_sim"))).toMap
+    val hit = got.count(r => exact.contains(r.getLong(0)))
+    assert(hit >= 9, s"SQ8 recall@10 $hit/10 < 9 — quantization noise too high")
+    // where the sets agree the exact cosine must be bit-identical
+    got.filter(r => exact.contains(r.getLong(0))).foreach { r =>
+      assert(r.getDouble(2) == exact(r.getLong(0)))
+    }
+    // approximation error observable and small on the hits
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.05,
+        s"approx ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+    }
+  }
+}
