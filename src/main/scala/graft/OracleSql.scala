@@ -882,6 +882,19 @@ object OracleSql {
          |FROM tf JOIN dfreq USING (dim) CROSS JOIN nn
          |ORDER BY tf.doc_id, tf.dim""".stripMargin,
 
+    "stream_token_budget" ->
+      // Twin of StreamPipeline.tokenBudgetSnapshot: the drained
+      // complete-mode streaming aggregation must equal this batch
+      // per-source rollup of REAL-BPE token counts (same enc chain as
+      // bpe_tokens; budget constant shared with Queries.TokenBudget).
+      s"""WITH $bpeEncCtes,
+         |per_doc AS (SELECT pt.doc_id, sum(enc.n) AS n FROM pt JOIN enc USING (w) GROUP BY pt.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(sum(coalesce(p.n, 0)) AS BIGINT) AS bpe_tokens,
+         |       CAST(sum(coalesce(p.n, 0)) AS BIGINT) > ${Queries.TokenBudget} AS over_budget
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "bpe_tokens" ->
       s"""WITH $bpeEncCtes
          |SELECT pt.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens, CAST(sum(enc.n) AS BIGINT) AS bpe_tokens

@@ -413,6 +413,32 @@ object Queries {
   def perplexityFilter(s: SparkSession, dir: String): DataFrame =
     Lm.perplexity(docs(s, dir), "text", "doc_id")
 
+  /** End-to-end streaming ingest: document files stream in →
+    * featurize → ANN index append → text-query probe of the landed
+    * index (see [[graft.streaming.StreamPipeline]]). Rows-only: the
+    * result content is pinned by StreamPipelineSpec (probe == the batch
+    * flow over the same corpus).
+    */
+  def streamPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = Featurize.hashedBow(docs(s, dir), "text", 64, Seq("doc_id"))
+    val idx = Ann.buildCached(dir + "#hbow", emb, "embedding", "doc_id", k = 8, seed = 42)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_pipe").toString + "/idx"
+    graft.streaming.StreamPipeline.ingestAndProbe(
+      s, dir, indexDir, idx.centroids, "spark filter join stream")
+  }
+
+  /** Streamed per-source BPE token budgeting: the complete-mode
+    * accounting aggregation drained to its final snapshot — equal by
+    * construction to the batch aggregation, which is what the twin
+    * checks.
+    */
+  def streamTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.tokenBudgetSnapshot(s, dir, budget = TokenBudget)
+
+  /** Per-source budget for [[streamTokenBudget]] — shared with the twin. */
+  val TokenBudget = 3000L
+
   def tokenTopK(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTermsPerGroup(
       tokenTable(s, dir).select("source", "term"), "source", k = 5)

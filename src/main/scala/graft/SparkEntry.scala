@@ -95,6 +95,8 @@ object SparkEntry {
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
+    "stream_pipeline"     -> (Queries.streamPipeline(_, _)),
+    "stream_token_budget" -> (Queries.streamTokenBudget(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),

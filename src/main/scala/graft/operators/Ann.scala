@@ -95,9 +95,15 @@ object Ann {
       .sortBy(_._2).take(nProbe).map(_._1).toSeq
   }
 
-  /** Collect the one-row query vector as doubles (driver-side). */
+  /** Collect the one-row query vector as doubles (driver-side; accepts
+    * float or double element types).
+    */
   def queryVector(queryDf: DataFrame, queryVec: String): Array[Double] =
-    queryDf.select(queryVec).head().getSeq[Float](0).map(_.toDouble).toArray
+    queryDf.select(queryVec).head().getSeq[Any](0).map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case other => sys.error(s"unsupported vector element: ${other.getClass}")
+    }.toArray
 
   /** Cluster-pruned cosine top-k for a one-row query DataFrame. */
   def probe(index: Index, queryDf: DataFrame, queryVec: String, nProbe: Int, topK: Int): DataFrame =

@@ -102,24 +102,26 @@ object Lm {
             concat_ws(" ", element_at(col("_toks"), i), element_at(col("_toks"), i + 1)).as("bg"),
             element_at(col("_toks"), i + 1).as("w"))))
         .otherwise(array().cast("array<struct<bg:string,w:string>>")))
-    val scored = base
-      .select(col(idCol), explode(rows).as("r"))
+    // explode_OUTER keeps token-less documents as one null scoring row
+    // (lp guarded to NULL) — no second corpus scan + join to re-attach
+    // them, which would shuffle the whole table twice at 100 TB
+    base
+      .select(col(idCol), explode_outer(rows).as("r"))
       .select(col(idCol), col("r.bg").as("bg"), col("r.w").as("w"))
       .join(broadcast(uniDf), Seq("w"), "left")
       .join(broadcast(biDf), Seq("bg"), "left")
       .withColumn("ulp_or_oov", coalesce(col("ulp"), lit(m.oovLp)))
       .withColumn("lp",
-        when(col("bg").isNull, col("ulp_or_oov"))
+        when(col("w").isNull, lit(null).cast("double"))
+          .when(col("bg").isNull, col("ulp_or_oov"))
           .otherwise(coalesce(col("blp"), lit(m.backoffLp) + col("ulp_or_oov"))))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(exp(-sum(col("lp")) / count(lit(1))), 5).as("ppl"))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+        count(col("w")).as("n_tokens"),
+        round(exp(-sum(col("lp")) / count(col("w"))), 5).as("ppl"))
       .select(
         col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_tokens"),
         col("ppl"),
         when(col("ppl").isNull, "empty")
           .when(col("ppl") <= m.tHead, "head")

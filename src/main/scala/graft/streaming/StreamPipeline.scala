@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.{Ann, Featurize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end continuous-ingest pipeline: document files arrive as a
+  * stream → each micro-batch is featurized (hashed-BoW dense
+  * embeddings) and appended to the persisted cluster-partitioned ANN
+  * index under the EXISTING centroids → a text query probes the index
+  * the moment the stream has drained. This is the reference's
+  * ingest→embed→store→search loop (ingestor.py:62 → embedder.py:41 →
+  * store.py:180 → store.py:261) re-expressed as Structured Streaming
+  * plus index maintenance — the store layout carries all state, the
+  * stream carries none.
+  *
+  * Shape at scale: featurization is the batch [[Featurize.hashedBow]]
+  * inside `foreachBatch` (per-batch partial-agg aggregation, no
+  * unbounded streaming state); the index append is a
+  * partitioned-by-cluster parquet write (file-level pruning for every
+  * later probe); the probe scans ~nProbe/k of the landed bytes.
+  */
+object StreamPipeline {
+
+  /** File-stream the documents table of a testdata dir. The file source
+    * requires a DIRECTORY to watch, so the table file is linked into a
+    * fresh staging dir — the local stand-in for the landing zone new
+    * corpus files arrive in.
+    */
+  def documentStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.documents(spark, dir).schema
+    val staging = java.nio.file.Files.createTempDirectory("graft_doc_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(schema).parquet(staging.toString)
+  }
+
+  /** Run the full flow synchronously: stream `dir`'s documents into a
+    * fresh index at `indexDir` (centroids supplied by the caller's
+    * offline fit), then return the top-`k` probe for `queryText`.
+    */
+  def ingestAndProbe(
+      spark: SparkSession,
+      dir: String,
+      indexDir: String,
+      centroids: Array[Array[Double]],
+      queryText: String,
+      dims: Int = 64,
+      nProbe: Int = 3,
+      k: Int = 10): DataFrame = {
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val embedded = Featurize.hashedBow(batch, "text", dims, Seq("doc_id"))
+          Ann.appendToIndex(indexDir, embedded.select("doc_id", "embedding"),
+            "embedding", centroids)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val queryDf = Featurize
+      .hashedBow(
+        spark.range(1).select(lit(queryText).as("text"), col("id")),
+        "text", dims, Seq("id"))
+      .select(col("embedding").as("q_vec"))
+    Ann.probePersisted(spark, indexDir, centroids, queryDf,
+      "q_vec", "embedding", "doc_id", nProbe, k)
+  }
+
+  /** Streamed per-source BPE token accounting, drained synchronously:
+    * the complete-mode [[EventStreams.tokenAccounting]] aggregation
+    * lands in a memory sink and the final totals come back ordered.
+    * Equal BY CONSTRUCTION to the batch aggregation over the same
+    * corpus — which is exactly what its DuckDB twin checks.
+    */
+  def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
+    val stream = documentStream(spark, dir).select("doc_id", "source", "text")
+    val name = "stream_token_budget_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.tokenAccounting(stream, budget)
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("source"), col("docs"), col("bpe_tokens"), col("over_budget"))
+      .orderBy("source")
+  }
+}

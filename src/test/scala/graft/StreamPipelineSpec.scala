@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Ann, Featurize, Search}
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.functions._
+
+class StreamPipelineSpec extends SparkSpec {
+
+  test("ingestAndProbe: streamed index probe equals the batch-built probe on the same corpus") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Featurize.hashedBow(docs, "text", 64, Seq("doc_id"))
+    val idx = Ann.buildCached(sf + "#hbow", emb, "embedding", "doc_id", k = 8, seed = 42)
+
+    val streamedDir = java.nio.file.Files
+      .createTempDirectory("graft_sp_test").toString + "/idx"
+    val got = StreamPipeline.ingestAndProbe(
+      spark, sf, streamedDir, idx.centroids, "spark filter join stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // batch twin: same centroids, same corpus, written by the batch path
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_sp_batch").toString + "/idx"
+    Ann.appendToIndex(batchDir, emb.select("doc_id", "embedding"), "embedding", idx.centroids)
+    val queryDf = Featurize.hashedBow(
+        spark.range(1).select(lit("spark filter join stream").as("text"), col("id")),
+        "text", 64, Seq("id"))
+      .select(col("embedding").as("q_vec"))
+    val expected = Ann.probePersisted(spark, batchDir, idx.centroids, queryDf,
+      "q_vec", "embedding", "doc_id", nProbe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    assert(got == expected, s"streamed probe diverged:\n$got\nvs\n$expected")
+    assert(got.length == 10)
+    // descending score, id tie-break — deterministic output
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("tokenBudgetSnapshot equals the batch per-source BPE aggregation") {
+    val got = StreamPipeline.tokenBudgetSnapshot(spark, sf, budget = 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val batch = graft.streaming.EventStreams
+      .tokenAccounting(Tables.documents(spark, sf).select("doc_id", "source", "text"), 3000L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+}
