@@ -36,5 +36,15 @@ object OracleArtifacts {
     */
   @volatile var ivfpq: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Array[Array[Double]])] = None
 
-  def clear(): Unit = { ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None }
+  /** (hashedBoW-space centroids, probed cells) from stream_pipeline.
+    * The streamed index's content is a pure function of (corpus, fitted
+    * centroids, query text), so the landed probe twins exactly like the
+    * batch ANN probes.
+    */
+  @volatile var streamPipeline: Option[(Array[Array[Double]], Seq[Int])] = None
+
+  def clear(): Unit = {
+    ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None
+    streamPipeline = None
+  }
 }

@@ -387,7 +387,40 @@ object OracleSql {
            |SELECT vec_id, ${cosine("pev", "qv")} AS cos_sim FROM pcand, qq
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries).toMap
+    val streamEntries = OracleArtifacts.streamPipeline.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.streamPipeline: the stream-landed index equals
+      // assigning the corpus's dense hashed-BoW embeddings to the fitted
+      // centroids (literals), so the probe replays as: dense-vector
+      // construction in dim order (grid left-join — exact twin of
+      // Featurize.hashedBow's 0..63 map lookup), L2 normalize, the
+      // NearestCentroid distance chain, cell filter, cosine top-k.
+      def dimExpr(t: String): String =
+        s"CAST(((strpos('0123456789abcdef', substr(md5($t), 1, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(md5($t), 2, 1)) - 1) % 64 AS BIGINT)"
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      "stream_pipeline" ->
+        s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+           |tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+           |dd AS (SELECT doc_id, ${dimExpr("term")} AS dim, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY 1, 2),
+           |ids AS (SELECT DISTINCT doc_id FROM documents),
+           |grid AS (SELECT ids.doc_id, dims.dim FROM ids CROSS JOIN dims),
+           |raw AS (SELECT g.doc_id, list(coalesce(dd.cnt, 0.0e0) ORDER BY g.dim) AS rv
+           |        FROM grid g LEFT JOIN dd ON g.doc_id = dd.doc_id AND g.dim = dd.dim
+           |        GROUP BY g.doc_id),
+           |emb AS (SELECT doc_id, list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS ev FROM raw),
+           |qtok AS (SELECT unnest(${toks("'spark filter join stream'")}) AS term),
+           |qdd AS (SELECT ${dimExpr("term")} AS dim, CAST(count(*) AS DOUBLE) AS cnt FROM qtok GROUP BY 1),
+           |qraw AS (SELECT list(coalesce(qdd.cnt, 0.0e0) ORDER BY dims.dim) AS rv
+           |         FROM dims LEFT JOIN qdd ON dims.dim = qdd.dim),
+           |q AS (SELECT list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS qv FROM qraw),
+           |nrm AS (SELECT doc_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM emb),
+           |dst AS (SELECT doc_id, ev, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT doc_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst)
+           |SELECT doc_id, cluster, ${cosine("ev", "qv")} AS cos_sim
+           |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
+           |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
+    }
+    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++ streamEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -415,17 +415,25 @@ object Queries {
 
   /** End-to-end streaming ingest: document files stream in →
     * featurize → ANN index append → text-query probe of the landed
-    * index (see [[graft.streaming.StreamPipeline]]). Rows-only: the
-    * result content is pinned by StreamPipelineSpec (probe == the batch
-    * flow over the same corpus).
+    * index (see [[graft.streaming.StreamPipeline]]). The landed index
+    * is a pure function of (corpus, fitted centroids, query text), so
+    * the probe twins like the batch ANN probes — centroids + probed
+    * cells are captured for the fitted-constant DuckDB twin, and
+    * StreamPipelineSpec additionally pins probe == the batch flow.
     */
   def streamPipeline(s: SparkSession, dir: String): DataFrame = {
+    val queryText = "spark filter join stream"
     val emb = Featurize.hashedBow(docs(s, dir), "text", 64, Seq("doc_id"))
     val idx = Ann.buildCached(dir + "#hbow", emb, "embedding", "doc_id", k = 8, seed = 42)
+    val cells = Ann.nearestCells(
+      idx.centroids,
+      Ann.queryVector(graft.streaming.StreamPipeline.queryEmbedding(s, queryText), "q_vec"),
+      nProbe = 3)
+    OracleArtifacts.streamPipeline = Some((idx.centroids, cells))
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft_stream_pipe").toString + "/idx"
     graft.streaming.StreamPipeline.ingestAndProbe(
-      s, dir, indexDir, idx.centroids, "spark filter join stream")
+      s, dir, indexDir, idx.centroids, queryText)
   }
 
   /** Streamed per-source BPE token budgeting: the complete-mode

@@ -62,14 +62,20 @@ object StreamPipeline {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val queryDf = Featurize
+    val queryDf = queryEmbedding(spark, queryText, dims)
+    Ann.probePersisted(spark, indexDir, centroids, queryDf,
+      "q_vec", "embedding", "doc_id", nProbe, k)
+  }
+
+  /** One-row hashed-BoW embedding of a query text (the same featurizer
+    * the ingest leg applies to documents).
+    */
+  def queryEmbedding(spark: SparkSession, queryText: String, dims: Int = 64): DataFrame =
+    Featurize
       .hashedBow(
         spark.range(1).select(lit(queryText).as("text"), col("id")),
         "text", dims, Seq("id"))
       .select(col("embedding").as("q_vec"))
-    Ann.probePersisted(spark, indexDir, centroids, queryDf,
-      "q_vec", "embedding", "doc_id", nProbe, k)
-  }
 
   /** Streamed per-source BPE token accounting, drained synchronously:
     * the complete-mode [[EventStreams.tokenAccounting]] aggregation
