@@ -36,6 +36,11 @@ object OracleArtifacts {
     */
   @volatile var ivfpq: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Array[Array[Double]])] = None
 
+  /** (IVF centroids, probed cells) from ivfsq_probe — the SQ8 leg is
+    * pure element-wise arithmetic, so only the IVF side needs literals.
+    */
+  @volatile var ivfsq: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** (hashedBoW-space centroids, probed cells) from stream_pipeline.
     * The streamed index's content is a pure function of (corpus, fitted
     * centroids, query text), so the landed probe twins exactly like the
@@ -45,6 +50,6 @@ object OracleArtifacts {
 
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None
-    streamPipeline = None
+    ivfsq = None; streamPipeline = None
   }
 }

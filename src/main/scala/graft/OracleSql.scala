@@ -387,6 +387,28 @@ object OracleSql {
            |SELECT vec_id, ${cosine("pev", "qv")} AS cos_sim FROM pcand, qq
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val ivfsqEntries = OracleArtifacts.ivfsq.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.ivfsqProbe: IVF assignment (fitted-centroid
+      // literals) filters to the probed cells; the SQ8 leg is pure
+      // element-wise arithmetic (scale = maxabs/127, floor(x/s + 0.5)
+      // codes — see sq_probe); approx prune to 40 then exact re-rank.
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      "ivfsq_probe" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+           |dst AS (SELECT vec_id, ev, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst
+           |        WHERE (list_indexof(dl, list_min(dl)) - 1) IN (${cells.mkString(", ")})),
+           |z AS (SELECT vec_id, ev, cluster, list_max(list_transform(ev, x -> abs(x))) / 127.0 AS s FROM asg),
+           |cd AS (SELECT vec_id, ev, cluster,
+           |        CASE WHEN s > 0 THEN list_transform(ev, x -> CAST(floor(x / s + 0.5) AS DOUBLE))
+           |             ELSE list_transform(ev, x -> 0.0) END AS cv FROM z),
+           |ap AS (SELECT vec_id, cluster, ev, ${cosine("cv", "qv")} AS approx_sim
+           |       FROM cd, q ORDER BY approx_sim DESC, vec_id LIMIT 40)
+           |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+           |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val streamEntries = OracleArtifacts.streamPipeline.toSeq.map { case (cents, cells) =>
       // Twin of Queries.streamPipeline: the stream-landed index equals
       // assigning the corpus's dense hashed-BoW embeddings to the fitted
@@ -420,7 +442,8 @@ object OracleSql {
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++ streamEntries).toMap
+    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++
+      ivfsqEntries ++ streamEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -891,6 +891,24 @@ object Queries {
     Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
   }
 
+  /** Persisted IVF+SQ8 probe: partition-pruned scan of the int8 CODES
+    * sidecar (4× fewer bytes than the vectors it covers), approximate
+    * prune to 40, exact re-rank against the full-precision base table
+    * joined back by id. Same memoized IVF fit as [[annProbe]].
+    */
+  def ivfsqProbe(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.ivfsq = Some((index.centroids, cells))
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq").resolve("idx").toString
+    Sq.writeIvfSq(path, corpus, "embedding", "vec_id", index.centroids)
+    Sq.probeIvfSq(s, path, index.centroids, corpus, q,
+      "q_vec", "vec_id", "embedding", nProbe = 3, k = 10, refine = 40)
+  }
+
   /** Incremental index maintenance end-to-end (reference: store.py:197
     * rebuilds its index on every upsert; the Spark-scale equivalent is
     * delta assignment into the same partitioned layout, no rebuild):

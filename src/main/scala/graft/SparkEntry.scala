@@ -95,6 +95,7 @@ object SparkEntry {
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
+    "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "stream_pipeline"     -> (Queries.streamPipeline(_, _)),
     "stream_token_budget" -> (Queries.streamTokenBudget(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Int8 scalar quantization (SQ8) for embedding columns — the standard
@@ -43,6 +43,60 @@ object Sq {
         when(col(scaleCol) > 0,
           transform(dv, x => floor(x / col(scaleCol) + 0.5).cast("int")))
           .otherwise(transform(dv, _ => lit(0))))
+  }
+
+  /** Persisted IVF+SQ8 index: assign each vector to its IVF cell
+    * (fitted centroids) and store ONLY (id, cluster, scale, codes),
+    * partitioned by cluster — the index artifact is ~4× smaller than
+    * the float32 vectors it covers AND partition-pruned at probe time,
+    * compounding the two levers (scan nProbe/k of the corpus, at a
+    * quarter of the bytes). Full-precision vectors stay in the BASE
+    * table; the refine re-rank fetches them by id.
+    */
+  def writeIvfSq(
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]]): Unit =
+    quantize(Ann.assign(df, vecCol, centroids), vecCol)
+      .select(col(idCol), col("cluster"), col("sq_scale"), col("sq_codes"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Probe the persisted IVF+SQ8 layout: nProbe-cell partition-pruned
+    * scan of the CODES sidecar, approximate-cosine prune to `refine`
+    * candidates, then exact re-rank against the full-precision `base`
+    * table joined back by id (the candidate set broadcasts — at scale
+    * this is a point-lookup against a bucketed-by-id base layout, not
+    * a second corpus pass).
+    */
+  def probeIvfSq(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queryDf: DataFrame,
+      queryVec: String,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40): DataFrame = {
+    val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
+    val candidates = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(cells))
+      .crossJoin(broadcast(queryDf))
+      .withColumn("approx_sim", VectorOps.cosineRounded(col("sq_codes"), col(queryVec)))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(refine)
+    base
+      .join(broadcast(candidates), idCol)
+      .crossJoin(broadcast(queryDf))
+      .withColumn("cos_sim", VectorOps.cosineRounded(col(vecCol), col(queryVec)))
+      .select(col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Brute-force SQ probe with exact re-rank: approximate cosine on the

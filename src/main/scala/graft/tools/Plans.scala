@@ -35,7 +35,7 @@ object Plans {
           .replaceAll("@[0-9a-f]+", "@x") // JVM identity hash of reference objects
           // lambda-variable numbering and lambda-class ids shift whenever an
           // unrelated query is added/removed earlier in the session — pure noise
-          .replaceAll("lambda x_\\d+", "lambda x_n")
+          .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n")
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$n")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(outDir, s"$name.txt"), stable)
         println(s"[plans] $name ok")

@@ -89,11 +89,16 @@ object ScaleCheck {
         .select(col("doc_id"),
           graft.functions.TextOps.phrasePositions(col("toks"), Seq("filter", "join")).as("pos"))
         .filter(size(col("pos")) > 0))
+      time(s"perplexity_filter", forced(Lm.perplexity(c, "text", "doc_id")))
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
       time(s"lsh_bucket_assign", embCorpus.select(col("vec_id"),
         Lsh.bucket(col("embedding"), 64, 16).as("bkt")))
+      time(s"sq_probe", Sq.probe(
+        embCorpus.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        "embedding", "q_vec", "vec_id"))
     }
     spark.stop()
   }

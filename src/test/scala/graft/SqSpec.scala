@@ -32,6 +32,36 @@ class SqSpec extends SparkSpec {
     assert(out(1).getSeq[Int](3) == Seq(64, -127, 32))
   }
 
+  test("persisted IVF+SQ8: codes-only sidecar, partition-pruned probe, high recall") {
+    import graft.operators.Ann
+    val corpus = embs.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_test").resolve("idx").toString
+    Sq.writeIvfSq(path, corpus, "embedding", "vec_id", index.centroids)
+
+    // the sidecar holds no full-precision vectors — codes + scale only
+    val sidecarCols = spark.read.parquet(path).columns.toSet
+    assert(sidecarCols == Set("vec_id", "sq_scale", "sq_codes", "cluster"))
+
+    val probe = Sq.probeIvfSq(spark, path, index.centroids, corpus, queryDf,
+      "q_vec", "vec_id", "embedding")
+    // cluster pruning reaches the file level
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "probe lost partition pruning")
+    val got = probe.collect()
+    assert(got.length == 10)
+    val exactIds = operators.Search
+      .knnTopK(corpus, queryDf, "embedding", "q_vec", "vec_id", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // IVF pruning (3/10 cells) + SQ8 noise: most of the exact top-10
+    // lives in the probed cells (same gate as AnnSpec's recall >= 0.9
+    // minus quantization slack)
+    val hit = got.count(r => exactIds.contains(r.getLong(0)))
+    assert(hit >= 8, s"IVF+SQ8 recall@10 $hit/10 < 8")
+  }
+
   test("probe recall@10 vs exact brute force is high and re-ranked scores are exact") {
     val corpus = embs.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
     val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
