@@ -41,6 +41,9 @@ object OracleArtifacts {
     */
   @volatile var ivfsq: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** Principal components (r x dim) from pca_probe's memoized fit. */
+  @volatile var pca: Option[Array[Array[Double]]] = None
+
   /** (hashedBoW-space centroids, probed cells) from stream_pipeline.
     * The streamed index's content is a pure function of (corpus, fitted
     * centroids, query text), so the landed probe twins exactly like the
@@ -50,6 +53,6 @@ object OracleArtifacts {
 
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None
-    ivfsq = None; streamPipeline = None
+    ivfsq = None; pca = None; streamPipeline = None
   }
 }

@@ -409,6 +409,23 @@ object OracleSql {
            |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
            |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val pcaEntries = OracleArtifacts.pca.toSeq.map { comps =>
+      // Twin of Queries.pcaProbe: fitted components inlined; projection
+      // = list_dot_product against each component list (same element
+      // order as the Spark-side sequential fold), reduced-space cosine
+      // prune to 40, exact full-dim re-rank.
+      def proj(vec: String): String =
+        "[" + comps.map(c => s"list_dot_product($vec, [${c.map(dlit).mkString(", ")}])").mkString(", ") + "]"
+      "pca_probe" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |qp AS (SELECT qv, ${proj("qv")} AS qpv FROM q),
+           |cp AS (SELECT vec_id, ev, ${proj("ev")} AS pv FROM c),
+           |ap AS (SELECT vec_id, ev, ${cosine("pv", "qpv")} AS approx_sim
+           |       FROM cp, qp ORDER BY approx_sim DESC, vec_id LIMIT 100)
+           |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+           |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val streamEntries = OracleArtifacts.streamPipeline.toSeq.map { case (cents, cells) =>
       // Twin of Queries.streamPipeline: the stream-landed index equals
       // assigning the corpus's dense hashed-BoW embeddings to the fitted
@@ -443,7 +460,7 @@ object OracleSql {
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
     (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ streamEntries).toMap
+      ivfsqEntries ++ pcaEntries ++ streamEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -891,6 +891,25 @@ object Queries {
     Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
   }
 
+  /** PCA-reduced probe: approximate cosine in the 16-dim principal
+    * subspace (fit memoized per corpus, components then constants)
+    * prunes to 100 candidates, exact 64-dim cosine re-ranks to top 10.
+    * refine=100 (not 40) because the synthetic embeddings are
+    * near-isotropic — variance doesn't concentrate, so the 16-dim
+    * projection behaves like a JL sketch and needs the wider re-rank
+    * set for recall ≥ 8/10 (measured in PcaSpec); on real embedding
+    * distributions (which PCA compresses well) a smaller refine works.
+    */
+  def pcaProbe(s: SparkSession, dir: String): DataFrame = {
+    val model = Pca.fitCached(dir, embs(s, dir), "embedding", r = 16)
+    OracleArtifacts.pca = Some(model.components)
+    Pca.probe(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir), model,
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      k = 10, refine = 100)
+  }
+
   /** Persisted IVF+SQ8 probe: partition-pruned scan of the int8 CODES
     * sidecar (4× fewer bytes than the vectors it covers), approximate
     * prune to 40, exact re-rank against the full-precision base table

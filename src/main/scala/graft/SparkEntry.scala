@@ -96,6 +96,7 @@ object SparkEntry {
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
+    "pca_probe"           -> (Queries.pcaProbe(_, _)),
     "stream_pipeline"     -> (Queries.streamPipeline(_, _)),
     "stream_token_budget" -> (Queries.streamTokenBudget(_, _)),
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
