@@ -837,6 +837,29 @@ object OracleSql {
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
+    "c4_filters" ->
+      // Twin of TextAnalysis.c4Filters. Line handling matches
+      // repetition_stats' (trim then drop empties); the fraction is ONE
+      // double division rounded to 5 dp before the keep comparison.
+      s"""WITH t AS (SELECT doc_id, text,
+         |        list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)), l -> l <> '') AS lines,
+         |        ${toks()} AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |       CAST(len(lines) AS BIGINT) AS n_lines,
+         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$$'))) AS BIGINT) AS term_lines,
+         |       CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS sent_marks,
+         |       contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |       contains(text, '{') AS has_brace,
+         |       list_contains(toks, 'javascript') AS has_js
+         |      FROM t),
+         |g AS (SELECT doc_id, n_lines,
+         |       ROUND(CASE WHEN n_lines > 0 THEN CAST(term_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END, 5) AS terminal_line_frac,
+         |       sent_marks, has_lorem, has_brace, has_js FROM f)
+         |SELECT doc_id, n_lines, terminal_line_frac, sent_marks, has_lorem, has_brace, has_js,
+         |       (terminal_line_frac >= 0.5 AND sent_marks >= 3
+         |        AND NOT has_lorem AND NOT has_brace AND NOT has_js) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "repetition_stats" ->
       // Twin of TextAnalysis.repetitionStats. All counts are exact
       // BIGINTs; each fraction is ONE double division (identical

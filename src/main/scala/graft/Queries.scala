@@ -388,6 +388,12 @@ object Queries {
   def repetitionStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(docs(s, dir), "text", "doc_id")
 
+  /** C4-style heuristic cleanup (Raffel'20 §2.2): per-rule flags +
+    * the default keep combination.
+    */
+  def c4Filters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Filters(docs(s, dir), "text", "doc_id")
+
   /** Lee'21-style duplicated-span removal: drop token positions covered
     * by a 10-gram shared across >= 2 docs, rebuild token sequences.
     */

@@ -94,6 +94,7 @@ object SparkEntry {
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
+    "c4_filters"          -> (Queries.c4Filters(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "pca_probe"           -> (Queries.pcaProbe(_, _)),

@@ -175,6 +175,39 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** C4-style heuristic cleanup flags (Raffel et al. 2020, §2.2 — the
+    * published rules behind the C4 corpus): fraction of lines ending in
+    * terminal punctuation (C4 keeps punct-terminated lines), a sentence
+    * floor (C4 drops pages under 3 sentences), and the three content
+    * tripwires — "lorem ipsum", curly braces (code), the token
+    * "javascript" (boilerplate warnings). Emitted per rule so a
+    * curation pipeline can tune the combination; `keep` applies the
+    * C4 defaults on the ROUNDED fraction (engine-portable).
+    *
+    * Shape at scale: one pure codegen'd projection per row — string
+    * predicates + one HOF over the split lines; no explode, no
+    * shuffle, no state.
+    */
+  def c4Filters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val terminalLines = size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("long")
+    val sentMarks = regexp_count(col(textCol), lit("[.!?]")).cast("long")
+    df.select(
+      col(idCol),
+      nLines.as("n_lines"),
+      round(when(nLines > 0, terminalLines.cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0)), 5).as("terminal_line_frac"),
+      sentMarks.as("sent_marks"),
+      contains(lower(col(textCol)), lit("lorem ipsum")).as("has_lorem"),
+      contains(col(textCol), lit("{")).as("has_brace"),
+      array_contains(TextOps.tokenize(col(textCol)), "javascript").as("has_js"))
+      .withColumn("keep",
+        col("terminal_line_frac") >= 0.5 && col("sent_marks") >= 3 &&
+          !col("has_lorem") && !col("has_brace") && !col("has_js"))
+      .orderBy(idCol)
+  }
+
   /** Per-doc language prediction by stopword-hit argmax; 'und' when no
     * list matches. Deterministic tie-break: list order above.
     */
