@@ -113,4 +113,29 @@ class ChunkStore(val root: String, val keyCol: String) {
       f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     }.sum
   }
+
+  def deltaCount(spark: SparkSession): Int = deltaDirs(spark).size
+
+  final case class MaintenanceReport(deltasBefore: Int, deltasAfter: Int, compacted: Boolean)
+
+  /** Threshold-triggered compaction policy: fold the chain only once
+    * read amplification (delta count ≈ files merged per read) exceeds
+    * `maxDeltas` — the size-tiered-compaction trade: ingest pays
+    * nothing per batch, and the occasional full fold keeps every read
+    * bounded at ≤ maxDeltas merge inputs. Reuses [[compact]]'s
+    * crash-safe order (new delta lands before old ones are removed),
+    * which is why the policy folds the WHOLE chain rather than a
+    * prefix: a prefix fold would have to re-number a delta in place,
+    * opening a window where a crash loses the folded rows. At 100 TB
+    * the refinement is leveled compaction with a manifest (atomic
+    * pointer swap, e.g. Delta/Iceberg's log) — the policy seam here
+    * stays the same.
+    */
+  def maintain(spark: SparkSession, maxDeltas: Int = 8): MaintenanceReport = {
+    val before = deltaCount(spark)
+    if (before > maxDeltas) {
+      compact(spark)
+      MaintenanceReport(before, deltaCount(spark), compacted = true)
+    } else MaintenanceReport(before, before, compacted = false)
+  }
 }
