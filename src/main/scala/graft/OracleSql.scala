@@ -221,6 +221,35 @@ object OracleSql {
        |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |       GROUP BY tf.doc_id)""".stripMargin
 
+  /** Twin of Fts.probeBatch over Queries.BatchTextQueries: the same
+    * scoring CTEs as bm25Cte, parameterized per query via a VALUES
+    * table (the per-query df/idf and length norms are identical — the
+    * batch only adds the query_id grouping dimension).
+    */
+  private lazy val bm25BatchSql: String = {
+    val qValues = Queries.BatchTextQueries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val allTerms = Queries.BatchTextQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+       |qq AS (SELECT * FROM (VALUES $qValues) AS t(query_id, term)),
+       |qt AS (SELECT doc_id, term FROM tok WHERE term IN ($allTerms)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM qt GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM qt GROUP BY term),
+       |sc AS (SELECT qq.query_id, tf.doc_id,
+       |        ROUND(SUM( ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+       |             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ), 5) AS bm25
+       |       FROM tf JOIN qq USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY qq.query_id, tf.doc_id),
+       |r AS (SELECT query_id, doc_id, bm25,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25, rk FROM r
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   private val knnCte: String =
     s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
        |c AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0)""".stripMargin
@@ -530,6 +559,8 @@ object OracleSql {
       // function of the corpus).
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_batch" -> bm25BatchSql,
 
     "bm25_phrase" ->
       s"""WITH $bm25Cte,

@@ -16,6 +16,13 @@ object Queries {
   /** The fixed text query used by the BM25/hybrid demos. */
   val QueryTerms: Seq[String] = Seq("spark", "filter", "join", "stream")
 
+  /** The fixed query batch for [[bm25Batch]] — shared with its twin. */
+  val BatchTextQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "filter"),
+    1L -> Seq("join", "stream"),
+    2L -> Seq("spark", "join", "stream"),
+    3L -> Seq("filter"))
+
   private def docs(s: SparkSession, dir: String)   = Tables.documents(s, dir)
   private def embs(s: SparkSession, dir: String)   = Tables.embeddings(s, dir)
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
@@ -125,6 +132,15 @@ object Queries {
   def semanticIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
     Fts.semanticProbe(s, idx, "doc_id", "spark filter join stream", k = 10)
+  }
+
+  /** Batch BM25 retrieval over the persisted FTS index: every query's
+    * top-5 in one pruned postings pass (the text-side analog of
+    * [[annBatchProbe]]'s workload shape).
+    */
+  def bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    Fts.probeBatch(s, idx, "doc_id", BatchTextQueries, k = 5)
   }
 
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =

@@ -148,4 +148,49 @@ object Fts {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batch BM25 over the persisted index — the text-side analog of
+    * [[Ann.probeBatch]] (offline eval / distillation-query workloads):
+    * every query's top-k in ONE pruned postings pass. The scan is
+    * pruned to the UNION of all query terms (pushed to the term-sorted
+    * layout), the query table and the per-term df table broadcast
+    * (both O(query terms)), scoring is row-wise per (query, doc,
+    * term) with one partial-agg shuffle on (query, doc), and the
+    * per-query top-k is the bounded-heap [[graft.plans.TopK]]
+    * operator — never a global sort.
+    */
+  def probeBatch(
+      spark: SparkSession,
+      index: Index,
+      idCol: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val p = spark.read.parquet(s"${index.dir}/postings")
+      .filter(col("term").isin(allTerms: _*))
+    val qdf = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // postings are unique per (term, doc): a pruned-scan row count per
+    // term IS the document frequency
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = p
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .withColumn("_idf",
+        log(lit(1.0) + (lit(index.nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("_contrib",
+        col("_idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(index.avgdl))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("_contrib")), 5).as("bm25"))
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"), Seq(("bm25", false), (idCol, true)), k)
+      .select(col("query_id"), col(idCol), col("bm25"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
 }

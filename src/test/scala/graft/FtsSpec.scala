@@ -48,6 +48,25 @@ class FtsSpec extends SparkSpec {
     assert(fromScratch == fromIndex)
   }
 
+  test("probeBatch equals a per-query sequence of single probes") {
+    val dir = Files.createTempDirectory("fts_spec_").toString
+    val idx = Fts.build(docsFixture, "text", "doc_id", dir)
+    val batch = Seq(0L -> Seq("cat"), 1L -> Seq("cat", "dog"), 2L -> Seq("fish", "bird"))
+    val got = Fts.probeBatch(spark, idx, "doc_id", batch, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val expected = batch.flatMap { case (qid, terms) =>
+      Fts.probe(spark, idx, "doc_id", terms, k = 3).collect().zipWithIndex.map {
+        case (r, i) => (qid, r.getLong(0), r.getDouble(1), (i + 1).toLong)
+      }
+    }
+    assert(got == expected, s"batch diverged:\n$got\nvs\n$expected")
+    // one pruned pass: the union term filter reaches the scan
+    val plan = Fts.probeBatch(spark, idx, "doc_id", batch, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"))
+    assert(!plan.contains("SortMergeJoin"), "query/df tables must broadcast")
+  }
+
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
     val dir = Files.createTempDirectory("fts_spec_").toString
     Fts.build(docsFixture, "text", "doc_id", dir)
