@@ -812,6 +812,30 @@ object OracleSql {
          |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
+    "decontaminate_spans" ->
+      // Twin of Dedup.decontaminateSpans (n=10, benchmark = doc_id<10,
+      // corpus = doc_id>=10): span_dedup's reassembly with the dup set
+      // replaced by the benchmark gram set.
+      s"""WITH t AS (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id >= 10),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS pos FROM t),
+         |gr AS (SELECT doc_id,
+         |        md5(unnest(CASE WHEN len(toks) >= 10
+         |          THEN list_transform(generate_series(1, len(toks) - 9), i -> array_to_string(toks[i:i+9], ' '))
+         |          ELSE [] END)) AS g,
+         |        unnest(CASE WHEN len(toks) >= 10 THEN generate_series(1, len(toks) - 9) ELSE [] END) AS gpos
+         |       FROM t),
+         |bt AS (SELECT ${toks()} AS toks FROM documents WHERE doc_id < 10),
+         |bg AS (SELECT DISTINCT md5(unnest(CASE WHEN len(toks) >= 10
+         |          THEN list_transform(generate_series(1, len(toks) - 9), i -> array_to_string(toks[i:i+9], ' '))
+         |          ELSE [] END)) AS g FROM bt),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.gpos + o.off AS pos
+         |        FROM gr JOIN bg USING (g) CROSS JOIN generate_series(0, 9) AS o(off))
+         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_tokens,
+         |       COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN tok END, ' ' ORDER BY tok.pos), '') AS clean_text
+         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
     "chunkstore_read" ->
       // Twin of Queries.chunkstoreRead: replay the deterministic
       // modification rules (upsert-wins for %7==3, tombstone for

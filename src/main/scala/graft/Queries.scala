@@ -608,6 +608,16 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** Span-level decontamination: drop the corpus token positions
+    * covered by any benchmark 10-gram and rebuild (surgical removal,
+    * vs [[contaminationCheck]]'s ratio report).
+    */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateSpans(
+      docs(s, dir).filter(col("doc_id") >= 10),
+      docs(s, dir).filter(col("doc_id") < 10),
+      "text", "doc_id")
+
   /** The reference's PRIMARY search flow end-to-end (server.py: embed the
     * query text, then vector top-k — store.py:261): query text →
     * hashed-BoW dims → sparse cosine against every document's hashed-BoW

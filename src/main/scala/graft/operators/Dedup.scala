@@ -68,6 +68,55 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Span-level benchmark decontamination — [[duplicatedSpanRemoval]]'s
+    * machinery pointed at an EXTERNAL gram set (Lee et al. 2021 §5 note
+    * the same exact-substring tooling serves decontamination; GPT-3
+    * appendix C removes benchmark-colliding n-gram spans rather than
+    * whole documents): every corpus token position covered by an
+    * n-gram that appears anywhere in the benchmark is dropped, and the
+    * document is rebuilt from what remains — surgical removal instead
+    * of [[TextAnalysis.contamination]]'s doc-level ratio report.
+    *
+    * Shape at scale: the benchmark gram set is distinct + BROADCAST
+    * (eval sets are tiny next to a training corpus — same justified
+    * assumption as the contamination check); the corpus explodes once
+    * into grams and once into tokens, both keyed by md5 hashes.
+    */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 10
+  ): DataFrame = {
+    val toksDf = corpus.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+    val tok = toksDf.select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
+    val gr = toksDf
+      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
+      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
+    val benchGrams = benchmark
+      .select(TextOps.rawShingles(TextOps.tokenize(col(textCol)), n).as("_sh"))
+      .select(explode(col("_sh")).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+    val covered = gr.join(broadcast(benchGrams), "g")
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+      .withColumn("_cov", lit(true))
+    tok
+      .join(covered, Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_cov"), 1L).otherwise(0L)).as("dropped_tokens"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("_cov").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok"))).as("clean_text"))
+      .orderBy(idCol)
+  }
+
   /** Exact dedup groups: one row per content hash that occurs more than
     * once, with the kept (minimum) id and the duplicate count.
     * Hash-partitioned groupBy — embarrassingly scalable.
