@@ -892,6 +892,39 @@ object OracleSql {
          |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
+    "gopher_quality" ->
+      // Twin of TextAnalysis.gopherQuality. Words = whitespace tokens
+      // (punctuation kept); every ratio is ONE double division rounded
+      // to 5 dp before the keep comparison; empty-list sums coalesce
+      // to 0 (Spark's aggregate over an empty array returns the zero).
+      s"""WITH t AS (SELECT doc_id, text,
+         |        list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
+         |        list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)), l -> l <> '') AS lines,
+         |        ${toks()} AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |       CAST(len(words) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_len,
+         |       CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbol_hits,
+         |       CAST(len(lines) AS BIGINT) AS n_lines,
+         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*]'))) AS BIGINT) AS bullet_lines,
+         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines,
+         |       CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         |       CAST(len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |      FROM t),
+         |g AS (SELECT doc_id, n_words,
+         |       ROUND(CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0e0 END, 5) AS mean_word_len,
+         |       ROUND(CASE WHEN n_words > 0 THEN CAST(symbol_hits AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0e0 END, 5) AS symbol_ratio,
+         |       ROUND(CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END, 5) AS bullet_frac,
+         |       ROUND(CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END, 5) AS ellipsis_frac,
+         |       ROUND(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0e0 END, 5) AS alpha_frac,
+         |       stop_hits FROM f)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+         |        AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "c4_filters" ->
       // Twin of TextAnalysis.c4Filters. Line handling matches
       // repetition_stats' (trim then drop empties); the fraction is ONE

@@ -410,6 +410,12 @@ object Queries {
   def c4Filters(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.c4Filters(docs(s, dir), "text", "doc_id")
 
+  /** Gopher quality filters (Rae'21 §A1.1, non-repetition half):
+    * word/symbol/bullet/alpha/stopword rules + default keep.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQuality(docs(s, dir), "text", "doc_id")
+
   /** Lee'21-style duplicated-span removal: drop token positions covered
     * by a 10-gram shared across >= 2 docs, rebuild token sequences.
     */

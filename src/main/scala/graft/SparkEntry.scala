@@ -96,6 +96,7 @@ object SparkEntry {
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
+    "gopher_quality"      -> (Queries.gopherQuality(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),

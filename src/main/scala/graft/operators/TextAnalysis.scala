@@ -175,6 +175,53 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** The eight Gopher stopwords for the "≥2 distinct hits" rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style QUALITY filters (Rae et al. 2021, §A1.1 — the
+    * non-repetition half; [[repetitionStats]] covers the other):
+    * word-count window, mean word length window, symbol-to-word ratio
+    * ('#' and '…'-as-'...'), bullet-line and ellipsis-line fractions,
+    * fraction of words containing an alphabetic character, and the
+    * ≥2-distinct-stopwords floor. `keep` applies the paper's default
+    * thresholds to the ROUNDED ratios (engine-portable).
+    *
+    * Words here are WHITESPACE tokens (punctuation kept) — the paper's
+    * notion, distinct from the canonical alnum tokenizer — so the
+    * alphabetic-fraction and word-length rules see real symbols.
+    * Shape at scale: one pure codegen'd projection, no shuffle.
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines).cast("long")
+    val symbolHits =
+      regexp_count(col(textCol), lit("#")) + regexp_count(col(textCol), lit("\\.\\.\\."))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0)), 5)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      frac(sumLen, nWords).as("mean_word_len"),
+      frac(symbolHits, nWords).as("symbol_ratio"),
+      frac(size(filter(lines, l => l.rlike("^[-*]"))), nLines).as("bullet_frac"),
+      frac(size(filter(lines, l => l.rlike("\\.\\.\\.$"))), nLines).as("ellipsis_frac"),
+      frac(size(filter(words, w => w.rlike("[A-Za-z]"))), nWords).as("alpha_frac"),
+      size(array_intersect(
+        array_distinct(TextOps.tokenize(col(textCol))),
+        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2)
+      .orderBy(idCol)
+  }
+
   /** C4-style heuristic cleanup flags (Raffel et al. 2020, §2.2 — the
     * published rules behind the C4 corpus): fraction of lines ending in
     * terminal punctuation (C4 keeps punct-terminated lines), a sentence

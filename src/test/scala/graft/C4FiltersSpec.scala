@@ -27,6 +27,27 @@ class C4FiltersSpec extends SparkSpec {
     assert(out(7L).getLong(1) == 0L && !out(7L).getBoolean(7), "empty doc")
   }
 
+  test("gopher quality rules fire on their canonical violations") {
+    import spark.implicits._
+    val filler = Seq.fill(60)("the plain words flow and that is of be have with text").mkString(" ")
+    val docs = Seq(
+      (1L, filler),                                                 // clean: all rules pass
+      (2L, "the of and that " * 5),                                 // < 50 words
+      (3L, filler + " " + Seq.fill(30)("####### ########").mkString(" ")), // symbol ratio
+      (4L, filler + "\n" + Seq.fill(40)("- bullet line\n").mkString + "- b"), // bullets (>0.9 of lines)
+      (5L, filler.replaceAll("\\w+", "12345")),                     // no alpha words, no stopwords
+      (6L, Seq.fill(60)("a b").mkString(" ") + " the of")           // mean word len < 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8), s"clean doc must keep: ${out(1L)}")
+    assert(!out(2L).getBoolean(8) && out(2L).getLong(1) < 50)
+    assert(!out(3L).getBoolean(8) && out(3L).getDouble(3) > 0.1, "symbol ratio rule")
+    assert(!out(4L).getBoolean(8) && out(4L).getDouble(4) > 0.9, "bullet fraction rule")
+    assert(!out(5L).getBoolean(8) && out(5L).getDouble(6) == 0.0 && out(5L).getLong(7) == 0L)
+    assert(!out(6L).getBoolean(8) && out(6L).getDouble(2) < 3.0, "mean word length rule")
+  }
+
   test("flags are pure per-row functions: no shuffle in the plan") {
     val docs = Tables.documents(spark, sf)
     val plan = TextAnalysis.c4Filters(docs, "text", "doc_id")
