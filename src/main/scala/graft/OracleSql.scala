@@ -207,6 +207,37 @@ object OracleSql {
        |FROM dt JOIN dn USING (doc_id) CROSS JOIN qn
        |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Twin of Fts.semanticProbeBatch over Queries.BatchSemanticQueries:
+    * the semantic twin's CTEs with the query side parameterized by a
+    * (query_id, qtext) VALUES table. Integer dot products keep scores
+    * exact rationals before the one rounded division.
+    */
+  private lazy val semanticBatchSql: String = {
+    val qValues = Queries.BatchSemanticQueries
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    val dimExpr = (t: String) =>
+      s"CAST(((strpos('0123456789abcdef', substr(md5($t), 1, 1)) - 1) * 16" +
+        s" + strpos('0123456789abcdef', substr(md5($t), 2, 1)) - 1) % 64 AS BIGINT)"
+    s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+       |d AS (SELECT doc_id, ${dimExpr("term")} AS dim FROM tok),
+       |dd AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY doc_id, dim),
+       |qq AS (SELECT * FROM (VALUES $qValues) AS t(query_id, qtext)),
+       |qtok AS (SELECT query_id, unnest(${toks("qtext")}) AS term FROM qq),
+       |qd AS (SELECT query_id, ${dimExpr("term")} AS dim, CAST(count(*) AS BIGINT) AS qcnt
+       |       FROM qtok GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, sum(cnt * cnt) AS ss FROM dd GROUP BY doc_id),
+       |qn AS (SELECT query_id, sum(qcnt * qcnt) AS qss FROM qd GROUP BY query_id),
+       |dt AS (SELECT qd.query_id, dd.doc_id, sum(dd.cnt * qd.qcnt) AS dot
+       |       FROM dd JOIN qd USING (dim) GROUP BY qd.query_id, dd.doc_id),
+       |sc AS (SELECT dt.query_id, dt.doc_id,
+       |        ROUND(dt.dot / (sqrt(dn.ss) * sqrt(qn.qss)), 5) AS cos_sim
+       |       FROM dt JOIN dn USING (doc_id) JOIN qn USING (query_id)),
+       |r AS (SELECT query_id, doc_id, cos_sim,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rk FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, cos_sim, rk FROM r
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** BM25 scoring CTEs (k1=1.2, b=0.75) — twin of Search.bm25Scores. */
   private val bm25Cte: String =
     s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
@@ -1051,6 +1082,8 @@ object OracleSql {
     // of the corpus, so the probe must reproduce the from-scratch flow
     // (and this same twin) exactly.
     "semantic_indexed" -> semanticTwin,
+
+    "semantic_batch" -> semanticBatchSql,
 
     "embed_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),

@@ -143,6 +143,21 @@ object Queries {
     Fts.probeBatch(s, idx, "doc_id", BatchTextQueries, k = 5)
   }
 
+  /** The fixed query batch for [[semanticBatch]] — shared with its twin. */
+  val BatchSemanticQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark filter join stream",
+    1L -> "join the stream",
+    2L -> "filter filter spark")
+
+  /** Batch semantic retrieval from the FTS docdims sidecar: every text
+    * query's cosine top-5 in one pre-aggregated pass — completes the
+    * batch trio next to [[bm25Batch]] and [[annBatchProbe]].
+    */
+  def semanticBatch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    Fts.semanticProbeBatch(s, idx, "doc_id", BatchSemanticQueries, k = 5)
+  }
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

@@ -100,6 +100,7 @@ object SparkEntry {
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),
+    "semantic_batch"      -> (Queries.semanticBatch(_, _)),
     "pca_probe"           -> (Queries.pcaProbe(_, _)),
     "stream_pipeline"     -> (Queries.streamPipeline(_, _)),
     "stream_token_budget" -> (Queries.streamTokenBudget(_, _)),

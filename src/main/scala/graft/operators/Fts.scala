@@ -107,6 +107,42 @@ object Fts {
       .limit(k)
   }
 
+  /** Batch semantic retrieval from the index sidecar — the third leg
+    * of the batch trio ([[probeBatch]] for BM25, Ann.probeBatch for
+    * vectors): every text query's cosine top-k in ONE docdims pass.
+    * Query-side dims and norms are O(queries × query terms) and
+    * broadcast; the sparse integer dot products make the scores exact
+    * rationals before the one rounded division.
+    */
+  def semanticProbeBatch(
+      spark: SparkSession,
+      index: Index,
+      idCol: String,
+      queries: Seq[(Long, String)],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val qd = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(TextOps.tokenize(col("qtext"))).as("term"))
+      .select(col("query_id"), TextOps.hashedBowDim(col("term")).as("dim"))
+      .groupBy("query_id", "dim").agg(count(lit(1)).as("qcnt"))
+    val qn = qd.groupBy("query_id").agg(sum(col("qcnt") * col("qcnt")).as("qss"))
+    val dd = spark.read.parquet(s"${index.dir}/docdims")
+    val dn = spark.read.parquet(s"${index.dir}/docnorms")
+    val scored = dd
+      .join(broadcast(qd), "dim")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("cnt") * col("qcnt")).as("dot"))
+      .join(dn, idCol)
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(col("dot") / (sqrt(col("ss")) * sqrt(col("qss"))), 5).as("cos_sim"))
+    graft.plans.TopK
+      .perKey(scored, Seq("query_id"), Seq(("cos_sim", false), (idCol, true)), k)
+      .select(col("query_id"), col(idCol), col("cos_sim"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** BM25 top-k over the persisted index: a term-pruned postings scan,
     * one groupBy(doc) pivot, a one-row df aggregate broadcast back.
     * Identical scoring shape to [[Search.bm25Scores]].

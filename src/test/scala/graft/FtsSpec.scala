@@ -67,6 +67,20 @@ class FtsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "query/df tables must broadcast")
   }
 
+  test("semanticProbeBatch equals per-query single semantic probes") {
+    val dir = Files.createTempDirectory("fts_spec_").toString
+    val idx = Fts.build(Tables.documents(spark, sf), "text", "doc_id", dir)
+    val batch = Queries.BatchSemanticQueries
+    val got = Fts.semanticProbeBatch(spark, idx, "doc_id", batch, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val expected = batch.flatMap { case (qid, text) =>
+      Fts.semanticProbe(spark, idx, "doc_id", text, k = 5).collect().zipWithIndex.map {
+        case (r, i) => (qid, r.getLong(0), r.getDouble(1), (i + 1).toLong)
+      }
+    }
+    assert(got == expected, s"batch diverged:\n$got\nvs\n$expected")
+  }
+
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
     val dir = Files.createTempDirectory("fts_spec_").toString
     Fts.build(docsFixture, "text", "doc_id", dir)
