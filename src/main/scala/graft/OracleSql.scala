@@ -1320,4 +1320,30 @@ object OracleSql {
         |       ROUND(CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT sid) AS DOUBLE), 4) AS avg_session_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
   )
+
+  /** Twins COMPOSED from other entries' SQL (static, but defined after
+    * the base map so they can embed proven twins as subqueries —
+    * DuckDB allows a WITH inside a parenthesized subquery). Every
+    * output column is an exact integer count, so the composition adds
+    * zero float-parity risk on top of its already-verified parts.
+    */
+  def composed: Map[String, String] = Map(
+    "curation_report" ->
+      s"""SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(sum(CASE WHEN c4.keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_c4,
+         |       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_gopher,
+         |       CAST(sum(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_repetition,
+         |       CAST(sum(CASE WHEN m.keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_model,
+         |       CAST(sum(CASE WHEN p.bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS ppl_head,
+         |       CAST(sum(CASE WHEN p.bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS ppl_middle,
+         |       CAST(sum(CASE WHEN p.bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS ppl_tail
+         |FROM documents d
+         |JOIN (${sql("c4_filters")}) c4 USING (doc_id)
+         |JOIN (${sql("gopher_quality")}) g USING (doc_id)
+         |JOIN (${sql("repetition_stats")}) r USING (doc_id)
+         |JOIN (${sql("quality_model")}) m USING (doc_id)
+         |JOIN (${sql("perplexity_filter")}) p USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+  )
 }

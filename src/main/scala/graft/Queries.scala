@@ -431,6 +431,37 @@ object Queries {
   def gopherQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherQuality(docs(s, dir), "text", "doc_id")
 
+  /** Per-source curation report: the five quality scorers composed
+    * into one keep-rate table — what a data team reads before choosing
+    * per-source mixing weights. All outputs are exact integer counts
+    * (no float-parity risk on top of the already-verified parts). The
+    * doc_id joins are corpus-sized but co-partitioned on the same key,
+    * and each scorer is one pass — the report is a fan-in, not a new
+    * shuffle shape.
+    */
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def keepOf(df: DataFrame, as: String) =
+      df.select(col("doc_id"), col("keep").as(as))
+    d.select(col("doc_id"), col("source"))
+      .join(keepOf(TextAnalysis.c4Filters(d, "text", "doc_id"), "k_c4"), "doc_id")
+      .join(keepOf(TextAnalysis.gopherQuality(d, "text", "doc_id"), "k_gopher"), "doc_id")
+      .join(keepOf(TextAnalysis.repetitionStats(d, "text", "doc_id"), "k_rep"), "doc_id")
+      .join(keepOf(TextAnalysis.modelQuality(d, "text", "doc_id"), "k_model"), "doc_id")
+      .join(Lm.perplexity(d, "text", "doc_id").select(col("doc_id"), col("bucket")), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("k_c4"), 1L).otherwise(0L)).as("keep_c4"),
+        sum(when(col("k_gopher"), 1L).otherwise(0L)).as("keep_gopher"),
+        sum(when(col("k_rep"), 1L).otherwise(0L)).as("keep_repetition"),
+        sum(when(col("k_model"), 1L).otherwise(0L)).as("keep_model"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("ppl_head"),
+        sum(when(col("bucket") === "middle", 1L).otherwise(0L)).as("ppl_middle"),
+        sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("ppl_tail"))
+      .orderBy("source")
+  }
+
   /** Lee'21-style duplicated-span removal: drop token positions covered
     * by a 10-gram shared across >= 2 docs, rebuild token sequences.
     */

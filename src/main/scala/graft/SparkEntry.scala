@@ -97,6 +97,7 @@ object SparkEntry {
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
     "gopher_quality"      -> (Queries.gopherQuality(_, _)),
+    "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),
@@ -118,5 +119,5 @@ object SparkEntry {
     * deterministic fitted constants inlined as literals — populated
     * because [[Verify]] runs every query before dumping the SQL.
     */
-  def oracleSql: Map[String, String] = OracleSql.sql ++ OracleSql.dynamic
+  def oracleSql: Map[String, String] = OracleSql.sql ++ OracleSql.composed ++ OracleSql.dynamic
 }
