@@ -90,6 +90,14 @@ object ScaleCheck {
           graft.functions.TextOps.phrasePositions(col("toks"), Seq("filter", "join")).as("pos"))
         .filter(size(col("pos")) > 0))
       time(s"perplexity_filter", forced(Lm.perplexity(c, "text", "doc_id")))
+      time(s"gopher_quality", forced(TextAnalysis.gopherQuality(c, "text", "doc_id")))
+      time(s"decontaminate_spans", forced(Dedup.decontaminateSpans(
+        c, Tables.documents(spark, sfDir).filter(col("doc_id") < 10), "text", "doc_id")))
+      time(s"fts_bm25_batch", {
+        val idx = Fts.build(c, "text", "doc_id",
+          java.nio.file.Files.createTempDirectory("graft_scale_ftsb_").toString)
+        Fts.probeBatch(spark, idx, "doc_id", Queries.BatchTextQueries, 5)
+      })
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
