@@ -44,6 +44,9 @@ object OracleArtifacts {
   /** Principal components (r x dim) from pca_probe's memoized fit. */
   @volatile var pca: Option[Array[Array[Double]]] = None
 
+  /** (IVF centroids, probed cells) from ivfsq_residual. */
+  @volatile var ivfsqResidual: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** (hashedBoW-space centroids, probed cells) from stream_pipeline.
     * The streamed index's content is a pure function of (corpus, fitted
     * centroids, query text), so the landed probe twins exactly like the
@@ -53,6 +56,6 @@ object OracleArtifacts {
 
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None
-    ivfsq = None; pca = None; streamPipeline = None
+    ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
   }
 }

@@ -469,6 +469,39 @@ object OracleSql {
            |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
            |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val ivfsqResEntries = OracleArtifacts.ivfsqResidual.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.ivfsqResidual: IVF assignment (centroid
+      // literals) → per-row centroid pick (CASE over cluster) →
+      // residual = nv − centroid → static SQ8 arithmetic over the
+      // residual → reconstruct centroid + code·scale → cosine prune →
+      // exact re-rank. A zero residual (s = 0) reconstructs to the
+      // centroid itself, matching Spark's zero-codes branch.
+      val dim = cents.head.length
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
+        s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
+      }.mkString(" ") + " END"
+      "ivfsq_residual" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+           |dst AS (SELECT vec_id, ev, nv, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, nv, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst
+           |        WHERE (list_indexof(dl, list_min(dl)) - 1) IN (${cells.mkString(", ")})),
+           |ct AS (SELECT vec_id, ev, nv, cluster, $centCase AS cent FROM asg),
+           |rs AS (SELECT vec_id, ev, cluster, cent,
+           |        list_transform(generate_series(1, $dim), i -> nv[i] - cent[i]) AS res FROM ct),
+           |z AS (SELECT vec_id, ev, cluster, cent, res,
+           |       list_max(list_transform(res, x -> abs(x))) / 127.0 AS s FROM rs),
+           |rc AS (SELECT vec_id, ev, cluster,
+           |        CASE WHEN s > 0
+           |          THEN list_transform(generate_series(1, $dim), i -> cent[i] + CAST(floor(res[i] / s + 0.5) AS DOUBLE) * s)
+           |          ELSE cent END AS recon FROM z),
+           |ap AS (SELECT vec_id, cluster, ev, ${cosine("recon", "qv")} AS approx_sim
+           |       FROM rc, q ORDER BY approx_sim DESC, vec_id LIMIT 40)
+           |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+           |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val pcaEntries = OracleArtifacts.pca.toSeq.map { comps =>
       // Twin of Queries.pcaProbe: fitted components inlined; projection
       // = list_dot_product against each component list (same element
@@ -520,7 +553,7 @@ object OracleSql {
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
     (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ pcaEntries ++ streamEntries).toMap
+      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -994,6 +994,23 @@ object Queries {
       k = 10, refine = 100)
   }
 
+  /** Residual-quantized IVF+SQ8 probe: codes carry `normalize(v) −
+    * centroid` (a fraction of the vector's dynamic range — more
+    * precision per bit within each cell); probe reconstructs and
+    * re-ranks exactly. Same memoized IVF fit as [[annProbe]].
+    */
+  def ivfsqResidual(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.ivfsqResidual = Some((index.centroids, cells))
+    Sq.residualProbe(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      q, index.centroids,
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      cells = cells, k = 10, refine = 40)
+  }
+
   /** Persisted IVF+SQ8 probe: partition-pruned scan of the int8 CODES
     * sidecar (4× fewer bytes than the vectors it covers), approximate
     * prune to 40, exact re-rank against the full-precision base table

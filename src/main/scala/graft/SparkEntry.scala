@@ -100,6 +100,7 @@ object SparkEntry {
     "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
+    "ivfsq_residual"      -> (Queries.ivfsqResidual(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),
     "semantic_batch"      -> (Queries.semanticBatch(_, _)),
     "pca_probe"           -> (Queries.pcaProbe(_, _)),
