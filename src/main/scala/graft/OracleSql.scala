@@ -876,6 +876,42 @@ object OracleSql {
          |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
+    "decontaminate_xlingual" -> {
+      import graft.functions.TextOps.{CyrillicAlphabet, DiacriticFrom, DiacriticTo, LatinAlphabet}
+      // Twin of Queries.decontaminateXlingual: replant the Cyrillic
+      // snippet with the same 1:1 translate map, then run the span
+      // pipeline over script-folded tokens on BOTH sides.
+      def fold(e: String): String =
+        s"translate(translate(lower($e), '$DiacriticFrom', '$DiacriticTo'), '$CyrillicAlphabet', '$LatinAlphabet')"
+      s"""WITH bt0 AS (SELECT doc_id, ${toks()} AS btoks FROM documents WHERE doc_id < 10),
+         |snip AS (SELECT doc_id AS b,
+         |          translate(array_to_string(btoks[1:12], ' '), '$LatinAlphabet', '$CyrillicAlphabet') AS cyr
+         |         FROM bt0),
+         |corpus AS (SELECT d.doc_id,
+         |        d.text || CASE WHEN d.doc_id % 17 = 3 THEN ' ' || s.cyr ELSE '' END AS text
+         |       FROM documents d JOIN snip s ON s.b = d.doc_id % 10 WHERE d.doc_id >= 10),
+         |t AS (SELECT doc_id, ${toks(fold("text"))} AS toks FROM corpus),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS pos FROM t),
+         |gr AS (SELECT doc_id,
+         |        md5(unnest(CASE WHEN len(toks) >= 10
+         |          THEN list_transform(generate_series(1, len(toks) - 9), i -> array_to_string(toks[i:i+9], ' '))
+         |          ELSE [] END)) AS g,
+         |        unnest(CASE WHEN len(toks) >= 10 THEN generate_series(1, len(toks) - 9) ELSE [] END) AS gpos
+         |       FROM t),
+         |bt AS (SELECT ${toks(fold("text"))} AS toks FROM documents WHERE doc_id < 10),
+         |bg AS (SELECT DISTINCT md5(unnest(CASE WHEN len(toks) >= 10
+         |          THEN list_transform(generate_series(1, len(toks) - 9), i -> array_to_string(toks[i:i+9], ' '))
+         |          ELSE [] END)) AS g FROM bt),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.gpos + o.off AS pos
+         |        FROM gr JOIN bg USING (g) CROSS JOIN generate_series(0, 9) AS o(off)),
+         |res AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_tokens,
+         |       COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN tok END, ' ' ORDER BY tok.pos), '') AS clean_text
+         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |GROUP BY tok.doc_id)
+         |SELECT * FROM res ORDER BY doc_id""".stripMargin
+    },
+
     "decontaminate_spans" ->
       // Twin of Dedup.decontaminateSpans (n=10, benchmark = doc_id<10,
       // corpus = doc_id>=10): span_dedup's reassembly with the dup set
@@ -968,10 +1004,10 @@ object OracleSql {
          |f AS (SELECT doc_id,
          |       CAST(len(words) AS BIGINT) AS n_words,
          |       CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_len,
-         |       CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbol_hits,
+         |       CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS BIGINT) AS symbol_hits,
          |       CAST(len(lines) AS BIGINT) AS n_lines,
-         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*]'))) AS BIGINT) AS bullet_lines,
-         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines,
+         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines,
          |       CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
          |       CAST(len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
          |      FROM t),
@@ -990,26 +1026,29 @@ object OracleSql {
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "c4_filters" ->
-      // Twin of TextAnalysis.c4Filters. Line handling matches
-      // repetition_stats' (trim then drop empties); the fraction is ONE
-      // double division rounded to 5 dp before the keep comparison.
+      // Twin of TextAnalysis.c4Filters (line-level, Raffel'20 §2.2): a
+      // line is retained iff terminal-punctuated AND >= 5 whitespace
+      // words AND no "javascript" mention; the page keeps iff the
+      // retained text carries >= 3 sentence marks and neither page
+      // tripwire fires. All counts are exact BIGINTs.
       s"""WITH t AS (SELECT doc_id, text,
-         |        list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)), l -> l <> '') AS lines,
-         |        ${toks()} AS toks FROM documents),
-         |f AS (SELECT doc_id,
-         |       CAST(len(lines) AS BIGINT) AS n_lines,
-         |       CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$$'))) AS BIGINT) AS term_lines,
-         |       CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS sent_marks,
+         |        list_filter(list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)), l -> l <> '') AS lines FROM documents),
+         |f AS (SELECT doc_id, lines,
+         |       list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+         |         AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> '')) >= 5
+         |         AND NOT contains(lower(l), 'javascript')) AS kept,
+         |       CAST(len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS js_lines,
          |       contains(lower(text), 'lorem ipsum') AS has_lorem,
-         |       contains(text, '{') AS has_brace,
-         |       list_contains(toks, 'javascript') AS has_js
+         |       contains(text, '{') AS has_brace
          |      FROM t),
-         |g AS (SELECT doc_id, n_lines,
-         |       ROUND(CASE WHEN n_lines > 0 THEN CAST(term_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END, 5) AS terminal_line_frac,
-         |       sent_marks, has_lorem, has_brace, has_js FROM f)
-         |SELECT doc_id, n_lines, terminal_line_frac, sent_marks, has_lorem, has_brace, has_js,
-         |       (terminal_line_frac >= 0.5 AND sent_marks >= 3
-         |        AND NOT has_lorem AND NOT has_brace AND NOT has_js) AS keep
+         |g AS (SELECT doc_id,
+         |       CAST(len(lines) AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS kept_lines,
+         |       js_lines,
+         |       CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS kept_sent_marks,
+         |       has_lorem, has_brace FROM f)
+         |SELECT doc_id, n_lines, kept_lines, js_lines, kept_sent_marks, has_lorem, has_brace,
+         |       (kept_sent_marks >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "repetition_stats" ->
@@ -1108,6 +1147,44 @@ object OracleSql {
          |      FROM tok)
          |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
          |FROM d GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+
+    "embed_onnx" -> {
+      // Twin of Queries.embedOnnx: the MLP's integer weights come from
+      // OnnxFixture's closed-form formulas (the same values MakeOnnx
+      // serialized into the artifact the Spark side LOADS), inlined as
+      // sparse VALUES tables. Integer bow counts x integer weights +
+      // ReLU keep every pre-normalization value exact; the single L2
+      // divide rounds to 5 dp — the repo-wide parity convention.
+      import graft.functions.OnnxFixture._
+      val w1v = (for { i <- 0 until InputDims; j <- 0 until HiddenDims; w = w1(i, j) if w != 0 }
+        yield s"($i, $j, $w.0e0)").mkString(", ")
+      val b1v = (0 until HiddenDims).map(j => s"($j, ${b1(j)}.0e0)").mkString(", ")
+      val w2v = (for { j <- 0 until HiddenDims; k <- 0 until InputDims; w = w2(j, k) if w != 0 }
+        yield s"($j, $k, $w.0e0)").mkString(", ")
+      val b2v = (0 until InputDims).map(k => s"($k, ${b2(k)}.0e0)").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks("'search_document: ' || text")}) AS term FROM documents),
+         |bow AS (SELECT doc_id,
+         |        CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |              + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim,
+         |        CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM tok GROUP BY 1, 2),
+         |w1(i, j, w) AS (SELECT * FROM (VALUES $w1v)),
+         |b1t(j, b) AS (SELECT * FROM (VALUES $b1v)),
+         |w2(j, k, w) AS (SELECT * FROM (VALUES $w2v)),
+         |b2t(k, b) AS (SELECT * FROM (VALUES $b2v)),
+         |h0 AS (SELECT bow.doc_id, w1.j, sum(bow.cnt * w1.w) AS s
+         |       FROM bow JOIN w1 ON w1.i = bow.dim GROUP BY 1, 2),
+         |h AS (SELECT d.doc_id, b1t.j, greatest(0.0e0, COALESCE(h0.s, 0.0e0) + b1t.b) AS v
+         |      FROM documents d CROSS JOIN b1t LEFT JOIN h0 ON h0.doc_id = d.doc_id AND h0.j = b1t.j),
+         |o0 AS (SELECT h.doc_id, w2.k, sum(h.v * w2.w) AS s
+         |       FROM h JOIN w2 ON w2.j = h.j GROUP BY 1, 2),
+         |o AS (SELECT d.doc_id, b2t.k, COALESCE(o0.s, 0.0e0) + b2t.b AS v
+         |      FROM documents d CROSS JOIN b2t LEFT JOIN o0 ON o0.doc_id = d.doc_id AND o0.k = b2t.k),
+         |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM o GROUP BY doc_id)
+         |SELECT o.doc_id, CAST(o.k AS BIGINT) AS k,
+         |       ROUND(CASE WHEN n.nrm > 0 THEN o.v / n.nrm ELSE o.v END, 5) AS x
+         |FROM o JOIN n USING (doc_id) ORDER BY doc_id, k""".stripMargin
+    },
 
     "semantic_search" -> semanticTwin,
 

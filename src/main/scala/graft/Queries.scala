@@ -434,20 +434,28 @@ object Queries {
   /** Per-source curation report: the five quality scorers composed
     * into one keep-rate table — what a data team reads before choosing
     * per-source mixing weights. All outputs are exact integer counts
-    * (no float-parity risk on top of the already-verified parts). The
-    * doc_id joins are corpus-sized but co-partitioned on the same key,
-    * and each scorer is one pass — the report is a fan-in, not a new
-    * shuffle shape.
+    * (no float-parity risk on top of the already-verified parts).
+    *
+    * Shape at scale: the three PROJECTION scorers (C4, Gopher,
+    * repetition — all pure per-row struct expressions) are computed as
+    * columns over ONE corpus scan; only the two scorers that genuinely
+    * aggregate (model quality, LM perplexity — each an explode +
+    * partial-agg pipeline) run as separate legs, joined back on the
+    * co-partitioned doc_id key. Three parquet scans total, down from
+    * six — at 100 TB that is the difference between reading the corpus
+    * three times and six.
     */
   def curationReport(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    def keepOf(df: DataFrame, as: String) =
-      df.select(col("doc_id"), col("keep").as(as))
-    d.select(col("doc_id"), col("source"))
-      .join(keepOf(TextAnalysis.c4Filters(d, "text", "doc_id"), "k_c4"), "doc_id")
-      .join(keepOf(TextAnalysis.gopherQuality(d, "text", "doc_id"), "k_gopher"), "doc_id")
-      .join(keepOf(TextAnalysis.repetitionStats(d, "text", "doc_id"), "k_rep"), "doc_id")
-      .join(keepOf(TextAnalysis.modelQuality(d, "text", "doc_id"), "k_model"), "doc_id")
+    val projected = d.select(
+      col("doc_id"),
+      col("source"),
+      TextAnalysis.c4Struct(col("text")).getField("keep").as("k_c4"),
+      TextAnalysis.gopherStruct(col("text")).getField("keep").as("k_gopher"),
+      TextAnalysis.repetitionStruct(col("text")).getField("keep").as("k_rep"))
+    projected
+      .join(TextAnalysis.modelQuality(d, "text", "doc_id")
+        .select(col("doc_id"), col("keep").as("k_model")), "doc_id")
       .join(Lm.perplexity(d, "text", "doc_id").select(col("doc_id"), col("bucket")), "doc_id")
       .groupBy("source")
       .agg(
@@ -504,8 +512,8 @@ object Queries {
       Ann.queryVector(graft.streaming.StreamPipeline.queryEmbedding(s, queryText), "q_vec"),
       nProbe = 3)
     OracleArtifacts.streamPipeline = Some((idx.centroids, cells))
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_pipe").toString + "/idx"
+    val indexDir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_stream_pipe")).toString + "/idx"
     graft.streaming.StreamPipeline.ingestAndProbe(
       s, dir, indexDir, idx.centroids, queryText)
   }
@@ -670,6 +678,33 @@ object Queries {
       docs(s, dir).filter(col("doc_id") < 10),
       "text", "doc_id")
 
+  /** Cross-lingual span decontamination: benchmark spans PLANTED into
+    * the corpus in Cyrillic transliteration (docs with doc_id%17==3 get
+    * a 12-token Cyrillic copy of benchmark doc (doc_id%10)'s opening
+    * appended) escape plain gram matching entirely — the Cyrillic
+    * letters are not [a-z0-9], so the raw tokenizer shreds them — but
+    * collide once both sides pass [[TextOps.scriptFold]]. The planted
+    * snippet is deterministic, so the DuckDB twin replays it exactly.
+    */
+  def decontaminateXlingual(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") < 10)
+    val snip = bench.select(
+      col("doc_id").as("b"),
+      TextOps.latinToCyrillic(
+        array_join(slice(TextOps.tokenize(col("text")), 1, 12), " ")).as("cyr"))
+    val planted = d.filter(col("doc_id") >= 10)
+      .join(broadcast(snip), pmod(col("doc_id"), lit(10)) === col("b"))
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(17)) === 3, concat(lit(" "), col("cyr")))
+            .otherwise(lit(""))).as("text"))
+    Dedup.decontaminateSpans(planted, bench, "text", "doc_id",
+      normalize = TextOps.scriptFold)
+  }
+
   /** The reference's PRIMARY search flow end-to-end (server.py: embed the
     * query text, then vector top-k — store.py:261): query text →
     * hashed-BoW dims → sparse cosine against every document's hashed-BoW
@@ -705,6 +740,22 @@ object Queries {
       .groupBy("doc_id", "dim")
       .agg(count("*").as("cnt"))
       .orderBy("doc_id", "dim")
+
+  /** Batch embedding through the CHECKED-IN serialized model
+    * ([[Featurize.onnxEmbedder]]: graft/embed_mlp.onnx loaded once per
+    * partition, then row-after-row scoring — the reference's
+    * embed_documents lifecycle, embedder.py:41). Components round to
+    * 5 dp; everything before the L2 divide is exact integer arithmetic
+    * (integer weights + ReLU), which is what makes a DuckDB twin of a
+    * neural scorer possible at all.
+    */
+  def embedOnnx(s: SparkSession, dir: String): DataFrame =
+    Featurize.embedWithModel(
+        docs(s, dir).select("doc_id", "text"), "text", Seq("doc_id"), 64,
+        Featurize.onnxEmbedder())
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
+      .orderBy("doc_id", "k")
 
   /** Deterministic stratified training-mix sample: up to 20 docs per
     * lang, chosen by md5-hash order (reproducible corpus mixing).

@@ -63,6 +63,7 @@ object SparkEntry {
     "quality_filter"      -> (Queries.qualityFilter(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
+    "embed_onnx"          -> (Queries.embedOnnx(_, _)),
     "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
+    "decontaminate_xlingual" -> (Queries.decontaminateXlingual(_, _)),
     "gopher_quality"      -> (Queries.gopherQuality(_, _)),
     "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),

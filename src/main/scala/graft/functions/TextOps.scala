@@ -23,6 +23,39 @@ object TextOps {
   /** Number of tokens (the whitespace-proxy for reference token counts). */
   def tokenCount(text: Column): Column = size(tokenize(text))
 
+  /** Latin a-z paired 1:1 with a Cyrillic transliteration alphabet —
+    * the contract for [[scriptFold]] and for test fixtures that PLANT
+    * cross-script contamination ([[latinToCyrillic]]). A 1:1 char map
+    * keeps both directions expressible as `translate` in Spark and
+    * DuckDB alike (codegen'd, no UDF).
+    */
+  val LatinAlphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Cyrillic letters positionally paired with [[LatinAlphabet]]. */
+  val CyrillicAlphabet = "абцдефгхижклмнопярстувшщыз"
+
+  /** Common Latin diacritics paired 1:1 with [[DiacriticTo]]. */
+  val DiacriticFrom = "àáâãäåèéêëìíîïòóôõöùúûüñçýÿ"
+  val DiacriticTo = "aaaaaaeeeeiiiiooooouuuuncyy"
+
+  /** Script-fold normalization for cross-lingual gram matching
+    * (decontamination across transliterated copies): lowercase, fold
+    * Latin diacritics to ASCII, transliterate Cyrillic to Latin. The
+    * n-gram machinery then sees one script, so a benchmark span hidden
+    * in another alphabet still collides. Pure `translate` chains —
+    * 1:1 char maps, identical in the DuckDB twin.
+    */
+  def scriptFold(text: Column): Column =
+    translate(
+      translate(lower(text), DiacriticFrom, DiacriticTo),
+      CyrillicAlphabet, LatinAlphabet)
+
+  /** Inverse direction of [[scriptFold]]'s Cyrillic leg — used by test
+    * fixtures to plant cross-script contamination deterministically.
+    */
+  def latinToCyrillic(text: Column): Column =
+    translate(text, LatinAlphabet, CyrillicAlphabet)
+
   /** md5-hashed k-token shingles of a token array: element i covers
     * tokens [i, i+k). Hashing keeps shingle payloads fixed-width (16
     * bytes hex) — at 100 TB the shuffle carries hashes, never raw text.

@@ -1,86 +1,156 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Incremental parquet chunk store: merge-on-read deltas + tombstones +
-  * compaction — the maintenance loop of the reference store
-  * (store.py:180 `upsert_chunks`, :237 `delete_document`) re-expressed
-  * for immutable columnar storage.
+/** Incremental parquet chunk store with MANIFEST-BASED commits:
+  * merge-on-read segments + tombstones + leveled partial compaction —
+  * the maintenance loop of the reference store (store.py:180
+  * `upsert_chunks`, :237 `delete_document`) re-expressed for immutable
+  * columnar storage with the Delta/Iceberg commit pattern (an atomic
+  * pointer swap over an append-only log).
   *
-  * Layout: `<root>/delta=NNNNN/` parquet dirs, monotonically numbered;
-  * delta 0 is the base. A row is live if it carries the highest delta
-  * number for its key and is not a tombstone. Readers resolve
-  * latest-wins with one window over the key — no driver-side state; a
-  * periodic [[compact]] folds everything back into a single delta so
-  * read amplification stays bounded (exactly the LSM/Delta pattern).
+  * Layout:
+  * {{{
+  *   <root>/_log/v00000001.manifest   one line per live segment: "<seq> <dir>"
+  *   <root>/seg-<uuid>/               immutable parquet segment dirs
+  * }}}
+  *
+  * COMMIT PROTOCOL: data lands first in a fresh `seg-<uuid>` dir that
+  * no manifest references (invisible); the new manifest is then written
+  * to a temp name inside `_log/` and RENAMED to its final
+  * `v<version>.manifest` name. Rename is the atomic pointer swap —
+  * atomic on HDFS and local filesystems, and it FAILS (rather than
+  * overwrites) when a concurrent writer landed the same version first,
+  * which is exactly Delta's optimistic-concurrency conflict signal (the
+  * loser re-reads and retries against the next version). Readers
+  * resolve the HIGHEST complete manifest at `read()` time, so every
+  * crash state is invisible: an orphan segment dir is never listed; a
+  * half-written temp manifest never matches the `v*.manifest` pattern;
+  * a completed rename is a complete commit.
+  *
+  * A row is live if it carries the highest segment sequence number for
+  * its key and is not a tombstone — one window over the key, no
+  * driver-side state.
+  *
+  * COMPACTION is leveled and PARTIAL: [[maintain]] folds only the
+  * OLDEST run of segments — enough to bring the chain back under the
+  * read-amplification bound — into one segment that keeps the run's
+  * highest sequence number. Folding a prefix is always safe: within the
+  * run latest-wins resolves exactly as before, keys in newer untouched
+  * segments still win by sequence order, and tombstones in the run can
+  * be dropped outright (nothing is older than the prefix, so there is
+  * nothing left to shadow). Superseded segments and manifests are NOT
+  * deleted at commit time — in-flight readers that resolved an older
+  * manifest keep a consistent view — but by a separate [[vacuum]] with
+  * a manifest-retention count (Delta's VACUUM pattern).
   *
   * All store maintenance goes through the Hadoop FileSystem API
   * resolved from the root path's scheme, so the same code runs against
-  * local disk, HDFS or S3A — the 100 TB deployment target. Crash
-  * safety: the compaction temp dir is invisible to readers (no
-  * `delta=` prefix), the compacted delta supersedes the old ones via
-  * latest-wins the moment it lands, and leftover old deltas or temp
-  * dirs from a crash are cleaned by the next compact.
+  * local disk, HDFS or S3A — the 100 TB deployment target. (On S3A,
+  * where rename is non-atomic, Delta itself requires a coordination
+  * layer (e.g. a DynamoDB LogStore) for multi-writer commits; the
+  * single-writer protocol here is unaffected.)
   */
 class ChunkStore(val root: String, val keyCol: String) {
 
   private def spark0(df: DataFrame) = df.sparkSession
 
   private val rootPath = new Path(root)
+  private val logPath = new Path(root, "_log")
 
   private def fs(spark: SparkSession): FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def deltaDirs(spark: SparkSession): Seq[(Int, Path)] = {
+  /** One live segment: `seq` is the latest-wins order, `dir` the
+    * segment directory name under root.
+    */
+  final case class Segment(seq: Long, dir: String)
+
+  /** (version, segments) of the highest complete manifest, if any. */
+  private def currentManifest(spark: SparkSession): Option[(Long, Seq[Segment])] = {
     val f = fs(spark)
-    if (!f.exists(rootPath)) Seq.empty
-    else
-      f.listStatus(rootPath).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta="))
-        .map(s => s.getPath.getName.stripPrefix("delta=").toInt -> s.getPath)
-        .sortBy(_._1)
+    if (!f.exists(logPath)) return None
+    val versions = f.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = f.open(manifestPath(v))
+      val body =
+        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+        finally in.close()
+      val segs = body.linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(seq, dir) = l.split(" ", 2)
+        Segment(seq.toLong, dir)
+      }.toSeq.sortBy(_.seq)
+      Some(v -> segs)
+    }
   }
 
-  private def nextDelta(spark: SparkSession): Int =
-    deltaDirs(spark).lastOption.map(_._1 + 1).getOrElse(0)
+  private def manifestPath(version: Long): Path =
+    new Path(logPath, f"v$version%08d.manifest")
 
-  /** Append an upsert batch (latest delta wins per key on read). */
-  def upsert(rows: DataFrame): Unit = {
-    val n = nextDelta(spark0(rows))
+  /** Atomic pointer swap: write the segment list to a temp file, rename
+    * to the final version name. A false rename means a concurrent
+    * writer won this version — surface it; the caller retries against
+    * the re-read state.
+    */
+  private def commit(spark: SparkSession, version: Long, segments: Seq[Segment]): Unit = {
+    val f = fs(spark)
+    if (!f.exists(logPath)) f.mkdirs(logPath)
+    val tmp = new Path(logPath, s"_tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(
+      segments.sortBy(_.seq).map(s => s"${s.seq} ${s.dir}").mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(version))) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest v$version already committed by a concurrent writer at $root")
+    }
+  }
+
+  /** Land `rows` as a fresh invisible segment dir, then commit the new
+    * manifest referencing it with the next sequence number.
+    */
+  private def appendSegment(rows: DataFrame, tombstone: Boolean): Unit = {
+    val spark = spark0(rows)
+    val dir = s"seg-${java.util.UUID.randomUUID()}"
     rows
-      .withColumn("_tombstone", lit(false))
-      .write.mode("errorifexists").parquet(s"$root/delta=$n")
+      .withColumn("_tombstone", lit(tombstone))
+      .write.mode("errorifexists").parquet(s"$root/$dir")
+    val (version, segs) = currentManifest(spark).getOrElse((0L, Seq.empty[Segment]))
+    val seq = segs.lastOption.map(_.seq + 1).getOrElse(0L)
+    commit(spark, version + 1, segs :+ Segment(seq, dir))
   }
+
+  /** Append an upsert batch (latest segment wins per key on read). */
+  def upsert(rows: DataFrame): Unit = appendSegment(rows, tombstone = false)
 
   /** Append tombstones for a set of keys. Deleting from an empty store
-    * writes a tombstone-only delta 0 (a later upsert of the same key
-    * still wins by delta order).
+    * commits a tombstone-only first segment (a later upsert of the same
+    * key still wins by sequence order).
     */
   def delete(keys: DataFrame): Unit = {
     val spark = spark0(keys)
-    val dirs = deltaDirs(spark)
-    val n = dirs.lastOption.map(_._1 + 1).getOrElse(0)
     val withPayload =
-      if (dirs.isEmpty) keys.select(col(keyCol))
+      if (currentManifest(spark).forall(_._2.isEmpty)) keys.select(col(keyCol))
       else {
-        val template = read(spark).limit(0).drop("_tombstone")
+        val template = read(spark).limit(0)
         keys.select(col(keyCol)).join(template, Seq(keyCol), "left_outer") // null-fill payload columns
       }
-    withPayload
-      .withColumn("_tombstone", lit(true))
-      .write.mode("errorifexists").parquet(s"$root/delta=$n")
+    appendSegment(withPayload, tombstone = true)
   }
 
-  /** Merge-on-read view: latest version per key, tombstones dropped.
-    * Internal bookkeeping columns never leak to callers.
-    */
-  def read(spark: SparkSession): DataFrame = {
-    val dirs = deltaDirs(spark)
-    require(dirs.nonEmpty, s"empty store at $root")
-    val all = dirs.map { case (n, path) =>
-      spark.read.parquet(path.toString).withColumn("_delta", lit(n))
+  private def readSegments(spark: SparkSession, segs: Seq[Segment]): DataFrame = {
+    val all = segs.map { s =>
+      spark.read.parquet(s"$root/${s.dir}").withColumn("_delta", lit(s.seq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("_delta").desc)
@@ -90,51 +160,97 @@ class ChunkStore(val root: String, val keyCol: String) {
       .drop("_rn", "_delta", "_tombstone")
   }
 
-  /** Fold all deltas into a fresh single delta (bounded read
-    * amplification); old deltas are removed only after the rewrite
-    * lands, so a crash at any point leaves a readable store.
+  /** Merge-on-read view over the current manifest's segments: latest
+    * version per key, tombstones dropped. Internal bookkeeping columns
+    * never leak to callers.
     */
-  def compact(spark: SparkSession): Unit = {
+  def read(spark: SparkSession): DataFrame = {
+    val segs = currentManifest(spark).map(_._2).getOrElse(Seq.empty)
+    require(segs.nonEmpty, s"empty store at $root")
+    readSegments(spark, segs)
+  }
+
+  /** Fold the oldest `runLength` segments into ONE segment holding the
+    * run's highest sequence number, and commit a manifest with the fold
+    * plus the untouched newer segments. Prefix folds drop tombstones
+    * (nothing older exists to shadow). Superseded dirs stay on disk for
+    * in-flight readers until [[vacuum]].
+    */
+  def compactOldest(spark: SparkSession, runLength: Int): Unit = {
+    val (version, segs) = currentManifest(spark).getOrElse((0L, Seq.empty[Segment]))
+    require(segs.nonEmpty, s"empty store at $root")
+    val run = segs.take(math.max(1, runLength))
+    val folded = readSegments(spark, run).withColumn("_tombstone", lit(false))
+    val dir = s"seg-${java.util.UUID.randomUUID()}"
+    folded.write.mode("errorifexists").parquet(s"$root/$dir")
+    commit(spark, version + 1, Segment(run.last.seq, dir) +: segs.drop(run.length))
+  }
+
+  /** Full fold: every segment into one (bounded read amplification). */
+  def compact(spark: SparkSession): Unit =
+    compactOldest(spark, currentManifest(spark).map(_._2.length).getOrElse(0))
+
+  /** Drop manifests beyond the newest `keepManifests` and every segment
+    * dir no retained manifest references. Separated from commit so
+    * readers that resolved an older manifest keep a consistent view;
+    * run it on the maintenance cadence once in-flight readers have
+    * drained (Delta's VACUUM retention, expressed in versions rather
+    * than hours).
+    */
+  def vacuum(spark: SparkSession, keepManifests: Int = 2): Unit = {
     val f = fs(spark)
-    val resolved = read(spark).withColumn("_tombstone", lit(false))
-    val tmp = s"$root/_compact_tmp"
-    resolved.write.mode("overwrite").parquet(tmp)
-    val old = deltaDirs(spark)
-    val n = old.lastOption.map(_._1 + 1).getOrElse(0)
-    // land the compacted delta, then drop the superseded ones
-    spark.read.parquet(tmp).write.mode("errorifexists").parquet(s"$root/delta=$n")
-    old.foreach { case (_, p) => f.delete(p, true) }
-    f.delete(new Path(tmp), true): Unit
+    if (!f.exists(logPath)) return
+    val versions = f.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+    val keep = versions.takeRight(math.max(1, keepManifests)).toSet
+    val referenced = keep.flatMap { v =>
+      val in = f.open(manifestPath(v))
+      val body =
+        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+        finally in.close()
+      body.linesIterator.map(_.trim).filter(_.nonEmpty).map(_.split(" ", 2)(1)).toSet
+    }
+    versions.filterNot(keep).foreach(v => f.delete(manifestPath(v), false))
+    f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-"))
+      .filterNot(s => referenced.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
+    // leftover temp manifests from crashed commits are unreferenced debris too
+    f.listStatus(logPath).toSeq
+      .filter(_.getPath.getName.startsWith("_tmp-"))
+      .foreach(s => f.delete(s.getPath, false)): Unit
   }
 
   def fileCount(spark: SparkSession): Int = {
     val f = fs(spark)
-    deltaDirs(spark).map { case (_, p) =>
-      f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    currentManifest(spark).map(_._2).getOrElse(Seq.empty).map { s =>
+      f.listStatus(new Path(s"$root/${s.dir}")).count(_.getPath.getName.endsWith(".parquet"))
     }.sum
   }
 
-  def deltaCount(spark: SparkSession): Int = deltaDirs(spark).size
+  /** Segments in the CURRENT manifest = merge inputs per read. */
+  def deltaCount(spark: SparkSession): Int =
+    currentManifest(spark).map(_._2.length).getOrElse(0)
 
   final case class MaintenanceReport(deltasBefore: Int, deltasAfter: Int, compacted: Boolean)
 
-  /** Threshold-triggered compaction policy: fold the chain only once
-    * read amplification (delta count ≈ files merged per read) exceeds
-    * `maxDeltas` — the size-tiered-compaction trade: ingest pays
-    * nothing per batch, and the occasional full fold keeps every read
-    * bounded at ≤ maxDeltas merge inputs. Reuses [[compact]]'s
-    * crash-safe order (new delta lands before old ones are removed),
-    * which is why the policy folds the WHOLE chain rather than a
-    * prefix: a prefix fold would have to re-number a delta in place,
-    * opening a window where a crash loses the folded rows. At 100 TB
-    * the refinement is leveled compaction with a manifest (atomic
-    * pointer swap, e.g. Delta/Iceberg's log) — the policy seam here
-    * stays the same.
+  /** Threshold-triggered LEVELED compaction policy: once the segment
+    * count — i.e. read amplification — exceeds `maxDeltas`, fold just
+    * enough of the OLDEST run to bring the chain back to `maxDeltas`
+    * segments, then vacuum superseded state. Ingest pays nothing per
+    * batch; the fold is partial, so recent small segments are not
+    * rewritten over and over (the write-amplification trap of repeated
+    * full folds); the occasional prefix fold keeps every read bounded
+    * at ≤ maxDeltas merge inputs.
     */
   def maintain(spark: SparkSession, maxDeltas: Int = 8): MaintenanceReport = {
     val before = deltaCount(spark)
     if (before > maxDeltas) {
-      compact(spark)
+      compactOldest(spark, before - maxDeltas + 1)
+      vacuum(spark)
       MaintenanceReport(before, deltaCount(spark), compacted = true)
     } else MaintenanceReport(before, before, compacted = false)
   }

@@ -81,22 +81,31 @@ object Dedup {
     * (eval sets are tiny next to a training corpus — same justified
     * assumption as the contamination check); the corpus explodes once
     * into grams and once into tokens, both keyed by md5 hashes.
+    *
+    * `normalize` is the cross-lingual seam: applied to BOTH sides
+    * before tokenization (e.g. [[TextOps.scriptFold]] — diacritic fold
+    * + Cyrillic→Latin transliteration), it makes a benchmark span
+    * hidden in another script still collide. With a non-identity
+    * normalizer, tokenization and reconstruction operate in normalized
+    * token space (char-level folds do not preserve raw-text token
+    * boundaries, so there is no faithful mapping back).
     */
   def decontaminateSpans(
       corpus: DataFrame,
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int = 10
+      n: Int = 10,
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
   ): DataFrame = {
-    val toksDf = corpus.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+    val toksDf = corpus.select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
     val tok = toksDf.select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
     val gr = toksDf
       .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
       .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
     val benchGrams = benchmark
-      .select(TextOps.rawShingles(TextOps.tokenize(col(textCol)), n).as("_sh"))
+      .select(TextOps.rawShingles(TextOps.tokenize(normalize(col(textCol))), n).as("_sh"))
       .select(explode(col("_sh")).as("gram"))
       .select(md5(col("gram")).as("g"))
       .distinct()
@@ -216,13 +225,28 @@ object Dedup {
   /** Blocked pairwise n-gram Jaccard: all pairs *within a block* only.
     * Pass a small blocking predicate/projection; never run unblocked at
     * scale (that is what [[minHashLshPairs]] is for).
+    *
+    * The contract is ENFORCED: the input is counted up front (one cheap
+    * job on the already-blocked rows) and anything over `maxRows` fails
+    * fast rather than silently materializing an O(n²) cross join — an
+    * unblocked corpus passed by mistake dies in milliseconds, not after
+    * an executor-melting shuffle.
+    *
+    * @param maxRows ceiling on the block size; `maxRows²` bounds the
+    *                pair count (default 1000 → ≤ ~500k pairs)
     */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      shingleK: Int = 3
+      shingleK: Int = 3,
+      maxRows: Long = 1000L
   ): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"ngramJaccardPairs got $n rows (> maxRows=$maxRows): this operator cross-joins " +
+        "within a block and must never run unblocked — pre-filter to a small block, " +
+        "raise maxRows deliberately, or use minHashLshPairs for corpus-scale near-dup pairs")
     val s = df
       .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(col(idCol), array_distinct(TextOps.shingles(col("_toks"), shingleK)).as("sh"))

@@ -117,6 +117,40 @@ object Featurize {
     }(enc).toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Model factory backed by the CHECKED-IN ONNX artifact
+    * (`graft/embed_mlp.onnx`, written by `graft.tools.MakeOnnx`): the
+    * real model-file lifecycle through [[embedWithModel]]'s seam —
+    * parse the serialized model ONCE per partition (the session), then
+    * score row after row (reference: embedder.py:21-60, fastembed/ONNX
+    * nomic-embed). The container ships no onnxruntime jar, so the
+    * session is [[graft.functions.OnnxMini]], a minimal pure-JVM ONNX
+    * subset executor — swapping in a stock runtime is a one-line change
+    * in this factory and nothing downstream moves.
+    *
+    * `isQuery` is the reference's doc/query prefix asymmetry
+    * (embedder.py prepends "search_document: " / "search_query: "
+    * before encoding): the prefix participates in the bag-of-words, so
+    * query and document embeddings of the same text genuinely differ.
+    */
+  def onnxEmbedder(
+      isQuery: Boolean = false,
+      resource: String = "/graft/embed_mlp.onnx"
+  ): () => String => Array[Double] = () => {
+    val session = graft.functions.OnnxMini.load(resource) // once per partition
+    val prefix = if (isQuery) "search_query: " else "search_document: "
+    val dims = graft.functions.OnnxFixture.InputDims
+    text => {
+      val bow = new Array[Double](dims)
+      (prefix + text).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        bow((md(0) & 0xff) % dims) += 1.0
+      }
+      val out = graft.functions.OnnxMini.run(session, bow)
+      val norm = math.sqrt(out.map(x => x * x).sum)
+      if (norm > 0) out.map(_ / norm) else out
+    }
+  }
+
   /** Deterministic stand-in model: the driver-side twin of
     * [[hashedBow]] (same tokenizer, same md5 bucketing, same L2
     * normalization) — exists so specs can assert the seam preserves

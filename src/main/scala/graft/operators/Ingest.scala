@@ -11,11 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Reads whole folders through Spark's `binaryFile` source — the
   * distributed analog of the reference's asyncio folder walk: listing,
   * reading and conversion all run on executors, partitioned by file.
-  * Text formats are decoded for real; rich formats (pdf/docx/media)
-  * go through [[convertStub]] — a clearly-marked deterministic stand-in
-  * for a MarkItDown-style converter (those libs aren't in this
-  * container). Swapping the stub for a real converter UDF changes no
-  * plan shape.
+  * Structured text formats (html/csv/json/xml/md/txt) are extracted
+  * for real by [[Convert]]; genuinely binary formats (pdf/docx/media)
+  * keep a clearly-marked deterministic stub (those parsers aren't in
+  * this container). Swapping the stub for a real binary parser changes
+  * no plan shape.
   */
 object Ingest {
 
@@ -26,7 +26,8 @@ object Ingest {
     "bmp", "webp", "mp3", "wav", "ogg", "m4a", "zip"
   )
 
-  private val TextDecodable = Set("txt", "md", "csv", "json", "xml", "html", "htm")
+  /** Formats [[Convert]] extracts for real; the rest stub. */
+  private val Convertible = Set("txt", "md", "csv", "json", "xml", "html", "htm")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the
@@ -48,17 +49,26 @@ object Ingest {
         sha2(col("content"), 256).as("content_hash")
       )
 
-  /** Convert raw bytes to markdown-ish text. Text formats decode as
-    * UTF-8 (real); rich formats produce a deterministic STUB payload —
-    * the seam where a real converter (MarkItDown/tika equivalent)
-    * plugs in.
+  /** Convert raw bytes to markdown-ish text — [[Convert]]'s real
+    * extraction for the structured text formats (HTML tag-strip +
+    * entity decode + heading/bullet structure, CSV → markdown table,
+    * JSON → indented outline, XML tag-strip; txt/md pass through);
+    * genuinely binary formats (pdf/docx/media — parsers not in this
+    * container) keep the documented deterministic STUB payload.
+    *
+    * The conversion is one scalar function per FILE (recursive-descent
+    * parsing a Column expression can't express, bounded by file count
+    * not corpus rows), so a deterministic Scala UDF inside the
+    * otherwise-columnar pipeline is the honest shape — swapping in a
+    * MarkItDown-equivalent changes this one function, no plan.
     */
-  def convertStub(df: DataFrame): DataFrame =
+  def convert(df: DataFrame): DataFrame = {
+    val conv = udf(Convert.convert(_: String, _: String, _: Array[Byte], _: Long))
     df.withColumn(
       "text",
       when(
-        col("file_type").isInCollection(TextDecodable),
-        decode(col("content"), "UTF-8")
+        col("file_type").isInCollection(Convertible),
+        conv(col("source"), col("file_type"), col("content"), col("n_bytes"))
       ).otherwise(
         // STUB: a real implementation would parse the binary format.
         concat(
@@ -68,6 +78,12 @@ object Ingest {
         )
       )
     )
+  }
+
+  /** Former name of [[convert]], kept while the stub half is still the
+    * seam for binary formats.
+    */
+  def convertStub(df: DataFrame): DataFrame = convert(df)
 
   /** Deterministic JSON rendering of a user metadata map (sorted keys),
     * carried verbatim onto every chunk of the ingest call — the analog
@@ -98,7 +114,7 @@ object Ingest {
       library: String,
       metadata: Map[String, String] = Map.empty
   ): DataFrame = {
-    val converted = convertStub(files)
+    val converted = convert(files)
       .withColumn("doc_id", sha2(col("source"), 256))
       .withColumn("title", TextOps.extractTitle(col("text"), col("source")))
     val docCols = Seq("doc_id", "source", "title", "file_type", "last_modified", "content_hash")

@@ -27,8 +27,43 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "he", "zai")
   )
 
-  /** Gopher-style per-document repetition signals (Rae et al. 2021,
-    * §A1.1 repetition filters; same family as C4's heuristics): the
+  /** Max run length over a SORTED string array — i.e. the count of the
+    * most frequent element — as one per-row `aggregate` fold. The
+    * `run > 0` guard makes the "" zero-value sentinel inert on the
+    * first element.
+    */
+  private def maxRunLen(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("run") > 0 && x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Number of elements occurring EXACTLY once in a sorted string
+    * array: a run of length 1 closes whenever the element changes (or
+    * at the end of the fold).
+    */
+  private def singletonRuns(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("singles")),
+      (acc, x) => {
+        val closesSingle = acc.getField("run") === 1 && x =!= acc.getField("prev")
+        val run = when(acc.getField("run") > 0 && x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          (acc.getField("singles") + when(closesSingle, 1L).otherwise(0L)).as("singles"))
+      },
+      acc => acc.getField("singles") +
+        when(acc.getField("run") === 1, 1L).otherwise(0L))
+
+  /** Gopher repetition signals (Rae et al. 2021, §A1.1 repetition
+    * filters) as ONE struct column — a pure per-row projection: the
     * fraction of repeated (non-empty, trimmed) lines, the share of
     * tokens covered by the single most frequent 2-gram (overlaps can
     * push it past 1.0 on degenerate docs — kept unclamped, as in the
@@ -36,64 +71,44 @@ object TextAnalysis {
     * `keep` applies the Gopher-ish thresholds (0.3 / 0.2 / 0.15) to the
     * ROUNDED fractions so the flag is engine-portable.
     *
-    * Shape at scale: line stats are a pure projection; both gram sizes
-    * ride ONE tagged explode (gram text md5'd at top level — the
-    * shuffle carries 16-byte hashes, never raw text) into two
-    * partial-agg shuffles on (doc, n, gram) then (doc, n). Linear work,
-    * no windows, no skew exposure beyond doc length itself.
+    * Shape at scale: gram frequencies come from a per-row sort + run
+    * fold over the shingle arrays (O(n log n) in DOC length, bounded by
+    * the longest document) — no explode, no shuffle, so the scorer
+    * composes with other per-row scorers in a single corpus scan
+    * ([[graft.Queries.curationReport]] relies on exactly that).
     */
-  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
-    val base = df.select(
-      col(idCol),
-      TextOps.tokenize(col(textCol)).as("_toks"),
-      lines.as("_lines"))
-    val lineStats = base.select(
-      col(idCol),
-      size(col("_toks")).cast("long").as("n_tokens"),
-      size(col("_lines")).cast("long").as("n_lines"),
-      (size(col("_lines")) - size(array_distinct(col("_lines")))).cast("long").as("dup_lines"))
-    // one explode for both gram sizes: the array must be a BOUND column
-    // (GenerateExec has no CSE — see PLANS.md codegen notes)
-    val tagged = base.select(
-      col(idCol),
-      concat(
-        transform(TextOps.rawShingles(col("_toks"), 2), g => struct(lit(2L).as("n"), g.as("g"))),
-        transform(TextOps.rawShingles(col("_toks"), 5), g => struct(lit(5L).as("n"), g.as("g")))
-      ).as("_ngrams"))
-    val grams = tagged
-      .select(col(idCol), explode(col("_ngrams")).as("ng"))
-      .select(col(idCol), col("ng.n").as("n"), md5(col("ng.g")).as("g"))
-    val perN = grams
-      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("n")).agg(
-        max(col("c")).as("maxc"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
-        sum(col("c")).as("totc"))
-    val pivoted = perN.groupBy(col(idCol)).agg(
-      max(when(col("n") === 2, col("maxc"))).as("max2"),
-      max(when(col("n") === 5, col("dupc"))).as("dup5"),
-      max(when(col("n") === 5, col("totc"))).as("tot5"))
-    lineStats
-      .join(pivoted, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("n_lines"),
-        round(when(col("n_lines") > 0,
-          col("dup_lines").cast("double") / col("n_lines")).otherwise(lit(0.0)), 5)
-          .as("dup_line_frac"),
-        round(when(col("n_tokens") > 0,
-          (coalesce(col("max2"), lit(0L)) * 2).cast("double") / col("n_tokens")).otherwise(lit(0.0)), 5)
-          .as("top_2gram_frac"),
-        round(when(coalesce(col("tot5"), lit(0L)) > 0,
-          col("dup5").cast("double") / col("tot5")).otherwise(lit(0.0)), 5)
-          .as("dup_5gram_frac"))
-      .withColumn("keep",
-        col("dup_line_frac") <= 0.3 && col("top_2gram_frac") <= 0.2 &&
-          col("dup_5gram_frac") <= 0.15)
-      .orderBy(idCol)
+  def repetitionStruct(text: Column): Column = {
+    val toks = TextOps.tokenize(text)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nTokens = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    val dupLines = (size(lines) - size(array_distinct(lines))).cast("long")
+    // raw gram strings, not md5: per-row equality is exact and skips a
+    // hash per gram (nothing shuffles here, so payload width is moot)
+    val max2 = maxRunLen(sort_array(TextOps.rawShingles(toks, 2)))
+    val g5 = sort_array(TextOps.rawShingles(toks, 5))
+    val tot5 = size(g5).cast("long")
+    val dup5 = tot5 - singletonRuns(g5)
+    val dupLineFrac = round(
+      when(nLines > 0, dupLines.cast("double") / nLines).otherwise(lit(0.0)), 5)
+    val top2Frac = round(
+      when(nTokens > 0, (max2 * 2).cast("double") / nTokens).otherwise(lit(0.0)), 5)
+    val dup5Frac = round(
+      when(tot5 > 0, dup5.cast("double") / tot5).otherwise(lit(0.0)), 5)
+    struct(
+      nTokens.as("n_tokens"),
+      nLines.as("n_lines"),
+      dupLineFrac.as("dup_line_frac"),
+      top2Frac.as("top_2gram_frac"),
+      dup5Frac.as("dup_5gram_frac"),
+      (dupLineFrac <= 0.3 && top2Frac <= 0.2 && dup5Frac <= 0.15).as("keep"))
   }
+
+  /** [[repetitionStruct]] expanded to a per-document DataFrame. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), repetitionStruct(col(textCol)).as("s"))
+      .select(idCol, "s.*")
+      .orderBy(idCol)
 
   /** Checked-in linear quality-classifier weights (64 hashed-BoW
     * coefficients + intercept), trained offline by
@@ -192,67 +207,88 @@ object TextAnalysis {
     * alphabetic-fraction and word-length rules see real symbols.
     * Shape at scale: one pure codegen'd projection, no shuffle.
     */
-  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), gopherStruct(col(textCol)).as("s"))
+      .select(idCol, "s.*")
+      .orderBy(idCol)
+
+  /** The [[gopherQuality]] signals as ONE struct column (pure per-row
+    * projection — composable into a single corpus scan). The symbol and
+    * ellipsis rules match both the ASCII `...` and the Unicode `…`
+    * form; the bullet class covers `-`, `*` and `•` (Rae'21 lists the
+    * bullet/ellipsis symbols, not their encodings).
+    */
+  def gopherStruct(text: Column): Column = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
     val nWords = size(words).cast("long")
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
     val nLines = size(lines).cast("long")
     val symbolHits =
-      regexp_count(col(textCol), lit("#")) + regexp_count(col(textCol), lit("\\.\\.\\."))
+      regexp_count(text, lit("#")) + regexp_count(text, lit("(\\.\\.\\.|…)"))
     def frac(num: Column, den: Column): Column =
       round(when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0)), 5)
-    df.select(
-      col(idCol),
+    val meanWordLen = frac(sumLen, nWords)
+    val symbolRatio = frac(symbolHits, nWords)
+    val bulletFrac = frac(size(filter(lines, l => l.rlike("^[-*•]"))), nLines)
+    val ellipsisFrac = frac(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nLines)
+    val alphaFrac = frac(size(filter(words, w => w.rlike("[A-Za-z]"))), nWords)
+    val stopHits = size(array_intersect(
+      array_distinct(TextOps.tokenize(text)),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    struct(
       nWords.as("n_words"),
-      frac(sumLen, nWords).as("mean_word_len"),
-      frac(symbolHits, nWords).as("symbol_ratio"),
-      frac(size(filter(lines, l => l.rlike("^[-*]"))), nLines).as("bullet_frac"),
-      frac(size(filter(lines, l => l.rlike("\\.\\.\\.$"))), nLines).as("ellipsis_frac"),
-      frac(size(filter(words, w => w.rlike("[A-Za-z]"))), nWords).as("alpha_frac"),
-      size(array_intersect(
-        array_distinct(TextOps.tokenize(col(textCol))),
-        array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"))
-      .withColumn("keep",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
-          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2)
-      .orderBy(idCol)
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("keep"))
   }
 
-  /** C4-style heuristic cleanup flags (Raffel et al. 2020, §2.2 — the
-    * published rules behind the C4 corpus): fraction of lines ending in
-    * terminal punctuation (C4 keeps punct-terminated lines), a sentence
-    * floor (C4 drops pages under 3 sentences), and the three content
-    * tripwires — "lorem ipsum", curly braces (code), the token
-    * "javascript" (boilerplate warnings). Emitted per rule so a
-    * curation pipeline can tune the combination; `keep` applies the
-    * C4 defaults on the ROUNDED fraction (engine-portable).
+  /** C4 heuristic cleanup (Raffel et al. 2020, §2.2 — the published
+    * rules behind the C4 corpus), LINE-LEVEL as published: a line is
+    * retained iff it ends in a terminal punctuation mark, has >= 5
+    * whitespace words, and does not mention "javascript"; the page is
+    * then dropped when the RETAINED text has fewer than 3 sentence
+    * marks (the [.!?] proxy for C4's sentence count) or the original
+    * page trips "lorem ipsum" / curly-brace. Per-rule counts are
+    * emitted so a curation pipeline can tune the combination.
     *
-    * Shape at scale: one pure codegen'd projection per row — string
-    * predicates + one HOF over the split lines; no explode, no
-    * shuffle, no state.
+    * Shape at scale: one pure per-row projection — string predicates +
+    * HOFs over the split lines; no explode, no shuffle, no state.
     */
-  def c4Filters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
-    val nLines = size(lines).cast("long")
-    val terminalLines = size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("long")
-    val sentMarks = regexp_count(col(textCol), lit("[.!?]")).cast("long")
-    df.select(
-      col(idCol),
-      nLines.as("n_lines"),
-      round(when(nLines > 0, terminalLines.cast("double") / nLines.cast("double"))
-        .otherwise(lit(0.0)), 5).as("terminal_line_frac"),
-      sentMarks.as("sent_marks"),
-      contains(lower(col(textCol)), lit("lorem ipsum")).as("has_lorem"),
-      contains(col(textCol), lit("{")).as("has_brace"),
-      array_contains(TextOps.tokenize(col(textCol)), "javascript").as("has_js"))
-      .withColumn("keep",
-        col("terminal_line_frac") >= 0.5 && col("sent_marks") >= 3 &&
-          !col("has_lorem") && !col("has_brace") && !col("has_js"))
+  def c4Filters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), c4Struct(col(textCol)).as("s"))
+      .select(idCol, "s.*")
       .orderBy(idCol)
+
+  /** The [[c4Filters]] signals as ONE struct column (pure per-row
+    * projection — composable into a single corpus scan).
+    */
+  def c4Struct(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !contains(lower(l), lit("javascript")))
+    val jsLines = size(filter(lines, l => contains(lower(l), lit("javascript")))).cast("long")
+    val keptSentMarks = regexp_count(array_join(kept, "\n"), lit("[.!?]")).cast("long")
+    val hasLorem = contains(lower(text), lit("lorem ipsum"))
+    val hasBrace = contains(text, lit("{"))
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      jsLines.as("js_lines"),
+      keptSentMarks.as("kept_sent_marks"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (keptSentMarks >= 3 && !hasLorem && !hasBrace).as("keep"))
   }
 
   /** Per-doc language prediction by stopword-hit argmax; 'und' when no

@@ -30,10 +30,29 @@ object StreamPipeline {
   def documentStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.documents(spark, dir).schema
     val staging = java.nio.file.Files.createTempDirectory("graft_doc_stream")
+    val link = staging.resolve("documents.parquet")
     java.nio.file.Files.createSymbolicLink(
-      staging.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    deleteRecursivelyOnExit(staging)
     spark.readStream.schema(schema).parquet(staging.toString)
+  }
+
+  /** Recursively delete `root` at JVM exit. The staging and index temp
+    * dirs must outlive the LAZY probe DataFrame that reads them, so
+    * eager cleanup is impossible — but nothing should outlive the
+    * process, or repeated bench/verify invocations accumulate them.
+    */
+  def deleteRecursivelyOnExit(root: java.nio.file.Path): java.nio.file.Path = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }))
+    root
   }
 
   /** Run the full flow synchronously: stream `dir`'s documents into a

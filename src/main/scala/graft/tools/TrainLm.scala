@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.TrainLm /root/testdata/sf0.01 src/main/resources/graft/lm_bigram.txt"
   *
   * Model: add-one-smoothed unigram ln-probs, maximum-likelihood bigram
-  * conditionals ln(cnt(w1 w2)/cnt(w1)), stupid-backoff ln(0.4), OOV =
+  * conditionals ln(cnt(w1 w2)/cnt(w1 as history)), stupid-backoff ln(0.4), OOV =
   * ln(1/(total+V+1)). Log-probs are precomputed here so score-time
   * arithmetic is pure +/× — that is what makes the DuckDB twin exact.
   * Head/tail thresholds are the 33rd/67th percentiles of the TRAINING
@@ -51,8 +51,15 @@ object TrainLm {
     val uniLp = uniCnt.map { case (w, c) => w -> math.log((c + 1).toDouble / denom) }
     val oovLp = math.log(1.0 / denom)
     val backoffLp = math.log(0.4)
+    // condition on the HISTORY count (number of bigram occurrences
+    // starting with w1), not w1's unigram count — a w1 that ends a
+    // document is no bigram history, and dividing by the unigram count
+    // would leave P(.|w1) deficient for every document-final token
+    val histCnt = biCnt.toSeq
+      .groupBy { case (bg, _) => bg.split(' ').head }
+      .map { case (w1, xs) => w1 -> xs.map(_._2).sum }
     val biLp = biCnt.map { case (bg, c) =>
-      bg -> math.log(c.toDouble / uniCnt(bg.split(' ').head).toDouble)
+      bg -> math.log(c.toDouble / histCnt(bg.split(' ').head).toDouble)
     }
 
     // training-corpus perplexities under the model just built (driver

@@ -18,13 +18,33 @@ class C4FiltersSpec extends SparkSpec {
     val out = TextAnalysis.c4Filters(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r).toMap
 
+    // columns: doc_id, n_lines, kept_lines, js_lines, kept_sent_marks,
+    //          has_lorem, has_brace, keep
     assert(out(1L).getBoolean(7), "clean doc must keep")
-    assert(!out(2L).getBoolean(7) && out(2L).getDouble(2) == 0.0, "unterminated lines")
-    assert(out(3L).getBoolean(4) && !out(3L).getBoolean(7), "lorem ipsum tripwire")
-    assert(out(4L).getBoolean(5) && !out(4L).getBoolean(7), "curly brace tripwire")
-    assert(out(5L).getBoolean(6) && !out(5L).getBoolean(7), "javascript token tripwire")
-    assert(out(6L).getLong(3) < 3 && !out(6L).getBoolean(7), "sentence floor")
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 1L,
+      "the 4-word line fails the 5-word floor; the 9-word line stays")
+    assert(!out(2L).getBoolean(7) && out(2L).getLong(2) == 0L, "unterminated lines all dropped")
+    assert(out(3L).getBoolean(5) && !out(3L).getBoolean(7), "lorem ipsum tripwire")
+    assert(out(4L).getBoolean(6) && !out(4L).getBoolean(7), "curly brace tripwire")
+    assert(out(5L).getLong(3) == 1L && out(5L).getLong(2) == 0L && !out(5L).getBoolean(7),
+      "the javascript line is dropped at line level")
+    assert(out(6L).getLong(4) < 3 && !out(6L).getBoolean(7), "sentence floor")
     assert(out(7L).getLong(1) == 0L && !out(7L).getBoolean(7), "empty doc")
+  }
+
+  test("gopher unicode forms count: … as ellipsis, • as bullet") {
+    import spark.implicits._
+    val filler = Seq.fill(60)("the plain words flow and that is of be have with text").mkString(" ")
+    val docs = Seq(
+      (1L, filler + "\n" + Seq.fill(40)("trailing dots…\n").mkString + "more dots…"),
+      (2L, filler + "\n" + Seq.fill(40)("• unicode bullet\n").mkString + "• b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(8) && out(1L).getDouble(5) > 0.3,
+      s"unicode ellipsis lines must fire the ellipsis rule: ${out(1L)}")
+    assert(!out(2L).getBoolean(8) && out(2L).getDouble(4) > 0.9,
+      s"unicode bullet lines must fire the bullet rule: ${out(2L)}")
   }
 
   test("gopher quality rules fire on their canonical violations") {

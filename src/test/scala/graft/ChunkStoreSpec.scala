@@ -48,32 +48,78 @@ class ChunkStoreSpec extends SparkSpec {
     assert(out == Seq((7L, "alive"), (8L, "other")))
   }
 
-  test("crash-safe compaction: partial states stay readable, next compact cleans up") {
+  test("manifest commits: every crash state is invisible, vacuum clears debris") {
     val store = freshStore()
     store.upsert(Seq((1L, "v1"), (2L, "b")).toDF("doc_id", "content"))
     store.upsert(Seq((1L, "v2")).toDF("doc_id", "content"))
     val expected = Seq((1L, "v2"), (2L, "b"))
     def view() = store.read(spark).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-
-    // crash state A: temp dir written, compacted delta never landed
-    store.read(spark).withColumn("_tombstone", lit(false))
-      .write.mode("overwrite").parquet(s"${store.root}/_compact_tmp")
-    assert(view() == expected, "temp dir must be invisible to readers")
-
-    // crash state B: compacted delta landed, old deltas not yet removed
-    store.read(spark).withColumn("_tombstone", lit(false))
-      .write.mode("errorifexists").parquet(s"${store.root}/delta=2")
-    assert(view() == expected, "latest-wins must absorb the landed compaction")
-
-    // recovery: the next compact folds everything and clears the debris
-    store.compact(spark)
-    assert(view() == expected)
     val hfs = new org.apache.hadoop.fs.Path(store.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"${store.root}/_compact_tmp")))
-    assert(hfs.listStatus(hfs.makeQualified(new org.apache.hadoop.fs.Path(store.root)))
-      .count(_.getPath.getName.startsWith("delta=")) == 1)
+    def ls(p: String) = hfs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+
+    // crash state A: a segment dir landed but its manifest never
+    // committed — no manifest references it, so readers never see it
+    Seq((1L, "GHOST"), (9L, "GHOST")).toDF("doc_id", "content")
+      .withColumn("_tombstone", lit(false))
+      .write.parquet(s"${store.root}/seg-orphan-crash")
+    assert(view() == expected, "orphan segment must be invisible to readers")
+
+    // crash state B: a manifest was being written but the atomic rename
+    // never happened — the temp name does not match v*.manifest
+    val tmp = new org.apache.hadoop.fs.Path(s"${store.root}/_log/_tmp-crashed")
+    val out = hfs.create(tmp, false)
+    out.write("999 seg-orphan-crash\n".getBytes("UTF-8")); out.close()
+    assert(view() == expected, "half-written manifest must be invisible to readers")
+
+    // crash state C: compaction committed its manifest but superseded
+    // segments are still on disk — readers follow the new pointer
+    val segsBefore = ls(store.root).count(_.getPath.getName.startsWith("seg-"))
+    store.compact(spark)
+    assert(view() == expected)
+    assert(ls(store.root).count(_.getPath.getName.startsWith("seg-")) == segsBefore + 1,
+      "commit must NOT delete superseded segments (in-flight readers)")
+
+    // vacuum: unreferenced segments, old manifests and temp debris go
+    store.vacuum(spark, keepManifests = 1)
+    assert(view() == expected)
+    val segNames = ls(store.root).map(_.getPath.getName).filter(_.startsWith("seg-"))
+    assert(segNames.length == 1 && !segNames.contains("seg-orphan-crash"),
+      s"vacuum must keep only the referenced segment: $segNames")
+    assert(ls(s"${store.root}/_log").count(_.getPath.getName.startsWith("_tmp-")) == 0)
+    assert(ls(s"${store.root}/_log").count(_.getPath.getName.endsWith(".manifest")) == 1)
+  }
+
+  test("a concurrent commit of the same version fails instead of overwriting") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "a")).toDF("doc_id", "content"))
+    // replay the same version number a racing writer would claim
+    val hfs = new org.apache.hadoop.fs.Path(store.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val losing = new org.apache.hadoop.fs.Path(s"${store.root}/_log/_tmp-racer")
+    val out = hfs.create(losing, false)
+    out.write("0 seg-racer\n".getBytes("UTF-8")); out.close()
+    val taken = new org.apache.hadoop.fs.Path(s"${store.root}/_log/v00000001.manifest")
+    assert(!hfs.rename(losing, taken),
+      "rename onto an existing manifest version must fail — that IS the conflict signal")
+    assert(store.read(spark).collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("partial compaction folds only the oldest run; newer segments still win") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "old1"), (2L, "old2")).toDF("doc_id", "content"))
+    store.delete(Seq(Tuple1(2L)).toDF("doc_id"))
+    store.upsert(Seq((1L, "mid1"), (3L, "mid3")).toDF("doc_id", "content"))
+    store.upsert(Seq((1L, "new1")).toDF("doc_id", "content"))
+    assert(store.deltaCount(spark) == 4)
+    // fold the two oldest segments (upsert + tombstone) into one
+    store.compactOldest(spark, 2)
+    assert(store.deltaCount(spark) == 3, "only the oldest run folds")
+    val out = store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "new1"), (3L, "mid3")),
+      s"latest-wins must be unchanged by the prefix fold: $out")
   }
 
   test("compact preserves the resolved view and shrinks the delta chain") {

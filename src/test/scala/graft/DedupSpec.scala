@@ -50,6 +50,40 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("decontaminateSpans with scriptFold catches Cyrillic-transliterated contamination") {
+    import graft.functions.TextOps
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val cyr = spark.range(1)
+      .select(TextOps.latinToCyrillic(lit(benchText)).as("c")).head().getString(0)
+    assert(cyr != benchText && !cyr.exists(ch => ch >= 'a' && ch <= 'z'),
+      s"fixture must actually transliterate: $cyr")
+    val corpus = Seq(
+      (10L, s"clean prefix words here $cyr and a clean suffix tail"),
+      (11L, "entirely unrelated document with its own ten tokens padding pad")
+    ).toDF("doc_id", "text")
+    // without normalization the Cyrillic span is invisible to the tokenizer
+    val plain = Dedup.decontaminateSpans(corpus, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain(10L) == 0L, s"raw tokenizer must not see the planted span: $plain")
+    // with scriptFold both sides meet in one script and the span drops
+    val folded = Dedup.decontaminateSpans(corpus, bench, "text", "doc_id",
+      normalize = TextOps.scriptFold)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(folded(10L) == 10L, s"the 10 planted benchmark tokens must drop: $folded")
+    assert(folded(11L) == 0L, "unrelated doc untouched")
+  }
+
+  test("ngramJaccardPairs fails fast on unblocked input, pointing at minHashLshPairs") {
+    val big = spark.range(0, 50).selectExpr("id AS doc_id", "concat('doc ', id) AS text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(big, "text", "doc_id", maxRows = 40L)
+    }
+    assert(e.getMessage.contains("minHashLshPairs"), e.getMessage)
+    // the same 50 rows pass when the ceiling is raised DELIBERATELY
+    assert(Dedup.ngramJaccardPairs(big, "text", "doc_id", maxRows = 50L).count() == 50L * 49 / 2)
+  }
+
   test("embeddingNearDupPairs finds only the planted high-cosine pair within blocks") {
     val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val vNear = v.clone(); vNear(0) = vNear(0) + 0.01f

@@ -61,4 +61,56 @@ class FeaturizeSpec extends SparkSpec {
     val v = df.select(Featurize.hashedBowInline(col("text"), 64)).head.getSeq[Double](0)
     assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
   }
+
+  test("onnx artifact round-trips through the mini wire codec") {
+    import graft.functions.{OnnxFixture, OnnxMini}
+    val g = OnnxFixture.graph
+    val reparsed = OnnxMini.parse(OnnxMini.write(g))
+    assert(reparsed.nodes == g.nodes)
+    assert(reparsed.inputName == g.inputName && reparsed.outputName == g.outputName)
+    assert(reparsed.initializers.keySet == g.initializers.keySet)
+    g.initializers.foreach { case (n, t) =>
+      assert(reparsed.initializers(n).dims == t.dims, s"$n dims")
+      assert(reparsed.initializers(n).data.sameElements(t.data), s"$n data")
+    }
+    // the CHECKED-IN resource is the same model the fixture describes
+    val fromFile = OnnxMini.load("/graft/embed_mlp.onnx")
+    assert(fromFile.nodes == g.nodes)
+    g.initializers.foreach { case (n, t) =>
+      assert(fromFile.initializers(n).data.sameElements(t.data), s"resource $n drifted")
+    }
+  }
+
+  test("file-driven ONNX scoring equals the formula recomputation") {
+    import graft.functions.{OnnxFixture => F, OnnxMini}
+    val g = OnnxMini.load("/graft/embed_mlp.onnx")
+    val bow = Array.tabulate(F.InputDims)(i => ((i * 7) % 5).toDouble)
+    val got = OnnxMini.run(g, bow)
+    val h = Array.tabulate(F.HiddenDims) { j =>
+      val s = (0 until F.InputDims).map(i => bow(i) * F.w1(i, j)).sum + F.b1(j)
+      math.max(0.0, s)
+    }
+    val want = Array.tabulate(F.InputDims) { k =>
+      (0 until F.HiddenDims).map(j => h(j) * F.w2(j, k)).sum + F.b2(k)
+    }
+    assert(got.sameElements(want), s"got=${got.take(6).toSeq} want=${want.take(6).toSeq}")
+  }
+
+  test("onnxEmbedder drives the partition-session seam; doc/query prefixes differ") {
+    val df = Tables.documents(spark, sf).limit(40).select("doc_id", "text").repartition(4)
+    val out = Featurize.embedWithModel(df, "text", keep = Seq("doc_id"), dims = 64,
+      model = Featurize.onnxEmbedder())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 40)
+    out.values.foreach { v =>
+      assert(v.length == 64)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-9, s"not normalized: $n")
+    }
+    // asymmetry: the same text embeds differently as doc vs query
+    val text = "what is the capital of assyria"
+    val asDoc = Featurize.onnxEmbedder(isQuery = false)()(text)
+    val asQuery = Featurize.onnxEmbedder(isQuery = true)()(text)
+    assert(!asDoc.sameElements(asQuery), "doc/query prefixes must change the embedding")
+  }
 }

@@ -27,13 +27,65 @@ class IngestSpec extends SparkSpec {
     assert(out.filter(col("source").contains("sub/deep.txt")).count() == 1)
   }
 
-  test("convertStub decodes text formats and stubs binaries deterministically") {
+  test("convert decodes text formats and stubs binaries deterministically") {
     val dir = mkFolder()
-    val out = Ingest.convertStub(Ingest.folder(spark, dir.toString))
+    val out = Ingest.convert(Ingest.folder(spark, dir.toString))
       .select("file_type", "text").as[(String, String)].collect().toMap
     assert(out("md").startsWith("# Readme Title"))
     assert(out("txt").nonEmpty)
     assert(out("png").contains("[stub-converted png 6 bytes]"))
+  }
+
+  test("html conversion strips tags/scripts, keeps structure, decodes entities") {
+    val dir = Files.createTempDirectory("graft_html")
+    Files.writeString(dir.resolve("page.html"),
+      """<html><head><title>T</title><style>p{color:red}</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><h1>Main&nbsp;Title</h1><!-- hidden -->
+        |<p>First &amp; second &lt;para&gt;.</p>
+        |<ul><li>alpha</li><li>beta</li></ul>
+        |<table><tr><td>a1</td><td>a2</td></tr><tr><td>b1</td><td>b2</td></tr></table>
+        |</body></html>""".stripMargin)
+    val text = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("text").as[String].head()
+    assert(text.contains("# Main Title"), text)
+    assert(text.contains("First & second <para>."), text)
+    assert(text.contains("- alpha") && text.contains("- beta"), text)
+    assert(text.contains("a1 a2") && text.contains("b1 b2"), text)
+    assert(!text.contains("color:red") && !text.contains("var x"), s"style/script leaked: $text")
+    assert(!text.contains("hidden"), "comments must be stripped")
+    // the markdown heading drives title extraction in the full pipeline
+    val title = Ingest.pipeline(spark, dir.toString, "docs")
+      .select("title").as[String].head()
+    assert(title == "Main Title", title)
+  }
+
+  test("csv conversion parses quoted fields into a markdown table") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("data.csv"),
+      "name,note,score\n\"Smith, Jane\",\"says \"\"hi\"\"\",10\nBob,\"multi\nline\",7\n")
+    val text = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("text").as[String].head()
+    val lines = text.split("\n").toSeq
+    assert(lines.head == "| name | note | score |", lines.head)
+    assert(lines(1) == "| --- | --- | --- |", lines(1))
+    assert(lines(2) == "| Smith, Jane | says \"hi\" | 10 |", lines(2))
+    assert(lines(3) == "| Bob | multi", "embedded newline stays inside the cell")
+  }
+
+  test("json conversion renders a readable outline and survives bad json") {
+    val dir = Files.createTempDirectory("graft_json")
+    Files.writeString(dir.resolve("doc.json"),
+      """{"title": "Spec", "tags": ["a", "b"], "meta": {"pages": 3}}""")
+    Files.writeString(dir.resolve("bad.json"), "{not valid json")
+    val out = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("source", "text").as[(String, String)].collect().toMap
+    val good = out.collectFirst { case (s, t) if s.endsWith("doc.json") => t }.get
+    assert(good.contains("title: Spec"), good)
+    assert(good.contains("- a") && good.contains("- b"), good)
+    assert(good.contains("meta:") && good.contains("  pages: 3"), good)
+    val bad = out.collectFirst { case (s, t) if s.endsWith("bad.json") => t }.get
+    assert(bad == "{not valid json", "invalid json must fall back to the raw payload")
   }
 
   test("pipeline produces a ChunkRecord-shaped table with embeddings") {
