@@ -392,14 +392,14 @@ object OracleSql {
            |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    val annBatchEntries = OracleArtifacts.annBatch.toSeq.map { cents =>
+    val annBatchEntries = OracleArtifacts.annBatch.toSeq.flatMap { cents =>
       // Per-QUERY cell ranking in SQL (parallel unnest zips cluster ids
       // with the inlined per-centroid distance list; row_number picks
       // each query's 3 nearest cells), then the corpus assignment chain
       // joins on cluster — the twin of Ann.probeBatch end to end.
       val qDists = cents.map(c => distChain("qnv", 0, c)).mkString(", ")
       val cDists = cents.map(c => distChain("nv2", 0, c)).mkString(", ")
-      "ann_batch_probe" ->
+      val batchSql =
         s"""WITH bq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
            |bqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS qnv FROM bq),
            |bqd AS (SELECT query_id, qv, [$qDists] AS dl FROM bqn),
@@ -418,6 +418,9 @@ object OracleSql {
            |      FROM sc)
            |SELECT query_id, vec_id, cluster, cos_sim, rk FROM r WHERE rk <= 5
            |ORDER BY query_id, rk""".stripMargin
+      // the persisted-layout probe is the same computation served from
+      // disk — one twin, two keys
+      Seq("ann_batch_probe" -> batchSql, "ann_batch_persisted" -> batchSql)
     }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
@@ -1438,6 +1441,9 @@ object OracleSql {
     * zero float-parity risk on top of its already-verified parts.
     */
   def composed: Map[String, String] = Map(
+    // the streamed scrub lands the same per-doc results as the batch
+    // operator (batch-invariant given a static benchmark) — one twin
+    "stream_decontaminate" -> sql("decontaminate_spans"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

@@ -705,6 +705,18 @@ object Queries {
       normalize = TextOps.scriptFold)
   }
 
+  /** Streamed decontamination drained to its landed table: micro-batch
+    * arrival order cannot change per-document scrubbing (the benchmark
+    * is static), so the landed table equals the batch
+    * [[decontaminateSpans]] — the shared twin checks exactly that.
+    */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val landDir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_stream_decon")).toString + "/landed"
+    graft.streaming.StreamPipeline.decontaminateAndLand(
+      s, dir, docs(s, dir).filter(col("doc_id") < 10), landDir)
+  }
+
   /** The reference's PRIMARY search flow end-to-end (server.py: embed the
     * query text, then vector top-k — store.py:261): query text →
     * hashed-BoW dims → sparse cosine against every document's hashed-BoW
@@ -1134,6 +1146,27 @@ object Queries {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
       "q_vec", "query_id", nProbe = 3, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[annBatchProbe]] served from the PERSISTED partitioned layout:
+    * the index is written `partitionBy(cluster)` once, then the batch
+    * of queries joins it on the partition column — dynamic partition
+    * pruning narrows the scan to the union of probed cells at the file
+    * level. Results equal [[annBatchProbe]] by construction (same
+    * fitted centroids, same ranking), so it shares that twin.
+    */
+  def annBatchPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatch = Some(index.centroids)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_annbatch").resolve("idx").toString
+    Ann.writeIndex(index, path)
+    Ann.probeBatchPersisted(s, path, index.centroids,
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, topK = 5)
       .orderBy("query_id", "rk")
   }
 

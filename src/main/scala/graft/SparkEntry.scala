@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
+    "ann_batch_persisted" -> (Queries.annBatchPersisted(_, _)),
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
     "decontaminate_xlingual" -> (Queries.decontaminateXlingual(_, _)),
+    "stream_decontaminate" -> (Queries.streamDecontaminate(_, _)),
     "gopher_quality"      -> (Queries.gopherQuality(_, _)),
     "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),

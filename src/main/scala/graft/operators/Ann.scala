@@ -260,6 +260,52 @@ object Ann {
       .select(col(queryId), col(index.idCol), col("cluster"), col("cos_sim"), col("rk"))
   }
 
+  /** Batch IVF probe against the PERSISTED partitioned-by-cluster
+    * layout — [[probeBatch]]'s disk-backed twin (equal by construction:
+    * same cell ranking, same candidate scoring, same bounded-heap
+    * top-k). Cell ranking is the |Q|×k broadcast join; the (tiny)
+    * per-query cell table then joins the parquet layout on its
+    * PARTITION column, so Spark's dynamic partition pruning narrows
+    * the scan to the union of probed cells at the file level — the
+    * serving shape when the index outlives the session. At
+    * millions of queries the probed-cell union saturates every cell
+    * and this degrades gracefully to [[probeBatch]]'s co-shuffle; at
+    * dashboard-size batches whole cell files are skipped.
+    */
+  def probeBatchPersisted(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cent")
+    val byQuery = Window.partitionBy(queryId).orderBy(col("_d2").asc, col("cluster").asc)
+    val qCells = queries
+      .withColumn("_qnv", VectorOps.normalize(col(queryVec)))
+      .crossJoin(broadcast(centDf))
+      .withColumn("_d2", VectorOps.sqDist(col("_qnv"), col("_cent")))
+      .withColumn("_rn", row_number().over(byQuery))
+      .filter(col("_rn") <= nProbe)
+      .select(col(queryId), col(queryVec), col("cluster"))
+    val scored = spark.read.parquet(path)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
+    graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), topK)
+      .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"), col("rk"))
+  }
+
   /** Exact top-k baseline for recall measurement. */
   def exact(df: DataFrame, queryDf: DataFrame, vecCol: String, queryVec: String, idCol: String, topK: Int): DataFrame =
     Search.knnTopK(df, queryDf, vecCol, queryVec, idCol, topK).select(idCol, "cos_sim")

@@ -11,12 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their sf0.1 wall time: near-linear growth here means the dataflow
   * has no hidden all-pairs/driver-side bottleneck.
   *
-  * runMain graft.tools.ScaleCheck [sfDir] [maxFactor]
+  * runMain graft.tools.ScaleCheck [sfDir] [maxFactor] [section]
+  * (section `ivf` runs only the IVF nlist-scaling block)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val maxFactor = if (args.length > 1) args(1).toInt else 20
+    val onlyIvf = args.length > 2 && args(2) == "ivf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,7 +52,7 @@ object ScaleCheck {
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
 
-    for (factor <- Seq(1, maxFactor / 4, maxFactor).distinct.filter(_ >= 1)) {
+    for (factor <- Seq(1, maxFactor / 4, maxFactor).distinct.filter(_ >= 1) if !onlyIvf) {
       val c = corpus(factor)
       val rows = c.count()
       println(s"\n[scale] === corpus x$factor (${rows} docs) ===")
@@ -107,6 +109,50 @@ object ScaleCheck {
         embCorpus.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
         "embedding", "q_vec", "vec_id"))
+    }
+
+    // IVF at scale-appropriate nlist (~√N): at 100 TB nlist must grow
+    // with the corpus or each cell becomes corpus/nlist-huge and the
+    // probe degenerates to a near-full scan. Growing nlist with √N
+    // keeps per-probe scanned rows at nProbe·N/nlist = nProbe·√N —
+    // sublinear with CONSTANT nProbe — while the partition-pruned
+    // layout still skips whole files. The corpus replicates every base
+    // vector into a TIGHT ball (first component jittered by ≤ 0.012) —
+    // the regime IVF serves: neighborhoods small relative to cells.
+    // Recall vs the exact top-10 must hold as N and nlist grow
+    // together; factors start at 10 so the query's true top-10 is its
+    // own planted ball, not the unstructured base corpus.
+    for (factor <- Seq(maxFactor / 2, maxFactor).distinct.filter(_ >= 10)) {
+      val e = Tables.embeddings(spark, sfDir)
+      val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
+      val perturbed = embCorpus.select(
+        col("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") +
+            pmod(col("vec_id"), lit(7)).cast("double") * lit(0.002)),
+          graft.functions.VectorOps.toDouble(slice(col("embedding"), 2, 63))
+        ).as("embedding"))
+      val corpusVecs = perturbed.filter(col("vec_id") =!= 0)
+      val nVecs = corpusVecs.count()
+      val nlist = math.max(8, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+      val ivfQuery = perturbed.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val tb = System.nanoTime()
+      val ivfIdx = Ann.build(corpusVecs, "embedding", "vec_id", nlist, seed = 42)
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivf_").toString + "/idx"
+      Ann.writeIndex(ivfIdx, ivfDir)
+      println(f"[scale] ivf_build nlist=$nlist%-17d ${(System.nanoTime() - tb) / 1e9}%7.2f s  ($nVecs vecs)")
+      time(f"ivf_probe nlist=$nlist nprobe=4",
+        Ann.probePersisted(spark, ivfDir, ivfIdx.centroids, ivfQuery,
+          "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10))
+      val got = Ann.probePersisted(spark, ivfDir, ivfIdx.centroids, ivfQuery,
+          "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      val want = Ann.exact(corpusVecs, ivfQuery, "embedding", "q_vec", "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+      println(f"[scale] ivf_recall nlist=$nlist         ${(got & want).size / want.size.toDouble}%.2f")
     }
     spark.stop()
   }

@@ -118,6 +118,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("probeBatchPersisted equals probeBatch and prunes the partitioned layout") {
+    val embs = Tables.embeddings(spark, sf)
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val inMem = Queries.annBatchProbe(spark, sf).collect().map(_.toSeq).toSeq
+    val persisted = Queries.annBatchPersisted(spark, sf)
+    assert(persisted.collect().map(_.toSeq).toSeq == inMem,
+      "disk-served batch probe must equal the in-session batch probe")
+    // the scan must be the partitioned layout joined on its partition
+    // column with a broadcast cell table — DPP's precondition
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"expected partition pruning over the cluster layout:\n$plan")
+  }
+
   test("ann_incremental query: persisted base+delta probe equals the in-memory probe") {
     val rows = Queries.annIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -35,6 +35,21 @@ class StreamPipelineSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("decontaminateAndLand equals the batch decontamination over the same corpus") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 10)
+    val landDir = StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_decon_spec")).toString + "/landed"
+    val streamed = StreamPipeline.decontaminateAndLand(spark, sf, bench, landDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val batch = graft.operators.Dedup
+      .decontaminateSpans(docs.filter(col("doc_id") >= 10), bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.keys.foreach(k => assert(streamed(k) == batch(k), s"doc $k diverged"))
+    assert(streamed.values.exists(_._2 > 0), "some contaminated doc must have dropped tokens")
+  }
+
   test("tokenBudgetSnapshot equals the batch per-source BPE aggregation") {
     val got = StreamPipeline.tokenBudgetSnapshot(spark, sf, budget = 3000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
