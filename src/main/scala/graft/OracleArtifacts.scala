@@ -28,6 +28,17 @@ object OracleArtifacts {
     */
   @volatile var annBatch: Option[Array[Array[Double]]] = None
 
+  /** IVF centroids from ann_batch_sq (per-query cells and the SQ8
+    * arithmetic are both computed in SQL by the twin itself).
+    */
+  @volatile var annBatchSq: Option[Array[Array[Double]]] = None
+
+  /** (IVF centroids, PQ model) from ann_batch_pq — per-query cells,
+    * codes AND per-query ADC tables are all recomputed in SQL by the
+    * twin (batch ADC tables can't be driver literals).
+    */
+  @volatile var annBatchPq: Option[(Array[Array[Double]], operators.Pq.Model)] = None
+
   /** (PQ model, query ADC distance table) from pq_probe. */
   @volatile var pq: Option[(operators.Pq.Model, Array[Array[Double]])] = None
 
@@ -55,7 +66,8 @@ object OracleArtifacts {
   @volatile var streamPipeline: Option[(Array[Array[Double]], Seq[Int])] = None
 
   def clear(): Unit = {
-    ann = None; annIncremental = None; annBatch = None; pq = None; ivfpq = None
+    ann = None; annIncremental = None; annBatch = None; annBatchSq = None
+    annBatchPq = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
   }
 }

@@ -422,6 +422,86 @@ object OracleSql {
       // disk — one twin, two keys
       Seq("ann_batch_probe" -> batchSql, "ann_batch_persisted" -> batchSql)
     }
+    val annBatchSqEntries = OracleArtifacts.annBatchSq.toSeq.map { cents =>
+      // Twin of Queries.annBatchSq: the batch per-query cell ranking
+      // (as ann_batch_probe) composed with the static SQ8 arithmetic
+      // (as ivfsq_probe) — approximate cosine on the int codes, per-
+      // query refine prune to 20, exact re-rank to 5.
+      val qDists = cents.map(c => distChain("sqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("snv", 0, c)).mkString(", ")
+      "ann_batch_sq" ->
+        s"""WITH sbq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |sbqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS sqnv FROM sbq),
+           |sbqd AS (SELECT query_id, qv, [$qDists] AS dl FROM sbqn),
+           |sbqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM sbqd),
+           |sbqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM sbqc0) WHERE rn <= 3),
+           |sbc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |sbnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS snv FROM sbc),
+           |sbdst AS (SELECT vec_id, ev, [$cDists] AS cdl FROM sbnr),
+           |sbasg AS (SELECT vec_id, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM sbdst),
+           |sbz AS (SELECT vec_id, ev, cluster, list_max(list_transform(ev, x -> abs(x))) / 127.0 AS s FROM sbasg),
+           |sbcd AS (SELECT vec_id, ev, cluster,
+           |        CASE WHEN s > 0 THEN list_transform(ev, x -> CAST(floor(x / s + 0.5) AS DOUBLE))
+           |             ELSE list_transform(ev, x -> 0.0) END AS cv FROM sbz),
+           |sbap AS (SELECT query_id, vec_id, cluster, ev, qv, ${cosine("cv", "qv")} AS approx_sim
+           |        FROM sbcd JOIN sbqc USING (cluster)),
+           |sbref AS (SELECT query_id, vec_id, cluster, ev, qv, approx_sim FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS prn
+           |        FROM sbap) WHERE prn <= 20),
+           |sbfin AS (SELECT query_id, vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim FROM sbref),
+           |sbr AS (SELECT query_id, vec_id, cluster, approx_sim, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM sbfin)
+           |SELECT query_id, vec_id, cluster, approx_sim, cos_sim, rk FROM sbr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
+    val annBatchPqEntries = OracleArtifacts.annBatchPq.toSeq.map { case (cents, model) =>
+      // Twin of Queries.annBatchPq: per-query cell ranking (as
+      // ann_batch_probe) + the PQ encode chain (as ivfpq_probe) + the
+      // batch ADC — each query's distance table is the list of
+      // distChains from ITS subvectors to the codebook literals,
+      // indexed by the corpus row's code. Same left-to-right term
+      // order as the Spark codegen chain, so the doubles match bit
+      // for bit and the candidate cut falls identically.
+      val sub = model.dim / model.m
+      val qDists = cents.map(c => distChain("pbqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("pbnv", 0, c)).mkString(", ")
+      val encCols = (0 until model.m).map { j =>
+        val lists = model.codebooks(j).map(c => distChain("ev", j * sub, c)).mkString(", ")
+        s"list_indexof([$lists], list_min([$lists])) - 1 AS pbk$j"
+      }.mkString(",\n        ")
+      val adcExpr = (0 until model.m).map { j =>
+        val lists = model.codebooks(j).map(c => distChain("qv", j * sub, c)).mkString(", ")
+        s"[$lists][pbk$j + 1]"
+      }.mkString(" + ")
+      "ann_batch_pq" ->
+        s"""WITH pbq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |pbqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS pbqnv FROM pbq),
+           |pbqd AS (SELECT query_id, qv, [$qDists] AS dl FROM pbqn),
+           |pbqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM pbqd),
+           |pbqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM pbqc0) WHERE rn <= 3),
+           |pbc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |pbnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS pbnv FROM pbc),
+           |pbdst AS (SELECT vec_id, ev, [$cDists] AS cdl FROM pbnr),
+           |pbasg AS (SELECT vec_id, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM pbdst),
+           |pbenc AS (SELECT vec_id, ev, cluster,
+           |        $encCols FROM pbasg),
+           |pbj AS (SELECT query_id, vec_id, cluster, ev, qv, $adcExpr AS adc
+           |        FROM pbenc JOIN pbqc USING (cluster)),
+           |pbcand AS (SELECT query_id, vec_id, cluster, ev, qv FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prn
+           |        FROM pbj) WHERE prn <= ${5 * 10}),
+           |pbfin AS (SELECT query_id, vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM pbcand),
+           |pbr AS (SELECT query_id, vec_id, cluster, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM pbfin)
+           |SELECT query_id, vec_id, cluster, cos_sim, rk FROM pbr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -555,7 +635,7 @@ object OracleSql {
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ annBatchEntries ++ pqEntries ++ ivfpqEntries ++
+    (annEntries ++ annIncrEntries ++ annBatchEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries).toMap
   }
 
@@ -1444,6 +1524,9 @@ object OracleSql {
     // the streamed scrub lands the same per-doc results as the batch
     // operator (batch-invariant given a static benchmark) — one twin
     "stream_decontaminate" -> sql("decontaminate_spans"),
+    // per-doc-pure signatures make delta batching invisible to the
+    // pair sweep — the incremental store equals the one-shot LSH
+    "dedup_minhash_incremental" -> sql("dedup_minhash_lsh"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

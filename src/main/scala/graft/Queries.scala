@@ -298,6 +298,25 @@ object Queries {
       numHashes = 8, shingleK = 3, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** Incremental MinHash: the near-dup corpus lands in TWO delta
+    * batches into a persisted signature store (the manifest
+    * [[graft.operators.ChunkStore]]); signatures are per-doc pure, so
+    * batching cannot change them, and one banded sweep over the merged
+    * store equals the one-shot [[dedupMinhashLsh]] — whose twin it
+    * shares. At 100 TB this is the difference between re-signing the
+    * corpus on every ingest and signing only the new batch.
+    */
+  def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val c = corpusWithNearDups(s, dir)
+    val root = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_sigstore")).toString + "/sig"
+    val store = new ChunkStore(root, "doc_id")
+    Dedup.appendSignatures(store, c.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+    Dedup.appendSignatures(store, c.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+    Dedup.pairsFromSignatures(store.read(s), "doc_id", numHashes = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Keeper assignment: connected components over the minhash-LSH pair
     * graph — every near-dup doc mapped to its cluster's min id.
     */
@@ -1167,6 +1186,50 @@ object Queries {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
       "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[annBatchProbe]] over the COMPRESSED persisted layout: the query
+    * batch probes the int8 SQ codes sidecar (4× fewer bytes than the
+    * vectors, partition-pruned to each query's 3 cells), approximate-
+    * prunes per query to 20 candidates with a bounded heap, and only
+    * that set touches the full-precision base for the exact re-rank —
+    * the batch serving shape for a compressed index at corpus scale.
+    */
+  def annBatchSq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatchSq = Some(index.centroids)
+    val path = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_annbatchsq")).resolve("idx").toString
+    Sq.writeIvfSq(path, e, "embedding", "vec_id", index.centroids)
+    Sq.probeBatchIvfSq(s, path, index.centroids,
+      e.select("vec_id", "embedding"),
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "q_vec", "query_id", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20)
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[annBatchProbe]] over the persisted IVF-PQ layout: the batch ADC
+    * shape — each query's distance table is computed ONCE as broadcast
+    * array columns (codebook centers are plan literals), the
+    * partition-pruned codes scan pays O(m) lookups per row, and only
+    * k·refine candidates per query reach the exact cosine re-rank.
+    * The 32×-less-I/O PQ scan and batch serving compose.
+    */
+  def annBatchPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.train(e, "embedding", "vec_id", m = 8, codes = 16)
+    OracleArtifacts.annBatchPq = Some((index.centroids, model))
+    val path = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_annbatchpq")).resolve("idx").toString
+    Pq.writeIvfPq(path, e, "embedding", "vec_id", index.centroids, model)
+    Pq.probeBatchIvfPq(s, path, index.centroids, model,
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10)
       .orderBy("query_id", "rk")
   }
 

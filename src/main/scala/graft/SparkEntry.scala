@@ -42,6 +42,7 @@ object SparkEntry {
     // B. dedup suite
     "dedup_exact"         -> (Queries.dedupExact(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
+    "dedup_minhash_incremental" -> (Queries.dedupMinhashIncremental(_, _)),
     "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
@@ -90,6 +91,8 @@ object SparkEntry {
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
     "ann_batch_persisted" -> (Queries.annBatchPersisted(_, _)),
+    "ann_batch_sq"        -> (Queries.annBatchSq(_, _)),
+    "ann_batch_pq"        -> (Queries.annBatchPq(_, _)),
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),

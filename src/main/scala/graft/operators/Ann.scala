@@ -229,6 +229,35 @@ object Ann {
     * operator, never a global sort. ~nProbe/k of the brute-force
     * [[Search.knnBatch]] work.
     */
+  /** Per-query cell ranking for batch probes: a |Q|×k broadcast join
+    * against the (tiny) centroid table + a per-query window picking
+    * each query's nProbe nearest cells — the same (distance, cluster)
+    * tie-break as the driver-side [[nearestCells]]. Output: one row
+    * per probed (query, cell), carrying the query vector along so the
+    * downstream cluster join needs no second pass over the queries.
+    */
+  def queryCells(
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      centroids: Array[Array[Double]],
+      nProbe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cent")
+    val byQuery = Window.partitionBy(queryId).orderBy(col("_d2").asc, col("cluster").asc)
+    queries
+      .withColumn("_qnv", VectorOps.normalize(col(queryVec)))
+      .crossJoin(broadcast(centDf))
+      .withColumn("_d2", VectorOps.sqDist(col("_qnv"), col("_cent")))
+      .withColumn("_rn", row_number().over(byQuery))
+      .filter(col("_rn") <= nProbe)
+      .select(col(queryId), col(queryVec), col("cluster"))
+  }
+
   def probeBatch(
       index: Index,
       queries: DataFrame,
@@ -237,20 +266,9 @@ object Ann {
       nProbe: Int,
       topK: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    import spark.implicits._
-    val centDf = index.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cent")
-    val byQuery = Window.partitionBy(queryId).orderBy(col("_d2").asc, col("cluster").asc)
-    val qCells = queries
-      .withColumn("_qnv", VectorOps.normalize(col(queryVec)))
-      .crossJoin(broadcast(centDf))
-      .withColumn("_d2", VectorOps.sqDist(col("_qnv"), col("_cent")))
-      .withColumn("_rn", row_number().over(byQuery))
-      .filter(col("_rn") <= nProbe)
-      .select(col(queryId), col(queryVec), col("cluster"))
+    val qCells = queryCells(queries, queryVec, queryId, index.centroids, nProbe)
     val scored = index.assigned
       .join(qCells, "cluster")
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(index.vecCol), col(queryVec)))
@@ -284,19 +302,8 @@ object Ann {
       nProbe: Int,
       topK: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(spark)
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cent")
-    val byQuery = Window.partitionBy(queryId).orderBy(col("_d2").asc, col("cluster").asc)
-    val qCells = queries
-      .withColumn("_qnv", VectorOps.normalize(col(queryVec)))
-      .crossJoin(broadcast(centDf))
-      .withColumn("_d2", VectorOps.sqDist(col("_qnv"), col("_cent")))
-      .withColumn("_rn", row_number().over(byQuery))
-      .filter(col("_rn") <= nProbe)
-      .select(col(queryId), col(queryVec), col("cluster"))
+    val qCells = queryCells(queries, queryVec, queryId, centroids, nProbe)
     val scored = spark.read.parquet(path)
       .join(broadcast(qCells), "cluster")
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))

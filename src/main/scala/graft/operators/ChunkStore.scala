@@ -170,6 +170,41 @@ class ChunkStore(val root: String, val keyCol: String) {
     readSegments(spark, segs)
   }
 
+  /** TIME TRAVEL: the store exactly as manifest `version` committed it
+    * (Delta's `versionAsOf`). Every manifest is immutable and segments
+    * are never rewritten in place, so any retained version replays
+    * perfectly; versions dropped by [[vacuum]] raise with the retained
+    * range. [[versions]] lists what is still readable.
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val f = fs(spark)
+    val avail = versions(spark)
+    require(avail.contains(version),
+      s"version $version not retained at $root (have: ${avail.mkString(", ")}) — " +
+        "vacuumed manifests cannot be replayed; raise keepManifests to retain more history")
+    val in = f.open(manifestPath(version))
+    val body =
+      try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+      finally in.close()
+    val segs = body.linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(seq, dir) = l.split(" ", 2)
+      Segment(seq.toLong, dir)
+    }.toSeq.sortBy(_.seq)
+    require(segs.nonEmpty, s"manifest v$version at $root is empty")
+    readSegments(spark, segs)
+  }
+
+  /** Manifest versions still on disk (readable via [[readVersion]]). */
+  def versions(spark: SparkSession): Seq[Long] = {
+    val f = fs(spark)
+    if (!f.exists(logPath)) Seq.empty
+    else f.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+  }
+
   /** Fold the oldest `runLength` segments into ONE segment holding the
     * run's highest sequence number, and commit a manifest with the fold
     * plus the untouched newer segments. Prefix folds drop tombstones

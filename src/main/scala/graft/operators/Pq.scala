@@ -236,4 +236,63 @@ object Pq {
     val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
     probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, refineFactor)
   }
+
+  /** Batch probe over the persisted IVF-PQ layout. The single-query
+    * [[probe]] inlines the query's ADC table as driver literals; a
+    * BATCH can't (the table is per query), so the tables become array
+    * COLUMNS computed once per (query, probed cell) row — the codebook
+    * centers are the plan literals, the per-center squared distances
+    * run inside codegen, and every corpus row's ADC is then m
+    * element_at lookups + a sum. Work per scanned code row is O(m),
+    * exactly like the single-query path; the |Q|-dependent table cost
+    * is paid on the tiny broadcast side, never in the corpus scan.
+    * Per-query candidate pruning and the exact re-rank both run in the
+    * bounded-heap [[graft.plans.TopK]] — no global sort anywhere.
+    */
+  def probeBatchIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      k: Int,
+      refineFactor: Int = 10
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val sub = model.dim / model.m
+    // ||q_j − center||² as a left-to-right codegen chain — term order
+    // matches distanceTable's loop (and the oracle twin's distChain)
+    // so batch ADC values are bit-identical to the single-query path.
+    def sqd(j: Int, cent: Array[Double]): org.apache.spark.sql.Column =
+      (0 until sub).map { i =>
+        val d = element_at(col(queryVec), j * sub + i + 1).cast("double") - lit(cent(i))
+        d * d
+      }.reduce(_ + _)
+    val tableCols = (0 until model.m).map { j =>
+      array(model.codebooks(j).map(c => sqd(j, c)): _*).as(s"_adc$j")
+    }
+    val qCells = Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe)
+      .select(Seq(col(queryId), col(queryVec), col("cluster")) ++ tableCols: _*)
+    val adc = (0 until model.m)
+      .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = spark.read.parquet(path)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("adc_dist", adc)
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
+        col(vecCol), col(queryVec), col("adc_dist"))
+    val candidates = graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * refineFactor)
+    candidates
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"))
+      .transform(df => graft.plans.TopK
+        .perKey(df, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), k))
+      .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"), col("rk"))
+  }
 }

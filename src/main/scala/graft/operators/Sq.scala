@@ -99,6 +99,52 @@ object Sq {
       .limit(k)
   }
 
+  /** Batch probe over the persisted IVF+SQ8 layout — the compressed
+    * counterpart of [[Ann.probeBatchPersisted]]: every query ranks its
+    * own nProbe cells ([[Ann.queryCells]]), the per-query cell table
+    * joins the int8 CODES sidecar on its partition column (dynamic
+    * partition pruning narrows the scan to the probed-cell union, at a
+    * quarter of the float32 bytes), each query approximate-prunes to
+    * `refine` candidates with a bounded heap, and ONLY that bounded
+    * set touches the full-precision base table for the exact re-rank.
+    * At 100 TB this is the batch serving shape for a compressed index:
+    * the corpus-sized scan reads codes, never vectors; the vector
+    * reads are |Q|×refine point lookups against a bucketed-by-id base.
+    */
+  def probeBatchIvfSq(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val qCells = Ann.queryCells(queries, queryVec, queryId, centroids, nProbe)
+    val approx = spark.read.parquet(path)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("approx_sim", VectorOps.cosineFastRounded(col("sq_codes"), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
+        col("approx_sim"))
+    val candidates = graft.plans.TopK
+      .perKey(approx, Seq(queryId), Seq(("approx_sim", false), (idCol, true)), refine)
+      .drop("rk")
+    base
+      .join(broadcast(candidates), idCol)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
+      .transform(df => graft.plans.TopK
+        .perKey(df, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), k))
+      .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"),
+        col("cos_sim"), col("rk"))
+  }
+
   /** Residual-quantized IVF+SQ8 (the FAISS IVF,SQ8 residual variant):
     * quantize `normalize(v) − centroid[cluster]` instead of `v`. On
     * CLUSTERED data the residual's dynamic range is a fraction of the

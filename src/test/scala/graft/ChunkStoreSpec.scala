@@ -91,6 +91,27 @@ class ChunkStoreSpec extends SparkSpec {
     assert(ls(s"${store.root}/_log").count(_.getPath.getName.endsWith(".manifest")) == 1)
   }
 
+  test("time travel: every retained manifest version replays its exact state") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "v1"), (2L, "b")).toDF("doc_id", "content"))   // v1
+    store.upsert(Seq((1L, "v2")).toDF("doc_id", "content"))              // v2
+    store.delete(Seq(Tuple1(2L)).toDF("doc_id"))                         // v3
+    assert(store.versions(spark) == Seq(1L, 2L, 3L))
+    def at(v: Long) = store.readVersion(spark, v).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at(1L) == Seq((1L, "v1"), (2L, "b")))
+    assert(at(2L) == Seq((1L, "v2"), (2L, "b")))
+    assert(at(3L) == Seq((1L, "v2")))
+    assert(at(3L) == store.read(spark).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // vacuumed history refuses loudly instead of replaying a hole
+    store.vacuum(spark, keepManifests = 1)
+    assert(store.versions(spark) == Seq(3L))
+    val e = intercept[IllegalArgumentException] { store.readVersion(spark, 1L) }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(at(3L) == Seq((1L, "v2")), "current state survives vacuum")
+  }
+
   test("a concurrent commit of the same version fails instead of overwriting") {
     val store = freshStore()
     store.upsert(Seq((1L, "a")).toDF("doc_id", "content"))

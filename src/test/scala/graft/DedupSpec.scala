@@ -50,6 +50,34 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("incremental signature store: delta batches + re-ingest equal the one-shot sweep") {
+    import graft.operators.ChunkStore
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark partitions"),
+      (4L, "another unrelated text body concerning parquet files")
+    ).toDF("doc_id", "text")
+    val oneShot = Dedup.minHashLshPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val root = java.nio.file.Files.createTempDirectory("graft_sig_spec").toString + "/sig"
+    val store = new ChunkStore(root, "doc_id")
+    // first batch signs a STALE doc 2; the re-ingest batch replaces it
+    Dedup.appendSignatures(store, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "stale version of doc two entirely different")).toDF("doc_id", "text"), "text")
+    Dedup.appendSignatures(store, Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark partitions"),
+      (4L, "another unrelated text body concerning parquet files")).toDF("doc_id", "text"), "text")
+    val incremental = Dedup.pairsFromSignatures(store.read(spark), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental == oneShot,
+      s"incremental $incremental must equal one-shot $oneShot")
+    assert(incremental.contains((1L, 2L)), "the planted near-dup pair must surface")
+  }
+
   test("decontaminateSpans with scriptFold catches Cyrillic-transliterated contamination") {
     import graft.functions.TextOps
     val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -73,6 +73,36 @@ class IngestSpec extends SparkSpec {
     assert(lines(3) == "| Bob | multi", "embedded newline stays inside the cell")
   }
 
+  test("pdf conversion extracts text from plain and FlateDecode streams; images fall back to stub") {
+    val dir = Files.createTempDirectory("graft_pdf")
+    def pdf(content: Array[Byte], filter: String): Array[Byte] = {
+      val head = (s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length}$filter >>\nstream\n")
+        .getBytes("ISO-8859-1")
+      val tail = "\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1")
+      head ++ content ++ tail
+    }
+    val plain = "BT /F1 12 Tf 72 712 Td (Hello graft) Tj 0 -14 Td (Second line \\(escaped\\)) Tj ET"
+    Files.write(dir.resolve("plain.pdf"), pdf(plain.getBytes("ISO-8859-1"), ""))
+    val tj = "BT 72 712 Td [ (Kerned ) -250 (array) ] TJ T* (after star) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(tj.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf); deflater.end()
+    Files.write(dir.resolve("flate.pdf"), pdf(buf.take(n), " /Filter /FlateDecode"))
+    Files.write(dir.resolve("image.pdf"),
+      pdf(Array[Byte](-1, -40, -1, -32, 9, 9), " /Filter /DCTDecode"))
+    val out = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("source", "text").as[(String, String)].collect()
+      .map { case (s, t) => s.replaceAll("^.*/", "") -> t }.toMap
+    assert(out("plain.pdf").startsWith("Hello graft"), out("plain.pdf"))
+    assert(out("plain.pdf").contains("\nSecond line (escaped)"),
+      s"Td must break the line, escapes must decode: ${out("plain.pdf")}")
+    assert(out("flate.pdf").contains("Kerned array"), out("flate.pdf"))
+    assert(out("flate.pdf").contains("\nafter star"), s"T* must break: ${out("flate.pdf")}")
+    assert(out("image.pdf").contains("[stub-converted pdf"),
+      s"image-only pdf must fall back to the stub: ${out("image.pdf")}")
+  }
+
   test("json conversion renders a readable outline and survives bad json") {
     val dir = Files.createTempDirectory("graft_json")
     Files.writeString(dir.resolve("doc.json"),

@@ -54,4 +54,29 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
       s"expected cluster partition pruning in:\n${plan.take(1500)}")
   }
+
+  test("batch IVF-PQ probe matches the single-query ADC path per query") {
+    import graft.operators.Ann
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.train(embs, "embedding", "vec_id", m = 8, codes = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqbatch_test").resolve("idx").toString
+    Pq.writeIvfPq(path, embs, "embedding", "vec_id", index.centroids, model)
+    val queries = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val batch = Pq.probeBatchIvfPq(spark, path, index.centroids, model, queries,
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4)).map(r => (r.getLong(1), r.getDouble(3))).toSeq)
+      .toMap
+    assert(batch.keySet == Set(0L, 1L, 2L, 3L), s"got ${batch.keySet}")
+    (0L until 4L).foreach { qid =>
+      val qDf = embs.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      val single = Pq.probeIvfPq(spark, path, index.centroids, model, qDf,
+        "q_vec", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid: batch ${batch(qid)} != single $single")
+    }
+  }
 }

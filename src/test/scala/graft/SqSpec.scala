@@ -62,6 +62,33 @@ class SqSpec extends SparkSpec {
     assert(hit >= 8, s"IVF+SQ8 recall@10 $hit/10 < 8")
   }
 
+  test("batch probe over the persisted SQ8 layout matches per-query probeIvfSq") {
+    import graft.operators.Ann
+    val corpus = embs.select("vec_id", "embedding")
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sqbatch_test").resolve("idx").toString
+    Sq.writeIvfSq(path, corpus, "embedding", "vec_id", index.centroids)
+    val queries = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val batch = Sq.probeBatchIvfSq(spark, path, index.centroids, corpus, queries,
+      "q_vec", "query_id", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(5)).map(r =>
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq)
+      .toMap
+    assert(batch.keySet == Set(0L, 1L, 2L, 3L), s"got ${batch.keySet}")
+    (0L until 4L).foreach { qid =>
+      val qDf = embs.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      val single = Sq.probeIvfSq(spark, path, index.centroids, corpus, qDf,
+        "q_vec", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(batch(qid) == single, s"query $qid: batch ${batch(qid)} != single $single")
+    }
+  }
+
   test("residual probe: recall high, and residual codes approximate better than plain SQ8") {
     import graft.operators.Ann
     val corpus = embs.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
