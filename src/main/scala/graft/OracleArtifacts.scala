@@ -28,6 +28,9 @@ object OracleArtifacts {
     */
   @volatile var annBatch: Option[Array[Array[Double]]] = None
 
+  /** (IVF centroids, probed cells) from ann_filtered. */
+  @volatile var annFiltered: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** IVF centroids from ann_batch_sq (per-query cells and the SQ8
     * arithmetic are both computed in SQL by the twin itself).
     */
@@ -67,7 +70,7 @@ object OracleArtifacts {
 
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; annBatchSq = None
-    annBatchPq = None; pq = None; ivfpq = None
+    annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
   }
 }

@@ -422,6 +422,19 @@ object OracleSql {
       // disk — one twin, two keys
       Seq("ann_batch_probe" -> batchSql, "ann_batch_persisted" -> batchSql)
     }
+    val annFilteredEntries = OracleArtifacts.annFiltered.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.annFiltered: same assignment chain as ann_probe,
+      // with the metadata prefilter applied alongside the cell filter —
+      // BEFORE the LIMIT, which is exactly the prefilter semantics the
+      // hash check pins (a postfilter twin would return fewer rows).
+      "ann_filtered" ->
+        s"""WITH ${annCtes(cents)},
+           |lbl AS (SELECT vec_id, label FROM embeddings)
+           |SELECT vec_id, cluster, label, ${cosine("ev", "qv")} AS cos_sim
+           |FROM asg JOIN lbl USING (vec_id), q
+           |WHERE cluster IN (${cells.mkString(", ")}) AND label IN (2, 5)
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val annBatchSqEntries = OracleArtifacts.annBatchSq.toSeq.map { cents =>
       // Twin of Queries.annBatchSq: the batch per-query cell ranking
       // (as ann_batch_probe) composed with the static SQ8 arithmetic
@@ -635,7 +648,7 @@ object OracleSql {
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ annBatchEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries).toMap
   }
 
@@ -1028,6 +1041,15 @@ object OracleSql {
         |       md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS content_hash
         |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin,
 
+    "chunkstore_time_travel" ->
+      // Twin of Queries.chunkstoreTimeTravel: manifest v2's state is the
+      // chunkstore_read replay WITHOUT the delete clause — time travel
+      // must restore the rows the v3 tombstones removed.
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+        |       md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "line_dedup" ->
       // Twin of TextAnalysis.lineDedup (minDocs=3). string_agg skips the
       // NULL (dropped) lines; COALESCE covers a doc whose every line was
@@ -1267,6 +1289,36 @@ object OracleSql {
          |SELECT o.doc_id, CAST(o.k AS BIGINT) AS k,
          |       ROUND(CASE WHEN n.nrm > 0 THEN o.v / n.nrm ELSE o.v END, 5) AS x
          |FROM o JOIN n USING (doc_id) ORDER BY doc_id, k""".stripMargin
+    },
+
+    "maxsim_search" -> {
+      // Twin of Queries.maxsimSearch: the sparse MaxSim chain — chunk
+      // dim-counts + norms, one-hot query terms, per-term conditional
+      // max, fixed-order sum (term order) so both engines add the same
+      // doubles left to right. All counts exact integers until the one
+      // cnt/sqrt(ss) division, same expression shape both sides.
+      val dimExpr = (t: String) =>
+        s"CAST(((strpos('0123456789abcdef', substr(md5($t), 1, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(md5($t), 2, 1)) - 1) % 64 AS BIGINT)"
+      val terms = Seq("spark", "filter", "join", "stream")
+      val maxCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN sim END) AS m$i"
+      }.mkString(",\n         |        ")
+      val sumExpr = terms.indices.map(i => s"COALESCE(m$i, 0.0)").mkString(" + ")
+      s"""WITH $chunkCte,
+         |mst AS (SELECT doc_id, chunk_index, unnest(${toks("chunk")}) AS tok FROM ch),
+         |msd AS (SELECT doc_id, chunk_index, ${dimExpr("tok")} AS dim FROM mst),
+         |msc AS (SELECT doc_id, chunk_index, dim, CAST(count(*) AS BIGINT) AS cnt FROM msd GROUP BY doc_id, chunk_index, dim),
+         |msn AS (SELECT doc_id, chunk_index, CAST(sum(cnt * cnt) AS DOUBLE) AS ss FROM msc GROUP BY doc_id, chunk_index),
+         |msq AS (SELECT term, ${dimExpr("term")} AS dim FROM (SELECT unnest(${toks("'spark filter join stream'")}) AS term)),
+         |mss AS (SELECT c.doc_id, q.term, CAST(c.cnt AS DOUBLE) / sqrt(n.ss) AS sim
+         |        FROM msc c JOIN msq q USING (dim)
+         |        JOIN msn n ON c.doc_id = n.doc_id AND c.chunk_index = n.chunk_index),
+         |msp AS (SELECT doc_id,
+         |        $maxCols
+         |        FROM mss GROUP BY doc_id)
+         |SELECT doc_id, ROUND($sumExpr, 5) AS maxsim
+         |FROM msp ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin
     },
 
     "semantic_search" -> semanticTwin,
@@ -1527,6 +1579,8 @@ object OracleSql {
     // per-doc-pure signatures make delta batching invisible to the
     // pair sweep — the incremental store equals the one-shot LSH
     "dedup_minhash_incremental" -> sql("dedup_minhash_lsh"),
+    // same argument with micro-batches as the deltas
+    "stream_minhash" -> sql("dedup_minhash_lsh"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

@@ -195,6 +195,49 @@ object Queries {
     ).select("vec_id", "label", "cos_sim")
   }
 
+  /** Late-interaction retrieval (ColBERT, Khattab & Zaharia 2020 §3.2
+    * MaxSim): score(q, d) = Σ_{t∈q} max_{c∈chunks(d)} cos(v_t, v_c) —
+    * fine-grained term-to-chunk matching instead of one pooled doc
+    * vector. With hashed-BoW chunk vectors a single-term query vector
+    * is ONE-HOT on its hashed dim, so cos(v_t, v_c) =
+    * cnt_c[dim_t] / ‖v_c‖ and the whole operator stays SPARSE: one
+    * tokenize+explode pass builds (doc, chunk, dim, cnt) and the chunk
+    * norms (hash-partitioned partial aggs), the query's 4 dims
+    * broadcast, and the per-doc score is a single aggregation with one
+    * conditional max per query term — summed in fixed expression order
+    * (term order), so both engines add the same doubles left to right.
+    * Corpus scanned once; no dense vectors anywhere.
+    */
+  def maxsimSearch(s: SparkSession, dir: String): DataFrame = {
+    val queryText = "spark filter join stream"
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val qd = s.range(1)
+      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
+      .select(col("term"), TextOps.hashedBowDim(col("term")).as("dim"))
+    // chunk norms via a WINDOW over the dim-count aggregation — not a
+    // second aggregation joined back, which would re-scan the corpus
+    // (the curation_report lesson): one scan, then shuffles only on
+    // shrinking keyed aggregates.
+    val byChunk = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "chunk_index")
+    val sims = chunks(s, dir)
+      .select(col("doc_id"), col("chunk_index"), explode(TextOps.tokenize(col("chunk"))).as("tok"))
+      .select(col("doc_id"), col("chunk_index"), TextOps.hashedBowDim(col("tok")).as("dim"))
+      .groupBy("doc_id", "chunk_index", "dim").agg(count(lit(1)).as("cnt"))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(byChunk))
+      .join(broadcast(qd), "dim")
+      .select(col("doc_id"), col("term"),
+        (col("cnt").cast("double") / sqrt(col("ss").cast("double"))).as("sim"))
+    val maxCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("sim"))).as(s"_m$i")
+    }
+    sims.groupBy("doc_id")
+      .agg(maxCols.head, maxCols.tail: _*)
+      .select(col("doc_id"),
+        round(terms.indices.map(i => coalesce(col(s"_m$i"), lit(0.0d))).reduce(_ + _), 5)
+          .as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id")).limit(10)
+  }
+
   // ── A. Chunking ──────────────────────────────────────────────────────
 
   def chunkExplode(s: SparkSession, dir: String): DataFrame =
@@ -276,8 +319,11 @@ object Queries {
   /** documents ∪ planted near-duplicates (doc_id < 25 → +10000, last 5
     * tokens dropped).
     */
-  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "text")
+  /** Per-row corpus expansion planting near-dups: docs < 25 reappear
+    * under id+10000 with the last 5 tokens cut. Pure per-row, so it
+    * applies identically to a batch corpus or a micro-batch.
+    */
+  private def withNearDups(d: DataFrame): DataFrame = {
     val toks = TextOps.tokenize(col("text"))
     d.unionAll(
       d.filter(col("doc_id") < 25)
@@ -287,6 +333,9 @@ object Queries {
         )
     )
   }
+
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame =
+    withNearDups(docs(s, dir).select("doc_id", "text"))
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(corpusWithExactDups(s, dir), "text", "doc_id")
@@ -313,6 +362,23 @@ object Queries {
     val store = new ChunkStore(root, "doc_id")
     Dedup.appendSignatures(store, c.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
     Dedup.appendSignatures(store, c.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+    Dedup.pairsFromSignatures(store.read(s), "doc_id", numHashes = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[dedupMinhashLsh]] fed from a STREAM: documents arrive as
+    * micro-batches, each signs only itself into the persisted manifest
+    * signature store ([[graft.streaming.StreamPipeline.signAndStore]]),
+    * and one banded sweep over the merged store yields the pairs —
+    * equal to the one-shot batch LSH (whose twin it shares) because
+    * signatures are per-doc pure. The streaming face of
+    * [[dedupMinhashIncremental]]'s delta batching.
+    */
+  def streamMinhash(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_stream_sig")).toString + "/sig"
+    val store = new ChunkStore(root, "doc_id")
+    graft.streaming.StreamPipeline.signAndStore(s, dir, store, withNearDups)
     Dedup.pairsFromSignatures(store.read(s), "doc_id", numHashes = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
   }
@@ -428,6 +494,22 @@ object Queries {
       st
     })
     store.read(s)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** TIME TRAVEL over [[chunkstoreRead]]'s store: read manifest v2 —
+    * after the modified re-upsert, BEFORE the `%13==5` tombstones and
+    * the compaction — via [[graft.operators.ChunkStore.readVersion]]
+    * (Delta's `versionAsOf`). Immutable segments + immutable manifests
+    * make every retained version replayable; the twin is
+    * [[chunkstoreRead]]'s replay WITHOUT the delete clause, so the
+    * hash check proves the deleted rows are genuinely restored and the
+    * v4 compaction left history intact.
+    */
+  def chunkstoreTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    chunkstoreRead(s, dir).limit(0).count() // ensure the cached store exists
+    chunkStoreCache.get(dir).readVersion(s, 2L)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
       .orderBy("doc_id")
   }
@@ -1135,6 +1217,27 @@ object Queries {
     OracleArtifacts.annIncremental = Some((index.centroids, cells))
     Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
       nProbe = 3, topK = 10)
+  }
+
+  /** PREFILTERED persisted-IVF probe — the reference's filtered vector
+    * search (server.py metadata filters + LanceDB prefilter): the
+    * `label IN (2, 5)` predicate lands inside the partition-pruned
+    * scan, before the top-k heap, so all 10 results satisfy it — a
+    * postfilter over [[annProbe]]'s output would return only the
+    * filter's survivors among the unfiltered top 10 (usually < 10).
+    * The twin assigns + filters + ranks the same way in SQL.
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.annFiltered = Some((index.centroids, cells))
+    val path = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_annfilt")).resolve("idx").toString
+    Ann.writeIndex(index, path)
+    Ann.probePersistedFiltered(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
+      prefilter = col("label").isin(2, 5), keep = Seq("label"), nProbe = 3, topK = 10)
   }
 
   /** IVF-PQ-style probe: PQ codes + ADC ranking + exact re-rank at

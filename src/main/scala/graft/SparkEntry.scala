@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_exact"         -> (Queries.dedupExact(_, _)),
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
     "dedup_minhash_incremental" -> (Queries.dedupMinhashIncremental(_, _)),
+    "stream_minhash"      -> (Queries.streamMinhash(_, _)),
     "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN
     "ann_probe"           -> (Queries.annProbe(_, _)),
+    "ann_filtered"        -> (Queries.annFiltered(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),
     "pq_probe"            -> (Queries.pqProbe(_, _)),
     "lsh_pairs"           -> (Queries.lshPairs(_, _)),
@@ -95,6 +97,7 @@ object SparkEntry {
     "ann_batch_pq"        -> (Queries.annBatchPq(_, _)),
     "token_shards_bpe"    -> (Queries.tokenShardsBpe(_, _)),
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
+    "maxsim_search"       -> (Queries.maxsimSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
@@ -116,6 +119,7 @@ object SparkEntry {
     "mix_temperature"     -> (Queries.mixTemperature(_, _)),
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),
+    "chunkstore_time_travel" -> (Queries.chunkstoreTimeTravel(_, _)),
     "quality_model"       -> (Queries.qualityModel(_, _)),
     "span_dedup"          -> (Queries.spanDedup(_, _)),
     "semantic_indexed"    -> (Queries.semanticIndexed(_, _))

@@ -219,6 +219,41 @@ object Ann {
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
   }
 
+  /** PREFILTERED probe of a persisted layout — the reference's filtered
+    * vector search (server.py `search` metadata filters composed with
+    * the LanceDB prefilter; store.py:261): the metadata predicate is
+    * applied IN the partition-pruned scan, BEFORE the top-k heap, so
+    * the k results all satisfy it — a postfilter can come back short
+    * (or empty) whenever the predicate is selective. At scale the
+    * cluster filter prunes partition directories at the file listing,
+    * the predicate prunes row groups via parquet min/max stats (both
+    * visible in explain: PartitionFilters + PushedFilters), and only
+    * survivors reach the cosine heap — no second pass, no join back.
+    * `keep` names metadata columns to carry into the result.
+    */
+  def probePersistedFiltered(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      prefilter: org.apache.spark.sql.Column,
+      keep: Seq[String],
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(cells))
+      .filter(prefilter)
+    Search
+      .knnTopK(pruned, queryDf, vecCol, queryVec, idCol, topK)
+      .select(Seq(col(idCol), col("cluster").cast("long").as("cluster")) ++
+        keep.map(col) :+ col("cos_sim"): _*)
+  }
+
   /** Batch IVF probe: every query is pruned to its nProbe nearest cells
     * and scored only against those cells' vectors — the hard-negative-
     * mining shape (millions of training queries against a static index).

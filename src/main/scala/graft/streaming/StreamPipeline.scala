@@ -146,6 +146,33 @@ object StreamPipeline {
     spark.read.parquet(landDir).orderBy("doc_id")
   }
 
+  /** Streamed incremental MinHash signing: each micro-batch signs ONLY
+    * its own documents (after `augment`, the per-row corpus expansion
+    * the batch flow applies) and upserts them into the persisted
+    * signature store — [[graft.operators.Dedup.appendSignatures]]
+    * driven from a stream. Signatures are a pure function of the single
+    * document, so micro-batch boundaries cannot change them; a pair
+    * sweep over the merged store afterwards equals the one-shot batch
+    * LSH. This is the 100 TB ingest loop: new corpus files land, only
+    * they get signed, dedup state accrues in the manifest store.
+    */
+  def signAndStore(
+      spark: SparkSession,
+      dir: String,
+      store: graft.operators.ChunkStore,
+      augment: DataFrame => DataFrame = identity
+  ): Unit = {
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch)
+        if (!b.isEmpty) graft.operators.Dedup.appendSignatures(store, augment(b), "text")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streamed per-source BPE token accounting, drained synchronously:
     * the complete-mode [[EventStreams.tokenAccounting]] aggregation
     * lands in a memory sink and the final totals come back ordered.

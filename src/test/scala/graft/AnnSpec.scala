@@ -132,6 +132,26 @@ class AnnSpec extends SparkSpec {
       s"expected partition pruning over the cluster layout:\n$plan")
   }
 
+  test("prefiltered probe: every hit satisfies the predicate, pushed into the pruned scan") {
+    val out = Queries.annFiltered(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 10, s"prefilter must still fill the top-k: ${rows.length}")
+    assert(rows.forall(r => Set(2, 5).contains(r.getInt(2))),
+      "a result row violates the label prefilter")
+    // prefilter ≠ postfilter: filtering the UNfiltered probe's top 10
+    // afterwards must lose hits (labels 2,5 are ~1/5 of the corpus)
+    val post = Queries.annProbe(spark, sf)
+      .join(Tables.embeddings(spark, sf).select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label").isin(2, 5)).count()
+    assert(post < 10, s"postfilter kept $post — corpus too uniform to pin prefilter semantics")
+    // both prunings visible in the plan: cluster partitions + label row groups
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning:\n${plan.take(1200)}")
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"expected the label prefilter pushed to parquet:\n${plan.take(1200)}")
+  }
+
   test("ann_incremental query: persisted base+delta probe equals the in-memory probe") {
     val rows = Queries.annIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -91,6 +91,22 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("maxsim_search: bounded late-interaction scores, single-scan windowed plan") {
+    val out = Queries.maxsimSearch(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == 10, "top-10 contract")
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "must be sorted by maxsim desc")
+    // each of the 4 query terms contributes a cosine in [0,1]
+    assert(scores.forall(s => s > 0.0 && s <= 4.0 + 1e-9), s"score out of range: ${scores.toSeq}")
+    // one corpus pass + window for the norms — NOT a second aggregation
+    // joined back (which would double the scan count)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"maxsim must not re-scan the corpus per leg: $scans scans")
+    assert(plan.contains("BroadcastHashJoin"), "query dims must broadcast")
+  }
+
   test("semantic_search returns a descending, bounded cosine ranking over documents") {
     val out = Queries.semanticSearch(spark, sf).collect()
     assert(out.length == 10, "top-10 contract")
