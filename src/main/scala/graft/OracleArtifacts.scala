@@ -68,9 +68,15 @@ object OracleArtifacts {
     */
   @volatile var streamPipeline: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** SemDeDup coarse-quantizer centroids from semdedup (fitted on the
+    * planted-near-dup corpus, unit-sphere space).
+    */
+  @volatile var semdedup: Option[Array[Array[Double]]] = None
+
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; annBatchSq = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
+    semdedup = None
   }
 }

@@ -648,8 +648,39 @@ object OracleSql {
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
     }
+    val semdedupEntries = OracleArtifacts.semdedup.toSeq.map { cents =>
+      // Twin of Queries.semDeDup: planted-near-dup corpus, fitted
+      // centroid assignment (same distance-chain/first-min tie-break as
+      // the ANN twins), rounded centroid cosine from a VALUES join, and
+      // the keep-lowest-centroid-sim EXISTS rule replayed verbatim.
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        s"(CAST($i AS BIGINT), [${c.map(dlit).mkString(", ")}])"
+      }.mkString(",\n        ")
+      "semdedup" ->
+        s"""WITH e AS (SELECT vec_id, ${dvec("embedding")} AS emb FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, emb FROM e
+           |  UNION ALL
+           |  SELECT vec_id + 10000 AS vec_id, list_prepend(emb[1] + 0.05, emb[2:64]) AS emb
+           |  FROM e WHERE vec_id < 20),
+           |nrm AS (SELECT vec_id, emb AS ev, list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS nv FROM corpus),
+           |dst AS (SELECT vec_id, ev, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst),
+           |cent AS (SELECT * FROM (VALUES $centRows) t(cluster, cv)),
+           |cs AS (SELECT vec_id, ev, asg.cluster, ${cosine("ev", "cv")} AS centroid_sim
+           |       FROM asg JOIN cent ON asg.cluster = cent.cluster),
+           |rm AS (SELECT DISTINCT a.vec_id
+           |       FROM cs a JOIN cs b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+           |       WHERE ${cosine("a.ev", "b.ev")} >= 0.95
+           |         AND (b.centroid_sim < a.centroid_sim
+           |              OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id)))
+           |SELECT vec_id, cluster, centroid_sim,
+           |       vec_id NOT IN (SELECT vec_id FROM rm) AS kept
+           |FROM cs ORDER BY vec_id""".stripMargin
+    }
     (annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries).toMap
+      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

@@ -415,6 +415,22 @@ object Queries {
       )
   }
 
+  /** SemDeDup (Abbas et al. 2023) over the planted-near-dup corpus:
+    * k-means coarse clusters (seed-fixed, k=8) block the candidate
+    * pairs; within a cluster any pair with cosine >= 0.95 is a semantic
+    * duplicate and the member with the LOWER centroid similarity is
+    * kept (the paper's keep-most-atypical rule). Fitted centroids are
+    * stashed for the DuckDB twin ([[OracleArtifacts.semdedup]]).
+    */
+  def semDeDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpusWithNearDups(s, dir).drop("label")
+    val index = Ann.buildCached(dir + "#semdedup", corpus, "embedding", "vec_id", k = 8, seed = 42)
+    OracleArtifacts.semdedup = Some(index.centroids)
+    Dedup.semDeDup(corpus, "embedding", "vec_id", index.centroids, threshold = 0.95)
+      .select("vec_id", "cluster", "centroid_sim", "kept")
+      .orderBy("vec_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(embCorpusWithNearDups(s, dir), "embedding", "vec_id",
       "label", threshold = 0.8)

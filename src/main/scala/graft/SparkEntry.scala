@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
+    "semdedup"            -> (Queries.semDeDup(_, _)),
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
     "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN

@@ -494,6 +494,59 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * blocked by a fitted k-means coarse quantizer. Every document is
+    * assigned to its nearest centroid; near-duplicate pairs (cosine >=
+    * threshold) are formed ONLY within a cluster; within each duplicate
+    * relation the paper's keep rule applies — retain the example with
+    * the LOWEST cosine similarity to its cluster centroid (the most
+    * "atypical" representative), ids breaking ties. Returns every input
+    * row with its cluster, centroid similarity and a `kept` flag.
+    *
+    * Scale shape: the only shuffle is the equi-join on `cluster`
+    * (k grows ~sqrt(N) at scale, so cluster populations stay bounded and
+    * the intra-cluster pair loop is O(N * avgClusterSize), never a
+    * global cross join — the paper's trick for running on LAION-scale
+    * corpora). The centroid table is O(k*dim) and broadcast. The removal
+    * decision is a local pairwise EXISTS over rounded (centroid_sim, id)
+    * keys, not a transitive closure — no iterative connected-components
+    * pass, one shuffle end to end.
+    */
+  def semDeDup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cluster", "cv"))
+    val scored = Ann.assign(df, vecCol, centroids)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .join(centDf, Seq("cluster"))
+      .withColumn("centroid_sim", VectorOps.cosineFastRounded(col(vecCol), col("cv")))
+      .drop("cv")
+    val l = scored.select(
+      col("cluster"), col(idCol).as("id_a"), col(vecCol).as("v_a"), col("centroid_sim").as("cs_a"))
+    val r = scored.select(
+      col("cluster"), col(idCol).as("id_b"), col(vecCol).as("v_b"), col("centroid_sim").as("cs_b"))
+    val removed = l
+      .join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(VectorOps.cosineFastRounded(col("v_a"), col("v_b")) >= threshold)
+      .filter(col("cs_b") < col("cs_a") ||
+        (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("_rm", lit(true))
+    scored
+      .join(removed, Seq(idCol), "left")
+      .withColumn("kept", col("_rm").isNull)
+      .drop("_rm")
+  }
+
   /** Embedding near-duplicate pairs, blocked by a partition column
     * (label locally; an LSH bucket or coarse-quantizer cell at scale).
     * Cosine is computed only within blocks.

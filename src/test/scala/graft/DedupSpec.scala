@@ -27,6 +27,34 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("semDeDup keeps the lowest-centroid-sim member of each planted duplicate pair") {
+    // Two well-separated clusters; in cluster 0 plant a near-dup of doc 1.
+    val rnd = new scala.util.Random(7)
+    def vec(center: Double): Seq[Double] =
+      (0 until 8).map(i => center + rnd.nextGaussian() * 0.01)
+    val rows = Seq(
+      (1L, (0 until 8).map(i => 1.0 + i * 0.001)),
+      (2L, vec(1.0)),
+      (3L, vec(1.0)),
+      (10L, vec(-1.0)),
+      (11L, vec(-1.0))
+    ) :+ (101L, (0 until 8).map(i => 1.0 + i * 0.001 + (if (i == 0) 0.0005 else 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(-1.0))
+    val out = Dedup.semDeDup(df, "embedding", "vec_id", cents, threshold = 0.999999)
+      .select("vec_id", "centroid_sim", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+
+    // exactly one of the planted pair (1, 101) is removed; all others kept
+    assert(Seq(1L, 101L).count(id => !out(id)._2) == 1,
+      s"expected one removal in the planted pair, got $out")
+    Seq(2L, 3L, 10L, 11L).foreach(id => assert(out(id)._2, s"doc $id should be kept"))
+    // the kept member is the one with LOWER centroid similarity (ties by id)
+    val (keptId, rmId) = if (out(1L)._2) (1L, 101L) else (101L, 1L)
+    assert(out(keptId)._1 <= out(rmId)._1,
+      s"keep rule violated: kept=$keptId sim=${out(keptId)._1}, removed=$rmId sim=${out(rmId)._1}")
+  }
+
   test("minHashLshPairs recovers a planted near-duplicate and skips unrelated docs") {
     val base = (1 to 60).map(i => s"alpha$i").mkString(" ")
     val nearDup = (1 to 55).map(i => s"alpha$i").mkString(" ") // drop last 5 tokens
