@@ -1417,6 +1417,37 @@ object OracleSql {
          |FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "dsir_sample" -> {
+      // Twin of Sampling.dsirResample: same md5 bucket hash (first two
+      // hex chars, 256 buckets), add-one smoothed target/raw bucket
+      // models, per-doc Σ n_b·(ln p̂_b − ln q̂_b), Gumbel noise from the
+      // first 6 md5 hex chars. Both engines round scores to 4 dp before
+      // ranking (same discipline as the BM25 twins, which already prove
+      // runtime-ln parity under rounding on this box).
+      def hx(s: String, i: Int) = s"(strpos('0123456789abcdef', substr($s, $i, 1)) - 1)"
+      val b2 = s"CAST(${hx("md5(term)", 1)} * 16 + ${hx("md5(term)", 2)} AS BIGINT)"
+      val u6 = (1 to 6).map(i => s"${hx("md5('dsir:' || CAST(doc_id AS VARCHAR))", i)} * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t, unnest(${toks()}) AS term FROM documents),
+         |bk AS (SELECT doc_id, is_t, $b2 AS b FROM tok),
+         |dcnt AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS cnt FROM bk GROUP BY 1, 2),
+         |rc AS (SELECT b, CAST(count(*) AS DOUBLE) AS rc FROM bk GROUP BY 1),
+         |tc AS (SELECT b, CAST(count(*) AS DOUBLE) AS tc FROM bk WHERE is_t GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS r_total,
+         |               CAST(count(*) FILTER (WHERE is_t) AS DOUBLE) AS t_total FROM bk),
+         |model AS (SELECT rc.b,
+         |                 ln((COALESCE(tc.tc, 0) + 1.0) / (t_total + 256.0))
+         |                 - ln((rc.rc + 1.0) / (r_total + 256.0)) AS lr
+         |          FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+         |lw AS (SELECT doc_id, ROUND(sum(cnt * lr), 4) AS log_weight
+         |       FROM dcnt JOIN model ON dcnt.b = model.b GROUP BY 1),
+         |g AS (SELECT doc_id, -ln(-ln((($u6) + 0.5) / 16777216.0)) AS g
+         |      FROM (SELECT DISTINCT doc_id FROM bk))
+         |SELECT lw.doc_id, log_weight, ROUND(log_weight + g, 4) AS sample_key
+         |FROM lw JOIN g ON lw.doc_id = g.doc_id
+         |ORDER BY sample_key DESC, lw.doc_id LIMIT 100""".stripMargin
+    },
+
     "sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
         |  CAST(row_number() OVER (PARTITION BY lang

@@ -900,6 +900,16 @@ object Queries {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMix(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id")
 
+  /** DSIR importance resampling: treat the English documents as the
+    * TARGET distribution and select the 100 corpus docs whose hashed
+    * unigram profile best matches it under Gumbel-perturbed importance
+    * weights (Xie'23). 256 hash buckets, md5-hash noise.
+    */
+  def dsirSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirResample(docs(s, dir).select("doc_id", "text", "lang"),
+      "text", "doc_id", targetCol = col("lang") === "en", buckets = 256, topK = 100)
+      .select("doc_id", "log_weight", "sample_key")
+
   /** Token-budget sharding of the chunk stream: ~64-token shards per
     * doc (sequence packing for training), reported per shard.
     */

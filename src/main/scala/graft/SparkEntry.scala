@@ -72,6 +72,7 @@ object SparkEntry {
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
+    "dsir_sample"         -> (Queries.dsirSample(_, _)),
     "token_shards"        -> (Queries.tokenShards(_, _)),
     // F. OLAP / events
     "q1_pricing"          -> (Queries.q1Pricing(_, _)),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -100,4 +101,60 @@ object Sampling {
     sharded
       .groupBy(col(groupCol), col("shard_id"))
       .agg(count("*").as("n_chunks"), sum(col(tokensCol)).cast("long").as("shard_tokens"))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw examples whose hashed-n-gram profile
+    * looks like a TARGET distribution. Per the paper: (1) hash tokens
+    * into `buckets` features; (2) fit bag-of-words models p̂ (target
+    * rows, `targetCol`) and q̂ (all rows), add-one smoothed; (3) score
+    * each doc log w(x) = Σ_b n_b(x)·(ln p̂_b − ln q̂_b); (4) Gumbel
+    * top-k — rank by log w + g where g = −ln(−ln u) and u is a
+    * deterministic md5-derived uniform per id (hash noise instead of an
+    * RNG keeps the sample reproducible run-to-run, the property a
+    * training pipeline needs).
+    *
+    * Scale shape: the fitted model is `buckets` doubles — a token-level
+    * aggregation down to O(buckets) rows, broadcast back; doc scoring is
+    * one (id, bucket) partial-agg then a broadcast join; the final
+    * top-k is a sort-limit (Spark's TakeOrdered — never a full sort at
+    * the driver). No shuffle carries text. Scores are rounded to 4 dp
+    * before ranking so the order is summation-order- and libm-portable.
+    */
+  def dsirResample(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetCol: Column,
+      buckets: Int,
+      topK: Int
+  ): DataFrame = {
+    val tok = df
+      .select(col(idCol), targetCol.as("_is_t"), explode(TextOps.tokenize(col(textCol))).as("_term"))
+      .withColumn("_b", TextOps.hashedBowDim(col("_term"), buckets))
+    val perDoc = tok.groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_cnt"))
+    val rawCnt = tok.groupBy(col("_b")).agg(count(lit(1)).as("_rc"))
+    val tgtCnt = tok.filter(col("_is_t")).groupBy(col("_b")).agg(count(lit(1)).as("_tc"))
+    val totals = tok.agg(
+      count(lit(1)).as("_R"),
+      sum(when(col("_is_t"), 1L).otherwise(0L)).as("_T"))
+    val model = rawCnt
+      .join(tgtCnt, Seq("_b"), "left")
+      .na.fill(0L, Seq("_tc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_lr",
+        log((col("_tc").cast("double") + 1.0) / (col("_T").cast("double") + buckets.toDouble))
+          - log((col("_rc").cast("double") + 1.0) / (col("_R").cast("double") + buckets.toDouble)))
+      .select(col("_b"), col("_lr"))
+    val logw = perDoc
+      .join(broadcast(model), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_cnt").cast("double") * col("_lr")), 4).as("log_weight"))
+    // deterministic uniform in (0,1) from the first 6 md5 hex chars
+    val u = (conv(substring(md5(concat(lit("dsir:"), col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    logw
+      .withColumn("sample_key", round(col("log_weight") - log(-log(u)), 4))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -58,4 +58,23 @@ class SamplingSpec extends SparkSpec {
     // deterministic: same corpus, same mix
     assert(out.collect().toSeq == Sampling.temperatureMix(df, "lang", "doc_id").collect().toSeq)
   }
+
+  test("dsirResample upweights docs matching the target token distribution") {
+    import org.apache.spark.sql.functions.col
+    // target docs speak 'alpha'; raw pool has alpha-like and beta-like docs
+    val tgt = (1 to 10).map(i => (i.toLong, "alpha bravo charlie delta echo", true))
+    val rawAlpha = (11 to 15).map(i => (i.toLong, "alpha bravo charlie foxtrot golf", false))
+    val rawBeta = (16 to 20).map(i => (i.toLong, "zulu yankee xray whiskey victor", false))
+    val df = (tgt ++ rawAlpha ++ rawBeta).toDF("doc_id", "text", "is_t")
+    val out = Sampling.dsirResample(df, "text", "doc_id", col("is_t"), buckets = 64, topK = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val alphaW = rawAlpha.map(r => out(r._1)).sum / rawAlpha.size
+    val betaW = rawBeta.map(r => out(r._1)).sum / rawBeta.size
+    assert(alphaW > betaW,
+      s"target-like docs must carry higher importance weight: alpha=$alphaW beta=$betaW")
+    // deterministic: hash noise, not an RNG
+    val again = Sampling.dsirResample(df, "text", "doc_id", col("is_t"), buckets = 64, topK = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == again)
+  }
 }
