@@ -73,10 +73,15 @@ object OracleArtifacts {
     */
   @volatile var semdedup: Option[Array[Array[Double]]] = None
 
+  /** KMeans centroids from cluster_topics (the ann_probe fit, reused —
+    * same data key / k / seed hits the memoized index).
+    */
+  @volatile var clusterTopics: Option[Array[Array[Double]]] = None
+
   def clear(): Unit = {
     ann = None; annIncremental = None; annBatch = None; annBatchSq = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
-    semdedup = None
+    semdedup = None; clusterTopics = None
   }
 }

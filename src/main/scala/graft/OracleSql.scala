@@ -679,8 +679,25 @@ object OracleSql {
            |       vec_id NOT IN (SELECT vec_id FROM rm) AS kept
            |FROM cs ORDER BY vec_id""".stripMargin
     }
+    val clusterTopicsEntries = OracleArtifacts.clusterTopics.toSeq.map { cents =>
+      // Twin of Queries.clusterTopics: fitted-centroid assignment over
+      // embeddings (same CTE chain as ann_probe), doc join by id, token
+      // counts, per-cluster top-5 window with (cnt DESC, term) order.
+      "cluster_topics" ->
+        s"""WITH ${annCtes(cents)},
+           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1),
+           |tok AS (SELECT d.doc_id, a.cluster, unnest(${toks("d.text")}) AS term
+           |        FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+           |tc AS (SELECT cluster, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+           |rk AS (SELECT cluster, term, cnt,
+           |       CAST(row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, term) AS BIGINT) AS rank
+           |       FROM tc)
+           |SELECT rk.cluster, sz.n_docs, rk.rank, rk.term, rk.cnt
+           |FROM rk JOIN sz ON rk.cluster = sz.cluster
+           |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
+    }
     (annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries).toMap
+      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries).toMap
   }
 
   val sql: Map[String, String] = Map(

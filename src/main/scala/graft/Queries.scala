@@ -900,6 +900,32 @@ object Queries {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMix(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id")
 
+  /** Topic/domain discovery: assign every document to its k-means
+    * embedding cluster (the ann_probe coarse quantizer, memoized — no
+    * refit) and report each cluster's size and top-5 tokens — the
+    * corpus-composition map a curation pipeline builds before choosing
+    * mixture weights. One token-level aggregation keyed by (cluster,
+    * term), then a per-cluster top-k window; the doc→cluster join is a
+    * plain equi-join (co-partitioned by id at scale).
+    */
+  def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.clusterTopics = Some(index.centroids)
+    val asg = index.assigned.select(col("vec_id").as("doc_id"), col("cluster").cast("long").as("cluster"))
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .join(asg, "doc_id")
+      .groupBy("cluster", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cluster").orderBy(col("cnt").desc, col("term"))
+    terms
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .join(broadcast(sizes), "cluster")
+      .select("cluster", "n_docs", "rank", "term", "cnt")
+      .orderBy("cluster", "rank")
+  }
+
   /** DSIR importance resampling: treat the English documents as the
     * TARGET distribution and select the 100 corpus docs whose hashed
     * unigram profile best matches it under Gumbel-perturbed importance

@@ -48,6 +48,7 @@ object SparkEntry {
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
     "semdedup"            -> (Queries.semDeDup(_, _)),
+    "cluster_topics"      -> (Queries.clusterTopics(_, _)),
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
     "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN
