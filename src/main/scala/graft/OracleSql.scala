@@ -1562,6 +1562,17 @@ object OracleSql {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    "zorder_scan" ->
+      // Layout-invariant twin: the Z-order rewrite never changes rows,
+      // so the oracle is the same 2-D box over the raw table. Minute
+      // arithmetic mirrors the nanos-DIV exactly (integer seconds // 60).
+      """WITH e AS (SELECT user_id, value,
+        |  CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 - 28401120 AS minute
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
+        |FROM e WHERE user_id BETWEEN 40 AND 60 AND minute BETWEEN 14400 AND 17280
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value

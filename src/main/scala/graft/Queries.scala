@@ -1032,6 +1032,39 @@ object Queries {
       .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("hour_start", "event_type")
 
+  // One Z-order rewrite per source dir per session (a layout is an
+  // offline artifact, like an index build).
+  private val zorderCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** 2-D box scan over a Z-ORDERED copy of events: the layout
+    * interleaves (user_id, minute) bits so each parquet file covers a
+    * rectangle of that space and a predicate on BOTH dimensions prunes
+    * to a handful of files via footer min/max — the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` move, which a time-sorted or user-sorted
+    * layout can't do for the other column. Results are layout-invariant
+    * (the twin filters the raw table); the pruning itself is asserted in
+    * LayoutSpec. Minute 0 = 2024-01-01T00:00 (exact long arithmetic on
+    * the nanosecond timestamps).
+    */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val epochMin = 28401120L // minutes from epoch to 2024-01-01T00:00Z
+    val path = zorderCache.computeIfAbsent(dir, _ => {
+      val p = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_zorder")).toString + "/z"
+      Layout.zorderWrite(
+        events(s, dir).select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          (expr("ts DIV 60000000000") - epochMin).as("minute")),
+        "user_id", "minute", nFiles = 16, path = p)
+      p
+    })
+    s.read.parquet(path)
+      .filter(col("user_id").between(40, 60) && col("minute").between(14400, 17280))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** As-of lookup: for each purchase event, the timestamp of the most
     * recent preceding error by the same user (running-max window —
     * no self-join).

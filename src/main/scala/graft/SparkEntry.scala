@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
     "semdedup"            -> (Queries.semDeDup(_, _)),
     "cluster_topics"      -> (Queries.clusterTopics(_, _)),
+    "zorder_scan"         -> (Queries.zorderScan(_, _)),
     "simhash_sketch"      -> (Queries.simhashSketch(_, _)),
     "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN
