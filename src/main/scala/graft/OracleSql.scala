@@ -1501,6 +1501,49 @@ object OracleSql {
          |       CAST(sum(chunk_tokens) AS BIGINT) AS shard_tokens
          |FROM sh GROUP BY doc_id, shard_id ORDER BY doc_id, shard_id""".stripMargin,
 
+    "pack_sequences" ->
+      // Twin of Packing.packSequences: the literal single-threaded
+      // global window the Spark side refuses to run — DuckDB's fine at
+      // oracle scale, and equality proves the two-phase distributed
+      // prefix sum IS that window.
+      s"""WITH t AS (SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+         |      FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |       CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+         |       (start_offset % 2048) + n_tokens > 2048 AS spans
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(${toks()}) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+         |      FROM t),
+         |p AS (SELECT doc_id, n_tokens, CAST(start_offset // 2048 AS BIGINT) AS seq_id,
+         |       (start_offset % 2048) + n_tokens > 2048 AS spans FROM c)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc,
+         |       CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "dup_ngrams" ->
+      // Twin of TextAnalysis.duplicatedNgrams: 5-token grams (NOT
+      // distinct, NOT hashed — the census reports the text itself).
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |ng AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+         |         list_transform(generate_series(1, len(toks) - 4),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |         ELSE [] END) AS ngram FROM tk)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM ng GROUP BY ngram HAVING count(*) >= 2
+         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
     "events_enrich" ->
       """SELECT c.c_mktsegment AS mktsegment,
         |       CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS day_start,
@@ -1671,6 +1714,9 @@ object OracleSql {
     "dedup_minhash_incremental" -> sql("dedup_minhash_lsh"),
     // same argument with micro-batches as the deltas
     "stream_minhash" -> sql("dedup_minhash_lsh"),
+    // per-doc modification rules make the streamed CDC segments merge
+    // to the same table as the batch upsert→revise→delete flow
+    "stream_upsert_cdc" -> sql("chunkstore_read"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

@@ -383,6 +383,21 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[chunkstoreRead]]'s modification flow fed from a STREAM: a CDC
+    * change feed arrives as micro-batches and each lands its upserts,
+    * revisions and tombstones as append-only segments in the manifest
+    * [[graft.operators.ChunkStore]]
+    * ([[graft.streaming.StreamPipeline.upsertCdc]]). Per-doc final
+    * state is batch-invariant, so the merged table equals the one-shot
+    * batch flow — whose twin it shares.
+    */
+  def streamUpsertCdc(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_stream_cdc")).toString + "/cs"
+    val store = new ChunkStore(root, "doc_id")
+    graft.streaming.StreamPipeline.upsertCdc(s, dir, store)
+  }
+
   /** Keeper assignment: connected components over the minhash-LSH pair
     * graph — every near-dup doc mapped to its cluster's min id.
     */
@@ -946,6 +961,28 @@ object Queries {
         "doc_id", "chunk_tokens", budget = 64, orderCols = Seq("chunk_index")),
       "doc_id", "chunk_tokens")
       .orderBy("doc_id", "shard_id")
+
+  /** GPT-style cross-document sequence packing: global token prefix
+    * sum (two-phase scan, never a single-partition window) → 2048-token
+    * training sequences. Doc-level mapping: where each document's first
+    * token lands and whether it crosses a sequence boundary.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(docs(s, dir), "text", "doc_id", budget = 2048L)
+
+  /** Per-sequence rollup of [[packSequences]]: docs anchored per
+    * fixed-budget sequence, their token mass, boundary-spanning count.
+    */
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    Packing.packStats(
+      Packing.packSequences(docs(s, dir), "text", "doc_id", budget = 2048L), "doc_id")
+
+  /** Corpus-wide duplicated 5-gram census (Lee'21 §4 diagnostic): the
+    * 50 most-repeated exact 5-grams with occurrence and document
+    * frequencies.
+    */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicatedNgrams(docs(s, dir), "text", "doc_id", k = 5, minCount = 2, topK = 50)
 
   /** Sparse hashed TF-IDF features over the document token table. */
   def embedTfidf(s: SparkSession, dir: String): DataFrame =

@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Queries.dedupMinhashLsh(_, _)),
     "dedup_minhash_incremental" -> (Queries.dedupMinhashIncremental(_, _)),
     "stream_minhash"      -> (Queries.streamMinhash(_, _)),
+    "stream_upsert_cdc"   -> (Queries.streamUpsertCdc(_, _)),
     "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
@@ -76,6 +77,9 @@ object SparkEntry {
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "dsir_sample"         -> (Queries.dsirSample(_, _)),
     "token_shards"        -> (Queries.tokenShards(_, _)),
+    "pack_sequences"      -> (Queries.packSequences(_, _)),
+    "pack_stats"          -> (Queries.packStats(_, _)),
+    "dup_ngrams"          -> (Queries.dupNgrams(_, _)),
     // F. OLAP / events
     "q1_pricing"          -> (Queries.q1Pricing(_, _)),
     "q3_orders"           -> (Queries.q3Orders(_, _)),

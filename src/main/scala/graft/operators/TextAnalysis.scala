@@ -450,4 +450,30 @@ object TextAnalysis {
     */
   def tokenTable(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
     df.select(keep.map(col) :+ explode(TextOps.tokenize(col(textCol))).as("term"): _*)
+
+  /** Corpus-wide duplicated n-gram census — the diagnostic Lee'21 §4
+    * runs before span dedup: which exact k-grams repeat, how often, and
+    * across how many documents. One explode, one hash aggregation on
+    * the n-gram (partial map-side combine bounds the shuffle to the
+    * DISTINCT n-grams per task, not occurrences), then a TakeOrdered
+    * top-k — no windows, no driver state. The shuffle key is raw
+    * n-gram text because the census's OUTPUT is the text; a pipeline
+    * that only needs counts should group on `md5(ngram)` instead
+    * (fixed 16-byte keys — see [[graft.functions.TextOps.shingles]]).
+    */
+  def duplicatedNgrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minCount: Long = 2,
+      topK: Int = 50
+  ): DataFrame =
+    df.select(col(idCol),
+        explode(TextOps.rawShingles(TextOps.tokenize(col(textCol)), k)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(topK)
 }

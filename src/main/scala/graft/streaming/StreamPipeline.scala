@@ -173,6 +173,45 @@ object StreamPipeline {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming CDC upsert loop: every micro-batch lands in the
+    * manifest [[graft.operators.ChunkStore]] as three segments —
+    * the batch's originals, then its revisions (`doc_id % 7 == 3` →
+    * uppercased text, lang 'xx'), then its tombstones
+    * (`doc_id % 13 == 5`). Each document's final state is a pure
+    * function of the document itself (its three operations always land
+    * in that order inside its own batch, and operations on DIFFERENT
+    * keys commute under latest-segment-wins), so micro-batch
+    * composition cannot change the merged table — equal by construction
+    * to the batch upsert→revise→delete flow, which is what the DuckDB
+    * twin replays. This is the 100 TB CDC shape: a change feed lands as
+    * append-only segments + manifest pointer swaps, never a rewrite of
+    * the base table.
+    */
+  def upsertCdc(
+      spark: SparkSession,
+      dir: String,
+      store: graft.operators.ChunkStore
+  ): DataFrame = {
+    val stream = documentStream(spark, dir).select("doc_id", "text", "lang", "source")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch)
+        if (!b.isEmpty) {
+          store.upsert(b)
+          store.upsert(b.filter(col("doc_id") % 7 === 3)
+            .withColumn("text", upper(col("text")))
+            .withColumn("lang", lit("xx")))
+          store.delete(b.filter(col("doc_id") % 13 === 5).select("doc_id"))
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    store.read(spark)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Streamed per-source BPE token accounting, drained synchronously:
     * the complete-mode [[EventStreams.tokenAccounting]] aggregation
     * lands in a memory sink and the final totals come back ordered.

@@ -50,6 +50,28 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed.values.exists(_._2 > 0), "some contaminated doc must have dropped tokens")
   }
 
+  test("upsertCdc: streamed CDC segments merge to the batch upsert→revise→delete flow") {
+    val store = new graft.operators.ChunkStore(
+      StreamPipeline.deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_cdc_spec")).toString + "/cs",
+      "doc_id")
+    val got = StreamPipeline.upsertCdc(spark, sf, store)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // batch replay of the same modification rules straight off the table
+    val expected = Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 3, lit("xx")).otherwise(col("lang")).as("lang"),
+        md5(when(col("doc_id") % 7 === 3, upper(col("text"))).otherwise(col("text")))
+          .as("content_hash"))
+      .filter(col("doc_id") % 13 =!= 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 == "xx"), "revised docs must surface the revision")
+    assert(store.versions(spark).size >= 3, "CDC must land as multiple manifest commits")
+  }
+
   test("tokenBudgetSnapshot equals the batch per-source BPE aggregation") {
     val got = StreamPipeline.tokenBudgetSnapshot(spark, sf, budget = 3000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
