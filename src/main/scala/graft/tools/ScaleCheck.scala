@@ -100,6 +100,10 @@ object ScaleCheck {
           java.nio.file.Files.createTempDirectory("graft_scale_ftsb_").toString)
         Fts.probeBatch(spark, idx, "doc_id", Queries.BatchTextQueries, 5)
       })
+      time(s"pack_sequences", forced(
+        Packing.packSequences(c, "text", "doc_id", budget = 2048L)))
+      time(s"dup_ngrams", forced(
+        TextAnalysis.duplicatedNgrams(c, "text", "doc_id", k = 5, minCount = 2, topK = 50)))
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
