@@ -13,14 +13,29 @@ object Tables {
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
-    * a raw long (ns since epoch) via the legacy conf. All downstream
-    * time math therefore runs on exact long arithmetic (`DIV`), never
-    * double conversions (ns magnitudes exceed double's 2^53 exactness).
+  /** `events.ts` is normalized to a LONG (ns since epoch) whatever the
+    * parquet physical type — TIMESTAMP(NANOS) reads as a raw long via
+    * the legacy conf; TIMESTAMP(MICROS) (what the driver generates now)
+    * arrives as TIMESTAMP_NTZ and is converted with a tz-independent
+    * `timestampdiff` from the epoch. All downstream time math therefore
+    * runs on exact long arithmetic (`DIV`), never double conversions
+    * (ns magnitudes exceed double's 2^53 exactness); DuckDB twins use
+    * `epoch_ns`/`epoch_ms` on the native timestamp, which agree with
+    * the naive (no-tz) reading on both physical types.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
+      case _ => // TIMESTAMP_LTZ (session tz is pinned to UTC in every entry point)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
