@@ -744,6 +744,19 @@ object OracleSql {
          |      FROM sc)
          |SELECT query_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
 
+    "hard_negatives" ->
+      // Twin of Queries.hardNegatives: knn_batch with the label
+      // inequality replacing the self-exclusion.
+      s"""WITH qs AS (SELECT vec_id AS anchor_id, label AS a_label, ${dvec("embedding")} AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings),
+         |sc AS (SELECT qs.anchor_id, cs.vec_id, ${cosine("ev", "qv")} AS cos_sim
+         |       FROM cs, qs WHERE cs.label <> qs.a_label),
+         |r AS (SELECT anchor_id, vec_id, cos_sim,
+         |       CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT anchor_id, vec_id, cos_sim, rk FROM r WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin,
+
     "phrase_search" ->
       s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
          |p AS (SELECT doc_id,
@@ -765,6 +778,13 @@ object OracleSql {
       // Same twin as bm25_topk: the persisted-index probe must reproduce
       // the full-scan scorer bit-for-bit (index contents are a pure
       // function of the corpus).
+      s"""WITH $bm25Cte
+         |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_incremental" ->
+      // Same twin again: a base+delta appended index must score the
+      // union corpus bit-identically to a one-shot build (df from the
+      // pruned union scan, weighted-mean avgdl).
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -1088,6 +1108,19 @@ object OracleSql {
         |       CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
         |       md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS content_hash
         |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin,
+
+    "chunkstore_changes" ->
+      // Twin of Queries.chunkstoreChanges: v1→v4 changes under the
+      // replayed modification rules — %13==5 rows were tombstoned
+      // (delete, no after-image), surviving %7==3 rows were re-upserted
+      // with upper(text)/lang='xx' (update, after-image hash).
+      """WITH ch AS (
+        |  SELECT doc_id, 'delete' AS change, NULL AS content_hash
+        |  FROM documents WHERE doc_id % 13 = 5
+        |  UNION ALL
+        |  SELECT doc_id, 'update' AS change, md5(upper(text)) AS content_hash
+        |  FROM documents WHERE doc_id % 7 = 3 AND doc_id % 13 <> 5)
+        |SELECT doc_id, change, content_hash FROM ch ORDER BY doc_id""".stripMargin,
 
     "chunkstore_time_travel" ->
       // Twin of Queries.chunkstoreTimeTravel: manifest v2's state is the

@@ -109,6 +109,31 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  private val incFtsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
+
+  /** INCREMENTAL FTS maintenance (the text-index face of
+    * [[annIncremental]]): base index over doc_id % 5 != 0, then the
+    * remaining fifth of the corpus arrives as an ingest batch and is
+    * APPENDED — only the new docs are tokenized ([[Fts.appendToIndex]]),
+    * never the base. The probe over base+delta must hash-match the
+    * full-corpus `bm25_topk` twin exactly, proving the merged layout
+    * scores bit-identically to a one-shot build (df from the pruned
+    * union scan, weighted-mean avgdl). The reference rebuilds its FTS
+    * index on every re-ingest (store.py:197 replace=True) — at 100 TB
+    * the append is the only viable path.
+    */
+  def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = incFtsCache.computeIfAbsent(dir, _ => {
+      val d = docs(s, dir)
+      val base = Fts.build(
+        d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_fts_inc_").toString)
+      Fts.appendToIndex(base, d.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+    })
+    Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
+  }
+
   /** BM25 + exact-phrase boost ("filter join") — proximity-aware FTS. */
   /** The reference's full SERVING path with both persisted indexes
     * (store.py:197 FTS index + store.py:274 vector index + server.py:228
@@ -182,6 +207,22 @@ object Queries {
       corpusVec = "embedding", queryVec = "q_vec",
       corpusId = "vec_id", queryId = "query_id", k = 3, excludeSelf = true
     ).orderBy("query_id", "rk")
+
+  /** Hard-negative mining ([[graft.operators.Search.hardNegatives]]):
+    * for each of the first 8 vectors as anchors, the top-3
+    * most-similar vectors with a DIFFERENT label — the training-pair
+    * generation step of a contrastive embedding pipeline (DPR/SimCSE).
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    Search.hardNegatives(
+      embs(s, dir).select(col("vec_id"), col("label"), col("embedding")),
+      embs(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("a_vec")),
+      corpusVec = "embedding", anchorVec = "a_vec",
+      corpusId = "vec_id", anchorId = "anchor_id",
+      corpusLabel = "label", anchorLabel = "a_label", k = 3
+    ).orderBy("anchor_id", "rk")
 
   def filteredSearch(s: SparkSession, dir: String): DataFrame = {
     val filtered = docs(s, dir)
@@ -542,6 +583,23 @@ object Queries {
     chunkstoreRead(s, dir).limit(0).count() // ensure the cached store exists
     chunkStoreCache.get(dir).readVersion(s, 2L)
       .select(col("doc_id"), col("lang"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** CDC over [[chunkstoreRead]]'s store ([[graft.operators.ChunkStore.changes]],
+    * Delta's `table_changes`): the row-level delta between manifest v1
+    * (the base upsert) and v4 (after the modified re-upsert, the
+    * tombstone delete, and compaction) — `update` for the surviving
+    * `%7==3` re-upserts, `delete` for the `%13==5` tombstones, nothing
+    * for untouched rows. The twin replays the modification rules, so
+    * the hash check proves the version diff surfaces exactly the
+    * mutated keys with their after-image (and that compaction left the
+    * change history intact).
+    */
+  def chunkstoreChanges(s: SparkSession, dir: String): DataFrame = {
+    chunkstoreRead(s, dir).limit(0).count() // ensure the cached store exists
+    chunkStoreCache.get(dir).changes(s, 1L, 4L)
+      .select(col("doc_id"), col("change"), md5(col("after.text")).as("content_hash"))
       .orderBy("doc_id")
   }
 

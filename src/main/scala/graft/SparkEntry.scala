@@ -24,6 +24,7 @@ object SparkEntry {
     "knn_topk"            -> (Queries.knnTopK(_, _)),
     "knn_pergroup"        -> (Queries.knnPerGroup(_, _)),
     "knn_batch"           -> (Queries.knnBatch(_, _)),
+    "hard_negatives"      -> (Queries.hardNegatives(_, _)),
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
     "bm25_phrase"         -> (Queries.bm25Phrase(_, _)),
     "phrase_search"       -> (Queries.phraseSearch(_, _)),
@@ -107,6 +108,7 @@ object SparkEntry {
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "maxsim_search"       -> (Queries.maxsimSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
+    "bm25_incremental"    -> (Queries.bm25Incremental(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
@@ -128,6 +130,7 @@ object SparkEntry {
     "hybrid_indexed"      -> (Queries.hybridIndexed(_, _)),
     "chunkstore_read"     -> (Queries.chunkstoreRead(_, _)),
     "chunkstore_time_travel" -> (Queries.chunkstoreTimeTravel(_, _)),
+    "chunkstore_changes"  -> (Queries.chunkstoreChanges(_, _)),
     "quality_model"       -> (Queries.qualityModel(_, _)),
     "span_dedup"          -> (Queries.spanDedup(_, _)),
     "semantic_indexed"    -> (Queries.semanticIndexed(_, _))

@@ -194,6 +194,44 @@ class ChunkStore(val root: String, val keyCol: String) {
     readSegments(spark, segs)
   }
 
+  /** CDC read: row-level changes between two retained manifest versions
+    * (the batch face of Delta's `table_changes` / Change Data Feed).
+    * Computed as a full-outer join of the two merge-on-read views on
+    * the key: `insert` (absent before), `delete` (absent after),
+    * `update` (present in both, any payload column differs —
+    * null-safe struct comparison). Unchanged rows are dropped, so the
+    * output is the delta a downstream consumer (index maintainer,
+    * replica, aggregate) applies instead of re-reading the table.
+    *
+    * Schema evolution between the versions is tolerated the same way
+    * [[readSegments]] tolerates it: columns missing on one side are
+    * null-filled at that side's type before comparison. One equi-join
+    * shuffle on the key — both sides are the same store, so at cluster
+    * scale the exchange co-partitions.
+    */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes wants fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val before = readVersion(spark, fromVersion)
+    val after = readVersion(spark, toVersion)
+    val payload = (before.columns ++ after.columns).distinct.filterNot(_ == keyCol).sorted
+    val typeOf = (after.schema ++ before.schema).map(f => f.name -> f.dataType).toMap
+    def packed(df: DataFrame, tag: String) = {
+      val filled = payload.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(typeOf(c)))
+      }
+      filled.select(col(keyCol),
+        struct(payload.map(c => col(c).cast(typeOf(c)).as(c)): _*).as(tag))
+    }
+    packed(before, "before").join(packed(after, "after"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("before").isNull, lit("insert"))
+          .when(col("after").isNull, lit("delete"))
+          .when(!(col("before") <=> col("after")), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"), col("before"), col("after"))
+  }
+
   /** Manifest versions still on disk (readable via [[readVersion]]). */
   def versions(spark: SparkSession): Seq[Long] = {
     val f = fs(spark)

@@ -53,6 +53,43 @@ object Fts {
     * time.
     */
   def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
+    val (n, sumDl) = writeSegments(docs, textCol, idCol, outDir, overwrite = true)
+    Index(outDir, n, sumDl / n)
+  }
+
+  /** Incremental maintenance: index ONLY `newDocs` and append their
+    * postings/sidecar files to the existing layout — the scale path the
+    * reference's `replace=True` rebuild (store.py:197) can't take at
+    * 100 TB, where re-tokenizing the whole corpus per ingest batch is
+    * the failure mode (the FTS analog of [[Ann]]'s `appendToIndex`).
+    *
+    * Exactness is free by construction: a probe's df comes from a row
+    * count over the term-pruned scan and tf/dl ride each posting row,
+    * so a base+delta union scan scores bit-identically to a one-shot
+    * build over the union corpus (pinned in FtsSpec). Appended files
+    * are term-sorted within themselves, so parquet min/max pruning
+    * still skips them for absent terms; corpus stats (N, avgdl) are
+    * two driver-side doubles updated by a weighted mean. Periodic
+    * `build` compaction re-establishes the global term-range layout
+    * when deltas accumulate.
+    */
+  def appendToIndex(index: Index, newDocs: DataFrame, textCol: String, idCol: String): Index = {
+    val (dn, dSumDl) = writeSegments(newDocs, textCol, idCol, index.dir, overwrite = false)
+    val n2 = index.nDocs + dn
+    Index(index.dir, n2, (index.nDocs * index.avgdl + dSumDl) / n2)
+  }
+
+  /** One tokenize+explode scan feeding all three layout outputs; returns
+    * (docCount, totalTokenCount) for the driver-side stats.
+    */
+  private def writeSegments(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      overwrite: Boolean
+  ): (Double, Double) = {
+    val mode = if (overwrite) "overwrite" else "append"
     // ONE corpus scan + tokenize + explode; every other aggregate derives
     // from the (doc, term) count table, which is cached for the build's
     // four outputs (at cluster scale: a persisted intermediate instead)
@@ -66,16 +103,16 @@ object Fts {
       .join(dl, Seq(idCol))
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$outDir/postings")
+      .write.mode(mode).parquet(s"$outDir/postings")
     val dims = tf
       .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"), col("tfl"))
       .groupBy(col(idCol), col("dim")).agg(sum(col("tfl")).as("cnt"))
-    dims.write.mode("overwrite").parquet(s"$outDir/docdims")
+    dims.write.mode(mode).parquet(s"$outDir/docdims")
     dims.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("ss"))
-      .write.mode("overwrite").parquet(s"$outDir/docnorms")
-    val st = dl.agg(count("*").cast("double"), avg("dl")).head()
+      .write.mode(mode).parquet(s"$outDir/docnorms")
+    val st = dl.agg(count("*").cast("double"), sum("dl")).head()
     tf.unpersist()
-    Index(outDir, st.getDouble(0), st.getDouble(1))
+    (st.getDouble(0), st.getDouble(1))
   }
 
   /** Text-query cosine top-k served from the index sidecar — the same

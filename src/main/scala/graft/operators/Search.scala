@@ -95,6 +95,36 @@ object Search {
       .select(col(queryId), col(corpusId), col(scoreName), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training (SimCSE/DPR-style):
+    * for every anchor, the `k` most-cosine-similar corpus vectors with
+    * a DIFFERENT label — the near-misses a contrastive loss learns the
+    * most from. Same plan shape as [[knnBatch]] (anchors broadcast, the
+    * corpus streams ONCE, bounded-heap per-anchor top-k), with the
+    * label inequality applied BEFORE the distance math so in-class rows
+    * never reach the heap. At 100 TB: the corpus-side scan is the only
+    * large input; no shuffle carries vectors.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      corpusVec: String,
+      anchorVec: String,
+      corpusId: String,
+      anchorId: String,
+      corpusLabel: String,
+      anchorLabel: String,
+      k: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col(corpusLabel) =!= col(anchorLabel))
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(corpusVec), col(anchorVec)))
+      .select(anchorId, corpusId, "cos_sim")
+    graft.plans.TopK
+      .perKey(scored, Seq(anchorId), Seq(("cos_sim", false), (corpusId, true)), k)
+      .select(col(anchorId), col(corpusId), col("cos_sim"), col("rk"))
+  }
+
   /** BM25 scores for every document matching at least one query term.
     *
     * @param tokens  DataFrame of (idCol, term) — one row per token

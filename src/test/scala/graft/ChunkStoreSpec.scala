@@ -31,6 +31,35 @@ class ChunkStoreSpec extends SparkSpec {
     assert(out == Seq((1L, "a-again"), (2L, "b")))
   }
 
+  test("changes: CDC between versions classifies insert/update/delete, drops unchanged") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "content")) // v1
+    store.upsert(Seq((2L, "b2"), (4L, "new")).toDF("doc_id", "content")) // v2
+    store.delete(Seq(Tuple1(3L)).toDF("doc_id")) // v3
+    val out = store.changes(spark, 1L, 3L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "update"), (3L, "delete"), (4L, "insert")),
+      s"got $out") // doc 1 unchanged → absent
+    // after-image carries the new payload; delete has none
+    val after = store.changes(spark, 1L, 3L).filter(col("change") === "update")
+      .select("after.content").as[String].collect().toSeq
+    assert(after == Seq("b2"))
+    // adjacent-version diff sees only that commit's delta
+    val v23 = store.changes(spark, 2L, 3L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v23 == Seq((3L, "delete")))
+  }
+
+  test("changes tolerates schema evolution between versions") {
+    val store = freshStore()
+    store.upsert(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "content")) // v1
+    store.upsert(Seq((2L, "b", "en")).toDF("doc_id", "content", "lang")) // v2 adds a column
+    val out = store.changes(spark, 1L, 2L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // doc 2's lang went null→'en' = update; doc 1 null-filled both sides = unchanged
+    assert(out == Seq((2L, "update")), s"got $out")
+  }
+
   test("read never leaks internal bookkeeping columns") {
     val store = freshStore()
     store.upsert(Seq((1L, "a")).toDF("doc_id", "content"))

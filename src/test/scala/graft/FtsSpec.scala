@@ -81,6 +81,34 @@ class FtsSpec extends SparkSpec {
     assert(got == expected, s"batch diverged:\n$got\nvs\n$expected")
   }
 
+  test("appendToIndex: base+delta probe is bit-identical to a one-shot build over the union") {
+    val delta = Seq((5L, "cat cat cat cat"), (6L, "fish dog")).toDF("doc_id", "text")
+    val union = docsFixture.union(delta)
+
+    val incDir = Files.createTempDirectory("fts_spec_inc_").toString
+    val base = Fts.build(docsFixture, "text", "doc_id", incDir)
+    val inc = Fts.appendToIndex(base, delta, "text", "doc_id")
+
+    val oneShot = Fts.build(union, "text", "doc_id",
+      Files.createTempDirectory("fts_spec_full_").toString)
+    assert(inc.nDocs == oneShot.nDocs)
+    assert(math.abs(inc.avgdl - oneShot.avgdl) < 1e-12)
+
+    for (terms <- Seq(Seq("cat"), Seq("cat", "dog"), Seq("fish", "bird", "cat"))) {
+      val probed = Fts.probe(spark, inc, "doc_id", terms, k = 10).collect().toSeq
+      val full = Fts.probe(spark, oneShot, "doc_id", terms, k = 10).collect().toSeq
+      assert(probed == full, s"incremental probe != one-shot for terms=$terms")
+    }
+    // the semantic sidecar is maintained too
+    val semInc = Fts.semanticProbe(spark, inc, "doc_id", "cat fish", k = 6).collect().toSeq
+    val semFull = Fts.semanticProbe(spark, oneShot, "doc_id", "cat fish", k = 6).collect().toSeq
+    assert(semInc == semFull)
+    // term pruning still reaches the scan across base+delta files
+    val plan = Fts.probe(spark, inc, "doc_id", Seq("cat", "dog"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"))
+  }
+
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
     val dir = Files.createTempDirectory("fts_spec_").toString
     Fts.build(docsFixture, "text", "doc_id", dir)

@@ -107,6 +107,30 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "query dims must broadcast")
   }
 
+  test("hardNegatives: top-k nearest with a DIFFERENT label, corpus streamed once") {
+    val out = Queries.hardNegatives(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == 8, "one group per anchor")
+    assert(rows.groupBy(_._1).forall(_._2.length == 3), "k=3 per anchor")
+    // no mined negative may share its anchor's label
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall { case (a, v, _, _) => labels(a) != labels(v) },
+      "hard negative sharing the anchor's label")
+    // within each anchor, scores descend with rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+    // plan: anchors broadcast against ONE corpus scan, bounded-heap top-k
+    // (fresh DF — a collected AQE plan string appends the initial plan,
+    // double-counting every scan)
+    val plan = Queries.hardNegatives(spark, sf).queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2,
+      "corpus must stream once (plus the broadcast anchor scan)")
+    assert(plan.contains("TopKPerKey"), "per-anchor top-k must be the bounded-heap operator")
+  }
+
   test("semantic_search returns a descending, bounded cosine ranking over documents") {
     val out = Queries.semanticSearch(spark, sf).collect()
     assert(out.length == 10, "top-10 contract")
