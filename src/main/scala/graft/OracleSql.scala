@@ -1506,6 +1506,16 @@ object OracleSql {
         |SELECT lang, doc_id, sample_rank FROM r
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
+    "shuffle_shards" ->
+      // Twin of Sampling.shuffleShards: the literal global row_number
+      // window over the seeded md5 permutation — equality proves the
+      // two-phase distributed scan IS this window.
+      """WITH p AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, pos % 4 AS shard, pos // 4 AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "mix_temperature" ->
       // Twin of Sampling.temperatureMix: keep_g = floor(sqrt(n_g*n_min))
       // — exact integers under one correctly-rounded sqrt, so both

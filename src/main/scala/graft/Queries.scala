@@ -973,6 +973,18 @@ object Queries {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMix(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id")
 
+  /** Deterministic global training shuffle into 4 round-robin shards
+    * ([[graft.operators.Sampling.shuffleShards]]): seeded md5
+    * permutation, global position via the two-phase distributed scan
+    * (no partition-less window — asserted in SamplingSpec), shard
+    * sizes within one of each other. The twin runs the literal global
+    * `row_number` window DuckDB-side; hash equality proves the
+    * distributed scan IS that window.
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(docs(s, dir).select("doc_id"), "doc_id", seed = "42", nShards = 4)
+      .orderBy("doc_id")
+
   /** Topic/domain discovery: assign every document to its k-means
     * embedding cluster (the ann_probe coarse quantizer, memoized — no
     * refit) and report each cluster's size and top-5 tokens — the

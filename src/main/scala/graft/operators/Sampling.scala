@@ -102,6 +102,60 @@ object Sampling {
       .groupBy(col(groupCol), col("shard_id"))
       .agg(count("*").as("n_chunks"), sum(col(tokensCol)).cast("long").as("shard_tokens"))
 
+  /** Deterministic GLOBAL training-order shuffle + round-robin shard
+    * assignment — the last layout step before a training run: examples
+    * must arrive in a fixed pseudo-random order, reproducible across
+    * reruns and engines, split into `nShards` equal streams for the
+    * data-parallel loader.
+    *
+    * The permutation key is md5(seed:id) (seedable, uniform, no RNG
+    * state); the GLOBAL position in that order comes from the same
+    * two-phase scan as [[Packing.packSequences]] — range-partition by
+    * the key, index each partition locally, collect ONE count per
+    * partition and broadcast the prefix offsets back — never a
+    * partition-less `row_number` window (the single-task trap at
+    * 100 TB). `shard = pos % nShards` deals positions round-robin, so
+    * shard sizes differ by at most one and every shard sees the global
+    * order's interleaving (no locality bias from contiguous blocks).
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val origType = df.schema(idCol).dataType
+    val keyed = df.select(
+      col(idCol).cast("string").as("_id"),
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("_sk"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val local = keyed
+      .repartitionByRange(parts, col("_sk"), col("_id"))
+      .sortWithinPartitions("_sk", "_id")
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (id, _) => val r = (pid, id, i); i += 1; r }
+      }
+      .toDF("pid", idCol, "local_idx")
+      .localCheckpoint() // counts and the offset join must see identical partitioning
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .orderBy("pid").as[(Int, Long)].collect() // one row PER PARTITION
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toSeq
+    val offsetDf = spark.createDataFrame(offsets).toDF("pid", "part_offset")
+    local
+      .join(broadcast(offsetDf), "pid")
+      .withColumn("pos", col("part_offset") + col("local_idx"))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+      .withColumn("pos_in_shard", expr(s"pos DIV ${nShards}"))
+      .select(col(idCol).cast(origType).as(idCol), col("pos"), col("shard"), col("pos_in_shard"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw examples whose hashed-n-gram profile
     * looks like a TARGET distribution. Per the paper: (1) hash tokens

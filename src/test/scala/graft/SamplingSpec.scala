@@ -77,4 +77,35 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out == again)
   }
+
+  test("shuffleShards: a permutation in global md5 order, round-robin balanced, window-free") {
+    val df = (0L until 103L).toList.map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.shuffleShards(df, "doc_id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the id column keeps its input type (long), positions are a permutation
+    assert(out.map(_._2).sorted.toSeq == (0L until 103L))
+    // position order equals lexicographic md5 order
+    val byPos = out.sortBy(_._2).map(_._1)
+    val expected = (0L until 103L).sortBy(id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString, id.toString))
+    assert(byPos.toSeq == expected)
+    // round-robin: shard sizes within one; pos_in_shard dense per shard
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    out.groupBy(_._3).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.length))
+    }
+    // different seed ⇒ different permutation; same seed ⇒ identical
+    val again = Sampling.shuffleShards(df, "doc_id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Sampling.shuffleShards(df, "doc_id", seed = "s2", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.exists { case (id, pos, _, _) => other(id) != pos })
+    // the plan must not contain a partition-less window
+    val plan = Sampling.shuffleShards(df, "doc_id", "s1", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window leaked into the shuffle plan:\n$plan")
+  }
 }
