@@ -831,6 +831,21 @@ object OracleSql {
          |SELECT doc_id, chunk_index, chunk, chunk_tokens, source FROM ch
          |ORDER BY doc_id, chunk_index""".stripMargin,
 
+    "context_expand" ->
+      // Twin of Queries.contextExpand: phrase-hit chunks ± 1 neighbor,
+      // reassembled in chunk order and hashed.
+      s"""WITH $chunkCte,
+         |hits AS (SELECT doc_id, chunk_index AS hit_index FROM ch
+         |         WHERE contains(chunk, 'filter join')),
+         |w AS (SELECT doc_id, hit_index, hit_index + off AS chunk_index
+         |      FROM hits, (SELECT unnest([-1, 0, 1]) AS off)),
+         |j AS (SELECT w.doc_id, w.hit_index, c.chunk_index, c.chunk
+         |      FROM w JOIN ch c ON c.doc_id = w.doc_id AND c.chunk_index = w.chunk_index)
+         |SELECT doc_id, hit_index, CAST(count(*) AS BIGINT) AS n_ctx,
+         |       min(chunk_index) AS ctx_start, max(chunk_index) AS ctx_end,
+         |       md5(string_agg(chunk, ' ' ORDER BY chunk_index)) AS ctx_hash
+         |FROM j GROUP BY doc_id, hit_index ORDER BY doc_id, hit_index""".stripMargin,
+
     "chunk_stats" ->
       s"""WITH $chunkCte
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,

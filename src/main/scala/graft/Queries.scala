@@ -311,6 +311,24 @@ object Queries {
       "doc_id", "chunk_index", "chunk", Seq("source", "lang")
     )
 
+  /** RAG context expansion ([[graft.operators.Catalog.expandContext]]):
+    * chunks matching the phrase "filter join" are the retrieval hits;
+    * each returns with its ±1 neighbor chunks reassembled in order —
+    * the post-top-k serving step of a retrieval store (the reference
+    * returns chunk content with document context; chunker.py overlap
+    * serves the same need statically). The twin replays the expansion
+    * over the shared chunk CTE and hashes the reassembled context.
+    */
+  def contextExpand(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(s, dir).select("doc_id", "chunk_index", "chunk")
+    val hits = ch.filter(col("chunk").contains("filter join"))
+      .select(col("doc_id"), col("chunk_index").as("hit_index"))
+    Catalog.expandContext(ch, "doc_id", "chunk_index", "chunk", hits, "hit_index", radius = 1)
+      .select(col("doc_id"), col("hit_index"), col("n_ctx"),
+        col("ctx_start"), col("ctx_end"), md5(col("context")).as("ctx_hash"))
+      .orderBy("doc_id", "hit_index")
+  }
+
   def deleteDocument(s: SparkSession, dir: String): DataFrame =
     Catalog.deleteReport(chunks(s, dir), "source", pmod(col("doc_id"), lit(50)) === 0)
 

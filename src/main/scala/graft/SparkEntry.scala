@@ -36,6 +36,7 @@ object SparkEntry {
     "list_documents"      -> (Queries.listDocuments(_, _)),
     "list_libraries"      -> (Queries.listLibraries(_, _)),
     "get_document"        -> (Queries.getDocument(_, _)),
+    "context_expand"      -> (Queries.contextExpand(_, _)),
     "delete_document"     -> (Queries.deleteDocument(_, _)),
     "ingest_dedup_status" -> (Queries.ingestDedupStatus(_, _)),
     "title_extract"       -> (Queries.titleExtract(_, _)),

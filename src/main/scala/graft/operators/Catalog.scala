@@ -66,6 +66,47 @@ object Catalog {
     * sort_array over collected (index, chunk) structs keeps the operation
     * a single aggregation without a per-group sort shuffle.
     */
+  /** RAG context expansion: for every retrieval hit (a chunk the search
+    * leg surfaced), pull its ±`radius` neighbor chunks from the same
+    * document and reassemble them in order — the "return the chunk with
+    * surrounding context" serving step a retrieval store performs after
+    * top-k (the chunk-level face of [[getDocument]]'s reassembly). The
+    * neighbor fetch is a pure EQUI-join: hits explode into their
+    * (doc, index±offset) wants and join the chunk table on both keys,
+    * so only the needed chunks move — never all chunks of a hit
+    * document, never a range predicate after a doc-only join. Hits are
+    * top-k-sized; at 100 TB the chunk table is the only large side and
+    * it is probed by key.
+    */
+  def expandContext(
+      chunks: DataFrame,
+      docId: String,
+      chunkIndex: String,
+      chunkCol: String,
+      hits: DataFrame,
+      hitIndexCol: String,
+      radius: Int
+  ): DataFrame = {
+    require(radius >= 0)
+    val offsets = array((-radius to radius).map(o => lit(o.toLong)): _*)
+    val wanted = hits
+      .select(col(docId), col(hitIndexCol), explode(offsets).as("_off"))
+      .withColumn(chunkIndex, col(hitIndexCol) + col("_off"))
+      .drop("_off")
+    wanted
+      .join(chunks.select(col(docId), col(chunkIndex), col(chunkCol)), Seq(docId, chunkIndex))
+      .groupBy(col(docId), col(hitIndexCol))
+      .agg(
+        count(lit(1)).as("n_ctx"),
+        min(col(chunkIndex)).as("ctx_start"),
+        max(col(chunkIndex)).as("ctx_end"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(chunkIndex), col(chunkCol)))),
+            s => s.getField(chunkCol)),
+          " ").as("context"))
+  }
+
   def getDocument(
       chunks: DataFrame,
       docId: String,

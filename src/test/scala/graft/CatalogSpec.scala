@@ -27,6 +27,25 @@ class CatalogSpec extends SparkSpec {
     assert(df.filter(Catalog.filterFor(Map("lang" -> "en'), delete --"))).count() == 1)
   }
 
+  test("expandContext pulls ±radius neighbors, clamps at doc boundaries, joins by key") {
+    val ch = chunkFixture.select("doc_id", "chunk_index", "chunk")
+    val hits = Seq((10L, 1L), (10L, 2L), (20L, 0L), (30L, 0L)).toDF("doc_id", "hit_index")
+    val out = Catalog.expandContext(ch, "doc_id", "chunk_index", "chunk", hits, "hit_index", radius = 1)
+      .orderBy("doc_id", "hit_index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 3L, 0L, 2L, "first chunk second chunk third chunk"), // full window
+      (10L, 2L, 2L, 1L, 2L, "second chunk third chunk"),             // clamped at doc end
+      (20L, 0L, 1L, 0L, 0L, "solo chunk"),                           // single-chunk doc
+      (30L, 0L, 2L, 0L, 1L, "b zero b one")                          // clamped at doc start
+    ), s"got ${out.toSeq}")
+    // neighbor fetch is an equi-join on (doc, index) — no range predicate
+    // surviving as a join condition, no cross product
+    val plan = Catalog.expandContext(ch, "doc_id", "chunk_index", "chunk", hits, "hit_index", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"neighbor fetch must stay an equi-join:\n$plan")
+  }
+
   test("listDocuments groups chunks per doc with pagination") {
     val out = Catalog.listDocuments(chunkFixture, "doc_id", Seq("library"), limit = 2, offset = 1)
       .collect()
