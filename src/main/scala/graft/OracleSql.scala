@@ -1340,6 +1340,29 @@ object OracleSql {
          |SELECT doc_id, list_min(sh) AS fingerprint, CAST(len(sh) AS BIGINT) AS n_shingles
          |FROM shx WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
 
+    "doc_embedding" ->
+      // Twin of Featurize.meanPoolChunks over the shared chunk CTE.
+      // Each chunk's unit-vector component is quantized to the 1e-6
+      // grid as a BIGINT, so the cross-chunk sum (the only place
+      // addition order could differ between engines) is exact integer
+      // arithmetic; one division by the exact integer norm, 5 dp.
+      s"""WITH $chunkCte,
+         |tok AS (SELECT doc_id, chunk_index, unnest(${toks("chunk")}) AS term FROM ch),
+         |d AS (SELECT doc_id, chunk_index,
+         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+         |      FROM tok),
+         |cd AS (SELECT doc_id, chunk_index, dim, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM d GROUP BY 1, 2, 3),
+         |cn AS (SELECT doc_id, chunk_index, sum(cnt * cnt) AS ss FROM cd GROUP BY 1, 2),
+         |q AS (SELECT cd.doc_id, cd.dim,
+         |       CAST(ROUND(cd.cnt * 1000000.0 / sqrt(CAST(cn.ss AS DOUBLE))) AS BIGINT) AS v
+         |      FROM cd JOIN cn ON cd.doc_id = cn.doc_id AND cd.chunk_index = cn.chunk_index),
+         |s AS (SELECT doc_id, dim, sum(v) AS sv FROM q GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(sv * sv) AS ss2 FROM s GROUP BY 1)
+         |SELECT s.doc_id, s.dim, ROUND(CAST(sv AS DOUBLE) / sqrt(CAST(ss2 AS DOUBLE)), 5) AS v
+         |FROM s JOIN n ON s.doc_id = n.doc_id ORDER BY s.doc_id, s.dim""".stripMargin,
+
     "embed_hashed_bow" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
          |d AS (SELECT doc_id,

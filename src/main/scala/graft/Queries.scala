@@ -286,6 +286,17 @@ object Queries {
       .select("doc_id", "chunk_index", "chunk", "chunk_tokens", "source")
       .orderBy("doc_id", "chunk_index")
 
+  /** Doc-level embedding from chunk embeddings
+    * ([[graft.operators.Featurize.meanPoolChunks]]): renormalized mean
+    * of each document's chunk unit vectors over the shared 32/8 chunk
+    * stream — sparse (doc_id, dim, v) rows end-to-end.
+    */
+  def docEmbedding(s: SparkSession, dir: String): DataFrame =
+    Featurize.meanPoolChunks(
+      chunks(s, dir).select("doc_id", "chunk_index", "chunk"),
+      "doc_id", "chunk_index", "chunk")
+      .orderBy("doc_id", "dim")
+
   def chunkStats(s: SparkSession, dir: String): DataFrame =
     chunks(s, dir)
       .groupBy("doc_id")

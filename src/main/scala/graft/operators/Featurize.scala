@@ -62,6 +62,51 @@ object Featurize {
       .drop("_m", "_raw")
   }
 
+  /** Document embedding by MEAN-POOLING chunk embeddings: the standard
+    * "document vector = mean of its chunks' unit vectors, renormalized"
+    * reduction a chunk-level store needs for doc-level retrieval and
+    * clustering (the reference embeds chunks only; this is the rollup
+    * its corpus would need next). Returns sparse rows
+    * `(docId, dim, v)` — v the renormalized pooled component.
+    *
+    * Everything stays SPARSE: per-(doc, chunk, dim) counts, per-chunk
+    * squared norms, one co-partitioned equi-join, two more hash aggs —
+    * no dense 64-array is materialized anywhere, which is the 100 TB
+    * shape (the dense rollup would shuffle dims × docs doubles).
+    *
+    * Cross-engine exactness: each chunk's unit-vector component
+    * cnt/√ss is quantized to a 1e-6 grid as a LONG, so the cross-chunk
+    * sum — the one place addition ORDER could differ between engines —
+    * is exact integer arithmetic (the mean's 1/n cancels in the final
+    * renormalization, so it never appears). The only float ops are one
+    * quantizing round per (chunk, dim) and one division by the exact
+    * integer norm, rounded to the repo-wide 5 dp.
+    */
+  def meanPoolChunks(
+      chunks: DataFrame,
+      docId: String,
+      chunkIdx: String,
+      textCol: String,
+      dims: Int = 64
+  ): DataFrame = {
+    val cd = chunks
+      .select(col(docId), col(chunkIdx), explode(TextOps.tokenize(col(textCol))).as("_term"))
+      .withColumn("_dim", TextOps.hashedBowDim(col("_term"), dims))
+      .groupBy(col(docId), col(chunkIdx), col("_dim"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cn = cd.groupBy(col(docId), col(chunkIdx)).agg(sum(col("_cnt") * col("_cnt")).as("_ss"))
+    val quantized = cd
+      .join(cn, Seq(docId, chunkIdx))
+      .withColumn("_v",
+        round(col("_cnt") * lit(1e6) / sqrt(col("_ss").cast("double"))).cast("long"))
+    val pooled = quantized.groupBy(col(docId), col("_dim")).agg(sum(col("_v")).as("_s"))
+    val norms = pooled.groupBy(col(docId)).agg(sum(col("_s") * col("_s")).as("_ss2"))
+    pooled
+      .join(norms, Seq(docId))
+      .select(col(docId), col("_dim").as("dim"),
+        round(col("_s") / sqrt(col("_ss2").cast("double")), 5).as("v"))
+  }
+
   /** Sparse hashed TF-IDF features: (id, dim, tfidf) rows where dim is
     * the md5 feature bucket, tf the in-doc bucket count and
     * idf = ln(1 + N/df) with df = docs containing the bucket. The df

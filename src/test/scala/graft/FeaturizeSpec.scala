@@ -56,6 +56,32 @@ class FeaturizeSpec extends SparkSpec {
     assert(counter.value <= 8, s"factory ran ${counter.value} times for 4 partitions")
   }
 
+  test("meanPoolChunks: unit norm, single-chunk doc equals its chunk's unit vector") {
+    val ch = Seq(
+      (1L, 0L, "cat dog cat"),            // single-chunk doc
+      (2L, 0L, "fish bird"), (2L, 1L, "fish fish fish")
+    ).toDF("doc_id", "chunk_index", "chunk")
+    val out = Featurize.meanPoolChunks(ch, "doc_id", "chunk_index", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every doc's pooled vector is (approximately) unit under the 5 dp rounding
+    out.groupBy(_._1).values.foreach { g =>
+      val n2 = g.map(v => v._3 * v._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-3, s"norm² = $n2")
+    }
+    // doc 1 has one chunk: pooled == that chunk's normalized hashed-BoW
+    val solo = Featurize.hashedBow(
+      Seq((1L, "cat dog cat")).toDF("doc_id", "text"), "text", 64, Seq("doc_id"))
+      .select(posexplode(col("embedding"))).collect()
+      .map(r => r.getInt(0).toLong -> r.getDouble(1)).filter(_._2 != 0.0).toMap
+    val pooled1 = out.filter(_._1 == 1L).map(v => v._2 -> v._3).toMap
+    assert(pooled1.keySet == solo.keySet)
+    pooled1.foreach { case (dim, v) => assert(math.abs(v - solo(dim)) < 1e-4) }
+    // doc 2: both chunks contribute; the 'fish' dim dominates
+    val pooled2 = out.filter(_._1 == 2L).map(v => v._2 -> v._3).toMap
+    assert(pooled2.size == 2, s"two distinct dims expected: $pooled2")
+    assert(pooled2.values.max > 0.8, "shared fish dim must dominate the pooled vector")
+  }
+
   test("embedding is L2-normalized for non-empty docs") {
     val df = Seq(Tuple1("some words to embed right here")).toDF("text")
     val v = df.select(Featurize.hashedBowInline(col("text"), 64)).head.getSeq[Double](0)
