@@ -1766,6 +1766,25 @@ object OracleSql {
         |FROM f JOIN customer ON key = c_custkey
         |GROUP BY mktsegment ORDER BY mktsegment""".stripMargin,
 
+    "events_funnel" ->
+      // Twin of Events.funnel: the literal per-stage join-back
+      // formulation; equality proves the one-pass window stack
+      // implements it.
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.t > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.tc GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_index,
+        |         CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+        |  UNION ALL
+        |  SELECT 'click', CAST(1 AS BIGINT), CAST((SELECT count(*) FROM c) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'purchase', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM p) AS BIGINT))
+        |ORDER BY stage_index""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

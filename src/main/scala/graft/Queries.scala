@@ -1320,6 +1320,17 @@ object Queries {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** Ordered conversion funnel ([[graft.operators.Events.funnel]]):
+    * users reaching view → click-after-view → purchase-after-click, in
+    * one scan (stacked running-min windows over one user-key sort —
+    * never a per-stage self-join). The twin computes each stage with
+    * the literal join-back formulation; equality proves the one-pass
+    * window stack implements it.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val sessions = events(s, dir)

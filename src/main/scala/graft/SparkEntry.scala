@@ -90,6 +90,7 @@ object SparkEntry {
     "q5_region"           -> (Queries.q5Region(_, _)),
     "events_window"       -> (Queries.eventsWindow(_, _)),
     "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
+    "events_funnel"       -> (Queries.eventsFunnel(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),

@@ -7,6 +7,60 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Event-table temporal operators. */
 object Events {
 
+  /** Ordered conversion FUNNEL over an event stream: how many users
+    * reached each stage of `stages` in strict temporal order (stage
+    * i+1 counts only when it happens strictly AFTER the user's first
+    * qualifying stage-i event). Computed in ONE scan: one shuffle on
+    * the user key, then a stack of running-min windows over the same
+    * sort — window k's running "first qualifying stage-k time" feeds
+    * the qualification predicate of window k+1, so Spark plans a
+    * single Exchange+Sort with k window frames over it, never a
+    * self-join per stage (the naive formulation joins the events table
+    * once per stage — k corpus scans at 100 TB).
+    *
+    * Correctness of the running-min trick: at any row, the running min
+    * of qualifying stage-k times equals the user's GLOBAL first
+    * qualifying stage-k time whenever any qualifying event precedes
+    * the row — the global first is itself the earliest, so it is in
+    * every prefix that contains any qualifying event.
+    *
+    * Returns one row per stage: (stage, stage_index, users).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // _f0 = running first 'stages(0)' time; _fk = running first
+    // 'stages(k)' time strictly after _f(k-1)
+    val staged = stages.zipWithIndex.foldLeft(events.select(col(userCol), col(typeCol), col(tsCol))) {
+      case (df, (stage, 0)) =>
+        df.withColumn("_f0", min(when(col(typeCol) === stage, col(tsCol))).over(w))
+      case (df, (stage, i)) =>
+        df.withColumn(s"_f$i",
+          min(when(col(typeCol) === stage && col(tsCol) > col(s"_f${i - 1}"), col(tsCol))).over(w))
+    }
+    val reachedAggs = stages.indices.map(i =>
+      (max(when(col(s"_f$i").isNotNull, 1L).otherwise(0L)) === 1L).as(s"_r$i"))
+    val reached = staged.groupBy(col(userCol)).agg(reachedAggs.head, reachedAggs.tail: _*)
+    val countAggs = stages.indices.map(i => sum(when(col(s"_r$i"), 1L).otherwise(0L)).as(s"_c$i"))
+    val counts = reached.agg(countAggs.head, countAggs.tail: _*)
+    val stageRows = stages.zipWithIndex.map { case (st, i) => (st, i.toLong) }.toDF("stage", "stage_index")
+    stageRows
+      .crossJoin(broadcast(counts))
+      .withColumn("users",
+        coalesce(stages.indices.map(i => when(col("stage_index") === i, col(s"_c$i"))): _*))
+      .select("stage", "stage_index", "users")
+      .orderBy("stage_index")
+  }
+
   /** As-of lookup within one table: for every row, the most recent
     * value of `markerValue` at rows satisfying `markerPred`, looking
     * backward in (timeCol, tieCol) order per key. The classic as-of

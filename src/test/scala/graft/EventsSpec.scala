@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: stages count only in strict temporal order, one shuffle") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: click BEFORE any view — stage 2 not reached
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),
+      // u3: purchase before the qualifying click — stage 3 not reached
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // u4: view only
+      (4L, "view", 10L),
+      // u5: no view at all
+      (5L, "click", 10L), (5L, "purchase", 20L),
+      // u6: later view qualifies the click that follows it
+      (6L, "click", 5L), (6L, "view", 10L), (6L, "click", 15L), (6L, "purchase", 25L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("view", 0L, 5L),      // u1 u2 u3 u4 u6
+      ("click", 1L, 3L),     // u1, u3 (click@20 after view@10), u6 (second click)
+      ("purchase", 2L, 2L)   // u1, u6 — u3's purchase precedes its qualifying click
+    ), s"got $out")
+    // plan: exactly one exchange on the user key feeds the window stack
+    // (a per-stage self-join would scan the events input once per stage)
+    val plan = Events.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    val bigExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(bigExchanges == 1, s"expected one user-key exchange, got $bigExchanges:\n$plan")
+  }
+
+  test("funnel on the real events table: monotone non-increasing stage counts") {
+    val out = Queries.eventsFunnel(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq("view", "click", "purchase"))
+    val counts = out.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must narrow: ${counts.toSeq}")
+    assert(counts.head > 0)
+  }
+}
