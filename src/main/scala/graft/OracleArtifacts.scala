@@ -15,6 +15,12 @@ package graft
   */
 object OracleArtifacts {
 
+  /** Eval query set from retrieval_eval: (query_id = source doc_id,
+    * first-tokens query terms) — captured from the corpus, inlined by
+    * the twin as VALUES literals.
+    */
+  @volatile var retrievalEval: Option[Seq[(Long, Seq[String])]] = None
+
   /** (unit-sphere KMeans centroids, probed cell ids) from ann_probe. */
   @volatile var ann: Option[(Array[Array[Double]], Seq[Int])] = None
 

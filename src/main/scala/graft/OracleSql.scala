@@ -257,11 +257,15 @@ object OracleSql {
     * table (the per-query df/idf and length norms are identical — the
     * batch only adds the query_id grouping dimension).
     */
-  private lazy val bm25BatchSql: String = {
-    val qValues = Queries.BatchTextQueries
+  /** Batch-BM25 SELECT over literal (query_id, terms) values — shared
+    * by the static bm25_batch twin and the dynamic retrieval_eval twin
+    * (whose query set is captured from the corpus at run time).
+    */
+  private def bm25BatchSelect(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val qValues = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    val allTerms = Queries.BatchTextQueries.flatMap(_._2).distinct
+    val allTerms = queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
@@ -278,8 +282,10 @@ object OracleSql {
        |r AS (SELECT query_id, doc_id, bm25,
        |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk FROM sc)
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25, rk FROM r
-       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+       |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
+
+  private lazy val bm25BatchSql: String = bm25BatchSelect(Queries.BatchTextQueries, 5)
 
   private val knnCte: String =
     s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
@@ -329,6 +335,18 @@ object OracleSql {
     * family hash-verifiable (md5-derived planes inlined on both sides).
     */
   def dynamic: Map[String, String] = {
+    val retrievalEntries = OracleArtifacts.retrievalEval.toSeq.map { qs =>
+      "retrieval_eval" -> {
+        val qids = qs.map(q => s"(CAST(${q._1} AS BIGINT))").mkString(", ")
+        s"""WITH res AS (${bm25BatchSelect(qs, 10)}),
+           |qids(query_id) AS (SELECT * FROM (VALUES $qids)),
+           |sr AS (SELECT query_id, min(rk) AS _sr FROM res
+           |       WHERE doc_id = query_id GROUP BY 1)
+           |SELECT q.query_id, CAST(COALESCE(_sr, 0) AS BIGINT) AS self_rank,
+           |       COALESCE(ROUND(1.0 / _sr, 4), 0.0) AS rr
+           |FROM qids q LEFT JOIN sr USING (query_id) ORDER BY q.query_id""".stripMargin
+      }
+    }
     val annEntries = OracleArtifacts.ann.toSeq.flatMap { case (cents, cells) =>
       val ctes = annCtes(cents)
       val inCells = cells.mkString(", ")
@@ -696,7 +714,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries).toMap
   }
 

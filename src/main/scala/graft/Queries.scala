@@ -183,6 +183,35 @@ object Queries {
     Fts.semanticProbeBatch(s, idx, "doc_id", BatchSemanticQueries, k = 5)
   }
 
+  /** Offline retrieval-quality EVAL — the search-quality harness a
+    * store runs after every index build: SELF-retrieval over the
+    * persisted FTS index. Each eval query is the first 5 tokens of one
+    * of the first 8 documents with its own document as the relevant
+    * result; reports per-query hit rank and reciprocal rank (the MRR
+    * components) at k=10. The query set is a bounded driver artifact
+    * (8 tiny strings, the same class as fitted centroids) stashed in
+    * [[OracleArtifacts]] so the twin replays the identical batch probe.
+    */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
+    val qs = docs(s, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id"), slice(TextOps.tokenize(col("text")), 1, 5).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+      .sortBy(_._1).toSeq
+    OracleArtifacts.retrievalEval = Some(qs)
+    val res = Fts.probeBatch(s, idx, "doc_id", qs, k = 10)
+    val sr = res.filter(col("doc_id") === col("query_id"))
+      .groupBy("query_id").agg(min("rk").as("_sr"))
+    qs.map(_._1).toDF("query_id")
+      .join(sr, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("_sr"), lit(0L)).as("self_rank"),
+        coalesce(round(lit(1.0) / col("_sr"), 4), lit(0.0)).as("rr"))
+      .orderBy("query_id")
+  }
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

@@ -126,6 +126,7 @@ object SparkEntry {
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "ivfsq_residual"      -> (Queries.ivfsqResidual(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),
+    "retrieval_eval"      -> (Queries.retrievalEval(_, _)),
     "semantic_batch"      -> (Queries.semanticBatch(_, _)),
     "pca_probe"           -> (Queries.pcaProbe(_, _)),
     "stream_pipeline"     -> (Queries.streamPipeline(_, _)),

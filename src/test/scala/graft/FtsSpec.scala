@@ -109,6 +109,22 @@ class FtsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"))
   }
 
+  test("retrievalEval: self-retrieval ranks are consistent MRR components") {
+    val out = Queries.retrievalEval(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (0L until 8L), "one row per eval query")
+    out.foreach { case (qid, rank, rr) =>
+      if (rank == 0L) assert(rr == 0.0, s"q$qid: miss must have rr 0")
+      else {
+        assert(rank >= 1L && rank <= 10L)
+        assert(math.abs(rr - BigDecimal(1.0 / rank).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+          s"q$qid: rr $rr != 1/$rank")
+      }
+    }
+    // on this corpus at least some self-retrievals must land in the top-10
+    assert(out.exists(_._2 > 0L), "no query found its own document")
+  }
+
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
     val dir = Files.createTempDirectory("fts_spec_").toString
     Fts.build(docsFixture, "text", "doc_id", dir)
