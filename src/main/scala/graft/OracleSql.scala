@@ -1803,6 +1803,14 @@ object OracleSql {
         |  SELECT 'purchase', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM p) AS BIGINT))
         |ORDER BY stage_index""".stripMargin,
 
+    "events_retention" ->
+      // Twin of Events.retention: (user, day) distinct → cohort = min
+      // day per user → users per (cohort, offset).
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+        |SELECT cohort, day - cohort AS day_offset, CAST(count(*) AS BIGINT) AS users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

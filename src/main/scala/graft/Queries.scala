@@ -1349,6 +1349,12 @@ object Queries {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** Cohort retention matrix ([[graft.operators.Events.retention]]):
+    * users by first-seen day × active-day offset.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    Events.retention(events(s, dir), "user_id", "ts")
+
   /** Ordered conversion funnel ([[graft.operators.Events.funnel]]):
     * users reaching view → click-after-view → purchase-after-click, in
     * one scan (stacked running-min windows over one user-key sort —

@@ -61,6 +61,32 @@ object Events {
       .orderBy("stage_index")
   }
 
+  /** Cohort RETENTION matrix: users bucketed by first-seen day (their
+    * cohort), counted on each later active day as an offset from the
+    * cohort day — the standard "day-N retention" analytics readout.
+    * Shape: one distinct on (user, day) — a partial-agg shuffle — one
+    * full-partition min window on the user key (same exchange), one
+    * final (cohort, offset) aggregation. No self-join, nothing
+    * driver-side; `dayDivisor` converts the raw ts unit to days (ns by
+    * default, matching the normalized events table).
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      dayDivisor: Long = 86400000000000L
+  ): DataFrame = {
+    val days = events
+      .select(col(userCol), expr(s"$tsCol DIV $dayDivisor").as("day"))
+      .distinct()
+    val cohorted = days.withColumn("cohort",
+      min(col("day")).over(Window.partitionBy(col(userCol))))
+    cohorted
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users")) // (user, day) is distinct ⇒ a count IS distinct users
+      .orderBy("cohort", "day_offset")
+  }
+
   /** As-of lookup within one table: for every row, the most recent
     * value of `markerValue` at rows satisfying `markerPred`, looking
     * backward in (timeCol, tieCol) order per key. The classic as-of

@@ -102,6 +102,13 @@ object ScaleCheck {
       })
       time(s"pack_sequences", forced(
         Packing.packSequences(c, "text", "doc_id", budget = 2048L)))
+      time(s"shuffle_shards", forced(
+        Sampling.shuffleShards(c.select("doc_id"), "doc_id", seed = "sc", nShards = 8)))
+      time(s"doc_embedding", forced(
+        Featurize.meanPoolChunks(
+          Chunker.fixedSize(c, "text", 32, 8, Seq("doc_id"))
+            .select("doc_id", "chunk_index", "chunk"),
+          "doc_id", "chunk_index", "chunk")))
       time(s"dup_ngrams", forced(
         TextAnalysis.duplicatedNgrams(c, "text", "doc_id", k = 5, minCount = 2, topK = 50)))
       val e = Tables.embeddings(spark, sfDir)

@@ -36,6 +36,21 @@ class EventsSpec extends SparkSpec {
     assert(bigExchanges == 1, s"expected one user-key exchange, got $bigExchanges:\n$plan")
   }
 
+  test("retention: cohort = first-seen day, offsets count distinct active users") {
+    val day = 86400000000000L
+    val ev = Seq(
+      (1L, 0L * day), (1L, 0L * day + 5L), (1L, 1L * day), (1L, 3L * day), // cohort 0, days 0/1/3
+      (2L, 1L * day), (2L, 2L * day),                                      // cohort 1, days 1/2
+      (3L, 1L * day)                                                       // cohort 1, day 1
+    ).toDF("user_id", "ts")
+    val out = Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L), // u1: duplicate same-day events collapse
+      (1L, 0L, 2L), (1L, 1L, 1L)                // u2+u3 cohort day 1; u2 retained at +1
+    ), s"got $out")
+  }
+
   test("funnel on the real events table: monotone non-increasing stage counts") {
     val out = Queries.eventsFunnel(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(2)))
