@@ -1340,6 +1340,20 @@ object OracleSql {
          |       CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS BIGINT) AS rk FROM g)
          |SELECT source, term, cnt, rk FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
+    "keyword_topk" ->
+      // Twin of TextAnalysis.keywordsPerDoc: tf·ln(1 + N/df), top-3 per doc.
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |        ROUND(CAST(tf.tf AS DOUBLE) * ln(1.0 + n.n / dfq.df), 5) AS tfidf
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tfidf,
+         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "quality_score" ->
       s"""WITH $qualityCte
          |SELECT doc_id, n_tokens, stop_ratio, quality FROM qs ORDER BY doc_id""".stripMargin,

@@ -1025,6 +1025,14 @@ object Queries {
       .select("lang", "doc_id", "sample_rank")
       .orderBy("lang", "sample_rank")
 
+  /** Per-doc keyword extraction
+    * ([[graft.operators.TextAnalysis.keywordsPerDoc]]): top-3 TF-IDF
+    * terms per document — the tagging/faceting step of an ingest
+    * pipeline.
+    */
+  def keywordTopK(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keywordsPerDoc(tokenTable(s, dir).select("doc_id", "term"), "doc_id", k = 3)
+
   /** Temperature-flattened (α=0.5) language mix: downsample
     * high-resource langs toward balance, deterministically.
     */

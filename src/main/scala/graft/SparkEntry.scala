@@ -68,6 +68,7 @@ object SparkEntry {
     "text_stats"          -> (Queries.textStats(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),
     "token_topk"          -> (Queries.tokenTopK(_, _)),
+    "keyword_topk"        -> (Queries.keywordTopK(_, _)),
     "quality_score"       -> (Queries.qualityScore(_, _)),
     "quality_filter"      -> (Queries.qualityFilter(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),

@@ -89,20 +89,24 @@ object Featurize {
       textCol: String,
       dims: Int = 64
   ): DataFrame = {
+    // Norms via WINDOWS over the aggregated sparse tables, not
+    // aggregate-and-join-back: a join-back duplicates the whole
+    // scan+tokenize subtree per use (the curation_report lesson) — the
+    // window reuses one pass and is keyed (never partition-less).
+    import org.apache.spark.sql.expressions.Window
     val cd = chunks
       .select(col(docId), col(chunkIdx), explode(TextOps.tokenize(col(textCol))).as("_term"))
       .withColumn("_dim", TextOps.hashedBowDim(col("_term"), dims))
       .groupBy(col(docId), col(chunkIdx), col("_dim"))
       .agg(count(lit(1)).as("_cnt"))
-    val cn = cd.groupBy(col(docId), col(chunkIdx)).agg(sum(col("_cnt") * col("_cnt")).as("_ss"))
-    val quantized = cd
-      .join(cn, Seq(docId, chunkIdx))
-      .withColumn("_v",
-        round(col("_cnt") * lit(1e6) / sqrt(col("_ss").cast("double"))).cast("long"))
+    val chunkSs = sum(col("_cnt") * col("_cnt"))
+      .over(Window.partitionBy(col(docId), col(chunkIdx)))
+    val quantized = cd.withColumn("_v",
+      round(col("_cnt") * lit(1e6) / sqrt(chunkSs.cast("double"))).cast("long"))
     val pooled = quantized.groupBy(col(docId), col("_dim")).agg(sum(col("_v")).as("_s"))
-    val norms = pooled.groupBy(col(docId)).agg(sum(col("_s") * col("_s")).as("_ss2"))
+    val docSs = sum(col("_s") * col("_s")).over(Window.partitionBy(col(docId)))
     pooled
-      .join(norms, Seq(docId))
+      .withColumn("_ss2", docSs)
       .select(col(docId), col("_dim").as("dim"),
         round(col("_s") / sqrt(col("_ss2").cast("double")), 5).as("v"))
   }

@@ -332,6 +332,30 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("rk"))
   }
 
+  /** Per-document KEYWORD extraction: top-k terms by TF-IDF
+    * (tfidf = tf · ln(1 + N/df)) — the doc-tagging/faceting step a
+    * document store runs at ingest. Shape at scale: tf and df are two
+    * partial-agg shuffles over the token table; the VOCAB-sized df
+    * table joins by term (co-partitioned equi-join — a vocabulary does
+    * NOT broadcast at web scale); N is a one-row broadcast; per-doc
+    * top-k is the bounded-heap TopKPerKey operator. Scores round to
+    * 5 dp (cross-engine ln parity).
+    */
+  def keywordsPerDoc(tokens: DataFrame, idCol: String, k: Int): DataFrame = {
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val n = tokens.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") * log(lit(1.0) + col("n") / col("df")), 5).as("tfidf"))
+    graft.plans.TopK
+      .perKey(scored, Seq(idCol), Seq(("tfidf", false), ("term", true)), k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rk"))
+      .orderBy(col(idCol), col("rk"))
+  }
+
   /** Deterministic quality score in [0,1]:
     * 0.5 * min(1, n_tokens/64) + 0.5 * min(1, 5 * stopword_ratio).
     * Length and stopword density are the standard cheap proxies. The
