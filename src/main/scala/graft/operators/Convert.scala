@@ -10,10 +10,15 @@ import scala.jdk.CollectionConverters._
   * through. All pure JVM string processing (Jackson, which ships with
   * Spark, covers JSON) — deterministic, no network, no native libs.
   *
-  * Genuinely BINARY formats (pdf/docx/pptx/xlsx/media) still return
-  * the documented deterministic stub — their parsers are not in this
-  * container; [[Ingest.convert]] dispatches here per file_type, so
-  * plugging a real pdf extractor in later changes one case, no plan.
+  * Binary document formats are extracted for real too, all pure JDK:
+  * PDF via [[pdfToText]] (Flate streams + text operators), and the
+  * OOXML family via java.util.zip — DOCX ([[docxToText]],
+  * word/document.xml runs), PPTX ([[pptxToText]], one page per slide)
+  * and XLSX ([[xlsxToText]], shared strings resolved, one page per
+  * sheet). Each returns None on inputs outside its honest subset
+  * (encrypted, image-only, exotic encodings) and falls back to the
+  * documented deterministic stub; legacy binary formats (doc/ppt/xls,
+  * media) stay stubbed — their parsers are not in this container.
   *
   * Runs ONCE per ingested file (bounded by file count, not corpus
   * rows), so a scalar function over the converted column is the right
@@ -267,6 +272,116 @@ object Convert {
     } else ""
   }
 
+  /** Entries of a zip archive whose names satisfy `want` (OOXML
+    * containers are plain zip; java.util.zip is JDK-standard). Per-entry
+    * readAllBytes is bounded by the entry: ZipInputStream EOFs at each
+    * entry boundary.
+    */
+  private def zipEntries(bytes: Array[Byte], want: String => Boolean): Seq[(String, Array[Byte])] =
+    try {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (want(e.getName)) out += e.getName -> zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+      out.result()
+    } catch { case _: Exception => Seq.empty }
+
+  private def entryXml(e: (String, Array[Byte])): String =
+    new String(e._2, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** DOCX text: `word/document.xml` runs (`<w:t>`) with paragraph
+    * breaks at `</w:p>`; tabs and explicit breaks become the standard
+    * whitespace normalization of [[tidy]]. WordprocessingML
+    * is zip+XML all the way down — no third-party parser needed for the
+    * text layer; styling, images and embedded objects are ignored.
+    */
+  def docxToText(bytes: Array[Byte]): Option[String] =
+    zipEntries(bytes, _ == "word/document.xml").headOption.map { e =>
+      val m = java.util.regex.Pattern
+        .compile("(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|</w:p>|<w:tab/>|<w:br/>")
+        .matcher(entryXml(e))
+      val sb = new StringBuilder
+      while (m.find()) {
+        if (m.group(1) != null) sb.append(decodeEntities(m.group(1)))
+        else if (m.group(0) == "<w:tab/>") sb.append('\t')
+        else sb.append('\n')
+      }
+      tidy(sb.toString)
+    }.filter(_.nonEmpty)
+
+  /** PPTX text: every `ppt/slides/slideN.xml` in slide order, text runs
+    * (`<a:t>`) with paragraph breaks; slides are joined with form-feed
+    * so the ingest page-split machinery records one page per slide.
+    */
+  def pptxToText(bytes: Array[Byte]): Option[String] = {
+    val slideName = "ppt/slides/slide(\\d+)\\.xml".r
+    val slides = zipEntries(bytes, n => slideName.pattern.matcher(n).matches())
+      .sortBy { case (n, _) => slideName.findFirstMatchIn(n).get.group(1).toInt }
+      .map { e =>
+        val m = java.util.regex.Pattern
+          .compile("(?s)<a:t(?:\\s[^>]*)?>(.*?)</a:t>|</a:p>")
+          .matcher(entryXml(e))
+        val sb = new StringBuilder
+        while (m.find()) {
+          if (m.group(1) != null) sb.append(decodeEntities(m.group(1))) else sb.append('\n')
+        }
+        tidy(sb.toString)
+      }
+      .filter(_.nonEmpty)
+    if (slides.isEmpty) None else Some(slides.mkString("\f"))
+  }
+
+  /** XLSX text: shared strings resolved into each sheet's cells, rows
+    * rendered pipe-separated (the csv-to-markdown shape), one page per
+    * sheet (form-feed joined). Covers inline `<v>` values and t="s"
+    * shared-string cells — formulas surface as their cached values.
+    */
+  def xlsxToText(bytes: Array[Byte]): Option[String] = {
+    val shared: Vector[String] =
+      zipEntries(bytes, _ == "xl/sharedStrings.xml").headOption.map { e =>
+        val si = java.util.regex.Pattern.compile("(?s)<si>(.*?)</si>").matcher(entryXml(e))
+        val out = Vector.newBuilder[String]
+        while (si.find()) {
+          val t = java.util.regex.Pattern
+            .compile("(?s)<t(?:\\s[^>]*)?>(.*?)</t>").matcher(si.group(1))
+          val sb = new StringBuilder
+          while (t.find()) sb.append(decodeEntities(t.group(1)))
+          out += sb.toString
+        }
+        out.result()
+      }.getOrElse(Vector.empty)
+    val sheetName = "xl/worksheets/sheet(\\d+)\\.xml".r
+    val sheets = zipEntries(bytes, n => sheetName.pattern.matcher(n).matches())
+      .sortBy { case (n, _) => sheetName.findFirstMatchIn(n).get.group(1).toInt }
+      .map { e =>
+        val rows = java.util.regex.Pattern
+          .compile("(?s)<row[^>]*>(.*?)</row>").matcher(entryXml(e))
+        val lines = Seq.newBuilder[String]
+        while (rows.find()) {
+          val cells = java.util.regex.Pattern
+            .compile("(?s)<c([^>]*)>(.*?)</c>").matcher(rows.group(1))
+          val vals = Seq.newBuilder[String]
+          while (cells.find()) {
+            val attrs = cells.group(1)
+            val v = java.util.regex.Pattern
+              .compile("(?s)<v>(.*?)</v>").matcher(cells.group(2))
+            val raw = if (v.find()) decodeEntities(v.group(1)) else ""
+            vals += (if (attrs.contains("t=\"s\""))
+              raw.toIntOption.flatMap(shared.lift).getOrElse(raw)
+            else raw)
+          }
+          val r = vals.result()
+          if (r.exists(_.nonEmpty)) lines += r.mkString("| ", " | ", " |")
+        }
+        lines.result().mkString("\n")
+      }
+      .filter(_.nonEmpty)
+    if (sheets.isEmpty) None else Some(sheets.mkString("\f"))
+  }
+
   /** Stub payload for formats whose parsers are not in this container
     * (same shape the stub converter always produced).
     */
@@ -286,6 +401,9 @@ object Convert {
       case "csv"          => csvToMarkdown(text)
       case "json"         => jsonToText(text)
       case "pdf"          => pdfToText(bytes).getOrElse(fallback)
+      case "docx"         => docxToText(bytes).getOrElse(fallback)
+      case "pptx"         => pptxToText(bytes).getOrElse(fallback)
+      case "xlsx"         => xlsxToText(bytes).getOrElse(fallback)
       case _              => fallback
     }
   }

@@ -103,6 +103,44 @@ class IngestSpec extends SparkSpec {
       s"image-only pdf must fall back to the stub: ${out("image.pdf")}")
   }
 
+  test("ooxml conversion: docx runs/paragraphs, pptx slide pages, xlsx shared strings") {
+    import graft.operators.Convert
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val docx = zip("word/document.xml" ->
+      """<w:document><w:body><w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t xml:space="preserve"> world &amp; more</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Second</w:t><w:tab/><w:t>para</w:t></w:r></w:p></w:body></w:document>""".stripMargin)
+    val dText = Convert.docxToText(docx).get
+    assert(dText.startsWith("Hello world & more"), dText)
+    assert(dText.contains("\nSecond para"), s"paragraph break + normalized tab: $dText")
+
+    val pptx = zip(
+      "ppt/slides/slide2.xml" -> "<p:sld><a:p><a:t>Slide two</a:t></a:p></p:sld>",
+      "ppt/slides/slide1.xml" -> "<p:sld><a:p><a:t>Title</a:t></a:p><a:p><a:t>Body</a:t></a:p></p:sld>")
+    val pText = Convert.pptxToText(pptx).get
+    assert(pText == "Title\nBody\fSlide two", s"slide order + page breaks: $pText")
+
+    val xlsx = zip(
+      "xl/sharedStrings.xml" -> "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>1</v></c></row></sheetData></worksheet>""".stripMargin)
+    val xText = Convert.xlsxToText(xlsx).get
+    assert(xText.contains("| alpha | 42 |"), xText)
+    assert(xText.contains("| beta |"), xText)
+
+    // outside the honest subset → None (convert() then falls back to the stub)
+    assert(Convert.docxToText("not a zip".getBytes("UTF-8")).isEmpty)
+    assert(Convert.pptxToText(zip("ppt/other.xml" -> "<x/>")).isEmpty)
+  }
+
   test("json conversion renders a readable outline and survives bad json") {
     val dir = Files.createTempDirectory("graft_json")
     Files.writeString(dir.resolve("doc.json"),
