@@ -21,6 +21,11 @@ object OracleArtifacts {
     */
   @volatile var retrievalEval: Option[Seq[(Long, Seq[String])]] = None
 
+  /** (centroids, nProbe=5 ranked cells) from ann_recall_sweep — each
+    * smaller nProbe probes a prefix of the ranked list.
+    */
+  @volatile var annSweep: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** (unit-sphere KMeans centroids, probed cell ids) from ann_probe. */
   @volatile var ann: Option[(Array[Array[Double]], Seq[Int])] = None
 

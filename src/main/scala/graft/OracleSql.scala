@@ -347,6 +347,31 @@ object OracleSql {
            |FROM qids q LEFT JOIN sr USING (query_id) ORDER BY q.query_id""".stripMargin
       }
     }
+    val annSweepEntries = OracleArtifacts.annSweep.toSeq.map { case (cents, cells5) =>
+      "ann_recall_sweep" -> {
+        // The centroid-assignment expression is enormous (10 centroids ×
+        // 64-dim distance chains) — MATERIALIZE it once and rank probed
+        // cells by their position m in the ranked cell list, so each
+        // nProbe=n leg is a cheap `m <= n` filter over the same rows
+        // (CTE inlining would otherwise replicate the giant expression
+        // per leg and blow the planner's memory).
+        val mCase = cells5.zipWithIndex
+          .map { case (cell, i) => s"WHEN $cell THEN ${i + 1}" }
+          .mkString("CASE cluster ", " ", " ELSE NULL END")
+        val probeLegs = (1 to 5).map { n =>
+          s"SELECT $n AS n_probe, vec_id FROM sc WHERE m <= $n ORDER BY cs DESC, vec_id LIMIT 10"
+        }.map(l => s"($l)").mkString(" UNION ALL ")
+        s"""WITH ${annCtes(cents)},
+           |sc AS MATERIALIZED (SELECT vec_id, $mCase AS m, ${cosine("ev", "qv")} AS cs FROM asg, q),
+           |ex AS MATERIALIZED (SELECT vec_id FROM c, q ORDER BY ${cosine("ev", "qv")} DESC, vec_id LIMIT 10),
+           |probes AS ($probeLegs),
+           |hits AS (SELECT n_probe, count(*) AS h FROM probes JOIN ex USING (vec_id) GROUP BY 1)
+           |SELECT CAST(10 AS BIGINT) AS top_k, CAST(n.n AS BIGINT) AS n_probe,
+           |       ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / 10.0, 4) AS recall
+           |FROM (SELECT unnest([1, 2, 3, 4, 5]) AS n) n
+           |LEFT JOIN hits ON hits.n_probe = n.n ORDER BY n_probe""".stripMargin
+      }
+    }
     val annEntries = OracleArtifacts.ann.toSeq.flatMap { case (cents, cells) =>
       val ctes = annCtes(cents)
       val inCells = cells.mkString(", ")
@@ -714,7 +739,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries).toMap
   }
 

@@ -1635,6 +1635,31 @@ object Queries {
   }
 
   /** Single-row ANN quality report: probe recall@10 vs exact top-10. */
+  /** The nProbe TUNING CURVE over the cached IVF index: recall@10 for
+    * nProbe 1..5 against the exact top-10 — the table a team reads to
+    * pick the recall/cost point before deploying an index
+    * (`ann_recall` is one row of it). Cells are ranked by
+    * query-centroid distance, so nProbe=n probes a PREFIX of the
+    * nProbe=5 cell list — the twin inlines the fitted centroid
+    * literals once and derives each prefix.
+    */
+  def annRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = queryVecDf(s, dir)
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val qv = Ann.queryVector(q, "q_vec")
+    val cells5 = Ann.nearestCells(index.centroids, qv, nProbe = 5)
+    OracleArtifacts.annSweep = Some((index.centroids, cells5))
+    val exact = Ann.exact(embs(s, dir), q, "embedding", "q_vec", "vec_id", topK = 10)
+      .select("vec_id")
+    (1 to 5).map { n =>
+      val probe = Ann.probeCells(index, q, "q_vec", cells5.take(n), topK = 10).select("vec_id")
+      val hits = exact.join(probe, Seq("vec_id"), "left_semi").count()
+      (10L, n.toLong,
+        BigDecimal(hits.toDouble / 10.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("top_k", "n_probe", "recall").orderBy("n_probe")
+  }
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = queryVecDf(s, dir)

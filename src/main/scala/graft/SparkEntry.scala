@@ -59,6 +59,7 @@ object SparkEntry {
     "ann_probe"           -> (Queries.annProbe(_, _)),
     "ann_filtered"        -> (Queries.annFiltered(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),
+    "ann_recall_sweep"    -> (Queries.annRecallSweep(_, _)),
     "pq_probe"            -> (Queries.pqProbe(_, _)),
     "lsh_pairs"           -> (Queries.lshPairs(_, _)),
     "lsh_query"           -> (Queries.lshQuery(_, _)),

@@ -22,6 +22,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall; probe=$probe exact=$exact")
   }
 
+  test("recall sweep: recall@10 is monotone in nProbe and reaches 1.0 at full probe depth") {
+    val rows = Queries.annRecallSweep(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 5L), "one row per nProbe")
+    val recalls = rows.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must not decrease with nProbe: ${recalls.toSeq}")
+    assert(recalls.last >= 0.9, s"deep probe must reach high recall: ${recalls.last}")
+    // consistency with the single-point ann_recall query (nProbe=3)
+    val point = Queries.annRecall(spark, sf).collect().head.getDouble(2)
+    assert(rows.find(_._1 == 3L).get._2 == point, "sweep must agree with ann_recall at n=3")
+  }
+
   test("build assigns every vector to one of k clusters") {
     val index = Ann.build(Tables.embeddings(spark, sf), "embedding", "vec_id", k = 10, seed = 42)
     assert(index.assigned.count() == 500)
