@@ -287,6 +287,31 @@ object OracleSql {
 
   private lazy val bm25BatchSql: String = bm25BatchSelect(Queries.BatchTextQueries, 5)
 
+  /** Twin of Featurize.meanPoolChunks over the shared chunk CTE (no
+    * ORDER BY — composable). Each chunk's unit-vector component is
+    * quantized to the 1e-6 grid as a BIGINT, so the cross-chunk sum
+    * (the only place addition order could differ between engines) is
+    * exact integer arithmetic; one division by the exact integer norm,
+    * 5 dp.
+    */
+  private lazy val docEmbeddingSelect: String =
+    s"""WITH $chunkCte,
+       |tok AS (SELECT doc_id, chunk_index, unnest(${toks("chunk")}) AS term FROM ch),
+       |d AS (SELECT doc_id, chunk_index,
+       |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+       |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
+       |      FROM tok),
+       |cd AS (SELECT doc_id, chunk_index, dim, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM d GROUP BY 1, 2, 3),
+       |cn AS (SELECT doc_id, chunk_index, sum(cnt * cnt) AS ss FROM cd GROUP BY 1, 2),
+       |q AS (SELECT cd.doc_id, cd.dim,
+       |       CAST(ROUND(cd.cnt * 1000000.0 / sqrt(CAST(cn.ss AS DOUBLE))) AS BIGINT) AS v
+       |      FROM cd JOIN cn ON cd.doc_id = cn.doc_id AND cd.chunk_index = cn.chunk_index),
+       |s AS (SELECT doc_id, dim, sum(v) AS sv FROM q GROUP BY 1, 2),
+       |n AS (SELECT doc_id, sum(sv * sv) AS ss2 FROM s GROUP BY 1)
+       |SELECT s.doc_id, s.dim, ROUND(CAST(sv AS DOUBLE) / sqrt(CAST(ss2 AS DOUBLE)), 5) AS v
+       |FROM s JOIN n ON s.doc_id = n.doc_id""".stripMargin
+
   private val knnCte: String =
     s"""q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
        |c AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0)""".stripMargin
@@ -1398,27 +1423,23 @@ object OracleSql {
          |FROM shx WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
 
     "doc_embedding" ->
-      // Twin of Featurize.meanPoolChunks over the shared chunk CTE.
-      // Each chunk's unit-vector component is quantized to the 1e-6
-      // grid as a BIGINT, so the cross-chunk sum (the only place
-      // addition order could differ between engines) is exact integer
-      // arithmetic; one division by the exact integer norm, 5 dp.
-      s"""WITH $chunkCte,
-         |tok AS (SELECT doc_id, chunk_index, unnest(${toks("chunk")}) AS term FROM ch),
-         |d AS (SELECT doc_id, chunk_index,
-         |       CAST(((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
-         |             + strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 64 AS BIGINT) AS dim
-         |      FROM tok),
-         |cd AS (SELECT doc_id, chunk_index, dim, CAST(count(*) AS BIGINT) AS cnt
-         |       FROM d GROUP BY 1, 2, 3),
-         |cn AS (SELECT doc_id, chunk_index, sum(cnt * cnt) AS ss FROM cd GROUP BY 1, 2),
-         |q AS (SELECT cd.doc_id, cd.dim,
-         |       CAST(ROUND(cd.cnt * 1000000.0 / sqrt(CAST(cn.ss AS DOUBLE))) AS BIGINT) AS v
-         |      FROM cd JOIN cn ON cd.doc_id = cn.doc_id AND cd.chunk_index = cn.chunk_index),
-         |s AS (SELECT doc_id, dim, sum(v) AS sv FROM q GROUP BY 1, 2),
-         |n AS (SELECT doc_id, sum(sv * sv) AS ss2 FROM s GROUP BY 1)
-         |SELECT s.doc_id, s.dim, ROUND(CAST(sv AS DOUBLE) / sqrt(CAST(ss2 AS DOUBLE)), 5) AS v
-         |FROM s JOIN n ON s.doc_id = n.doc_id ORDER BY s.doc_id, s.dim""".stripMargin,
+      s"""$docEmbeddingSelect ORDER BY s.doc_id, s.dim""".stripMargin,
+
+    "docsim_topk" ->
+      // Twin of Queries.docsimTopK: the pooled sparse vectors (shared
+      // with doc_embedding) re-quantized onto the 1e-5 grid so the
+      // anchor·doc dot products are exact integer sums in any order;
+      // one division scales back, top-3 per anchor.
+      s"""WITH e AS ($docEmbeddingSelect),
+         |q5 AS (SELECT doc_id, dim, CAST(ROUND(v * 100000.0) AS BIGINT) AS vq FROM e),
+         |a AS (SELECT doc_id AS a_id, dim, vq AS aq FROM q5 WHERE doc_id < 8),
+         |d AS (SELECT a.a_id, q5.doc_id, sum(q5.vq * a.aq) AS dot
+         |      FROM q5 JOIN a USING (dim) WHERE q5.doc_id <> a.a_id GROUP BY 1, 2),
+         |sc AS (SELECT a_id, doc_id, ROUND(CAST(dot AS DOUBLE) / 10000000000.0, 5) AS sim FROM d),
+         |r AS (SELECT a_id, doc_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT a_id, doc_id, sim, rk FROM r WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin,
 
     "embed_hashed_bow" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),

@@ -326,6 +326,38 @@ object Queries {
       "doc_id", "chunk_index", "chunk")
       .orderBy("doc_id", "dim")
 
+  /** Doc-level SIMILAR-DOCUMENTS retrieval over the pooled chunk
+    * embeddings ([[docEmbedding]]'s vectors put to work): for each of
+    * the first 8 docs as anchors, the top-3 most-similar other docs by
+    * sparse dot product. The pooled components (already rounded to
+    * 5 dp) are re-quantized onto the 1e-5 integer grid, so every
+    * anchor·doc dot product is an exact integer sum — engine-identical
+    * in any addition order — with ONE scaling division at the end.
+    * Anchor vectors are collected as a bounded driver artifact (≤8×64
+    * rows, the same class as query vectors) and broadcast, so the
+    * corpus-side pooling pipeline appears exactly once in the plan.
+    */
+  def docsimTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Featurize.meanPoolChunks(
+      chunks(s, dir).select("doc_id", "chunk_index", "chunk"),
+      "doc_id", "chunk_index", "chunk")
+    val q5 = emb.withColumn("vq", round(col("v") * lit(1e5)).cast("long"))
+    val anchors = q5.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("a_id"), col("dim"), col("vq").as("aq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("a_id", "dim", "aq")
+    val dots = q5.join(broadcast(anchors), Seq("dim"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .groupBy("a_id", "doc_id")
+      .agg(sum(col("vq") * col("aq")).as("dot"))
+      .select(col("a_id"), col("doc_id"),
+        round(col("dot").cast("double") / lit(1e10), 5).as("sim"))
+    graft.plans.TopK.perKey(dots, Seq("a_id"), Seq(("sim", false), ("doc_id", true)), 3)
+      .select(col("a_id"), col("doc_id"), col("sim"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
   def chunkStats(s: SparkSession, dir: String): DataFrame =
     chunks(s, dir)
       .groupBy("doc_id")

@@ -75,6 +75,7 @@ object SparkEntry {
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
     "doc_embedding"       -> (Queries.docEmbedding(_, _)),
+    "docsim_topk"         -> (Queries.docsimTopK(_, _)),
     "embed_onnx"          -> (Queries.embedOnnx(_, _)),
     "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),

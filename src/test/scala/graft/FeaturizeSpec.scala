@@ -82,6 +82,20 @@ class FeaturizeSpec extends SparkSpec {
     assert(pooled2.values.max > 0.8, "shared fish dim must dominate the pooled vector")
   }
 
+  test("docsimTopK: 3 similar docs per anchor, similarity bounded, self excluded") {
+    val out = Queries.docsimTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.length == 8)
+    assert(out.groupBy(_._1).forall(_._2.length == 3))
+    assert(out.forall { case (a, d, _, _) => a != d }, "anchor must not retrieve itself")
+    assert(out.forall { case (_, _, s, _) => s >= -1.0 - 1e-6 && s <= 1.0 + 1e-6 },
+      s"similarity of unit vectors must stay in [-1,1]: ${out.map(_._3).max}")
+    out.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+  }
+
   test("embedding is L2-normalized for non-empty docs") {
     val df = Seq(Tuple1("some words to embed right here")).toDF("text")
     val v = df.select(Featurize.hashedBowInline(col("text"), 64)).head.getSeq[Double](0)
