@@ -105,7 +105,8 @@ object Dedup {
       .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
     val benchGrams = benchmark
-      .select(TextOps.rawShingles(TextOps.tokenize(normalize(col(textCol))), n).as("_sh"))
+      .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
+      .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
       .select(explode(col("_sh")).as("gram"))
       .select(md5(col("gram")).as("g"))
       .distinct()

@@ -493,8 +493,11 @@ object TextAnalysis {
       minCount: Long = 2,
       topK: Int = 50
   ): DataFrame =
-    df.select(col(idCol),
-        explode(TextOps.rawShingles(TextOps.tokenize(col(textCol)), k)).as("ngram"))
+    // tokenize BOUND through a projection before the shingle lambda:
+    // inlining it makes the interpreted HOF re-tokenize the document
+    // per element_at — measured 32x slower (see PLANS.md)
+    df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(TextOps.rawShingles(col("_toks"), k)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("n_docs"))
       .filter(col("cnt") >= minCount)

@@ -74,4 +74,18 @@ class PackingSpec extends SparkSpec {
     assert(got.sliding(2).forall(p => p.head._2 > p.last._2 ||
       (p.head._2 == p.last._2 && p.head._1 < p.last._1)))
   }
+
+  test("duplicatedNgrams binds the token array before the shingle generator") {
+    // Generate's child runs INTERPRETED: with tokenize inlined, every
+    // element_at in the shingle lambda re-tokenizes the document —
+    // measured 32x slower at sf0.1. The tokenizer must stay behind a
+    // projection so the lambda reads a bound attribute.
+    val plan = TextAnalysis.duplicatedNgrams(
+      Tables.documents(spark, sf), "text", "doc_id", 5, 2, 50)
+      .queryExecution.optimizedPlan.toString
+    val gen = plan.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.nonEmpty)
+    assert(!gen.contains("split("),
+      s"tokenizer leaked into the generator expression:\n$gen")
+  }
 }
