@@ -849,6 +849,28 @@ object OracleSql {
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    "bm25_pergroup" ->
+      // Twin of Search.bm25PerGroup: every CTE of the bm25 chain gains
+      // the group key — each source is its own sub-corpus.
+      s"""WITH tok AS (SELECT source, doc_id, unnest(${toks()}) AS term FROM documents),
+         |dl AS (SELECT source, doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl GROUP BY 1),
+         |qt AS (SELECT source, doc_id, term FROM tok WHERE term IN ($queryTermsSql)),
+         |tf AS (SELECT source, doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM qt GROUP BY 1, 2, 3),
+         |dfq AS (SELECT source, term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM qt GROUP BY 1, 2),
+         |sc AS (SELECT tf.source, tf.doc_id,
+         |        ROUND(SUM( ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ), 5) AS bm25
+         |       FROM tf
+         |       JOIN dfq ON tf.source = dfq.source AND tf.term = dfq.term
+         |       JOIN dl ON tf.source = dl.source AND tf.doc_id = dl.doc_id
+         |       JOIN st ON tf.source = st.source
+         |       GROUP BY 1, 2),
+         |r AS (SELECT source, doc_id, bm25,
+         |       CAST(row_number() OVER (PARTITION BY source ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+         |      FROM sc)
+         |SELECT source, doc_id, bm25, rk FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
     "bm25_incremental" ->
       // Same twin again: a base+delta appended index must score the
       // union corpus bit-identically to a one-shot build (df from the

@@ -137,6 +137,16 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  /** Faceted search ([[graft.operators.Search.bm25PerGroup]]): one
+    * query, every library's top-3 BM25 hits, each library scored as
+    * its own sub-corpus (own N/avgdl/df).
+    */
+  def bm25PerGroup(s: SparkSession, dir: String): DataFrame =
+    Search.bm25PerGroup(
+      tokenTable(s, dir).select("source", "doc_id", "term"),
+      idCol = "doc_id", groupCol = "source", QueryTerms, k = 3)
+      .orderBy("source", "rk")
+
   /** BM25 + exact-phrase boost ("filter join") — proximity-aware FTS. */
   /** The reference's full SERVING path with both persisted indexes
     * (store.py:197 FTS index + store.py:274 vector index + server.py:228

@@ -27,6 +27,7 @@ object SparkEntry {
     "hard_negatives"      -> (Queries.hardNegatives(_, _)),
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
     "bm25_phrase"         -> (Queries.bm25Phrase(_, _)),
+    "bm25_pergroup"       -> (Queries.bm25PerGroup(_, _)),
     "phrase_search"       -> (Queries.phraseSearch(_, _)),
     "hybrid_rrf"          -> (Queries.hybridRrf(_, _)),
     "filtered_search"     -> (Queries.filteredSearch(_, _)),

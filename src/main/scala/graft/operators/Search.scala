@@ -95,6 +95,52 @@ object Search {
       .select(col(queryId), col(corpusId), col(scoreName), col("rk"))
   }
 
+  /** FACETED BM25: top-k per group with PER-GROUP corpus statistics —
+    * each library/source is scored as its own sub-corpus (its own N,
+    * avgdl, df), which is the correct semantics when groups differ in
+    * size and vocabulary (a global-idf ranking would let a large
+    * group's term statistics distort a small group's ordering). The
+    * grouped-search face of the reference's library filter: one query,
+    * every library's best hits.
+    *
+    * Shape at scale: dl/tf shuffle on (group, doc) — co-partitioned
+    * partial aggs; per-(group, term) df and per-group stats are
+    * O(groups × query terms) and broadcast; per-group top-k is the
+    * bounded-heap operator.
+    */
+  def bm25PerGroup(
+      tokens: DataFrame,
+      idCol: String,
+      groupCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val dl = tokens.groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = dl.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val qt = tokens.filter(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy(col(groupCol), col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = qt.groupBy(col(groupCol), col("term"))
+      .agg(count_distinct(col(idCol)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfs), Seq(groupCol, "term"))
+      .join(dl, Seq(groupCol, idCol))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("_contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(round(sum(col("_contrib")), 5).as("bm25"))
+    graft.plans.TopK
+      .perKey(scored, Seq(groupCol), Seq(("bm25", false), (idCol, true)), k)
+      .select(col(groupCol), col(idCol), col("bm25"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive training (SimCSE/DPR-style):
     * for every anchor, the `k` most-cosine-similar corpus vectors with
     * a DIFFERENT label — the near-misses a contrastive loss learns the

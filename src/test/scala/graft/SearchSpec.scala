@@ -107,6 +107,33 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "query dims must broadcast")
   }
 
+  test("bm25PerGroup: per-group statistics, bounded-heap top-k per group") {
+    val toks = Seq(
+      // group A: 'rare' in 1 of 3 docs; group B: 'rare' in every doc
+      (1L, "a", "rare common common"), (2L, "a", "common common x"), (3L, "a", "common y z"),
+      (10L, "b", "rare p"), (11L, "b", "rare q"), (12L, "b", "rare r")
+    ).toDF("doc_id", "grp", "text")
+      .select(col("doc_id"), col("grp"),
+        explode(graft.functions.TextOps.tokenize(col("text"))).as("term"))
+    val out = Search.bm25PerGroup(toks, "doc_id", "grp", Seq("rare"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byGrp = out.groupBy(_._1)
+    // group A: only doc 1 matches; idf_a = ln(1 + (3-1+0.5)/1.5) > 0
+    assert(byGrp("a").map(_._2).toSet == Set(1L))
+    assert(byGrp("a").head._3 > 0)
+    // group B: all three docs match, and 'rare' is in EVERY b-doc, so
+    // its per-group idf — ln(1 + 0.5/3.5) — is far smaller than a
+    // global idf would be: per-group stats are genuinely per-group
+    assert(byGrp("b").map(_._2).toSet == Set(10L, 11L, 12L))
+    assert(byGrp("b").map(_._3).max < byGrp("a").head._3,
+      s"ubiquitous-in-group term must score low in that group: $out")
+    // plan: per-group top-k via the bounded heap; df/stats broadcast
+    val plan = Search.bm25PerGroup(toks, "doc_id", "grp", Seq("rare"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("SortMergeJoin"), "df/stats tables must broadcast")
+  }
+
   test("hardNegatives: top-k nearest with a DIFFERENT label, corpus streamed once") {
     val out = Queries.hardNegatives(spark, sf)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
