@@ -849,6 +849,22 @@ object OracleSql {
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    "snippet_extract" ->
+      // Twin of Queries.snippetExtract: bm25 top-10 + first query-term
+      // position (least of per-term list_position, NULLs ignored by
+      // least in both engines) + a 7-token window.
+      s"""WITH $bm25Cte,
+         |top10 AS (SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |p AS (SELECT t.doc_id, t.bm25, tk.toks,
+         |       least(${Queries.QueryTerms.map(t =>
+                  s"CASE WHEN list_position(toks, '$t') > 0 THEN list_position(toks, '$t') END")
+                  .mkString(", ")}) AS p
+         |      FROM top10 t JOIN tk ON t.doc_id = tk.doc_id)
+         |SELECT doc_id, bm25, CAST(p AS BIGINT) AS hit_pos,
+         |       array_to_string(toks[greatest(p - 3, 1) : greatest(p - 3, 1) + 6], ' ') AS snippet
+         |FROM p ORDER BY bm25 DESC, doc_id""".stripMargin,
+
     "bm25_pergroup" ->
       // Twin of Search.bm25PerGroup: every CTE of the bm25 chain gains
       // the group key — each source is its own sub-corpus.

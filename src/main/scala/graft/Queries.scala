@@ -137,6 +137,29 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  /** SNIPPET extraction for the serving path: the BM25 top-10 each
+    * return a ±3-token highlight window around the document's FIRST
+    * query-term occurrence (what a search UI renders under the title).
+    * Pure array expressions over the bound token array — per-term
+    * `array_position` in fixed query-term order, least non-null, one
+    * `slice` — no extra shuffle beyond the bm25 ranking itself.
+    */
+  def snippetExtract(s: SparkSession, dir: String): DataFrame = {
+    val hits = Search.bm25TopK(
+      tokenTable(s, dir).select("doc_id", "term"),
+      idCol = "doc_id", queryTerms = QueryTerms, k = 10)
+    val toksDf = docs(s, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+    val firstPos = least(QueryTerms.map(t =>
+      when(array_position(col("_toks"), t) > 0, array_position(col("_toks"), t))): _*)
+    hits
+      .join(toksDf, "doc_id")
+      .withColumn("_p", firstPos)
+      .select(col("doc_id"), col("bm25"),
+        col("_p").cast("long").as("hit_pos"),
+        concat_ws(" ", slice(col("_toks"), greatest(col("_p") - 3, lit(1)), lit(7))).as("snippet"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   /** Faceted search ([[graft.operators.Search.bm25PerGroup]]): one
     * query, every library's top-3 BM25 hits, each library scored as
     * its own sub-corpus (own N/avgdl/df).

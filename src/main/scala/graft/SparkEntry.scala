@@ -28,6 +28,7 @@ object SparkEntry {
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
     "bm25_phrase"         -> (Queries.bm25Phrase(_, _)),
     "bm25_pergroup"       -> (Queries.bm25PerGroup(_, _)),
+    "snippet_extract"     -> (Queries.snippetExtract(_, _)),
     "phrase_search"       -> (Queries.phraseSearch(_, _)),
     "hybrid_rrf"          -> (Queries.hybridRrf(_, _)),
     "filtered_search"     -> (Queries.filteredSearch(_, _)),
