@@ -115,6 +115,29 @@ object Queries {
   private val docsimAnchorCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Long)]]()
 
+  private val docEmbTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PERSISTED doc-embedding sidecar (build once, probe many — the
+    * docdims/IVF-layout pattern applied to pooled doc vectors): the
+    * sparse `(doc_id, dim, v)` table from [[Featurize.meanPoolChunks]]
+    * landed as parquet per corpus, so every consumer (similarity,
+    * clustering, dedup) reads the artifact instead of re-running the
+    * pooling pipeline. At 100 TB this is a maintained table next to
+    * the corpus, refreshed incrementally with ingest.
+    */
+  private def docEmbTable(s: SparkSession, dir: String): DataFrame = {
+    val path = docEmbTableCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_docemb_").toString
+      Featurize.meanPoolChunks(
+        chunks(s, dir).select("doc_id", "chunk_index", "chunk"),
+        "doc_id", "chunk_index", "chunk")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** INCREMENTAL FTS maintenance (the text-index face of
     * [[annIncremental]]): base index over doc_id % 5 != 0, then the
     * remaining fifth of the corpus arrives as an ingest batch and is
@@ -375,9 +398,10 @@ object Queries {
     */
   def docsimTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Featurize.meanPoolChunks(
-      chunks(s, dir).select("doc_id", "chunk_index", "chunk"),
-      "doc_id", "chunk_index", "chunk")
+    // probe the PERSISTED sidecar (cold pass pays the one-time build,
+    // like the FTS/IVF layouts); the pooling pipeline itself is the
+    // doc_embedding query's plan
+    val emb = docEmbTable(s, dir)
     val q5 = emb.withColumn("vq", round(col("v") * lit(1e5)).cast("long"))
     // anchor vectors are a built artifact (build once, probe many —
     // same memoization contract as Fts/Ann.buildCached); the filter
