@@ -1941,6 +1941,9 @@ object OracleSql {
     // per-doc modification rules make the streamed CDC segments merge
     // to the same table as the batch upsert→revise→delete flow
     "stream_upsert_cdc" -> sql("chunkstore_read"),
+    // per-user in-order state updates compute the same ordered-stage
+    // chain as the batch window stack — one twin
+    "stream_funnel" -> sql("events_funnel"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

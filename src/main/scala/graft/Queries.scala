@@ -1454,6 +1454,15 @@ object Queries {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** The streamed face of [[eventsFunnel]]
+    * ([[graft.streaming.StreamPipeline.funnelSnapshot]]): events arrive
+    * as a file stream, per-user stage progress is mapGroupsWithState
+    * state, the drained counts share the batch twin.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.funnelSnapshot(s, dir,
+      Seq("view", "click", "purchase"))
+
   /** Cohort retention matrix ([[graft.operators.Events.retention]]):
     * users by first-seen day × active-day offset.
     */

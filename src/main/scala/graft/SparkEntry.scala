@@ -97,6 +97,7 @@ object SparkEntry {
     "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
     "events_funnel"       -> (Queries.eventsFunnel(_, _)),
     "events_retention"    -> (Queries.eventsRetention(_, _)),
+    "stream_funnel"       -> (Queries.streamFunnel(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),

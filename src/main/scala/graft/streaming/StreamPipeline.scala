@@ -218,6 +218,88 @@ object StreamPipeline {
     * Equal BY CONSTRUCTION to the batch aggregation over the same
     * corpus — which is exactly what its DuckDB twin checks.
     */
+  /** File-stream the events table, ts normalized to epoch-nanos longs
+    * exactly like the batch loader ([[graft.Tables.events]]).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val staging = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    deleteRecursivelyOnExit(staging)
+    val s = spark.readStream.schema(raw.schema).parquet(staging.toString)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => s
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        s.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
+      case _ => s.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    }
+  }
+
+  /** STREAMED conversion funnel: per-user ordered stage progress kept
+    * as `mapGroupsWithState` state — each user's vector of
+    * first-qualifying stage times, updated by min as events arrive
+    * (assumes per-user in-order arrival, the partitioned-by-user
+    * deployment; within a micro-batch rows are sorted by ts, so the
+    * single ascending pass computes exactly the batch chain: when a
+    * stage-k event at time t is processed, the state already holds the
+    * FINAL first-qualifying time of stage k-1 among events before t).
+    * The drained per-user stage counts must equal the batch
+    * [[graft.operators.Events.funnel]] — shared oracle twin.
+    */
+  /** Per-user funnel state transition over a typed (user, ts, type)
+    * stream — reusable by [[funnelSnapshot]] and the multi-batch
+    * parity spec. Emits the user's reached-stage count per trigger
+    * (monotone, so `max` per user is the final value).
+    */
+  def funnelProgress(
+      typed: org.apache.spark.sql.Dataset[(Long, Long, String)],
+      stages: Seq[String]
+  ): org.apache.spark.sql.Dataset[(Long, Int)] = {
+    import typed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (Long, Int)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)], state) =>
+          var times = state.getOption.getOrElse(Seq.fill(stages.length)(Long.MaxValue))
+          for ((_, t, tpe) <- rows.toSeq.sortBy(_._2)) {
+            val i = stages.indexOf(tpe)
+            if (i == 0) { if (t < times.head) times = times.updated(0, t) }
+            else if (i > 0 && times(i - 1) != Long.MaxValue && t > times(i - 1) && t < times(i))
+              times = times.updated(i, t)
+          }
+          state.update(times)
+          (uid, times.takeWhile(_ != Long.MaxValue).length)
+      }
+  }
+
+  def funnelSnapshot(spark: SparkSession, dir: String, stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val typed = eventStream(spark, dir)
+      .select(col("user_id").cast("long"), col("ts").cast("long"), col("event_type"))
+      .as[(Long, Long, String)]
+    val progress = funnelProgress(typed, stages)
+    val name = "stream_funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = progress.toDF("user_id", "reached")
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val per = spark.table(name).groupBy("user_id").agg(max("reached").as("reached"))
+    val countAggs = stages.indices.map(i =>
+      sum(when(col("reached") > i, 1L).otherwise(0L)).as(s"_c$i"))
+    val counts = per.agg(countAggs.head, countAggs.tail: _*)
+    val stageRows = stages.zipWithIndex.map { case (st, i) => (st, i.toLong) }
+      .toDF("stage", "stage_index")
+    stageRows
+      .crossJoin(broadcast(counts))
+      .withColumn("users",
+        coalesce(stages.indices.map(i => when(col("stage_index") === i, col(s"_c$i"))): _*))
+      .select("stage", "stage_index", "users")
+      .orderBy("stage_index")
+  }
+
   def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val stream = documentStream(spark, dir).select("doc_id", "source", "text")
     val name = "stream_token_budget_" +

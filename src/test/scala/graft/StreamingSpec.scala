@@ -10,6 +10,43 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("streamed funnel state equals the batch funnel across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    // (user, ts, type) — per-user in-order; split mid-chain across batches
+    val batch1 = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 5L, "click"), (2L, 10L, "view"),
+      (3L, 10L, "view"))
+    val batch2 = Seq(
+      (1L, 30L, "purchase"),            // completes u1's chain started in batch 1
+      (2L, 20L, "purchase"),            // u2 never had click-after-view → not counted
+      (3L, 20L, "click"), (3L, 15L, "purchase")) // u3's purchase precedes its click
+    val input = MemoryStream[(Long, Long, String)]
+    val name = "funnel_parity_test"
+    val q = graft.streaming.StreamPipeline.funnelProgress(input.toDS(), stages)
+      .toDF("user_id", "reached")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).groupBy("user_id").agg(org.apache.spark.sql.functions.max("reached").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // tuple order is (user, ts, type): label the batch DF accordingly
+    val batchCounts = graft.operators.Events.funnel(
+      (batch1 ++ batch2).toDF("user_id", "ts", "event_type"),
+      "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // stage_index -> users
+    val streamedCounts = stages.indices.map(i =>
+      i.toLong -> streamed.values.count(_ > i).toLong).toMap
+    assert(streamedCounts == batchCounts,
+      s"streamed $streamedCounts vs batch $batchCounts")
+    // the mid-chain split is genuinely exercised: u1 reaches stage 3
+    assert(streamed(1L) == 3)
+  }
+
   test("windowedCounts aggregates a stream into hourly windows (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
