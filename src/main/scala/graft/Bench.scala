@@ -61,8 +61,11 @@ object Bench {
     val ok = results.collect { case (k, Right(_)) => k }.toSet
     val coldOk = cold.collect { case (k, Right(v)) if ok(k) => k -> v }
     val coldTotal = coldOk.map(_._2).sum
+    // 3dp: ms resolution is below the box's run-to-run noise, and the
+    // shorter line keeps more per-query entries inside the driver's
+    // bounded stdout-tail capture.
     def jmap(xs: Seq[(String, Either[String, Double])]): String = xs.map {
-      case (k, Right(v))  => "\"" + k + "\":" + v
+      case (k, Right(v))  => "\"" + k + "\":" + f"$v%.3f"
       case (k, Left(err)) => "\"" + k + "\":\"error:" + err + "\""
     }.mkString("{", ",", "}")
     val qs = jmap(results)
@@ -105,7 +108,17 @@ object Bench {
         f""","baseline_total":$baseTotal%.2f,"vs_baseline":$ratio%.3f,"regressions":${regs(shared, baseline(_)._1)}""" +
           f""","baseline_cold_total":$baseColdTotal%.2f,"vs_baseline_cold":$ratioCold%.3f,"regressions_cold":${regs(sharedCold, baseline(_)._2)}"""
       }
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir"}"""
+    println(full)
+    // The driver captures only a bounded TAIL of stdout (every published
+    // BENCH_r*.json so far has parsed:null because the full line above
+    // outgrew that window). Persist the full JSON to a file and finish
+    // with a compact per-total summary line that fits any tail window,
+    // so a last-JSON-line parser always has something valid to read.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir","queries_file":"bench_full.json"}""")
     spark.stop()
   }
 }

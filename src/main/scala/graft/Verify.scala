@@ -2,15 +2,39 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run CONCURRENTLY on a small thread pool: Spark's scheduler
+  * accepts jobs from many threads, and at sf0.01 most queries are
+  * seconds-long with fixed latencies (stream triggers, index builds)
+  * that overlap almost perfectly. 121 sequential queries outgrew the
+  * driver's verify budget around round 5 (CORRECTNESS_r05/r06 published
+  * empty); the pool keeps total wall time bounded as the registry grows.
+  * Known-slow families (streaming, index builds) are scheduled first so
+  * the long poles overlap the wide tail.
+  */
 object Verify {
+  // Prefixes of the slow families, scheduled first (descending cost).
+  private val slowFirst = Seq(
+    "stream_", "dedup_minhash", "semdedup", "simhash", "ann_", "ivf",
+    "bm25_incremental", "token_shards_bpe", "chunkstore", "maxsim",
+    "pca_", "pq_", "zorder", "cluster_topics")
+  private def rank(name: String): Int = {
+    val i = slowFirst.indexWhere(name.startsWith)
+    if (i >= 0) i else slowFirst.size
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local
     // iteration only — the driver always passes exactly two)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's full width (the old default of 4 silently
+    // throttled driver runs that don't set SPARK_GRAFT_CPUS)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt max 1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,15 +44,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+      .sortBy(n => (rank(n), n))
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = names.map { name =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val q0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          val d = done.incrementAndGet()
+          System.err.println(f"[verify] $d%3d/${names.size} $name ${(System.nanoTime() - q0) / 1e9}%.1fs (total ${(System.nanoTime() - t0) / 1e9}%.0fs)")
+        }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

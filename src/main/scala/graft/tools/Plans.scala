@@ -37,6 +37,8 @@ object Plans {
           // unrelated query is added/removed earlier in the session — pure noise
           .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n")
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$n")
+          // RDD ids count up per session — same run-order noise as plan ids
+          .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(outDir, s"$name.txt"), stable)
         println(s"[plans] $name ok")
       } catch {
