@@ -138,7 +138,14 @@ object Ann {
     * [[assignmentCost]].
     */
   def appendToIndex(path: String, delta: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Unit =
-    assign(delta, vecCol, centroids).write.partitionBy("cluster").mode("append").parquet(path)
+    // cluster-hash exchange before the partitioned write: a delta
+    // append must add O(k) files, not O(writing-tasks × k) — without it
+    // a 32-task micro-batch lands up to 256 files per trigger, and
+    // small-file accumulation (plus the commit/list cost per file) is
+    // what kills a continuously-maintained layout at scale.
+    assign(delta, vecCol, centroids)
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(path)
 
   final case class MaintenanceReport(deltaCost: Double, baseCost: Double, rebuilt: Boolean)
 

@@ -30,7 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fts {
 
-  final case class Index(dir: String, nDocs: Double, avgdl: Double)
+  // sumDl (not avgdl) is the stored stat so incremental appends stay
+  // EXACTLY equal to a one-shot build: base+delta adds token counts,
+  // never reconstructs them from a rounded mean.
+  final case class Index(dir: String, nDocs: Double, sumDl: Double) {
+    def avgdl: Double = if (nDocs == 0) 0.0 else sumDl / nDocs
+  }
 
   // An FTS index is an offline artifact: built once, probed many times.
   // Memoize per (data key, columns) so repeated probes in one session
@@ -54,7 +59,7 @@ object Fts {
     */
   def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
     val (n, sumDl) = writeSegments(docs, textCol, idCol, outDir, overwrite = true)
-    Index(outDir, n, sumDl / n)
+    Index(outDir, n, sumDl)
   }
 
   /** Incremental maintenance: index ONLY `newDocs` and append their
@@ -74,9 +79,15 @@ object Fts {
     * when deltas accumulate.
     */
   def appendToIndex(index: Index, newDocs: DataFrame, textCol: String, idCol: String): Index = {
-    val (dn, dSumDl) = writeSegments(newDocs, textCol, idCol, index.dir, overwrite = false)
-    val n2 = index.nDocs + dn
-    Index(index.dir, n2, (index.nDocs * index.avgdl + dSumDl) / n2)
+    if (newDocs.isEmpty) index
+    else {
+      // a delta append adds O(few) files, not O(shuffle-partitions)
+      // files per sidecar — file-count hygiene for the probe's listing
+      // path (periodic `build` compaction restores the global layout)
+      val (dn, dSumDl) = writeSegments(newDocs, textCol, idCol, index.dir,
+        overwrite = false, parts = 4)
+      Index(index.dir, index.nDocs + dn, index.sumDl + dSumDl)
+    }
   }
 
   /** One tokenize+explode scan feeding all three layout outputs; returns
@@ -87,7 +98,8 @@ object Fts {
       textCol: String,
       idCol: String,
       outDir: String,
-      overwrite: Boolean
+      overwrite: Boolean,
+      parts: Int = 0 // 0 = session default (full build); >0 bounds output files (delta append)
   ): (Double, Double) = {
     val mode = if (overwrite) "overwrite" else "append"
     // ONE corpus scan + tokenize + explode; every other aggregate derives
@@ -99,20 +111,24 @@ object Fts {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tfl"))
       .cache()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tfl")).cast("double").as("dl"))
-    tf.withColumn("tf", col("tfl").cast("double")).drop("tfl")
+    val posts = tf.withColumn("tf", col("tfl").cast("double")).drop("tfl")
       .join(dl, Seq(idCol))
-      .repartitionByRange(col("term"))
+    (if (parts > 0) posts.repartitionByRange(parts, col("term"))
+     else posts.repartitionByRange(col("term")))
       .sortWithinPartitions("term", idCol)
       .write.mode(mode).parquet(s"$outDir/postings")
+    def bounded(df: DataFrame): DataFrame =
+      if (parts > 0) df.coalesce(parts) else df
     val dims = tf
       .select(col(idCol), TextOps.hashedBowDim(col("term")).as("dim"), col("tfl"))
       .groupBy(col(idCol), col("dim")).agg(sum(col("tfl")).as("cnt"))
-    dims.write.mode(mode).parquet(s"$outDir/docdims")
-    dims.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("ss"))
+    bounded(dims).write.mode(mode).parquet(s"$outDir/docdims")
+    bounded(dims.groupBy(col(idCol)).agg(sum(col("cnt") * col("cnt")).as("ss")))
       .write.mode(mode).parquet(s"$outDir/docnorms")
     val st = dl.agg(count("*").cast("double"), sum("dl")).head()
     tf.unpersist()
-    (st.getDouble(0), st.getDouble(1))
+    // sum over zero rows is NULL: an empty corpus/batch yields (0, 0)
+    if (st.isNullAt(1)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
   }
 
   /** Text-query cosine top-k served from the index sidecar — the same
