@@ -27,6 +27,106 @@ import scala.jdk.CollectionConverters._
   */
 object Convert {
 
+  /** RTF → plain text, pure JVM (converter.py:13 routes .rtf through
+    * MarkItDown; RTF is plain-text markup, so unlike the OLE legacy
+    * formats it IS extractable without native parsers). Handles group
+    * nesting, `\*`-prefixed and non-text destinations (fonttbl,
+    * colortbl, stylesheet, info, pict, …), `\par`/`\line`/`\tab`,
+    * `\'hh` cp1252 escapes, `\uN` unicode with `\ucN` skip counts and
+    * escaped braces/backslashes; every other control word is ignored.
+    * Returns None for bytes that don't open an `{\rtf` group.
+    */
+  def rtfToText(bytes: Array[Byte]): Option[String] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("{\\rtf")) return None
+    val skipDests = Set("fonttbl", "colortbl", "stylesheet", "info",
+      "pict", "object", "header", "footer", "operator", "themedata",
+      "filetbl", "listtable", "listoverridetable", "revtbl", "xmlnstbl")
+    val out = new StringBuilder
+    // per-group state: (skipping?, \uc unicode-substitute count)
+    var stack = List((false, 1))
+    def skipping = stack.head._1
+    var i = 0
+    var pendingUnicodeSkip = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' => stack = stack.head :: stack; i += 1
+        case '}' => if (stack.tail.nonEmpty) stack = stack.tail; i += 1
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case c @ ('\\' | '{' | '}') =>
+              if (!skipping) out.append(c); i += 2
+            case '\'' if i + 3 <= s.length =>
+              val hex = s.substring(i + 2, math.min(i + 4, s.length))
+              if (!skipping && pendingUnicodeSkip == 0)
+                try {
+                  val b = Integer.parseInt(hex, 16)
+                  // 0x80–0x9F differ between cp1252 (RTF's usual ANSI
+                  // codepage) and ISO control chars — map the common set
+                  val c = b match {
+                    case 0x91 => '‘'; case 0x92 => '’'
+                    case 0x93 => '“'; case 0x94 => '”'
+                    case 0x95 => '•'; case 0x96 => '–'
+                    case 0x97 => '—'; case 0x85 => '…'
+                    case o => o.toChar
+                  }
+                  out.append(c)
+                } catch { case _: NumberFormatException => () }
+              else if (pendingUnicodeSkip > 0) pendingUnicodeSkip -= 1
+              i += 4
+            case '*' =>
+              stack = (true, stack.head._2) :: stack.tail; i += 2
+            case '~' => if (!skipping) out.append(' '); i += 2
+            case '-' | '_' => i += 2 // optional/nonbreaking hyphen
+            case _ =>
+              // control word: letters, optional signed digits, optional space
+              var j = i + 1
+              while (j < s.length && s.charAt(j).isLetter) j += 1
+              val word = s.substring(i + 1, j)
+              var k = j
+              if (k < s.length && (s.charAt(k) == '-' || s.charAt(k).isDigit)) {
+                k += 1
+                while (k < s.length && s.charAt(k).isDigit) k += 1
+              }
+              val param = s.substring(j, k)
+              val hasSpace = k < s.length && s.charAt(k) == ' '
+              val end = if (hasSpace) k + 1 else k
+              word match {
+                case _ if word.isEmpty => i = end // lone backslash-digit etc.
+                case w if skipDests(w) =>
+                  stack = (true, stack.head._2) :: stack.tail; i = end
+                case "par" | "line" | "sect" | "page" =>
+                  if (!skipping) out.append('\n'); i = end
+                case "cell" | "tab" =>
+                  if (!skipping) out.append('\t'); i = end
+                case "row" => if (!skipping) out.append('\n'); i = end
+                case "emdash" => if (!skipping) out.append('—'); i = end
+                case "endash" => if (!skipping) out.append('–'); i = end
+                case "uc" =>
+                  val n = param.toIntOption.getOrElse(1)
+                  stack = (skipping, n) :: stack.tail; i = end
+                case "u" =>
+                  if (!skipping) param.toIntOption.foreach { cp =>
+                    val c = if (cp < 0) cp + 65536 else cp
+                    out.append(c.toChar)
+                  }
+                  pendingUnicodeSkip = stack.head._2
+                  i = end
+                case _ => i = end // formatting word: ignore
+              }
+          }
+        case '\r' | '\n' => i += 1 // raw newlines are not text in RTF
+        case c =>
+          if (!skipping) {
+            if (pendingUnicodeSkip > 0) pendingUnicodeSkip -= 1
+            else out.append(c)
+          }
+          i += 1
+      }
+    }
+    Some(out.toString.trim)
+  }
+
   /** Named + numeric HTML entity decoding (the common set). */
   private val Entities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
@@ -361,13 +461,16 @@ object Convert {
           .compile("(?s)<row[^>]*>(.*?)</row>").matcher(entryXml(e))
         val lines = Seq.newBuilder[String]
         while (rows.find()) {
+          // also match self-closing empty cells (<c r="B2" s="1"/>) so
+          // later columns don't shift left when a cell is blank
           val cells = java.util.regex.Pattern
-            .compile("(?s)<c([^>]*)>(.*?)</c>").matcher(rows.group(1))
+            .compile("(?s)<c([^>]*?)(?:/>|>(.*?)</c>)").matcher(rows.group(1))
           val vals = Seq.newBuilder[String]
           while (cells.find()) {
             val attrs = cells.group(1)
+            val body = Option(cells.group(2)).getOrElse("")
             val v = java.util.regex.Pattern
-              .compile("(?s)<v>(.*?)</v>").matcher(cells.group(2))
+              .compile("(?s)<v>(.*?)</v>").matcher(body)
             val raw = if (v.find()) decodeEntities(v.group(1)) else ""
             vals += (if (attrs.contains("t=\"s\""))
               raw.toIntOption.flatMap(shared.lift).getOrElse(raw)
@@ -404,6 +507,7 @@ object Convert {
       case "docx"         => docxToText(bytes).getOrElse(fallback)
       case "pptx"         => pptxToText(bytes).getOrElse(fallback)
       case "xlsx"         => xlsxToText(bytes).getOrElse(fallback)
+      case "rtf"          => rtfToText(bytes).getOrElse(fallback)
       case _              => fallback
     }
   }

@@ -19,17 +19,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Ingest {
 
-  /** converter.py:13 SUPPORTED_EXTENSIONS. */
+  /** converter.py:13 SUPPORTED_EXTENSIONS, plus rtf (plain-text markup
+    * [[Convert.rtfToText]] extracts pure-JVM — a format MarkItDown
+    * handles that the reference's set omits).
+    */
   val SupportedExtensions: Set[String] = Set(
     "pdf", "docx", "doc", "pptx", "ppt", "xlsx", "xls", "html", "htm",
-    "txt", "md", "csv", "json", "xml", "jpg", "jpeg", "png", "gif",
+    "txt", "md", "csv", "json", "xml", "rtf", "jpg", "jpeg", "png", "gif",
     "bmp", "webp", "mp3", "wav", "ogg", "m4a", "zip"
   )
 
   /** Formats [[Convert]] extracts for real (pdf = the uncompressed/
-    * FlateDecode text subset, with stub fallback); the rest stub.
+    * FlateDecode text subset; docx/pptx/xlsx via java.util.zip; rtf —
+    * each with stub fallback outside its honest subset); the rest
+    * (legacy OLE doc/ppt/xls, media, zip) stub.
     */
-  private val Convertible = Set("txt", "md", "csv", "json", "xml", "html", "htm", "pdf")
+  private val Convertible = Set("txt", "md", "csv", "json", "xml", "html",
+    "htm", "pdf", "docx", "pptx", "xlsx", "rtf")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the

@@ -141,6 +141,55 @@ class IngestSpec extends SparkSpec {
     assert(Convert.pptxToText(zip("ppt/other.xml" -> "<x/>")).isEmpty)
   }
 
+  test("rtf conversion: groups, destinations, escapes, unicode; routed through Ingest.convert") {
+    import graft.operators.Convert
+    val bs = "\\" // keeps the Scala scanner from eating \uNNNN sequences
+    val rtf =
+      s"""{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times New Roman;}}{\\colortbl;\\red0\\green0\\blue0;}
+         |{\\info{\\title secret meta}}
+         |\\f0\\fs24 Hello \\b bold\\b0  world\\par
+         |Second\\tab col \\'e9t\\'e9 ${bs}u233?t${bs}u233? {\\*\\unknowndest hidden}quotes \\'93in\\'94\\par
+         |Br\\'e4ce \\{literal\\} \\\\slash
+         |}""".stripMargin
+    val text = Convert.rtfToText(rtf.getBytes("ISO-8859-1")).get
+    assert(text.startsWith("Hello bold world"), text)
+    assert(text.contains("\nSecond\tcol été été"), s"par/tab/hex/unicode escapes: $text")
+    assert(text.contains("quotes “in”"), s"cp1252 quote mapping: $text")
+    assert(text.contains("Bräce {literal} \\slash"), s"escaped braces/backslash: $text")
+    assert(!text.contains("Times New Roman") && !text.contains("secret meta")
+      && !text.contains("hidden"), s"destination groups must not leak: $text")
+    // not RTF → None (convert() then falls back to the stub)
+    assert(Convert.rtfToText("plain text".getBytes("UTF-8")).isEmpty)
+
+    // end to end through the folder scan: rtf is a supported, REAL format
+    val dir = Files.createTempDirectory("graft_rtf")
+    Files.write(dir.resolve("memo.rtf"), rtf.getBytes("ISO-8859-1"))
+    val out = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("file_type", "text").as[(String, String)].collect().toMap
+    assert(out("rtf").startsWith("Hello bold world"), out("rtf"))
+  }
+
+  test("ooxml formats route through Ingest.convert for real (not the stub)") {
+    // the column-level Convertible set must include the real binary
+    // converters — a .docx through the INGEST path extracts, not stubs
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_ooxml_route")
+    Files.write(dir.resolve("doc.docx"), zip("word/document.xml" ->
+      "<w:document><w:body><w:p><w:r><w:t>Routed body</w:t></w:r></w:p></w:body></w:document>"))
+    val out = Ingest.convert(Ingest.folder(spark, dir.toString))
+      .select("file_type", "text").as[(String, String)].collect().toMap
+    assert(out("docx").startsWith("Routed body"),
+      s"docx must extract through Ingest.convert: ${out("docx")}")
+  }
+
   test("json conversion renders a readable outline and survives bad json") {
     val dir = Files.createTempDirectory("graft_json")
     Files.writeString(dir.resolve("doc.json"),
