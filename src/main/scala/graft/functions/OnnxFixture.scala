@@ -31,6 +31,77 @@ object OnnxFixture {
   /** b2: [InputDims], entries in [-1, 1]. */
   def b2(k: Int): Int = (k % 3) - 1
 
+  // ── single-head transformer block (graft/embed_attn.onnx) ──────────
+
+  /** The attention model views the 64-dim BoW input as a SeqLen ×
+    * HeadDims matrix: 4 "token slots" of 16 dims each.
+    */
+  val SeqLen = 4
+  val HeadDims = 16
+
+  /** Q/K/V projections [16×16], entries in [-2, 2]. */
+  def wq(i: Int, j: Int): Int = ((i * 19 + j * 7) % 5) - 2
+  def wk(i: Int, j: Int): Int = ((i * 11 + j * 23) % 5) - 2
+  def wv(i: Int, j: Int): Int = ((i * 29 + j * 13) % 5) - 2
+
+  /** LayerNorm scale (positive, in 1..3) and bias (in [-1, 1]). */
+  def gamma(j: Int): Int = (j % 3) + 1
+  def beta(j: Int): Int = (j % 3) - 1
+
+  /** FFN weights [16×16] / biases, entries in [-2, 2] / [-1, 1]. */
+  def wf1(i: Int, j: Int): Int = ((i * 17 + j * 3) % 5) - 2
+  def bf1(j: Int): Int = (j % 3) - 1
+  def wf2(i: Int, j: Int): Int = ((i * 5 + j * 31) % 5) - 2
+  def bf2(j: Int): Int = (j % 3) - 1
+
+  private def m16(f: (Int, Int) => Int): OnnxMini.Tensor =
+    OnnxMini.Tensor(Seq(HeadDims, HeadDims),
+      Array.tabulate(HeadDims * HeadDims)(x => f(x / HeadDims, x % HeadDims).toFloat))
+  private def v16(f: Int => Int): OnnxMini.Tensor =
+    OnnxMini.Tensor(Seq(HeadDims), Array.tabulate(HeadDims)(f(_).toFloat))
+
+  /** A SINGLE-HEAD TRANSFORMER BLOCK over the reshaped input —
+    * QKV projections → scaled scores (1/√16 = 0.25, exact in binary) →
+    * softmax → context → residual + LayerNorm → ReLU FFN → second
+    * residual → flatten. Every op the executor gained for this model
+    * (MatMul act×act, Transpose, Mul, Softmax, LayerNormalization,
+    * Reshape) is on the path, so the spec's independent recomputation
+    * exercises all of them. An externally-trained small encoder with
+    * this topology would run through the same
+    * [[graft.operators.Featurize.embedWithModel]] seam unchanged
+    * (reference: embedder.py:21-60).
+    */
+  def attentionGraph: OnnxMini.Graph = OnnxMini.Graph(
+    nodes = Seq(
+      OnnxMini.Node("Reshape", Seq("bow", "shape_sd"), Seq("x")),
+      OnnxMini.Node("MatMul", Seq("x", "Wq"), Seq("q")),
+      OnnxMini.Node("MatMul", Seq("x", "Wk"), Seq("k")),
+      OnnxMini.Node("MatMul", Seq("x", "Wv"), Seq("v")),
+      OnnxMini.Node("Transpose", Seq("k"), Seq("kt")),
+      OnnxMini.Node("MatMul", Seq("q", "kt"), Seq("s0")),
+      OnnxMini.Node("Mul", Seq("s0", "inv_sqrt_d"), Seq("s1")),
+      OnnxMini.Node("Softmax", Seq("s1"), Seq("att")),
+      OnnxMini.Node("MatMul", Seq("att", "v"), Seq("ctx")),
+      OnnxMini.Node("Add", Seq("ctx", "x"), Seq("res")),
+      OnnxMini.Node("LayerNormalization", Seq("res", "ln_g", "ln_b"), Seq("ln")),
+      OnnxMini.Node("MatMul", Seq("ln", "Wf1"), Seq("f0")),
+      OnnxMini.Node("Add", Seq("f0", "bf1"), Seq("f1")),
+      OnnxMini.Node("Relu", Seq("f1"), Seq("f2")),
+      OnnxMini.Node("MatMul", Seq("f2", "Wf2"), Seq("f3")),
+      OnnxMini.Node("Add", Seq("f3", "bf2"), Seq("f4")),
+      OnnxMini.Node("Add", Seq("f4", "ln"), Seq("res2")),
+      OnnxMini.Node("Reshape", Seq("res2", "shape_flat"), Seq("out"))),
+    initializers = Map(
+      "shape_sd" -> OnnxMini.Tensor(Seq(2), Array(SeqLen.toFloat, HeadDims.toFloat), dtype = 7),
+      "shape_flat" -> OnnxMini.Tensor(Seq(2), Array(1f, -1f), dtype = 7),
+      "inv_sqrt_d" -> OnnxMini.Tensor(Seq(1), Array(0.25f)),
+      "Wq" -> m16(wq), "Wk" -> m16(wk), "Wv" -> m16(wv),
+      "ln_g" -> v16(gamma), "ln_b" -> v16(beta),
+      "Wf1" -> m16(wf1), "bf1" -> v16(bf1),
+      "Wf2" -> m16(wf2), "bf2" -> v16(bf2)),
+    inputName = "bow",
+    outputName = "out")
+
   /** The graph MakeOnnx serializes: bow[1,64] → MatMul W1 → Add b1 →
     * Relu → MatMul W2 → Add b2 → out.
     */

@@ -12,8 +12,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (ModelProto field 7 = GraphProto; GraphProto 1 = node,
   * 5 = initializer, 11/12 = input/output; NodeProto 1/2/4 =
   * inputs/outputs/op_type; TensorProto 1/2/8/9 =
-  * dims/data_type/name/raw_data). Supported ops: MatMul, Add, Relu —
-  * the 2-layer MLP surface; anything else fails loudly.
+  * dims/data_type/name/raw_data). Supported ops: MatMul (activation ×
+  * weight AND activation × activation), Add (same-shape residual or
+  * row-broadcast bias), Mul (same-shape or scalar), Relu, Transpose,
+  * Softmax (rows, the opset-13 axis=-1 default), LayerNormalization
+  * (opset-17 form: X/scale/bias, spec-default epsilon 1e-5) and
+  * Reshape (INT64 shape tensor, one -1 wildcard) — enough for an MLP
+  * or a single-head TRANSFORMER BLOCK (QKV projections → scaled
+  * scores → softmax → context → residual + layernorm → FFN); anything
+  * else fails loudly.
   *
   * This is NOT a general ONNX runtime and does not pretend to be one:
   * it exists so the embedding seam exercises a genuine model FILE
@@ -23,7 +30,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object OnnxMini {
 
-  final case class Tensor(dims: Seq[Int], data: Array[Float])
+  /** dtype: 1 = FLOAT (the default), 7 = INT64 (Reshape shape tensors —
+    * values held as floats, exact for the small shape ints involved).
+    */
+  final case class Tensor(dims: Seq[Int], data: Array[Float], dtype: Int = 1)
   final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String])
   final case class Graph(
       nodes: Seq[Node],
@@ -104,13 +114,15 @@ object OnnxMini {
   private def parseTensor(buf: Array[Byte], start: Int, end: Int): (String, Tensor) = {
     val dims = Seq.newBuilder[Int]
     var name = ""; var dataType = 0L; var raw: Array[Float] = Array.empty
+    var rawBytes: (Array[Byte], Int, Int) = null // kept for INT64 re-decode
     val r = new Reader(buf, start, end)
     while (r.hasNext) r.tag() match {
       case (1, 0) => dims += r.varint().toInt
       case (2, 0) => dataType = r.varint()
       case (8, 2) => val (s, e) = r.lenDelimited(); name = r.str(s, e)
-      case (9, 2) => // raw_data: packed little-endian float32
+      case (9, 2) => // raw_data: packed little-endian (float32 or int64)
         val (s, e) = r.lenDelimited()
+        rawBytes = (buf, s, e - s)
         val bb = ByteBuffer.wrap(buf, s, e - s).order(ByteOrder.LITTLE_ENDIAN)
         raw = Array.fill((e - s) / 4)(bb.getFloat)
       case (4, 2) => // packed float_data
@@ -119,8 +131,17 @@ object OnnxMini {
         raw = Array.fill((e - s) / 4)(bb.getFloat)
       case (_, w) => r.skip(w)
     }
-    require(dataType == 1, s"onnx-mini: tensor $name is not FLOAT (type $dataType)")
-    name -> Tensor(dims.result(), raw)
+    dataType match {
+      case 1 => // FLOAT — raw already decoded above
+      case 7 => // INT64 (Reshape shape tensors): re-decode raw_data as longs
+        if (rawBytes != null) {
+          val bb = ByteBuffer.wrap(rawBytes._1, rawBytes._2, rawBytes._3)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          raw = Array.fill(rawBytes._3 / 8)(bb.getLong.toFloat)
+        }
+      case t => sys.error(s"onnx-mini: tensor $name has unsupported type $t")
+    }
+    name -> Tensor(dims.result(), raw, dataType.toInt)
   }
 
   private def valueInfoName(buf: Array[Byte], start: Int, end: Int): String = {
@@ -135,38 +156,130 @@ object OnnxMini {
 
   // ---------------------------------------------------------------- exec
 
+  /** 2-D activation: `data` is row-major `rows × cols`. A vector is a
+    * 1×n matrix; [[run]] flattens the final output back to a vector.
+    */
+  final case class Mat(rows: Int, cols: Int, data: Array[Double])
+
   /** Execute the graph on a single row vector bound to the graph input.
     * Nodes are evaluated in file order (ONNX graphs are topologically
     * sorted by spec). All math in double.
     */
-  def run(g: Graph, input: Array[Double]): Array[Double] = {
-    val env = scala.collection.mutable.Map[String, Array[Double]](g.inputName -> input)
-    def tensorOf(name: String): Array[Double] =
-      env.getOrElse(name, g.initializers(name).data.map(_.toDouble))
+  def run(g: Graph, input: Array[Double]): Array[Double] =
+    run2d(g, Mat(1, input.length, input)).data
+
+  def run2d(g: Graph, input: Mat): Mat = {
+    val env = scala.collection.mutable.Map[String, Mat](g.inputName -> input)
+    def mat(name: String): Mat =
+      env.getOrElse(name, {
+        val t = g.initializers(name)
+        val (r, c) = t.dims match {
+          case Seq(n)    => (1, n)
+          case Seq(r, c) => (r, c)
+          case d         => sys.error(s"onnx-mini: tensor $name has rank ${d.size} > 2")
+        }
+        Mat(r, c, t.data.map(_.toDouble))
+      })
+    def matmul(a: Mat, b: Mat): Mat = {
+      require(a.cols == b.rows, s"onnx-mini: MatMul ${a.rows}x${a.cols} vs ${b.rows}x${b.cols}")
+      val o = new Array[Double](a.rows * b.cols)
+      var r = 0
+      while (r < a.rows) {
+        var i = 0
+        while (i < a.cols) {
+          val ai = a.data(r * a.cols + i)
+          if (ai != 0.0) {
+            var j = 0
+            while (j < b.cols) { o(r * b.cols + j) += ai * b.data(i * b.cols + j); j += 1 }
+          }
+          i += 1
+        }
+        r += 1
+      }
+      Mat(a.rows, b.cols, o)
+    }
     g.nodes.foreach { n =>
       val out = n.opType match {
-        case "MatMul" =>
-          val a = tensorOf(n.inputs(0))
-          val w = g.initializers(n.inputs(1))
-          val rows = w.dims(0); val cols = w.dims(1)
-          require(a.length == rows, s"onnx-mini: MatMul ${a.length} vs $rows x $cols")
-          val o = new Array[Double](cols)
-          var i = 0
-          while (i < rows) {
-            val ai = a(i)
-            if (ai != 0.0) {
-              var j = 0
-              while (j < cols) { o(j) += ai * w.data(i * cols + j); j += 1 }
-            }
-            i += 1
-          }
-          o
+        case "MatMul" => matmul(mat(n.inputs(0)), mat(n.inputs(1)))
         case "Add" =>
-          val a = tensorOf(n.inputs(0)); val b = tensorOf(n.inputs(1))
-          require(a.length == b.length, "onnx-mini: Add shape mismatch")
-          Array.tabulate(a.length)(i => a(i) + b(i))
+          val a = mat(n.inputs(0)); val b = mat(n.inputs(1))
+          if (a.rows == b.rows && a.cols == b.cols)
+            Mat(a.rows, a.cols, Array.tabulate(a.data.length)(i => a.data(i) + b.data(i)))
+          else if (b.rows == 1 && b.cols == a.cols) // bias broadcast over rows
+            Mat(a.rows, a.cols,
+              Array.tabulate(a.data.length)(i => a.data(i) + b.data(i % a.cols)))
+          else sys.error(s"onnx-mini: Add ${a.rows}x${a.cols} vs ${b.rows}x${b.cols}")
+        case "Mul" =>
+          val a = mat(n.inputs(0)); val b = mat(n.inputs(1))
+          if (b.data.length == 1)
+            Mat(a.rows, a.cols, a.data.map(_ * b.data(0)))
+          else {
+            require(a.rows == b.rows && a.cols == b.cols, "onnx-mini: Mul shape mismatch")
+            Mat(a.rows, a.cols, Array.tabulate(a.data.length)(i => a.data(i) * b.data(i)))
+          }
         case "Relu" =>
-          tensorOf(n.inputs(0)).map(x => if (x > 0) x else 0.0)
+          val a = mat(n.inputs(0))
+          Mat(a.rows, a.cols, a.data.map(x => if (x > 0) x else 0.0))
+        case "Transpose" => // default perm: reverse (2-D = matrix transpose)
+          val a = mat(n.inputs(0))
+          Mat(a.cols, a.rows,
+            Array.tabulate(a.data.length)(i => a.data((i % a.rows) * a.cols + i / a.rows)))
+        case "Softmax" => // opset-13 default axis=-1: per row
+          val a = mat(n.inputs(0))
+          val o = new Array[Double](a.data.length)
+          var r = 0
+          while (r < a.rows) {
+            var mx = Double.NegativeInfinity
+            var j = 0
+            while (j < a.cols) { mx = math.max(mx, a.data(r * a.cols + j)); j += 1 }
+            var s = 0.0
+            j = 0
+            while (j < a.cols) {
+              val e = math.exp(a.data(r * a.cols + j) - mx)
+              o(r * a.cols + j) = e; s += e; j += 1
+            }
+            j = 0
+            while (j < a.cols) { o(r * a.cols + j) /= s; j += 1 }
+            r += 1
+          }
+          Mat(a.rows, a.cols, o)
+        case "LayerNormalization" => // opset-17: X, scale, bias; eps = spec default
+          val a = mat(n.inputs(0))
+          val scale = mat(n.inputs(1)); val bias = mat(n.inputs(2))
+          require(scale.data.length == a.cols && bias.data.length == a.cols,
+            "onnx-mini: LayerNormalization scale/bias must match the last axis")
+          val eps = 1e-5
+          val o = new Array[Double](a.data.length)
+          var r = 0
+          while (r < a.rows) {
+            var mean = 0.0
+            var j = 0
+            while (j < a.cols) { mean += a.data(r * a.cols + j); j += 1 }
+            mean /= a.cols
+            var v = 0.0
+            j = 0
+            while (j < a.cols) { val d = a.data(r * a.cols + j) - mean; v += d * d; j += 1 }
+            val inv = 1.0 / math.sqrt(v / a.cols + eps)
+            j = 0
+            while (j < a.cols) {
+              o(r * a.cols + j) =
+                (a.data(r * a.cols + j) - mean) * inv * scale.data(j) + bias.data(j)
+              j += 1
+            }
+            r += 1
+          }
+          Mat(a.rows, a.cols, o)
+        case "Reshape" => // shape from an INT64 initializer; one -1 wildcard
+          val a = mat(n.inputs(0))
+          val shape = g.initializers(n.inputs(1)).data.map(_.toLong)
+          require(shape.length <= 2, "onnx-mini: Reshape beyond rank 2")
+          val known = shape.filter(_ != -1L).product
+          val resolved = shape.map(d => if (d == -1L) a.data.length / known else d)
+          val (r2, c2) =
+            if (resolved.length == 1) (1L, resolved(0)) else (resolved(0), resolved(1))
+          require(r2 * c2 == a.data.length,
+            s"onnx-mini: Reshape ${a.data.length} elems to ${resolved.mkString("x")}")
+          Mat(r2.toInt, c2.toInt, a.data)
         case other => sys.error(s"onnx-mini: unsupported op $other")
       }
       env(n.outputs.head) = out
@@ -200,10 +313,16 @@ object OnnxMini {
   private def tensorBytes(name: String, t: Tensor): Array[Byte] = {
     val w = new Writer
     t.dims.foreach(d => w.varintField(1, d.toLong))
-    w.varintField(2, 1L) // FLOAT
+    w.varintField(2, t.dtype.toLong)
     w.strField(8, name)
-    val bb = ByteBuffer.allocate(4 * t.data.length).order(ByteOrder.LITTLE_ENDIAN)
-    t.data.foreach(bb.putFloat)
+    val bb =
+      if (t.dtype == 7) {
+        val b = ByteBuffer.allocate(8 * t.data.length).order(ByteOrder.LITTLE_ENDIAN)
+        t.data.foreach(f => b.putLong(f.toLong)); b
+      } else {
+        val b = ByteBuffer.allocate(4 * t.data.length).order(ByteOrder.LITTLE_ENDIAN)
+        t.data.foreach(b.putFloat); b
+      }
     w.bytesField(9, bb.array())
     w.toBytes
   }

@@ -24,5 +24,18 @@ object MakeOnnx {
     val probe = OnnxMini.run(g, Array.tabulate(OnnxFixture.InputDims)(i => (i % 3).toDouble))
     println(s"[make-onnx] ${bytes.length} bytes, ${g.initializers.size} initializers, " +
       s"probe out[0..3] = ${probe.take(4).mkString(", ")} -> $out")
+
+    // second artifact: the single-head transformer block
+    val attnOut = out.replace("embed_mlp.onnx", "embed_attn.onnx")
+    val attnBytes = OnnxMini.write(OnnxFixture.attentionGraph)
+    java.nio.file.Files.write(java.nio.file.Paths.get(attnOut), attnBytes)
+    val ga = OnnxMini.parse(attnBytes)
+    require(ga.nodes.map(_.opType).toSet ==
+      Set("Reshape", "MatMul", "Transpose", "Mul", "Softmax", "Add",
+        "LayerNormalization", "Relu"))
+    val aProbe = OnnxMini.run(ga, Array.tabulate(OnnxFixture.InputDims)(i => (i % 3).toDouble))
+    require(aProbe.length == OnnxFixture.InputDims)
+    println(s"[make-onnx] ${attnBytes.length} bytes, ${ga.initializers.size} initializers, " +
+      s"attn out[0..3] = ${aProbe.take(4).mkString(", ")} -> $attnOut")
   }
 }
