@@ -118,6 +118,23 @@ object Sampling {
     * shard sizes differ by at most one and every shard sees the global
     * order's interleaving (no locality bias from contiguous blocks).
     */
+  /** Range-exchange on (_sk, _id) with a uniform per-row salt as the
+    * final sort dimension — the skew-proof exchange [[shuffleShards]]
+    * rides on, factored out so the partition-balance property is
+    * directly testable. Equal (_sk, _id) rows may split across adjacent
+    * range partitions; the partitioner still guarantees inter-partition
+    * ordering on the leading keys, which is all the two-phase global
+    * indexing needs.
+    */
+  private[graft] def saltedRangeExchange(
+      keyed: DataFrame,
+      parts: Int,
+      seed: String
+  ): DataFrame =
+    keyed
+      .withColumn("_salt", rand(seed.hashCode.toLong))
+      .repartitionByRange(parts, col("_sk"), col("_id"), col("_salt"))
+
   def shuffleShards(
       df: DataFrame,
       idCol: String,
@@ -132,9 +149,17 @@ object Sampling {
       col(idCol).cast("string").as("_id"),
       md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("_sk"))
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val local = keyed
-      .repartitionByRange(parts, col("_sk"), col("_id"))
+    // SALTED range exchange: md5 keys are uniform over distinct ids, but
+    // a pathologically duplicated id maps every copy to ONE range key and
+    // the whole run lands on one task. The salt only tie-breaks equal
+    // (_sk, _id) pairs — rows that are identical in this projection and
+    // therefore interchangeable — so the OUTPUT (the id → positions
+    // multiset) is unchanged while the largest partition stays ~n/parts
+    // whatever the id distribution (spec plants a 70%-hot key and checks
+    // the bound).
+    val local = saltedRangeExchange(keyed, parts, seed)
       .sortWithinPartitions("_sk", "_id")
+      .select("_id", "_sk")
       .as[(String, String)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()

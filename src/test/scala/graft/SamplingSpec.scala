@@ -108,4 +108,35 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window leaked into the shuffle plan:\n$plan")
   }
+
+  test("shuffleShards: salted exchange bounds partitions under a planted hot key") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, spark_partition_id, count}
+    // 70% of rows share ONE id — the distribution that collapses an
+    // unsalted (_sk, _id) range exchange onto a single task
+    val n = 20000
+    val rows = (0 until n).map(i => if (i % 10 < 7) 42L else i.toLong)
+    val df = rows.map(Tuple1(_)).toDF("doc_id")
+    val keyed = df.select(
+      col("doc_id").cast("string").as("_id"),
+      md5(concat_ws(":", lit("s1"), col("doc_id").cast("string"))).as("_sk"))
+    val parts = spark.sparkContext.defaultParallelism
+    val sizes = Sampling.saltedRangeExchange(keyed, parts, "s1")
+      .groupBy(spark_partition_id().as("p")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(sizes.max <= 2L * n / parts + 64,
+      s"hot key must spread across partitions: max ${sizes.max} of $n rows, $parts parts")
+    assert(sizes.count(_ > 0) > parts / 2,
+      s"most partitions should carry rows: ${sizes.toSeq.sorted.reverse.take(8)}")
+
+    // the hot-key output is still a valid permutation with dense
+    // consecutive positions for the duplicated id (interchangeable rows)
+    val out = Sampling.shuffleShards(df, "doc_id", seed = "s1", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n.toLong))
+    val hotPositions = out.filter(_._1 == 42L).map(_._2).sorted
+    assert(hotPositions.length == 7 * n / 10)
+    assert(hotPositions.last - hotPositions.head == hotPositions.length - 1,
+      "equal-key rows must occupy one contiguous run of the global order")
+  }
 }
