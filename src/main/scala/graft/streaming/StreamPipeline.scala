@@ -222,6 +222,9 @@ object StreamPipeline {
     * exactly like the batch loader ([[graft.Tables.events]]).
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // self-contained: a TIMESTAMP(NANOS)-typed events file must load
+    // even when Tables.events hasn't set this conf on the session first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val staging = java.nio.file.Files.createTempDirectory("graft_ev_stream")
     java.nio.file.Files.createSymbolicLink(
@@ -298,6 +301,59 @@ object StreamPipeline {
         coalesce(stages.indices.map(i => when(col("stage_index") === i, col(s"_c$i"))): _*))
       .select("stage", "stage_index", "users")
       .orderBy("stage_index")
+  }
+
+  /** STREAMED cohort retention: per-user state is (cohort day, set of
+    * active days seen); each micro-batch emits the user's NEWLY seen
+    * (cohort, day_offset) pairs — append-mode, so every distinct
+    * (user, day) lands in the sink exactly once and the final count per
+    * (cohort, offset) IS distinct users, exactly like the batch
+    * [[graft.operators.Events.retention]]'s distinct-then-count. Same
+    * per-user in-order arrival contract as [[funnelProgress]] (the
+    * partitioned-by-user deployment): the first event fixes the cohort.
+    * State is bounded by ACTIVE DAYS per user, not events — the 100 TB
+    * shape (a year of state is ≤366 longs per user).
+    */
+  def retentionProgress(
+      typed: org.apache.spark.sql.Dataset[(Long, Long)] // (user, day)
+  ): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import typed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[Long]), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state) =>
+          var (cohort, seen) =
+            state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          val out = Seq.newBuilder[(Long, Long)]
+          for (d <- rows.map(_._2).toSeq.sorted) {
+            if (cohort == Long.MaxValue) cohort = d
+            if (!seen(d)) { seen += d; out += ((cohort, d - cohort)) }
+          }
+          state.update((cohort, seen))
+          out.result().iterator
+      }
+  }
+
+  def retentionSnapshot(
+      spark: SparkSession,
+      dir: String,
+      dayDivisor: Long = 86400000000000L): DataFrame = {
+    import spark.implicits._
+    val typed = eventStream(spark, dir)
+      .select(col("user_id").cast("long"),
+        expr(s"ts DIV $dayDivisor").cast("long").as("day"))
+      .as[(Long, Long)]
+    val name = "stream_retention_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = retentionProgress(typed).toDF("cohort", "day_offset")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "day_offset")
   }
 
   def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
