@@ -765,8 +765,25 @@ object OracleSql {
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
     (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries).toMap
+      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
+      .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }
+
+  /** Force every CTE in a fitted-constant twin to `AS MATERIALIZED`:
+    * DuckDB's default CTE inlining re-evaluates the inlined projection
+    * per downstream column REFERENCE, and these twins reference giant
+    * inlined-literal expressions (64-dim × k-centroid distance chains)
+    * dozens of times — measured 10-13× on the big ANN twins
+    * (ivfsq_residual 22 s → 1.7 s at sf0.01) with bit-identical
+    * results (materialization changes evaluation count, never
+    * arithmetic). This is what keeps the external gate's whole-suite
+    * DuckDB pass inside its time budget as the registry grows.
+    * `\\w+ AS \\(` only ever prefixes a CTE definition in these twins
+    * (CAST/ROUND/OVER never match), and already-materialized CTEs
+    * (`AS MATERIALIZED (`) are left untouched.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
   val sql: Map[String, String] = Map(
     "scan_pruned" ->
@@ -1944,6 +1961,12 @@ object OracleSql {
     // per-user in-order state updates compute the same ordered-stage
     // chain as the batch window stack — one twin
     "stream_funnel" -> sql("events_funnel"),
+    // append-mode emission of each newly seen (user, day) makes the
+    // sink's (cohort, offset) count equal the batch distinct-then-count
+    "stream_retention" -> sql("events_retention"),
+    // pooled rows are per-doc pure, so the base+delta sidecar is
+    // row-identical to a one-shot build — the probe shares one twin
+    "docsim_incremental" -> sql("docsim_topk"),
     "curation_report" ->
       s"""SELECT d.source,
          |       CAST(count(*) AS BIGINT) AS docs,

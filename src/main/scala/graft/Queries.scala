@@ -118,6 +118,9 @@ object Queries {
   private val docEmbTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val incDocEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** PERSISTED doc-embedding sidecar (build once, probe many — the
     * docdims/IVF-layout pattern applied to pooled doc vectors): the
     * sparse `(doc_id, dim, v)` table from [[Featurize.meanPoolChunks]]
@@ -396,12 +399,17 @@ object Queries {
     * rows, the same class as query vectors) and broadcast, so the
     * corpus-side pooling pipeline appears exactly once in the plan.
     */
-  def docsimTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def docsimTopK(s: SparkSession, dir: String): DataFrame =
     // probe the PERSISTED sidecar (cold pass pays the one-time build,
     // like the FTS/IVF layouts); the pooling pipeline itself is the
     // doc_embedding query's plan
-    val emb = docEmbTable(s, dir)
+    docsimProbe(s, dir, docEmbTable(s, dir))
+
+  /** Shared docsim probe over a sparse pooled-vector table (the base
+    * sidecar or its incrementally-maintained union).
+    */
+  private def docsimProbe(s: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    import s.implicits._
     val q5 = emb.withColumn("vq", round(col("v") * lit(1e5)).cast("long"))
     // anchor vectors are a built artifact (build once, probe many —
     // same memoization contract as Fts/Ann.buildCached); the filter
@@ -421,6 +429,27 @@ object Queries {
     graft.plans.TopK.perKey(dots, Seq("a_id"), Seq(("sim", false), ("doc_id", true)), 3)
       .select(col("a_id"), col("doc_id"), col("sim"), col("rk"))
       .orderBy("a_id", "rk")
+  }
+
+  /** INCREMENTALLY maintained doc-embedding sidecar
+    * ([[graft.operators.Featurize.appendDocEmbeddings]]): the base
+    * sidecar pools doc_id % 5 != 0; the remaining fifth arrives as an
+    * ingest batch whose chunks ALONE are pooled and appended. Pooled
+    * rows are per-doc pure, so the merged store is row-identical to
+    * the one-shot build — the probe shares [[docsimTopK]]'s twin.
+    */
+  def docsimIncremental(s: SparkSession, dir: String): DataFrame = {
+    val path = incDocEmbCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_docemb_inc_").toString
+      val ch = chunks(s, dir).select("doc_id", "chunk_index", "chunk")
+      Featurize.meanPoolChunks(
+        ch.filter(col("doc_id") % 5 =!= 0), "doc_id", "chunk_index", "chunk")
+        .write.mode("overwrite").parquet(out)
+      Featurize.appendDocEmbeddings(out,
+        ch.filter(col("doc_id") % 5 === 0), "doc_id", "chunk_index", "chunk")
+      out
+    })
+    docsimProbe(s, dir, s.read.parquet(path))
   }
 
   def chunkStats(s: SparkSession, dir: String): DataFrame =
@@ -1468,6 +1497,16 @@ object Queries {
     */
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     Events.retention(events(s, dir), "user_id", "ts")
+
+  /** The streamed face of [[eventsRetention]]
+    * ([[graft.streaming.StreamPipeline.retentionSnapshot]]): events
+    * arrive as a file stream, per-user (cohort, active-day set) is
+    * flatMapGroupsWithState state, each newly seen (user, day) emits
+    * its (cohort, offset) exactly once — the drained counts share the
+    * batch twin.
+    */
+  def streamRetention(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.retentionSnapshot(s, dir)
 
   /** Ordered conversion funnel ([[graft.operators.Events.funnel]]):
     * users reaching view → click-after-view → purchase-after-click, in

@@ -78,6 +78,7 @@ object SparkEntry {
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),
     "doc_embedding"       -> (Queries.docEmbedding(_, _)),
     "docsim_topk"         -> (Queries.docsimTopK(_, _)),
+    "docsim_incremental"  -> (Queries.docsimIncremental(_, _)),
     "embed_onnx"          -> (Queries.embedOnnx(_, _)),
     "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "events_funnel"       -> (Queries.eventsFunnel(_, _)),
     "events_retention"    -> (Queries.eventsRetention(_, _)),
     "stream_funnel"       -> (Queries.streamFunnel(_, _)),
+    "stream_retention"    -> (Queries.streamRetention(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),

@@ -111,6 +111,29 @@ object Featurize {
         round(col("_s") / sqrt(col("_ss2").cast("double")), 5).as("v"))
   }
 
+  /** INCREMENTAL doc-embedding sidecar maintenance: pool ONLY the
+    * arriving batch's chunks and append their sparse rows to the
+    * persisted sidecar (the [[graft.operators.Ann.appendToIndex]] /
+    * Fts.appendToIndex pattern applied to pooled doc vectors). A
+    * pooled row is a pure function of its OWN document's chunks — no
+    * corpus statistics anywhere in [[meanPoolChunks]] — so base+delta
+    * is row-identical to a one-shot rebuild over the union corpus
+    * (pinned in FeaturizeSpec). `parts` bounds the files one append
+    * adds (file-count hygiene, as in the FTS delta path).
+    */
+  def appendDocEmbeddings(
+      sidecarDir: String,
+      newChunks: DataFrame,
+      docId: String,
+      chunkIdx: String,
+      textCol: String,
+      dims: Int = 64,
+      parts: Int = 4
+  ): Unit =
+    meanPoolChunks(newChunks, docId, chunkIdx, textCol, dims)
+      .coalesce(parts)
+      .write.mode("append").parquet(sidecarDir)
+
   /** Sparse hashed TF-IDF features: (id, dim, tfidf) rows where dim is
     * the md5 feature bucket, tf the in-doc bucket count and
     * idf = ln(1 + N/df) with df = docs containing the bucket. The df

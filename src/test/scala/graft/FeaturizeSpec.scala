@@ -82,6 +82,31 @@ class FeaturizeSpec extends SparkSpec {
     assert(pooled2.values.max > 0.8, "shared fish dim must dominate the pooled vector")
   }
 
+  test("appendDocEmbeddings: base+delta sidecar is row-identical to a one-shot rebuild") {
+    val ch = Seq(
+      (1L, 0L, "cat dog cat"), (1L, 1L, "dog dog bird"),
+      (2L, 0L, "fish bird"), (2L, 1L, "fish fish fish"),
+      (3L, 0L, "spark filter join"),
+      (10L, 0L, "cat dog cat"),           // delta doc duplicating doc 1's first chunk
+      (11L, 0L, "window shuffle exchange")
+    ).toDF("doc_id", "chunk_index", "chunk")
+    val base = ch.filter(col("doc_id") < 10)
+    val delta = ch.filter(col("doc_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("docemb_inc_spec").toString
+    Featurize.meanPoolChunks(base, "doc_id", "chunk_index", "chunk")
+      .write.mode("overwrite").parquet(dir)
+    Featurize.appendDocEmbeddings(dir, delta, "doc_id", "chunk_index", "chunk")
+    val merged = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val oneShot = Featurize.meanPoolChunks(ch, "doc_id", "chunk_index", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(merged == oneShot, "incremental sidecar must equal the one-shot build exactly")
+    // the delta append added a bounded number of files, not O(partitions)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= spark.sparkContext.defaultParallelism,
+      s"file-count hygiene: $files files")
+  }
+
   test("docsimTopK: 3 similar docs per anchor, similarity bounded, self excluded") {
     val out = Queries.docsimTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
@@ -93,6 +118,62 @@ class FeaturizeSpec extends SparkSpec {
     out.groupBy(_._1).values.foreach { g =>
       val byRank = g.sortBy(_._4).map(_._3)
       assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+  }
+
+  test("attention-block onnx: checked-in artifact matches an independent recomputation") {
+    import graft.functions.{OnnxFixture => F, OnnxMini}
+    // the CHECKED-IN artifact (exercises the int64-shape round trip too)
+    val g = OnnxMini.load("/graft/embed_attn.onnx")
+    assert(g.nodes.map(_.opType).toSet == Set("Reshape", "MatMul", "Transpose",
+      "Mul", "Softmax", "Add", "LayerNormalization", "Relu"))
+    assert(g.initializers("shape_sd").dtype == 7, "shape tensor must round-trip as INT64")
+    val input = Array.tabulate(F.InputDims)(i => ((i * 7) % 5).toDouble)
+    val got = OnnxMini.run(g, input)
+    assert(got.length == F.InputDims)
+
+    // independent functional recomputation of the same block
+    type M = Vector[Vector[Double]]
+    def mm(a: M, b: M): M =
+      a.map(r => b.transpose.map(c => r.lazyZip(c).map(_ * _).sum))
+    def mat(f: (Int, Int) => Int): M =
+      Vector.tabulate(F.HeadDims, F.HeadDims)((i, j) => f(i, j).toDouble)
+    val x: M = input.grouped(F.HeadDims).map(_.toVector).toVector
+    val q = mm(x, mat(F.wq)); val k = mm(x, mat(F.wk)); val v = mm(x, mat(F.wv))
+    val s = mm(q, k.transpose).map(_.map(_ * 0.25))
+    val att = s.map { r =>
+      val m = r.max; val e = r.map(z => math.exp(z - m)); val su = e.sum; e.map(_ / su)
+    }
+    val ctx = mm(att, v)
+    val res = ctx.lazyZip(x).map((a, b) => a.lazyZip(b).map(_ + _))
+    val ln: M = res.map { r =>
+      val mean = r.sum / F.HeadDims
+      val va = r.map(z => (z - mean) * (z - mean)).sum / F.HeadDims
+      val inv = 1.0 / math.sqrt(va + 1e-5)
+      r.zipWithIndex.map { case (z, j) => (z - mean) * inv * F.gamma(j) + F.beta(j) }
+    }
+    val f1 = mm(ln, mat(F.wf1)).map(_.zipWithIndex.map { case (z, j) => z + F.bf1(j) })
+    val f2 = f1.map(_.map(z => math.max(z, 0.0)))
+    val f4 = mm(f2, mat(F.wf2)).map(_.zipWithIndex.map { case (z, j) => z + F.bf2(j) })
+    val res2 = f4.lazyZip(ln).map((a, b) => a.lazyZip(b).map(_ + _))
+    val expected = res2.flatten
+    got.toSeq.lazyZip(expected).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-9, s"dim $i: executor $a vs recomputation $b")
+    }
+    // attention actually attends: the context row differs from the raw row
+    assert(ctx != x, "softmax mixing must move the representation")
+  }
+
+  test("attention model drives the partition-session embedding seam") {
+    val df = Tables.documents(spark, sf).limit(20).select("doc_id", "text")
+    val out = Featurize.embedWithModel(df, "text", keep = Seq("doc_id"),
+      model = Featurize.onnxEmbedder(resource = "/graft/embed_attn.onnx"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 20)
+    out.values.foreach { v =>
+      assert(v.length == 64)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"embedder output must be unit-norm: $n")
     }
   }
 
