@@ -1143,6 +1143,25 @@ object Queries {
       .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
       .orderBy("doc_id", "k")
 
+  /** Token-SEQUENCE encoder embeddings
+    * ([[graft.operators.Featurize.encoderEmbedder]] over the
+    * checked-in `embed_encoder.onnx`): BPE subword ids → embedding
+    * Gather → single-head attention → mean-pool → L2 normalize — the
+    * reference embedder's actual pipeline shape (embedder.py:21-60)
+    * with a genuinely dynamic sequence length per document. Registered
+    * rows-only: softmax/layernorm are transcendental, so no
+    * bit-exact SQL twin exists (the honest class `chunk_recursive` is
+    * in); the math itself is pinned against an independent functional
+    * recomputation in FeaturizeSpec at two sequence lengths.
+    */
+  def embedEncoder(s: SparkSession, dir: String): DataFrame =
+    Featurize.embedWithModel(
+        docs(s, dir).select("doc_id", "text"), "text", Seq("doc_id"), 16,
+        Featurize.encoderEmbedder())
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
+      .orderBy("doc_id", "k")
+
   /** Deterministic stratified training-mix sample: up to 20 docs per
     * lang, chosen by md5-hash order (reproducible corpus mixing).
     */

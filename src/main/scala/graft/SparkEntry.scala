@@ -80,6 +80,7 @@ object SparkEntry {
     "docsim_topk"         -> (Queries.docsimTopK(_, _)),
     "docsim_incremental"  -> (Queries.docsimIncremental(_, _)),
     "embed_onnx"          -> (Queries.embedOnnx(_, _)),
+    "embed_encoder"       -> (Queries.embedEncoder(_, _)),
     "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),

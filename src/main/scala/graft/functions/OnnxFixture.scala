@@ -102,6 +102,63 @@ object OnnxFixture {
     inputName = "bow",
     outputName = "out")
 
+  // ── token-sequence encoder (graft/embed_encoder.onnx) ──────────────
+
+  /** Hashed vocab size for the encoder's embedding table. */
+  val VocabSize = 256
+
+  /** Embedding table [256×16], entries in [-3, 3]. */
+  def embTable(v: Int, j: Int): Int = ((v * 37 + j * 11) % 7) - 3
+
+  /** A token-sequence ENCODER: a rank-1 id list (length L varies per
+    * document) → Gather rows of the embedding table → the same
+    * single-head attention block as [[attentionGraph]], now over a
+    * DYNAMIC L×16 activation → ReduceMean over the sequence axis →
+    * a pooled 16-dim vector. This is the reference embedder's actual
+    * shape (embedder.py:21-60: tokenize → embed → transformer →
+    * mean-pool → normalize); normalization happens Scala-side in
+    * [[graft.operators.Featurize.encoderEmbedder]] where the empty
+    * sequence is also short-circuited. Attribute round-trips on the
+    * wire are exercised here (Gather axis, ReduceMean axes, Softmax
+    * axis, LayerNormalization epsilon, Transpose perm).
+    */
+  def encoderGraph: OnnxMini.Graph = OnnxMini.Graph(
+    nodes = Seq(
+      OnnxMini.Node("Gather", Seq("emb_table", "ids"), Seq("x"),
+        Map("axis" -> OnnxMini.Attr(i = Some(0L)))),
+      OnnxMini.Node("MatMul", Seq("x", "Wq"), Seq("q")),
+      OnnxMini.Node("MatMul", Seq("x", "Wk"), Seq("k")),
+      OnnxMini.Node("MatMul", Seq("x", "Wv"), Seq("v")),
+      OnnxMini.Node("Transpose", Seq("k"), Seq("kt"),
+        Map("perm" -> OnnxMini.Attr(ints = Seq(1L, 0L)))),
+      OnnxMini.Node("MatMul", Seq("q", "kt"), Seq("s0")),
+      OnnxMini.Node("Mul", Seq("s0", "inv_sqrt_d"), Seq("s1")),
+      OnnxMini.Node("Softmax", Seq("s1"), Seq("att"),
+        Map("axis" -> OnnxMini.Attr(i = Some(-1L)))),
+      OnnxMini.Node("MatMul", Seq("att", "v"), Seq("ctx")),
+      OnnxMini.Node("Add", Seq("ctx", "x"), Seq("res")),
+      OnnxMini.Node("LayerNormalization", Seq("res", "ln_g", "ln_b"), Seq("ln"),
+        Map("epsilon" -> OnnxMini.Attr(f = Some(1e-5f)))),
+      OnnxMini.Node("MatMul", Seq("ln", "Wf1"), Seq("f0")),
+      OnnxMini.Node("Add", Seq("f0", "bf1"), Seq("f1")),
+      OnnxMini.Node("Relu", Seq("f1"), Seq("f2")),
+      OnnxMini.Node("MatMul", Seq("f2", "Wf2"), Seq("f3")),
+      OnnxMini.Node("Add", Seq("f3", "bf2"), Seq("f4")),
+      OnnxMini.Node("Add", Seq("f4", "ln"), Seq("res2")),
+      OnnxMini.Node("ReduceMean", Seq("res2"), Seq("out"),
+        Map("axes" -> OnnxMini.Attr(ints = Seq(0L))))),
+    initializers = Map(
+      "emb_table" -> OnnxMini.Tensor(Seq(VocabSize, HeadDims),
+        Array.tabulate(VocabSize * HeadDims)(x =>
+          embTable(x / HeadDims, x % HeadDims).toFloat)),
+      "inv_sqrt_d" -> OnnxMini.Tensor(Seq(1), Array(0.25f)),
+      "Wq" -> m16(wq), "Wk" -> m16(wk), "Wv" -> m16(wv),
+      "ln_g" -> v16(gamma), "ln_b" -> v16(beta),
+      "Wf1" -> m16(wf1), "bf1" -> v16(bf1),
+      "Wf2" -> m16(wf2), "bf2" -> v16(bf2)),
+    inputName = "ids",
+    outputName = "out")
+
   /** The graph MakeOnnx serializes: bow[1,64] → MatMul W1 → Add b1 →
     * Relu → MatMul W2 → Add b2 → out.
     */

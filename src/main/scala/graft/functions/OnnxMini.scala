@@ -12,15 +12,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (ModelProto field 7 = GraphProto; GraphProto 1 = node,
   * 5 = initializer, 11/12 = input/output; NodeProto 1/2/4 =
   * inputs/outputs/op_type; TensorProto 1/2/8/9 =
-  * dims/data_type/name/raw_data). Supported ops: MatMul (activation ×
+  * dims/data_type/name/raw_data; NodeProto 5 = AttributeProto with
+  * name=1/f=2/i=3/ints=8). Supported ops: MatMul (activation ×
   * weight AND activation × activation), Add (same-shape residual or
   * row-broadcast bias), Mul (same-shape or scalar), Relu, Transpose,
   * Softmax (rows, the opset-13 axis=-1 default), LayerNormalization
-  * (opset-17 form: X/scale/bias, spec-default epsilon 1e-5) and
-  * Reshape (INT64 shape tensor, one -1 wildcard) — enough for an MLP
-  * or a single-head TRANSFORMER BLOCK (QKV projections → scaled
-  * scores → softmax → context → residual + layernorm → FFN); anything
-  * else fails loudly.
+  * (opset-17 form: X/scale/bias, epsilon attribute), Reshape (INT64
+  * shape tensor, one -1 wildcard), Gather (axis-0 embedding-table
+  * lookup by a rank-1 id list) and ReduceMean (axes attribute) —
+  * enough for an MLP, a single-head TRANSFORMER BLOCK (QKV
+  * projections → scaled scores → softmax → context → residual +
+  * layernorm → FFN), or a token-sequence ENCODER (id list → Gather
+  * embeddings → attention block → mean-pool); anything else fails
+  * loudly.
   *
   * This is NOT a general ONNX runtime and does not pretend to be one:
   * it exists so the embedding seam exercises a genuine model FILE
@@ -34,7 +38,27 @@ object OnnxMini {
     * values held as floats, exact for the small shape ints involved).
     */
   final case class Tensor(dims: Seq[Int], data: Array[Float], dtype: Int = 1)
-  final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String])
+
+  /** The AttributeProto subset these models use: single int (`i`),
+    * single float (`f`), int list (`ints`). Field numbers from the
+    * public onnx.proto: name=1, f=2, i=3, ints=8, type=20.
+    */
+  final case class Attr(
+      i: Option[Long] = None,
+      f: Option[Float] = None,
+      ints: Seq[Long] = Nil)
+
+  final case class Node(
+      opType: String,
+      inputs: Seq[String],
+      outputs: Seq[String],
+      attrs: Map[String, Attr] = Map.empty) {
+    def attrInt(name: String, default: Long): Long =
+      attrs.get(name).flatMap(_.i).getOrElse(default)
+    def attrFloat(name: String, default: Float): Float =
+      attrs.get(name).flatMap(_.f).getOrElse(default)
+    def attrInts(name: String): Option[Seq[Long]] = attrs.get(name).map(_.ints)
+  }
   final case class Graph(
       nodes: Seq[Node],
       initializers: Map[String, Tensor],
@@ -100,15 +124,38 @@ object OnnxMini {
 
   private def parseNode(buf: Array[Byte], start: Int, end: Int): Node = {
     val ins = Seq.newBuilder[String]; val outs = Seq.newBuilder[String]
+    val attrs = Map.newBuilder[String, Attr]
     var op = ""
     val r = new Reader(buf, start, end)
     while (r.hasNext) r.tag() match {
       case (1, 2) => val (s, e) = r.lenDelimited(); ins += r.str(s, e)
       case (2, 2) => val (s, e) = r.lenDelimited(); outs += r.str(s, e)
       case (4, 2) => val (s, e) = r.lenDelimited(); op = r.str(s, e)
+      case (5, 2) => val (s, e) = r.lenDelimited(); attrs += parseAttr(buf, s, e)
       case (_, w) => r.skip(w)
     }
-    Node(op, ins.result(), outs.result())
+    Node(op, ins.result(), outs.result(), attrs.result())
+  }
+
+  private def parseAttr(buf: Array[Byte], start: Int, end: Int): (String, Attr) = {
+    var name = ""; var i: Option[Long] = None; var f: Option[Float] = None
+    val ints = Seq.newBuilder[Long]
+    val r = new Reader(buf, start, end)
+    while (r.hasNext) r.tag() match {
+      case (1, 2) => val (s, e) = r.lenDelimited(); name = r.str(s, e)
+      case (2, 5) => // f: fixed32 float
+        f = Some(java.lang.Float.intBitsToFloat(
+          ByteBuffer.wrap(buf, r.pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt))
+        r.pos += 4
+      case (3, 0) => i = Some(r.varint())
+      case (8, 0) => ints += r.varint() // repeated int64, unpacked
+      case (8, 2) => // repeated int64, packed
+        val (s, e) = r.lenDelimited()
+        val rr = new Reader(buf, s, e)
+        while (rr.hasNext) ints += rr.varint()
+      case (_, w) => r.skip(w)
+    }
+    name -> Attr(i, f, ints.result())
   }
 
   private def parseTensor(buf: Array[Byte], start: Int, end: Int): (String, Tensor) = {
@@ -220,11 +267,49 @@ object OnnxMini {
         case "Relu" =>
           val a = mat(n.inputs(0))
           Mat(a.rows, a.cols, a.data.map(x => if (x > 0) x else 0.0))
-        case "Transpose" => // default perm: reverse (2-D = matrix transpose)
+        case "Transpose" => // 2-D only: perm defaults to reverse
+          require(n.attrInts("perm").forall(_ == Seq(1L, 0L)),
+            "onnx-mini: Transpose supports only the 2-D swap perm")
           val a = mat(n.inputs(0))
           Mat(a.cols, a.rows,
             Array.tabulate(a.data.length)(i => a.data((i % a.rows) * a.cols + i / a.rows)))
-        case "Softmax" => // opset-13 default axis=-1: per row
+        case "Gather" => // axis-0 table lookup: data[V×C] indexed by a rank-1 id list
+          require(n.attrInt("axis", 0L) == 0L, "onnx-mini: Gather supports only axis 0")
+          val table = mat(n.inputs(0))
+          val ids = mat(n.inputs(1)).data
+          val o = new Array[Double](ids.length * table.cols)
+          var r = 0
+          while (r < ids.length) {
+            val v = ids(r)
+            require(v == math.rint(v) && v >= 0 && v < table.rows,
+              s"onnx-mini: Gather index $v out of [0, ${table.rows})")
+            System.arraycopy(table.data, v.toInt * table.cols, o, r * table.cols, table.cols)
+            r += 1
+          }
+          Mat(ids.length, table.cols, o)
+        case "ReduceMean" => // opset-13 axes attribute; keepdims default 1
+          val a = mat(n.inputs(0))
+          val axes = n.attrInts("axes").getOrElse(Seq(0L, 1L)).map(x => if (x < 0) x + 2 else x)
+          require(a.rows > 0 && a.cols > 0, "onnx-mini: ReduceMean over an empty tensor")
+          axes.sorted match {
+            case Seq(0L) => // column means over rows → 1×C
+              val o = new Array[Double](a.cols)
+              var i = 0
+              while (i < a.data.length) { o(i % a.cols) += a.data(i); i += 1 }
+              Mat(1, a.cols, o.map(_ / a.rows))
+            case Seq(1L) => // row means → R×1
+              Mat(a.rows, 1, Array.tabulate(a.rows) { r =>
+                var s = 0.0; var j = 0
+                while (j < a.cols) { s += a.data(r * a.cols + j); j += 1 }
+                s / a.cols
+              })
+            case Seq(0L, 1L) =>
+              Mat(1, 1, Array(a.data.sum / a.data.length))
+            case other => sys.error(s"onnx-mini: ReduceMean axes $other unsupported")
+          }
+        case "Softmax" => // default axis=-1 (opset 13): per row
+          require(Seq(-1L, 1L).contains(n.attrInt("axis", -1L)),
+            "onnx-mini: Softmax supports only the last axis of a 2-D tensor")
           val a = mat(n.inputs(0))
           val o = new Array[Double](a.data.length)
           var r = 0
@@ -243,12 +328,12 @@ object OnnxMini {
             r += 1
           }
           Mat(a.rows, a.cols, o)
-        case "LayerNormalization" => // opset-17: X, scale, bias; eps = spec default
+        case "LayerNormalization" => // opset-17: X, scale, bias
           val a = mat(n.inputs(0))
           val scale = mat(n.inputs(1)); val bias = mat(n.inputs(2))
           require(scale.data.length == a.cols && bias.data.length == a.cols,
             "onnx-mini: LayerNormalization scale/bias must match the last axis")
-          val eps = 1e-5
+          val eps = n.attrFloat("epsilon", 1e-5f).toDouble
           val o = new Array[Double](a.data.length)
           var r = 0
           while (r < a.rows) {
@@ -307,6 +392,7 @@ object OnnxMini {
     def bytesField(field: Int, b: Array[Byte]): Unit = { tag(field, 2); varint(b.length); out.write(b) }
     def strField(field: Int, s: String): Unit = bytesField(field, s.getBytes("UTF-8"))
     def varintField(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
+    def raw(b: Array[Byte]): Unit = out.write(b)
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -327,11 +413,29 @@ object OnnxMini {
     w.toBytes
   }
 
+  private def attrBytes(name: String, a: Attr): Array[Byte] = {
+    val w = new Writer
+    w.strField(1, name)
+    a.f.foreach { f =>
+      w.tag(2, 5)
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putFloat(f)
+      w.raw(bb.array())
+    }
+    a.i.foreach(w.varintField(3, _))
+    a.ints.foreach(w.varintField(8, _)) // unpacked repeated int64
+    // AttributeProto.type (field 20): FLOAT=1, INT=2, INTS=7
+    val t = if (a.f.isDefined) 1L else if (a.i.isDefined) 2L else 7L
+    w.varintField(20, t)
+    w.toBytes
+  }
+
   private def nodeBytes(n: Node): Array[Byte] = {
     val w = new Writer
     n.inputs.foreach(w.strField(1, _))
     n.outputs.foreach(w.strField(2, _))
     w.strField(4, n.opType)
+    n.attrs.toSeq.sortBy(_._1).foreach { case (name, a) => w.bytesField(5, attrBytes(name, a)) }
     w.toBytes
   }
 

@@ -223,6 +223,50 @@ object Featurize {
     }
   }
 
+  /** Token-SEQUENCE encoder factory over the checked-in
+    * `graft/embed_encoder.onnx` ([[graft.functions.OnnxFixture.encoderGraph]]):
+    * the reference embedder's real pipeline shape (embedder.py:21-60 —
+    * tokenize → token embeddings → transformer → mean-pool →
+    * normalize), where [[onnxEmbedder]] feeds a fixed-width BoW. Text
+    * is BPE-subword-tokenized with the checked-in merges (the same
+    * tokenizer as `bpe_tokens`), each subword hashed into the model's
+    * 256-entry embedding table (floorMod of String.hashCode — stable
+    * across JVMs by spec), and the id LIST runs through
+    * Gather → attention → mean-pool, so sequence length genuinely
+    * varies per document. Sequences are capped at `maxLen` (attention
+    * is O(L²) — the context-window bound every real encoder has) and
+    * the empty sequence short-circuits to the zero vector.
+    */
+  def encoderEmbedder(
+      resource: String = "/graft/embed_encoder.onnx",
+      maxLen: Int = 64
+  ): () => String => Array[Double] = () => {
+    val session = graft.functions.OnnxMini.load(resource) // once per partition
+    val merges = Bpe.merges // classpath artifact, loaded once
+    val vocab = graft.functions.OnnxFixture.VocabSize
+    val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    text => {
+      val ids = Array.newBuilder[Double]
+      var n = 0
+      val m = pretoken.matcher(text.toLowerCase)
+      while (m.find() && n < maxLen) {
+        val subs = Bpe.encodeWord(m.group(), merges)
+        var i = 0
+        while (i < subs.length && n < maxLen) {
+          ids += java.lang.Math.floorMod(subs(i).hashCode, vocab).toDouble
+          n += 1; i += 1
+        }
+      }
+      if (n == 0) new Array[Double](graft.functions.OnnxFixture.HeadDims)
+      else {
+        val out = graft.functions.OnnxMini.run2d(
+          session, graft.functions.OnnxMini.Mat(n, 1, ids.result())).data
+        val norm = math.sqrt(out.map(x => x * x).sum)
+        if (norm > 0) out.map(_ / norm) else out
+      }
+    }
+  }
+
   /** Deterministic stand-in model: the driver-side twin of
     * [[hashedBow]] (same tokenizer, same md5 bucketing, same L2
     * normalization) — exists so specs can assert the seam preserves

@@ -37,5 +37,21 @@ object MakeOnnx {
     require(aProbe.length == OnnxFixture.InputDims)
     println(s"[make-onnx] ${attnBytes.length} bytes, ${ga.initializers.size} initializers, " +
       s"attn out[0..3] = ${aProbe.take(4).mkString(", ")} -> $attnOut")
+
+    // third artifact: the token-sequence encoder
+    val encOut = out.replace("embed_mlp.onnx", "embed_encoder.onnx")
+    val encBytes = OnnxMini.write(OnnxFixture.encoderGraph)
+    java.nio.file.Files.write(java.nio.file.Paths.get(encOut), encBytes)
+    val ge = OnnxMini.parse(encBytes)
+    require(ge.nodes.head.opType == "Gather" &&
+      ge.nodes.head.attrs("axis").i.contains(0L) &&
+      ge.nodes.last.attrs("axes").ints == Seq(0L),
+      "encoder attributes must survive the wire round-trip")
+    // a 7-token and a 1-token probe (dynamic sequence length)
+    val e7 = OnnxMini.run2d(ge, OnnxMini.Mat(7, 1, Array.tabulate(7)(i => (i * 31 % 256).toDouble)))
+    val e1 = OnnxMini.run2d(ge, OnnxMini.Mat(1, 1, Array(5.0)))
+    require(e7.cols == OnnxFixture.HeadDims && e1.cols == OnnxFixture.HeadDims)
+    println(s"[make-onnx] ${encBytes.length} bytes, ${ge.initializers.size} initializers, " +
+      s"enc out[0..3] = ${e7.data.take(4).mkString(", ")} -> $encOut")
   }
 }

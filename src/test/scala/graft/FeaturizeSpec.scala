@@ -121,6 +121,79 @@ class FeaturizeSpec extends SparkSpec {
     }
   }
 
+  test("encoder onnx: checked-in artifact matches an independent recomputation at two lengths") {
+    import graft.functions.{OnnxFixture => F, OnnxMini}
+    val g = OnnxMini.load("/graft/embed_encoder.onnx")
+    assert(g.nodes.head.opType == "Gather" && g.nodes.last.opType == "ReduceMean")
+    // attributes survive the wire round-trip
+    assert(g.nodes.head.attrs("axis").i.contains(0L))
+    assert(g.nodes.last.attrs("axes").ints == Seq(0L))
+    assert(g.nodes.find(_.opType == "LayerNormalization").get
+      .attrs("epsilon").f.contains(1e-5f))
+    assert(g.nodes.find(_.opType == "Transpose").get.attrs("perm").ints == Seq(1L, 0L))
+
+    type M = Vector[Vector[Double]]
+    def mm(a: M, b: M): M =
+      a.map(r => b.transpose.map(c => r.lazyZip(c).map(_ * _).sum))
+    def mat(f: (Int, Int) => Int): M =
+      Vector.tabulate(F.HeadDims, F.HeadDims)((i, j) => f(i, j).toDouble)
+    def block(x: M): M = { // the same single-head block, any row count
+      val q = mm(x, mat(F.wq)); val k = mm(x, mat(F.wk)); val v = mm(x, mat(F.wv))
+      val s = mm(q, k.transpose).map(_.map(_ * 0.25))
+      val att = s.map { r =>
+        val m = r.max; val e = r.map(z => math.exp(z - m)); val su = e.sum; e.map(_ / su)
+      }
+      val ctx = mm(att, v)
+      val res = ctx.lazyZip(x).map((a, b) => a.lazyZip(b).map(_ + _))
+      val eps = 1e-5f.toDouble // stored as a float attribute
+      val ln: M = res.map { r =>
+        val mean = r.sum / F.HeadDims
+        val va = r.map(z => (z - mean) * (z - mean)).sum / F.HeadDims
+        val inv = 1.0 / math.sqrt(va + eps)
+        r.zipWithIndex.map { case (z, j) => (z - mean) * inv * F.gamma(j) + F.beta(j) }
+      }
+      val f1 = mm(ln, mat(F.wf1)).map(_.zipWithIndex.map { case (z, j) => z + F.bf1(j) })
+      val f2 = f1.map(_.map(z => math.max(z, 0.0)))
+      val f4 = mm(f2, mat(F.wf2)).map(_.zipWithIndex.map { case (z, j) => z + F.bf2(j) })
+      f4.lazyZip(ln).map((a, b) => a.lazyZip(b).map(_ + _))
+    }
+    for (ids <- Seq(Array(3.0, 250.0, 3.0, 17.0, 99.0, 0.0, 123.0), Array(42.0))) {
+      val got = OnnxMini.run2d(g, OnnxMini.Mat(ids.length, 1, ids))
+      assert(got.rows == 1 && got.cols == F.HeadDims)
+      val x: M = ids.toVector.map(id =>
+        Vector.tabulate(F.HeadDims)(j => F.embTable(id.toInt, j).toDouble))
+      val r2 = block(x)
+      val expected = Vector.tabulate(F.HeadDims)(j => r2.map(_(j)).sum / ids.length)
+      got.data.toSeq.lazyZip(expected).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-9, s"L=${ids.length} dim $i: $a vs $b")
+      }
+    }
+    // sequence length genuinely matters: a repeated token changes the pool
+    val a = OnnxMini.run2d(g, OnnxMini.Mat(2, 1, Array(7.0, 7.0))).data
+    val b = OnnxMini.run2d(g, OnnxMini.Mat(3, 1, Array(7.0, 7.0, 200.0))).data
+    assert(a.toSeq != b.toSeq)
+  }
+
+  test("encoder model drives the embedding seam with BPE ids and varying lengths") {
+    val df = Tables.documents(spark, sf).limit(20).select("doc_id", "text")
+      .union(Seq((9999L, "")).toDF("doc_id", "text")) // empty text short-circuits
+    val out = Featurize.embedWithModel(df, "text", keep = Seq("doc_id"),
+      model = Featurize.encoderEmbedder())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 21)
+    assert(out(9999L).forall(_ == 0.0), "empty sequence must embed to the zero vector")
+    out.filterNot(_._1 == 9999L).values.foreach { v =>
+      assert(v.length == graft.functions.OnnxFixture.HeadDims)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"encoder output must be unit-norm: $n")
+    }
+    // deterministic: a second run reproduces bit-identical vectors
+    val again = Featurize.embedWithModel(df, "text", keep = Seq("doc_id"),
+      model = Featurize.encoderEmbedder())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == out)
+  }
+
   test("attention-block onnx: checked-in artifact matches an independent recomputation") {
     import graft.functions.{OnnxFixture => F, OnnxMini}
     // the CHECKED-IN artifact (exercises the int64-shape round trip too)
