@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Real-decode multimodal path: JDK-codec images (PNG/BMP/animated GIF)
+  * and RIFF/PCM WAV, generated in-test so the expected facts are known
+  * exactly; corrupt payloads must survive as NULL-meta rows.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  private def animatedGif(frames: Seq[Int], w: Int = 10, h: Int = 8): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(out)
+    wr.prepareWriteSequence(null)
+    frames.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); out.close()
+    bos.toByteArray
+  }
+
+  /** 16-bit PCM mono WAV: constant amplitude `amp` for `nFrames` samples. */
+  private def wav(nFrames: Int, sampleRate: Int, amp: Short): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nFrames).foreach(_ => bb.putShort(amp))
+    bb.array()
+  }
+
+  private def table = Seq(
+    (1L, png(20, 10, 0xFF0000)),         // pure red
+    (2L, bmp(7, 5)),
+    (3L, animatedGif(Seq(0x000000, 0xFFFFFF, 0x808080))),
+    (4L, wav(8000, 16000, 16384)),       // 0.5s at 16kHz, amp = 2^14
+    (5L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)) // garbage
+  ).toDF("id", "content")
+
+  test("decode: real dims/channels/frames for JDK-codec formats, NULL meta for garbage") {
+    val out = Multimodal.decode(table, "content")
+      .select("id", "meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // garbage row: meta struct fields come back null-expanded
+    val metas = Multimodal.decode(table, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(metas(5L).isEmpty, "garbage payload must decode to NULL meta, row retained")
+    assert(metas.size == 5)
+    val p = out(1L)
+    assert(p.getString(1) == "png" && p.getInt(2) == 20 && p.getInt(3) == 10 &&
+      p.getInt(4) == 1 && p.getInt(5) == 3, p.toString)
+    val b = out(2L)
+    assert(b.getString(1) == "bmp" && b.getInt(2) == 7 && b.getInt(3) == 5)
+    val g = out(3L)
+    assert(g.getString(1) == "gif" && g.getInt(4) == 3, s"3 gif frames: $g")
+    val w = out(4L)
+    assert(w.getString(1) == "wav" && w.getInt(4) == 8000 &&
+      w.getInt(5) == 1 && w.getInt(6) == 16000 && w.getLong(7) == 500L, w.toString)
+  }
+
+  test("resize: pixels actually resampled, aspect preserved, output re-decodable") {
+    val out = Multimodal.resize(table, "content", maxSide = 8)
+      .select("id", "resized", "resized_w", "resized_h").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p = out(1L) // 20x10 -> 8x4
+    assert(p.getInt(2) == 8 && p.getInt(3) == 4, p.toString)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p.getAs[Array[Byte]](1)))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    // pure-red input stays pure red through area-average resampling
+    assert((back.getRGB(4, 2) & 0xFFFFFF) == 0xFF0000)
+    val small = out(2L) // 7x5 already inside maxSide: passthrough size
+    assert(small.getInt(2) == 7 && small.getInt(3) == 5)
+    assert(out(4L).get(1) == null && out(5L).get(1) == null,
+      "non-image payloads resize to NULL")
+  }
+
+  test("contentFeatures: channel means for images, exact RMS for constant PCM") {
+    val out = Multimodal.contentFeatures(table, "content", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val red = out(1L)
+    assert(red.getString(1) == "image")
+    assert(math.abs(red.getDouble(2) - 255.0) < 1e-9 && math.abs(red.getDouble(3)) < 1e-9)
+    assert(math.abs(red.getDouble(5) - 0.299 * 255) < 1e-9) // luma of pure red
+    val audio = out(4L)
+    assert(audio.getString(1) == "audio")
+    assert(math.abs(audio.getDouble(6) - 16384.0 / 32768.0) < 1e-12,
+      s"constant-amplitude RMS must be exact: ${audio.getDouble(6)}")
+    assert(out(5L).get(1) == null)
+  }
+
+  test("frameSample: every animated-gif frame extracted as decodable PNG bytes") {
+    val out = Multimodal.frameSample(table.filter(col("id") === 3L), "content", everyN = 1)
+      .select("frame_idx", "frame_png").collect()
+      .sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val pixels = out.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      img.getRGB(3, 3) & 0xFFFFFF
+    }
+    assert(pixels.toSeq == Seq(0x000000, 0xFFFFFF, 0x808080),
+      s"frames must round-trip their content: ${pixels.map(_.toHexString).toSeq}")
+    // sampling stride: every 2nd frame of 3 -> indices 0, 2
+    val strided = Multimodal.frameSample(table.filter(col("id") === 3L), "content", everyN = 2)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(strided.toSeq == Seq(0, 2))
+    // single-frame image -> exactly frame 0; garbage/audio -> no frames
+    val single = Multimodal.frameSample(table, "content", everyN = 1)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single(1L) == 1 && single(2L) == 1 && single(3L) == 3)
+    assert(!single.contains(4L) && !single.contains(5L))
+  }
+}
