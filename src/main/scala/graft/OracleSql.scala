@@ -1964,6 +1964,10 @@ object OracleSql {
     // append-mode emission of each newly seen (user, day) makes the
     // sink's (cohort, offset) count equal the batch distinct-then-count
     "stream_retention" -> sql("events_retention"),
+    // micro-batch FTS appends accumulate to exactly the one-shot index
+    // (sumDl arithmetic + per-posting df/tf/dl), so the merged probe
+    // shares the full-corpus twin
+    "stream_bm25" -> sql("bm25_topk"),
     // pooled rows are per-doc pure, so the base+delta sidecar is
     // row-identical to a one-shot build — the probe shares one twin
     "docsim_incremental" -> sql("docsim_topk"),

@@ -1527,6 +1527,15 @@ object Queries {
   def streamRetention(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamPipeline.retentionSnapshot(s, dir)
 
+  /** STREAMED FTS maintenance
+    * ([[graft.streaming.StreamPipeline.bm25AppendSnapshot]]): base
+    * index over four fifths of the corpus, the last fifth appended
+    * micro-batch by micro-batch, probe over the merged layout — must
+    * hash-match the one-shot full-corpus `bm25_topk` twin.
+    */
+  def streamBm25(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.bm25AppendSnapshot(s, dir, QueryTerms, k = 10)
+
   /** Ordered conversion funnel ([[graft.operators.Events.funnel]]):
     * users reaching view → click-after-view → purchase-after-click, in
     * one scan (stacked running-min windows over one user-key sort —

@@ -101,6 +101,7 @@ object SparkEntry {
     "events_retention"    -> (Queries.eventsRetention(_, _)),
     "stream_funnel"       -> (Queries.streamFunnel(_, _)),
     "stream_retention"    -> (Queries.streamRetention(_, _)),
+    "stream_bm25"         -> (Queries.streamBm25(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),

@@ -173,6 +173,45 @@ object StreamPipeline {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMED FTS index maintenance (the text-index face of
+    * [[appendToAnnIndex]], sibling of [[signAndStore]]'s minhash loop):
+    * the base index is built in batch over doc_id % 5 != 0, the
+    * remaining fifth arrives as a file stream, and each micro-batch is
+    * tokenized and APPENDED to the persisted layout via
+    * [[graft.operators.Fts.appendToIndex]] — only arriving documents
+    * are ever re-tokenized, the store carries all state and the stream
+    * none. Because the index stores (nDocs, sumDl) and postings ride
+    * their own df/tf/dl, per-micro-batch appends accumulate to EXACTLY
+    * the one-shot index whatever the batch boundaries (cross-batch
+    * parity spec'd in StreamingSpec; the probe shares bm25_topk's
+    * full-corpus twin). This is the reference's re-ingest loop
+    * (store.py:197 replace=True rebuilds the FTS index per ingest) as
+    * the only shape that survives 100 TB: appends, never rebuilds.
+    */
+  def bm25AppendSnapshot(
+      spark: SparkSession,
+      dir: String,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    import graft.operators.Fts
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 0)
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      Fts.build(base, "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_fts_stream_").toString))
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch.filter(col("doc_id") % 5 === 0))
+        idx.set(Fts.appendToIndex(idx.get(), b, "text", "doc_id"))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Fts.probe(spark, idx.get(), "doc_id", queryTerms, k)
+  }
+
   /** Streaming CDC upsert loop: every micro-batch lands in the
     * manifest [[graft.operators.ChunkStore]] as three segments —
     * the batch's originals, then its revisions (`doc_id % 7 == 3` →

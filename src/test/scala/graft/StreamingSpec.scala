@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed((10L, 1L)) == 1L)
   }
 
+  test("streamed FTS appends across micro-batches equal the one-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Fts
+    val docs = Seq(
+      (1L, "spark filter join stream spark"),
+      (2L, "filter join filter"),
+      (3L, "stream stream stream spark"),
+      (4L, "join spark filter"),
+      (5L, "unrelated words only here"),
+      (6L, "spark spark spark"))
+    val base = docs.take(3).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fts_stream_spec").toString
+    val idx = new java.util.concurrent.atomic.AtomicReference(
+      Fts.build(base, "text", "doc_id", dir))
+    // the delta arrives over TWO micro-batches through the streamed loop
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx.set(Fts.appendToIndex(idx.get(), batch, "text", "doc_id"))
+      }
+      .start()
+    try {
+      input.addData(docs.slice(3, 5)); q.processAllAvailable()
+      input.addData(docs.slice(5, 6)); q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("spark", "filter", "join", "stream")
+    val streamed = Fts.probe(spark, idx.get(), "doc_id", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val oneShot = Fts.probe(spark,
+      Fts.build(docs.toDF("doc_id", "text"), "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("fts_oneshot_spec").toString),
+      "doc_id", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == oneShot, s"streamed $streamed vs one-shot $oneShot")
+    // the stats really accumulated across batches (exact, not weighted-mean drift)
+    assert(idx.get().nDocs == 6.0)
+    val expectedSumDl = docs.map(_._2.split(" ").length.toDouble).sum
+    assert(idx.get().sumDl == expectedSumDl)
+  }
+
   test("windowedCounts aggregates a stream into hourly windows (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
