@@ -112,6 +112,20 @@ object Queries {
   private val incFtsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
 
+  /** Memoized BASE index over doc_id % 5 != 0 — shared by the
+    * incremental and streamed maintenance queries; each consumer
+    * hardlink-clones it ([[Fts.cloneIndex]]) before appending, so the
+    * base layout stays pristine.
+    */
+  private val baseFtsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
+
+  private def baseFtsIndex(s: SparkSession, dir: String): Fts.Index =
+    baseFtsCache.computeIfAbsent(dir, _ =>
+      Fts.build(
+        docs(s, dir).filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
+        java.nio.file.Files.createTempDirectory("graft_fts_base_").toString))
+
   private val docsimAnchorCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Long)]]()
 
@@ -153,13 +167,10 @@ object Queries {
     * the append is the only viable path.
     */
   def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
-    val idx = incFtsCache.computeIfAbsent(dir, _ => {
-      val d = docs(s, dir)
-      val base = Fts.build(
-        d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id",
-        java.nio.file.Files.createTempDirectory("graft_fts_inc_").toString)
-      Fts.appendToIndex(base, d.filter(col("doc_id") % 5 === 0), "text", "doc_id")
-    })
+    val idx = incFtsCache.computeIfAbsent(dir, _ =>
+      Fts.appendToIndex(
+        Fts.cloneIndex(baseFtsIndex(s, dir)),
+        docs(s, dir).filter(col("doc_id") % 5 === 0), "text", "doc_id"))
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
@@ -1534,7 +1545,8 @@ object Queries {
     * hash-match the one-shot full-corpus `bm25_topk` twin.
     */
   def streamBm25(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.StreamPipeline.bm25AppendSnapshot(s, dir, QueryTerms, k = 10)
+    graft.streaming.StreamPipeline.bm25AppendSnapshot(
+      s, dir, baseFtsIndex(s, dir), QueryTerms, k = 10)
 
   /** Ordered conversion funnel ([[graft.operators.Events.funnel]]):
     * users reaching view → click-after-view → purchase-after-click, in

@@ -90,6 +90,29 @@ object Fts {
     }
   }
 
+  /** Hardlink-clone a persisted index layout into a fresh directory so
+    * a caller can APPEND deltas without mutating the shared base — an
+    * O(#files) metadata operation, no data copied (segment files are
+    * immutable once written, so links are safe). This is the local
+    * stand-in for a shadow/branch layout over immutable segments: the
+    * memoized base index stays pristine while each experiment or
+    * stream run accumulates its own deltas.
+    */
+  def cloneIndex(index: Index): Index = {
+    val dst = java.nio.file.Files.createTempDirectory("graft_fts_clone_")
+    Seq("postings", "docdims", "docnorms").foreach { sub =>
+      val from = java.nio.file.Paths.get(index.dir, sub)
+      val to = dst.resolve(sub)
+      java.nio.file.Files.createDirectories(to)
+      val files = java.nio.file.Files.list(from)
+      try files.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.createLink(to.resolve(p.getFileName.toString), p)
+      } finally files.close()
+    }
+    Index(dst.toString, index.nDocs, index.sumDl)
+  }
+
   /** One tokenize+explode scan feeding all three layout outputs; returns
     * (docCount, totalTokenCount) for the driver-side stats.
     */
