@@ -1677,6 +1677,24 @@ object OracleSql {
         |SELECT lang, doc_id, sample_rank FROM r
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
+    "split_grouped" -> {
+      // Twin of Sampling.groupSplit: same md5-of-(seed, group) bucket
+      // arithmetic (first 4 hex chars mod 100), so every doc of a
+      // source lands in one split by construction in both engines.
+      def hx(i: Int) = s"(strpos('0123456789abcdef', substr(md5('split7:' || source), $i, 1)) - 1)"
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+         |  (${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100 AS bucket
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, n_chars,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split FROM b)
+         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
+
     "shuffle_shards" ->
       // Twin of Sampling.shuffleShards: the literal global row_number
       // window over the seeded md5 permutation — equality proves the

@@ -1173,6 +1173,22 @@ object Queries {
       .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
       .orderBy("doc_id", "k")
 
+  /** LEAKAGE-SAFE grouped train/val/test split
+    * ([[graft.operators.Sampling.groupSplit]]): assignment keyed on
+    * `source`, so template siblings and near-dups (which live within a
+    * source) can never straddle the split boundary; per-split source /
+    * doc / char rollup. Pure projection + one partial-agg rollup.
+    */
+  def splitGrouped(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupSplit(
+        docs(s, dir).select("doc_id", "source", "n_chars"), "source", seed = "split7")
+      .groupBy("split")
+      .agg(
+        countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("split")
+
   /** Deterministic stratified training-mix sample: up to 20 docs per
     * lang, chosen by md5-hash order (reproducible corpus mixing).
     */

@@ -85,6 +85,7 @@ object SparkEntry {
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
+    "split_grouped"       -> (Queries.splitGrouped(_, _)),
     "shuffle_shards"      -> (Queries.shuffleShards(_, _)),
     "dsir_sample"         -> (Queries.dsirSample(_, _)),
     "token_shards"        -> (Queries.tokenShards(_, _)),

@@ -59,6 +59,34 @@ object Sampling {
     * One hash-partitioned window per stratum — at 100 TB this is a
     * single shuffle keyed by the stratum column.
     */
+  /** LEAKAGE-SAFE train/val/test split: the assignment key is the
+    * GROUP (source / domain / url host), never the document, so
+    * near-duplicates and template siblings — which overwhelmingly live
+    * within one source — cannot straddle the split boundary (the
+    * classic train-on-eval leak that per-document random splits
+    * produce). Deterministic and engine-portable: bucket = first 4 md5
+    * hex chars of (seed, group) mod 100, split by cumulative integer
+    * weights. A pure projection — every doc of a group gets the same
+    * split by construction, no shuffle at all.
+    */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: String,
+      seed: String,
+      trainPct: Int = 90,
+      valPct: Int = 5
+  ): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split weights: $trainPct/$valPct")
+    val bucket = (conv(
+      substring(md5(concat_ws(":", lit(seed), col(groupCol).cast("string"))), 1, 4),
+      16, 10).cast("long") % 100).cast("long")
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   def stratified(
       df: DataFrame,
       stratumCol: String,

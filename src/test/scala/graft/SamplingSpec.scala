@@ -109,6 +109,37 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"global window leaked into the shuffle plan:\n$plan")
   }
 
+  test("groupSplit: leakage-safe — a group's docs can never straddle the boundary") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // 40 sources x 25 docs; each source holds planted near-dup pairs
+    // (docs i and i+1 share text) that a per-DOC split would separate
+    val rows = for (s <- 0 until 40; i <- 0 until 25)
+      yield (s.toLong * 100 + i, s"src_$s", s"shared text of source $s pair ${i / 2}")
+    val df = rows.toDF("doc_id", "source", "text")
+    val split = Sampling.groupSplit(df, "source", seed = "s")
+    // every source appears in exactly one split
+    val perSource = split.groupBy("source")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perSource.forall(_.getLong(1) == 1L))
+    // so no near-dup pair straddles: both members inherit the source's split
+    val pairSplits = split
+      .groupBy("text").agg(countDistinct("split").as("n")).collect()
+    assert(pairSplits.forall(_.getLong(1) == 1L),
+      "near-dup pairs must land on one side of the split")
+    // all three splits are populated at 40 groups and 90/5/5 is roughly honored
+    val sizes = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"), sizes.toString)
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    // deterministic: same seed -> identical assignment; new seed -> different
+    val again = Sampling.groupSplit(df, "source", seed = "s")
+      .select("doc_id", "split").collect().toSet
+    assert(again == split.select("doc_id", "split").collect().toSet)
+    val other = Sampling.groupSplit(df, "source", seed = "different")
+      .select("doc_id", "split").collect().toSet
+    assert(other != again, "a different seed must move some group")
+  }
+
   test("shuffleShards: salted exchange bounds partitions under a planted hot key") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, spark_partition_id, count}
     // 70% of rows share ONE id — the distribution that collapses an
