@@ -508,7 +508,65 @@ object Convert {
       case "pptx"         => pptxToText(bytes).getOrElse(fallback)
       case "xlsx"         => xlsxToText(bytes).getOrElse(fallback)
       case "rtf"          => rtfToText(bytes).getOrElse(fallback)
+      case "zip"          => zipToText(bytes).getOrElse(fallback)
       case _              => fallback
     }
+  }
+
+  /** Total uncompressed bytes one archive may expand to — the zip-bomb
+    * guard: extraction stops (keeping what's already converted) once
+    * the cap is hit, so one hostile object cannot OOM an executor.
+    */
+  private val MaxZipExtractBytes: Long = 64L * 1024 * 1024
+
+  /** ZIP archive → text (converter.py:13 routes .zip through
+    * MarkItDown, which converts the archive's members): every
+    * supported entry runs through the SAME per-format [[convert]]
+    * dispatch, each prefixed with a `# <entry name>` heading, and
+    * entries are joined with form-feeds — so the ingest pipeline's
+    * page-split stage gives every archive member its own page
+    * provenance. Depth 1 by design: a nested archive converts to its
+    * stub line rather than recursing (unbounded recursion on hostile
+    * archives is the zip-bomb shape, and one level covers the
+    * folder-of-documents-shipped-as-a-zip case). Unsupported members
+    * (images, media) are skipped. Returns None unless the payload
+    * opens with a local-file-header signature and yields at least one
+    * entry.
+    */
+  def zipToText(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4 ||
+      !(bytes(0) == 'P' && bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4)) return None
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val parts = Seq.newBuilder[String]
+    var nParts = 0
+    var budget = MaxZipExtractBytes
+    try {
+      var e = zin.getNextEntry
+      while (e != null && budget > 0) {
+        if (!e.isDirectory) {
+          val name = e.getName
+          val ext = name.replaceAll("^.*\\.", "").toLowerCase
+          val inner =
+            if (ext == name.toLowerCase || ext == "zip") None // no extension / nested archive
+            else Some(ext).filter(x => Set("txt", "md", "csv", "json", "xml", "html",
+              "htm", "pdf", "docx", "pptx", "xlsx", "rtf")(x))
+          inner.foreach { x =>
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = zin.read(chunk)
+            while (n >= 0 && budget > 0) {
+              val take = math.min(n.toLong, budget).toInt
+              buf.write(chunk, 0, take); budget -= take
+              n = if (budget > 0) zin.read(chunk) else -1
+            }
+            val eb = buf.toByteArray
+            parts += s"# $name\n" + convert(name, x, eb, eb.length.toLong)
+            nParts += 1
+          }
+        }
+        e = zin.getNextEntry
+      }
+    } catch { case _: Exception => () } // truncated/corrupt: keep what converted
+    if (nParts == 0) None else Some(parts.result().mkString("\f"))
   }
 }

@@ -35,7 +35,7 @@ object Ingest {
     * (legacy OLE doc/ppt/xls, media, zip) stub.
     */
   private val Convertible = Set("txt", "md", "csv", "json", "xml", "html",
-    "htm", "pdf", "docx", "pptx", "xlsx", "rtf")
+    "htm", "pdf", "docx", "pptx", "xlsx", "rtf", "zip")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the

@@ -190,6 +190,43 @@ class IngestSpec extends SparkSpec {
       s"docx must extract through Ingest.convert: ${out("docx")}")
   }
 
+  test("zip conversion: members convert by extension, one page each; nested zips stay flat") {
+    import graft.operators.Convert
+    def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, body) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(body); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val inner = zipOf("inner.txt" -> "nested text".getBytes("UTF-8"))
+    val archive = zipOf(
+      "docs/readme.md" -> "# Title\nBody here".getBytes("UTF-8"),
+      "data.csv" -> "a,b\n1,2".getBytes("UTF-8"),
+      "pics/photo.png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0),
+      "more.zip" -> inner,
+      "notes.html" -> "<p>hello &amp; bye</p>".getBytes("UTF-8"))
+    val text = Convert.zipToText(archive).get
+    val pages = text.split("\f")
+    assert(pages.length == 3, s"3 supported members -> 3 pages: ${pages.length}")
+    assert(pages(0).startsWith("# docs/readme.md") && pages(0).contains("Body here"))
+    assert(pages(1).contains("| a | b |") || pages(1).contains("a | b"), pages(1))
+    assert(pages(2).contains("hello & bye"))
+    assert(!text.contains("nested text"), "depth-1: nested archives must not recurse")
+    assert(!text.contains("photo"), "unsupported members are skipped")
+    // not a zip -> None
+    assert(Convert.zipToText("plain".getBytes("UTF-8")).isEmpty)
+    // routed through the ingest path: zip is Convertible, and the
+    // page-split stage gives each member its own page row
+    val dir = Files.createTempDirectory("graft_zip_route")
+    Files.write(dir.resolve("bundle.zip"), archive)
+    val pipe = Ingest.pipeline(spark, dir.toString, library = "ziplib")
+    val pageVals = pipe.select("page").as[Long].distinct().collect().sorted
+    assert(pageVals.length == 3, s"3 pages through the pipeline: ${pageVals.toSeq}")
+  }
+
   test("json conversion renders a readable outline and survives bad json") {
     val dir = Files.createTempDirectory("graft_json")
     Files.writeString(dir.resolve("doc.json"),
