@@ -87,9 +87,12 @@ object OracleSql {
   /** Quality-score CTE (qs: doc_id, lang, n_tokens, stop_ratio,
     * quality) — shared by quality_score and quality_filter.
     */
-  private lazy val qualityCte: String = {
-    val en = graft.operators.TextAnalysis.StopwordsByLang.toMap.apply("en")
+  private lazy val enStopList: String =
+    graft.operators.TextAnalysis.StopwordsByLang.toMap.apply("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private lazy val qualityCte: String = {
+    val en = enStopList
     s"""tkq AS (SELECT doc_id, lang, ${toks()} AS toks FROM documents),
        |cq AS (SELECT doc_id, lang, toks,
        |       CASE WHEN len(toks) > 0
@@ -105,14 +108,12 @@ object OracleSql {
     * bands → verified pairs in `ver`) — shared by dedup_minhash_lsh and
     * dedup_clusters.
     */
-  private lazy val minhashPairCtes: String =
-    s"""corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000 AS doc_id,
-       |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
-       |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
-       |tk AS (SELECT doc_id, ${toks()} AS toks FROM corpus),
+  /** MinHash banded-LSH pair CTE chain over any (doc_id, text) source
+    * CTE — yields `tk`/`shx`/`shf`/`sig`/`bands`/`cand`/`ver`; callers
+    * filter `ver` by their Jaccard threshold.
+    */
+  private def minhashPairBody(src: String): String =
+    s"""tk AS (SELECT doc_id, ${toks()} AS toks FROM $src),
        |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
        |shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh,
@@ -132,6 +133,15 @@ object OracleSql {
        |         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 4) AS jaccard
        |        FROM cand JOIN shf sa ON cand.id_a = sa.doc_id JOIN shf sb ON cand.id_b = sb.doc_id)""".stripMargin
+
+  private lazy val minhashPairCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
+       |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
+       |${minhashPairBody("corpus")}""".stripMargin
 
   /** Hyperplane-LSH signature — twin of Lsh.bucket. The md5-derived
     * integer weights are computed once driver-side ([[graft.operators.Lsh.plane]])
@@ -1676,6 +1686,69 @@ object OracleSql {
         |  FROM documents)
         |SELECT lang, doc_id, sample_rank FROM r
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    "curation_disposition" -> {
+      // Twin of Queries.curationDisposition: the same universe (corpus
+      // docs >= 10 plus planted near-dup and exact-dup rows), the same
+      // four drop detectors composed from their proven twin fragments
+      // (sha256 groups, the minhash band/verify chain, benchmark
+      // shingle contamination, per-lang quality quantile), the same
+      // fixed priority.
+      s"""WITH RECURSIVE
+         |uni AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 10
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id,
+         |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text, lang
+         |  FROM (SELECT doc_id, lang, ${toks()} AS toks FROM documents
+         |        WHERE doc_id >= 10 AND doc_id < 25)
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, text, lang FROM documents
+         |  WHERE doc_id >= 10 AND doc_id % 20 = 0),
+         |ex AS (SELECT doc_id FROM (
+         |        SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper FROM uni)
+         |       WHERE doc_id <> keeper),
+         |${minhashPairBody("uni")},
+         |pp AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
+         |ee AS (SELECT id_a AS u, id_b AS v FROM pp UNION SELECT id_b, id_a FROM pp),
+         |nodes AS (SELECT DISTINCT u AS id FROM ee),
+         |rr AS (
+         |  SELECT id AS u, id AS v FROM nodes
+         |  UNION
+         |  SELECT rr.u, ee.v FROM rr JOIN ee ON rr.v = ee.u),
+         |nd AS (SELECT u AS doc_id FROM rr GROUP BY u HAVING u <> min(v)),
+         |bt AS (SELECT ${toks()} AS toks FROM documents WHERE doc_id < 10),
+         |bs AS (SELECT DISTINCT unnest($shingleExpr) AS shm FROM bt),
+         |cs AS (SELECT doc_id, unnest(sh) AS shm FROM shx),
+         |ctm AS (SELECT cs.doc_id FROM cs LEFT JOIN bs ON cs.shm = bs.shm
+         |        GROUP BY cs.doc_id
+         |        HAVING ROUND(CAST(count(bs.shm) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= 0.2),
+         |cq AS (SELECT u.doc_id, u.lang, tk.toks,
+         |        CASE WHEN len(tk.toks) > 0
+         |             THEN CAST(len(list_filter(tk.toks, t -> list_contains($enStopList, t))) AS DOUBLE)
+         |                  / CAST(len(tk.toks) AS DOUBLE)
+         |             ELSE 0.0 END AS sr
+         |       FROM uni u JOIN tk ON u.doc_id = tk.doc_id),
+         |qs AS (SELECT doc_id, lang,
+         |        ROUND(least(1.0, CAST(len(toks) AS DOUBLE) / 64.0) * 0.5 + least(1.0, sr * 5.0) * 0.5, 4) AS quality
+         |       FROM cq),
+         |qr AS (SELECT doc_id,
+         |        ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS q_rank
+         |       FROM qs),
+         |lq AS (SELECT doc_id FROM qr WHERE q_rank < 0.25)
+         |SELECT u.doc_id,
+         |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+         |            WHEN ctm.doc_id IS NOT NULL THEN 'contaminated'
+         |            WHEN lq.doc_id IS NOT NULL THEN 'low_quality'
+         |            ELSE 'keep' END AS disposition
+         |FROM uni u
+         |LEFT JOIN ex ON u.doc_id = ex.doc_id
+         |LEFT JOIN nd ON u.doc_id = nd.doc_id
+         |LEFT JOIN ctm ON u.doc_id = ctm.doc_id
+         |LEFT JOIN lq ON u.doc_id = lq.doc_id
+         |ORDER BY u.doc_id""".stripMargin
+    },
 
     "split_grouped" -> {
       // Twin of Sampling.groupSplit: same md5-of-(seed, group) bucket

@@ -1173,6 +1173,75 @@ object Queries {
       .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
       .orderBy("doc_id", "k")
 
+  /** Per-document CURATION DISPOSITION — the decision table a training
+    * pipeline materializes before writing shards: every corpus
+    * document (doc_id >= 10; docs < 10 serve as the held-out
+    * benchmark) plus planted near-dup and exact-dup rows receives
+    * exactly ONE disposition by fixed priority:
+    * `exact_dup` (non-keeper of a sha256 group, B1) >
+    * `near_dup` (non-keeper of a verified MinHash-LSH cluster, B2+B6) >
+    * `contaminated` (benchmark-shingle ratio ≥ 0.2, E8) >
+    * `low_quality` (below the per-lang 0.25 quality quantile, E3) >
+    * `keep`. Composes the proven operators over one universe; each
+    * detector is a flag join, so the plan stays the union of the
+    * operators' own shapes plus four broadcast-or-shuffle joins on the
+    * doc key — no new shuffle class. The twin composes the same CTE
+    * fragments.
+    */
+  def curationDisposition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text", "lang")
+    val bench = d.filter(col("doc_id") < 10)
+    val base = d.filter(col("doc_id") >= 10)
+    val toks = TextOps.tokenize(col("text"))
+    val universe = base
+      .unionAll(base.filter(col("doc_id") < 25).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(1))), " ").as("text"),
+        col("lang")))
+      .unionAll(base.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 20000).as("doc_id"), col("text"), col("lang")))
+
+    def flag(ids: DataFrame, name: String) =
+      ids.select(col("doc_id"), lit(1).as(name))
+
+    val exact = flag(
+      universe.withColumn("_h", sha2(col("text"), 256))
+        .withColumn("_keeper",
+          min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("_h")))
+        .filter(col("doc_id") =!= col("_keeper")).select("doc_id"),
+      "_ex")
+    val near = flag(
+      Dedup.duplicateClusters(
+        Dedup.minHashLshPairs(universe.select("doc_id", "text"), "text", "doc_id",
+          numHashes = 8, shingleK = 3, threshold = 0.3))
+        .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id")),
+      "_nd")
+    val contaminated = flag(
+      TextAnalysis.contamination(universe, bench, "text", "doc_id")
+        .filter(col("ratio") >= 0.2).select("doc_id"),
+      "_ct")
+    val lowQ = flag(
+      TextAnalysis.quantileFilter(
+        TextAnalysis.qualityScore(universe, "text", "doc_id")
+          .join(universe.select("doc_id", "lang"), "doc_id"),
+        "lang", "quality", "doc_id", minQuantile = 0.0)
+        .filter(col("q_rank") < 0.25).select("doc_id"),
+      "_lq")
+
+    universe.select("doc_id")
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .join(lowQ, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("_ex").isNotNull, "exact_dup")
+          .when(col("_nd").isNotNull, "near_dup")
+          .when(col("_ct").isNotNull, "contaminated")
+          .when(col("_lq").isNotNull, "low_quality")
+          .otherwise("keep").as("disposition"))
+      .orderBy("doc_id")
+  }
+
   /** LEAKAGE-SAFE grouped train/val/test split
     * ([[graft.operators.Sampling.groupSplit]]): assignment keyed on
     * `source`, so template siblings and near-dups (which live within a

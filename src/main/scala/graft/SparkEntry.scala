@@ -86,6 +86,7 @@ object SparkEntry {
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "split_grouped"       -> (Queries.splitGrouped(_, _)),
+    "curation_disposition" -> (Queries.curationDisposition(_, _)),
     "shuffle_shards"      -> (Queries.shuffleShards(_, _)),
     "dsir_sample"         -> (Queries.dsirSample(_, _)),
     "token_shards"        -> (Queries.tokenShards(_, _)),
