@@ -111,6 +111,12 @@ object ScaleCheck {
           "doc_id", "chunk_index", "chunk")))
       time(s"dup_ngrams", forced(
         TextAnalysis.duplicatedNgrams(c, "text", "doc_id", k = 5, minCount = 2, topK = 50)))
+      time(s"split_grouped", forced(
+        Sampling.groupSplit(c.select("doc_id", "source"), "source", seed = "sc")))
+      time(s"embed_encoder", forced(
+        Featurize.embedWithModel(c.select("doc_id", "text"), "text", keep = Seq("doc_id"),
+          model = Featurize.encoderEmbedder())
+          .select(col("doc_id"), hash(col("embedding")).as("h0"))))
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
