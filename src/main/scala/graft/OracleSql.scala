@@ -2059,6 +2059,9 @@ object OracleSql {
     // (sumDl arithmetic + per-posting df/tf/dl), so the merged probe
     // shares the full-corpus twin
     "stream_bm25" -> sql("bm25_topk"),
+    // per-doc-pure pooled rows: micro-batch sidecar appends equal the
+    // one-shot build, so the streamed probe shares the docsim twin
+    "stream_docsim" -> sql("docsim_topk"),
     // pooled rows are per-doc pure, so the base+delta sidecar is
     // row-identical to a one-shot build — the probe shares one twin
     "docsim_incremental" -> sql("docsim_topk"),

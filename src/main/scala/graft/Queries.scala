@@ -451,16 +451,43 @@ object Queries {
     */
   def docsimIncremental(s: SparkSession, dir: String): DataFrame = {
     val path = incDocEmbCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_docemb_inc_").toString
-      val ch = chunks(s, dir).select("doc_id", "chunk_index", "chunk")
-      Featurize.meanPoolChunks(
-        ch.filter(col("doc_id") % 5 =!= 0), "doc_id", "chunk_index", "chunk")
-        .write.mode("overwrite").parquet(out)
+      val out = Featurize.cloneDir(baseDocEmbDir(s, dir))
       Featurize.appendDocEmbeddings(out,
-        ch.filter(col("doc_id") % 5 === 0), "doc_id", "chunk_index", "chunk")
+        chunks(s, dir).select("doc_id", "chunk_index", "chunk")
+          .filter(col("doc_id") % 5 === 0), "doc_id", "chunk_index", "chunk")
       out
     })
     docsimProbe(s, dir, s.read.parquet(path))
+  }
+
+  /** Memoized BASE doc-embedding sidecar (pooled vectors for
+    * doc_id % 5 != 0 chunks) — shared by the incremental and streamed
+    * maintenance queries; consumers hardlink-clone it
+    * ([[graft.operators.Featurize.cloneDir]]) before appending.
+    */
+  private val baseDocEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def baseDocEmbDir(s: SparkSession, dir: String): String =
+    baseDocEmbCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft_docemb_base_").toString
+      Featurize.meanPoolChunks(
+        chunks(s, dir).select("doc_id", "chunk_index", "chunk")
+          .filter(col("doc_id") % 5 =!= 0), "doc_id", "chunk_index", "chunk")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The STREAMED face of [[docsimIncremental]]
+    * ([[graft.streaming.StreamPipeline.docEmbeddingAppend]]): corpus
+    * docs arrive as a file stream, each micro-batch's chunks alone are
+    * pooled and appended to a hardlink clone of the base sidecar; the
+    * probe over the drained clone shares docsim_topk's twin.
+    */
+  def streamDocsim(s: SparkSession, dir: String): DataFrame = {
+    val out = Featurize.cloneDir(baseDocEmbDir(s, dir))
+    graft.streaming.StreamPipeline.docEmbeddingAppend(s, dir, out)
+    docsimProbe(s, dir, s.read.parquet(out))
   }
 
   def chunkStats(s: SparkSession, dir: String): DataFrame =

@@ -104,6 +104,7 @@ object SparkEntry {
     "stream_funnel"       -> (Queries.streamFunnel(_, _)),
     "stream_retention"    -> (Queries.streamRetention(_, _)),
     "stream_bm25"         -> (Queries.streamBm25(_, _)),
+    "stream_docsim"       -> (Queries.streamDocsim(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),

@@ -134,6 +134,21 @@ object Featurize {
       .coalesce(parts)
       .write.mode("append").parquet(sidecarDir)
 
+  /** Hardlink-clone a flat parquet sidecar directory so a consumer can
+    * append deltas without mutating the shared base — the single-level
+    * analog of [[graft.operators.Fts.cloneIndex]] (O(#files) metadata,
+    * no data copied; parquet part files are immutable once written).
+    */
+  def cloneDir(src: String): String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft_sidecar_clone_")
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+    try files.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        java.nio.file.Files.createLink(dst.resolve(p.getFileName.toString), p)
+    } finally files.close()
+    dst.toString
+  }
+
   /** Sparse hashed TF-IDF features: (id, dim, tfidf) rows where dim is
     * the md5 feature bucket, tf the in-doc bucket count and
     * idf = ln(1 + N/df) with df = docs containing the bucket. The df
@@ -245,15 +260,27 @@ object Featurize {
     val merges = Bpe.merges // classpath artifact, loaded once
     val vocab = graft.functions.OnnxFixture.VocabSize
     val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    // word → ids memo, per partition-session: the BPE merge loop is the
+    // dominant per-token cost and natural corpora repeat words heavily
+    // (measured ~2× on the template-heavy test corpus). Bounded so an
+    // adversarial all-unique stream cannot grow it without limit.
+    val memo = new java.util.HashMap[String, Array[Double]]()
+    val memoCap = 1 << 17
     text => {
       val ids = Array.newBuilder[Double]
       var n = 0
       val m = pretoken.matcher(text.toLowerCase)
       while (m.find() && n < maxLen) {
-        val subs = Bpe.encodeWord(m.group(), merges)
+        val w = m.group()
+        var wids = memo.get(w)
+        if (wids == null) {
+          wids = Bpe.encodeWord(w, merges)
+            .map(s => java.lang.Math.floorMod(s.hashCode, vocab).toDouble)
+          if (memo.size < memoCap) memo.put(w, wids)
+        }
         var i = 0
-        while (i < subs.length && n < maxLen) {
-          ids += java.lang.Math.floorMod(subs(i).hashCode, vocab).toDouble
+        while (i < wids.length && n < maxLen) {
+          ids += wids(i)
           n += 1; i += 1
         }
       }

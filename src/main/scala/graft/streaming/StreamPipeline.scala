@@ -212,6 +212,34 @@ object StreamPipeline {
     Fts.probe(spark, idx.get(), "doc_id", queryTerms, k)
   }
 
+  /** STREAMED doc-embedding sidecar maintenance (the C14 face of
+    * [[bm25AppendSnapshot]]'s loop): corpus documents arrive as a file
+    * stream, each micro-batch's docs are chunked and pooled INSIDE the
+    * batch and only those sparse rows append to the sidecar
+    * ([[graft.operators.Featurize.appendDocEmbeddings]]). A pooled row
+    * is a pure function of its own document's chunks — all of which
+    * chunk within the doc's batch — so whatever the batch boundaries
+    * the merged sidecar is row-identical to a one-shot build
+    * (cross-batch parity spec'd; the probe shares docsim_topk's twin).
+    */
+  def docEmbeddingAppend(spark: SparkSession, dir: String, sidecarDir: String): Unit = {
+    val stream = documentStream(spark, dir).select("doc_id", "text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch.filter(col("doc_id") % 5 === 0))
+        if (!b.isEmpty) {
+          val ch = graft.operators.Chunker
+            .fixedSize(b, "text", chunkSize = 32, overlap = 8, keep = Seq("doc_id"))
+            .select("doc_id", "chunk_index", "chunk")
+          graft.operators.Featurize.appendDocEmbeddings(
+            sidecarDir, ch, "doc_id", "chunk_index", "chunk")
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming CDC upsert loop: every micro-batch lands in the
     * manifest [[graft.operators.ChunkStore]] as three segments —
     * the batch's originals, then its revisions (`doc_id % 7 == 3` →

@@ -125,6 +125,41 @@ class StreamingSpec extends SparkSpec {
     assert(idx.get().sumDl == expectedSumDl)
   }
 
+  test("streamed doc-embedding appends across micro-batches equal the one-shot sidecar") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Featurize
+    val ch = Seq(
+      (1L, 0L, "cat dog cat"), (1L, 1L, "dog bird"),
+      (2L, 0L, "fish fish"),
+      (3L, 0L, "spark join"), (3L, 1L, "join filter"),
+      (4L, 0L, "window exchange"))
+    // base: doc 1; docs 2+3 arrive in batch one, doc 4 in batch two —
+    // a doc's chunks always travel together (the pooling purity contract)
+    val dir = java.nio.file.Files.createTempDirectory("docemb_stream_spec").toString
+    Featurize.meanPoolChunks(
+      ch.filter(_._1 == 1L).toDF("doc_id", "chunk_index", "chunk"),
+      "doc_id", "chunk_index", "chunk")
+      .write.mode("overwrite").parquet(dir)
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDS().toDF("doc_id", "chunk_index", "chunk").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Featurize.appendDocEmbeddings(dir, batch, "doc_id", "chunk_index", "chunk")
+      }
+      .start()
+    try {
+      input.addData(ch.filter(r => r._1 == 2L || r._1 == 3L)); q.processAllAvailable()
+      input.addData(ch.filter(_._1 == 4L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val oneShot = Featurize.meanPoolChunks(
+      ch.toDF("doc_id", "chunk_index", "chunk"), "doc_id", "chunk_index", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed == oneShot, "streamed sidecar must equal the one-shot build exactly")
+  }
+
   test("windowedCounts aggregates a stream into hourly windows (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
