@@ -1894,6 +1894,15 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "multimodal_audio" ->
+      // closed-form twin of the real RIFF encode -> parse -> RMS
+      // pipeline over constant-amplitude PCM (see Multimodal.synthWav)
+      """SELECT doc_id, 'wav' AS format, 1 AS channels, 8000 AS sample_rate,
+        |       CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        |       CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       ROUND(CAST((doc_id % 100) * 300 AS DOUBLE) / 32768.0, 5) AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(sum(l_quantity), 2) AS sum_qty,

@@ -1395,6 +1395,30 @@ object Queries {
 
   // ── D. Multimodal ────────────────────────────────────────────────────
 
+  /** Oracle-verified REAL audio decode
+    * ([[graft.operators.Multimodal.synthWav]] →
+    * [[graft.operators.Multimodal.decode]] →
+    * [[graft.operators.Multimodal.contentFeatures]]): each doc id
+    * becomes a deterministic constant-amplitude PCM WAV, the real RIFF
+    * parser extracts channels/rate/frames/duration and the feature
+    * pass computes RMS over every sample — all of which the DuckDB
+    * twin recomputes in closed form, so the ENTIRE binary
+    * encode→parse→feature pipeline is hash-verified (the D-row's
+    * decode step on a twin-checked path, not only spec-checked).
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val synth = Multimodal.synthWav(docs(s, dir).select("doc_id"), "doc_id")
+    val dec = Multimodal.decode(synth, "content")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.channels").as("channels"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").cast("long").as("n_frames"),
+        col("meta.duration_ms").as("duration_ms"))
+    val feats = Multimodal.contentFeatures(synth, "content", "doc_id")
+      .select(col("doc_id"), round(col("rms"), 5).as("rms"))
+    dec.join(feats, "doc_id").orderBy("doc_id")
+  }
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal
       .features(

@@ -67,6 +67,7 @@ object SparkEntry {
     "lsh_query"           -> (Queries.lshQuery(_, _)),
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
+    "multimodal_audio"    -> (Queries.multimodalAudio(_, _)),
     // E. text analysis
     "text_stats"          -> (Queries.textStats(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),

@@ -101,6 +101,40 @@ object Multimodal {
       (length(col(binCol)).cast("long") % 480).as("fake_h")
     )
 
+  /** Deterministic WAV synthesis for the oracle-verified REAL-decode
+    * path: doc id → a mono 16-bit PCM clip (8 kHz,
+    * nFrames = 100 + id % 400, constant amplitude (id % 100) · 300).
+    * Constant-amplitude PCM has closed-form decoded facts — frame
+    * count, duration, and an EXACT RMS of amp/32768 (a·a and √ are
+    * exact in IEEE for these integers, /2¹⁵ is a power-of-two scale)
+    * — so a SQL twin can hash-verify the full RIFF encode → parse →
+    * feature pipeline end to end.
+    */
+  def synthWav(df: DataFrame, idCol: String, sampleRate: Int = 8000): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val nFrames = (100 + id % 400).toInt
+        val amp = ((id % 100) * 300).toShort
+        val dataLen = nFrames * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(sampleRate)
+          .putInt(sampleRate * 2).putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < nFrames) { bb.putShort(amp); i += 1 }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** REAL decode over the JDK-codec formats: adds a nullable
     * [[DecodedSchema]] `meta` struct. One mapPartitions pass, one
     * codec-session init per partition (the ImageIO headless/cache
