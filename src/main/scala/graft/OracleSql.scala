@@ -1903,6 +1903,21 @@ object OracleSql {
         |       ROUND(CAST((doc_id % 100) * 300 AS DOUBLE) / 32768.0, 5) AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "multimodal_image" ->
+      // closed-form twin of the real PNG encode -> ImageIO decode ->
+      // pixel-mean pipeline over solid-color images (Multimodal.synthPng)
+      """SELECT doc_id, 'png' AS format,
+        |       CAST(4 + doc_id % 16 AS INTEGER) AS width,
+        |       CAST(3 + doc_id % 8 AS INTEGER) AS height,
+        |       3 AS channels,
+        |       ROUND(CAST((doc_id * 3) % 256 AS DOUBLE), 5) AS mean_r,
+        |       ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 5) AS mean_g,
+        |       ROUND(CAST((doc_id * 11) % 256 AS DOUBLE), 5) AS mean_b,
+        |       ROUND(0.299 * CAST((doc_id * 3) % 256 AS DOUBLE)
+        |             + 0.587 * CAST((doc_id * 7) % 256 AS DOUBLE)
+        |             + 0.114 * CAST((doc_id * 11) % 256 AS DOUBLE), 5) AS luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(sum(l_quantity), 2) AS sum_qty,

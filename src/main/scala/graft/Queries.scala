@@ -1419,6 +1419,25 @@ object Queries {
     dec.join(feats, "doc_id").orderBy("doc_id")
   }
 
+  /** [[multimodalAudio]]'s image sibling: deterministic solid-color
+    * PNG per doc through the REAL ImageIO decode + pixel-mean feature
+    * pass; PNG is lossless so every decoded fact has a closed form the
+    * twin recomputes — the image half of the D-row's decode machinery
+    * on a hash-verified path.
+    */
+  def multimodalImage(s: SparkSession, dir: String): DataFrame = {
+    val synth = Multimodal.synthPng(docs(s, dir).select("doc_id"), "doc_id")
+    val dec = Multimodal.decode(synth, "content")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"))
+    val feats = Multimodal.contentFeatures(synth, "content", "doc_id")
+      .select(col("doc_id"), round(col("mean_r"), 5).as("mean_r"),
+        round(col("mean_g"), 5).as("mean_g"), round(col("mean_b"), 5).as("mean_b"),
+        round(col("luma"), 5).as("luma"))
+    dec.join(feats, "doc_id").orderBy("doc_id")
+  }
+
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal
       .features(

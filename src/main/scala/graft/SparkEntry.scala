@@ -68,6 +68,7 @@ object SparkEntry {
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     "multimodal_audio"    -> (Queries.multimodalAudio(_, _)),
+    "multimodal_image"    -> (Queries.multimodalImage(_, _)),
     // E. text analysis
     "text_stats"          -> (Queries.textStats(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),

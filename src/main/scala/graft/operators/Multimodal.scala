@@ -135,6 +135,34 @@ object Multimodal {
     }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Deterministic PNG synthesis — [[synthWav]]'s image sibling: doc
+    * id → a solid-color RGB PNG (width 4 + id % 16, height 3 + id % 8,
+    * color ((id·3) % 256, (id·7) % 256, (id·11) % 256)). PNG is
+    * lossless, so the decoded facts — dimensions, channel count, and
+    * per-channel pixel means (exactly the constant color) — have
+    * closed forms a SQL twin can recompute, hash-verifying the real
+    * ImageIO decode + feature pipeline end to end.
+    */
+  def synthPng(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      imageIoInit()
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (w, h) = ((4 + id % 16).toInt, (3 + id % 8).toInt)
+        val rgb = (((id * 3) % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) | ((id * 11) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** REAL decode over the JDK-codec formats: adds a nullable
     * [[DecodedSchema]] `meta` struct. One mapPartitions pass, one
     * codec-session init per partition (the ImageIO headless/cache
