@@ -34,6 +34,11 @@ object OracleArtifacts {
     */
   @volatile var annIncremental: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** Same shape from ann_deleted (probe over the tombstone-filtered
+    * persisted layout).
+    */
+  @volatile var annDeleted: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** IVF centroids from ann_batch_probe (cells are per-query, computed
     * in SQL by the twin itself).
     */
@@ -90,7 +95,7 @@ object OracleArtifacts {
   @volatile var clusterTopics: Option[Array[Array[Double]]] = None
 
   def clear(): Unit = {
-    ann = None; annIncremental = None; annBatch = None; annBatchSq = None
+    ann = None; annIncremental = None; annDeleted = None; annBatch = None; annBatchSq = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
     semdedup = None; clusterTopics = None

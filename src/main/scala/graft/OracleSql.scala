@@ -450,6 +450,13 @@ object OracleSql {
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val annDeletedEntries = OracleArtifacts.annDeleted.toSeq.map { case (cents, cells) =>
+      "ann_deleted" ->
+        s"""WITH ${annCtes(cents)}
+           |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
+           |FROM asg, q WHERE cluster IN (${cells.mkString(", ")}) AND vec_id % 10 <> 3
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val pqEntries = OracleArtifacts.pq.toSeq.map { case (model, table) =>
       val sub = model.dim / model.m
       val dlCols = (0 until model.m).map { j =>
@@ -774,7 +781,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

@@ -1834,6 +1834,28 @@ object Queries {
       nProbe = 3, topK = 10)
   }
 
+  /** DELETE-aware persisted probe — the reference's `delete_document`
+    * (store.py:237) at the INDEX level: deletions append to a
+    * tombstone sidecar ([[graft.operators.Ann.deleteFromIndex]],
+    * merge-on-read like the ChunkStore), and the probe anti-joins the
+    * broadcast tombstone set INSIDE the pruned scan so all k results
+    * are live ([[graft.operators.Ann.probePersistedLive]]). The twin
+    * runs the same assignment chain with the tombstone predicate
+    * applied before ranking.
+    */
+  def annDeleted(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_del").resolve("idx").toString
+    Ann.writeIndex(index, path)
+    Ann.deleteFromIndex(s, path,
+      embs(s, dir).filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.annDeleted = Some((index.centroids, cells))
+    Ann.probePersistedLive(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
+      nProbe = 3, topK = 10)
+  }
+
   /** PREFILTERED persisted-IVF probe — the reference's filtered vector
     * search (server.py metadata filters + LanceDB prefilter): the
     * `label IN (2, 5)` predicate lands inside the partition-pruned

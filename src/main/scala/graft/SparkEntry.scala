@@ -119,6 +119,7 @@ object SparkEntry {
     "bpe_tokens"          -> (Queries.bpeTokens(_, _)),
     "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
+    "ann_deleted"         -> (Queries.annDeleted(_, _)),
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
     "ann_batch_persisted" -> (Queries.annBatchPersisted(_, _)),

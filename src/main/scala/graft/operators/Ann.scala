@@ -147,6 +147,47 @@ object Ann {
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("append").parquet(path)
 
+  /** DELETE maintenance for a persisted layout: deletions land as an
+    * append-only TOMBSTONE sidecar (`<path>/_tombstones` — the
+    * underscore prefix keeps it invisible to the data scan), never a
+    * partition rewrite. This is merge-on-read applied to the index —
+    * the exact analog of the ChunkStore's tombstone segments, and the
+    * only delete shape that works on a continuously-probed 100 TB
+    * layout (rewriting a cluster partition per delete batch would
+    * churn the files every probe prunes over).
+    */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(idCol).distinct().coalesce(1)
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  /** Probe serving only LIVE rows: the tombstone set (small next to
+    * the corpus — deletes are rare) broadcast-ANTI-joins inside the
+    * partition-pruned scan, BEFORE the top-k heap, so all k results
+    * are live; filtering the unfiltered top-k afterwards could come
+    * back short. Compaction = [[writeIndex]] over the live rows once
+    * tombstones accumulate, which also clears the sidecar.
+    */
+  def probePersistedLive(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      topK: Int
+  ): DataFrame = {
+    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
+    val tomb = spark.read.parquet(s"$path/_tombstones")
+    val live = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(cells))
+      .join(org.apache.spark.sql.functions.broadcast(tomb), Seq(idCol), "left_anti")
+    Search
+      .knnTopK(live, queryDf, vecCol, queryVec, idCol, topK)
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
+  }
+
   final case class MaintenanceReport(deltaCost: Double, baseCost: Double, rebuilt: Boolean)
 
   /** Drift-aware maintenance policy: append the delta under the existing

@@ -187,4 +187,24 @@ class AnnSpec extends SparkSpec {
     val inMemHasDelta = inMem.exists(_._1 % 10 == 7)
     assert(persistedHasDelta == inMemHasDelta)
   }
+
+  test("ann_deleted: tombstoned rows never surface and live top-k back-fills to k") {
+    val out = Queries.annDeleted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length == 10, "anti-join before the heap must back-fill to k")
+    assert(out.forall(_._1 % 10 != 3), s"tombstoned ids surfaced: ${out.toSeq}")
+    // equals the from-scratch probe over the corpus minus the deleted set
+    val embs = Tables.embeddings(spark, sf)
+    val live = embs.filter(col("vec_id") % 10 =!= 3)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val cells = Ann.nearestCells(
+      index.centroids, Ann.queryVector(queryDf, "q_vec"), nProbe = 3)
+    val expected = graft.operators.Search
+      .knnTopK(Ann.assign(live, "embedding", index.centroids)
+        .filter(col("cluster").isInCollection(cells)),
+        queryDf, "embedding", "q_vec", "vec_id", 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(out.toSeq == expected.toSeq, s"live probe diverges:\n${out.toSeq}\n${expected.toSeq}")
+  }
 }
