@@ -248,9 +248,12 @@ object OracleSql {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
-  /** BM25 scoring CTEs (k1=1.2, b=0.75) — twin of Search.bm25Scores. */
-  private val bm25Cte: String =
-    s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+  /** BM25 scoring CTEs (k1=1.2, b=0.75) — twin of Search.bm25Scores,
+    * over `documents` restricted by `where` (empty = whole corpus; a
+    * tombstone predicate for the delete-maintenance twin).
+    */
+  private def bm25CteOver(where: String): String =
+    s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents $where),
        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
        |qt AS (SELECT doc_id, term FROM tok WHERE term IN ($queryTermsSql)),
@@ -261,6 +264,8 @@ object OracleSql {
        |             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
        |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |       GROUP BY tf.doc_id)""".stripMargin
+
+  private val bm25Cte: String = bm25CteOver("")
 
   /** Twin of Fts.probeBatch over Queries.BatchTextQueries: the same
     * scoring CTEs as bm25Cte, parameterized per query via a VALUES
@@ -929,6 +934,13 @@ object OracleSql {
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "bm25_batch" -> bm25BatchSql,
+
+    "bm25_deleted" ->
+      // Twin of the tombstone-maintained index: BM25 over the LIVE
+      // corpus — df/N/avgdl all shrink with the deletes, which is what
+      // the anti-joined probe + exact stat decrements reproduce.
+      s"""WITH ${bm25CteOver("WHERE doc_id % 10 <> 3")}
+         |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "bm25_phrase" ->
       s"""WITH $bm25Cte,

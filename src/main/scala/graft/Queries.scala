@@ -174,6 +174,25 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  private val delFtsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
+
+  /** DELETE maintenance on the FTS index
+    * ([[graft.operators.Fts.deleteFromIndex]], the text-side sibling
+    * of [[annDeleted]]): doc_id % 10 == 3 tombstones append to a clone
+    * of the cached full index; the probe anti-joins them before the
+    * df count and the returned stats shrink exactly, so scores over
+    * the live corpus hash-match a from-scratch build over it (the
+    * twin computes BM25 over `documents` minus the deleted set).
+    */
+  def bm25Deleted(s: SparkSession, dir: String): DataFrame = {
+    val idx = delFtsCache.computeIfAbsent(dir, _ =>
+      Fts.deleteFromIndex(s,
+        Fts.cloneIndex(Fts.buildCached(dir, docs(s, dir), "text", "doc_id")),
+        docs(s, dir).filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id"))
+    Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
+  }
+
   /** SNIPPET extraction for the serving path: the BM25 top-10 each
     * return a ±3-token highlight window around the document's FIRST
     * query-term occurrence (what a search UI renders under the title).

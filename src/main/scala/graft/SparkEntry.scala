@@ -130,6 +130,7 @@ object SparkEntry {
     "maxsim_search"       -> (Queries.maxsimSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "bm25_incremental"    -> (Queries.bm25Incremental(_, _)),
+    "bm25_deleted"        -> (Queries.bm25Deleted(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),

@@ -90,6 +90,29 @@ object Fts {
     }
   }
 
+  /** DELETE maintenance (the FTS face of
+    * [[graft.operators.Ann.deleteFromIndex]]): deletions land as an
+    * append-only tombstone sidecar under the layout — never a segment
+    * rewrite — and the corpus stats decrement EXACTLY: each deleted
+    * doc's token count (`dl`) rides its own posting rows, so one
+    * semi-joined scan recovers the batch's (docs, Σdl) and the
+    * returned Index scores the live corpus bit-identically to a
+    * from-scratch build over it (df shrinks in [[probe]]'s anti-joined
+    * scan; N/avgdl shrink here). Contract: delete each id at most
+    * once — stats are decremented per CALL from `ids`, while the
+    * sidecar accumulates. Compaction = [[build]] over the live docs.
+    */
+  def deleteFromIndex(spark: SparkSession, index: Index, ids: DataFrame, idCol: String): Index = {
+    val del = ids.select(idCol).distinct()
+    del.coalesce(1).write.mode("append").parquet(s"${index.dir}/_tombstones")
+    val st = spark.read.parquet(s"${index.dir}/postings")
+      .join(broadcast(del), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double"), sum("dl")).head()
+    if (st.isNullAt(1)) index
+    else Index(index.dir, index.nDocs - st.getDouble(0), index.sumDl - st.getDouble(1))
+  }
+
   /** Hardlink-clone a persisted index layout into a fresh directory so
     * a caller can APPEND deltas without mutating the shared base — an
     * O(#files) metadata operation, no data copied (segment files are
@@ -100,7 +123,9 @@ object Fts {
     */
   def cloneIndex(index: Index): Index = {
     val dst = java.nio.file.Files.createTempDirectory("graft_fts_clone_")
-    Seq("postings", "docdims", "docnorms").foreach { sub =>
+    val subs = Seq("postings", "docdims", "docnorms") ++
+      Seq("_tombstones").filter(t => java.nio.file.Files.exists(java.nio.file.Paths.get(index.dir, t)))
+    subs.foreach { sub =>
       val from = java.nio.file.Paths.get(index.dir, sub)
       val to = dst.resolve(sub)
       java.nio.file.Files.createDirectories(to)
@@ -233,8 +258,16 @@ object Fts {
       b: Double = 0.75
   ): DataFrame = {
     def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
-    val p = spark.read.parquet(s"${index.dir}/postings")
+    val p0 = spark.read.parquet(s"${index.dir}/postings")
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan; prunes sorted row groups
+    // an index with tombstones serves the LIVE corpus: the anti-join
+    // sits before the df count and tf pivot, so df shrinks with the
+    // deletes exactly as a from-scratch build over live docs would
+    val tombDir = java.nio.file.Paths.get(index.dir, "_tombstones")
+    val p =
+      if (java.nio.file.Files.exists(tombDir))
+        p0.join(broadcast(spark.read.parquet(tombDir.toString)), Seq(idCol), "left_anti")
+      else p0
     val pivotAggs = first(col("dl")).as("dl") +:
       queryTerms.map(t => sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(tfCol(t)))
     val perDoc = p.groupBy(col(idCol)).agg(pivotAggs.head, pivotAggs.tail: _*)

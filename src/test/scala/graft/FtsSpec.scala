@@ -134,4 +134,23 @@ class FtsSpec extends SparkSpec {
     val top = Fts.probe(spark, idx2, "doc_id", Seq("cat"), k = 1).collect().head
     assert(top.getLong(0) == 5L, "the new all-cat doc must rank first after rebuild")
   }
+
+  test("deleteFromIndex: tombstoned probe scores bit-identically to a live-only rebuild") {
+    val dir = Files.createTempDirectory("graft_fts_del").toString
+    val full = Fts.build(docsFixture, "text", "doc_id", dir)
+    val deleted = Fts.deleteFromIndex(spark, full,
+      docsFixture.filter(col("doc_id") === 3L).select("doc_id"), "doc_id")
+    // stats shrink exactly: doc 3 had 3 tokens
+    assert(deleted.nDocs == 3.0 && deleted.sumDl == full.sumDl - 3.0)
+    val got = Fts.probe(spark, deleted, "doc_id", Seq("cat", "dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!got.exists(_._1 == 3L), "tombstoned doc must not surface")
+    // from-scratch build over the live corpus: same ids AND same scores
+    // (df for 'dog' shrinks from 3 to 2 — the idf must move with it)
+    val live = Fts.build(docsFixture.filter(col("doc_id") =!= 3L), "text", "doc_id",
+      Files.createTempDirectory("graft_fts_live").toString)
+    val expect = Fts.probe(spark, live, "doc_id", Seq("cat", "dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"tombstoned vs rebuilt diverge:\n$got\n$expect")
+  }
 }
