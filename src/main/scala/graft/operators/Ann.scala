@@ -179,10 +179,16 @@ object Ann {
       topK: Int
   ): DataFrame = {
     val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
-    val tomb = spark.read.parquet(s"$path/_tombstones")
-    val live = spark.read.parquet(path)
-      .filter(col("cluster").isInCollection(cells))
-      .join(org.apache.spark.sql.functions.broadcast(tomb), Seq(idCol), "left_anti")
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    // delete-free layouts have no sidecar: skip the anti-join instead of
+    // failing the listing (mirrors Fts.probe's guard)
+    val tombDir = java.nio.file.Paths.get(path, "_tombstones")
+    val live =
+      if (java.nio.file.Files.exists(tombDir))
+        pruned.join(
+          org.apache.spark.sql.functions.broadcast(spark.read.parquet(tombDir.toString)),
+          Seq(idCol), "left_anti")
+      else pruned
     Search
       .knnTopK(live, queryDf, vecCol, queryVec, idCol, topK)
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))

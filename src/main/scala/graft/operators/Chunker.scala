@@ -62,8 +62,10 @@ object Chunker {
   /** Whitespace-token length — the default proxy for the reference's
     * HF-tokenizer `len`.
     */
+  private val wsTokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def wsTokenLen(s: String): Int =
-    s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+    wsTokenPattern.split(s.toLowerCase).count(_.nonEmpty)
 
   /** REAL tokenizer length: BPE token count under the checked-in merge
     * table — the faithful analogue of chunker.py:24's `_get_tokenizer`
@@ -88,22 +90,34 @@ object Chunker {
   ): Seq[String] = {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
     var current = scala.collection.mutable.ArrayBuffer.empty[String]
+    // lengths carried alongside so the overlap drain never re-tokenizes
+    // a split it already measured
+    var currentLens = scala.collection.mutable.ArrayBuffer.empty[Int]
     var currentLen = 0
     for (split <- splits) {
       val splitLen = lenFn(split)
       if (currentLen + splitLen > chunkSize && current.nonEmpty) {
         chunks += current.mkString(separator)
         while (current.nonEmpty && currentLen > overlap) {
-          val removed = current.remove(0)
-          currentLen -= lenFn(removed)
+          current.remove(0)
+          currentLen -= currentLens.remove(0)
         }
       }
       current += split
+      currentLens += splitLen
       currentLen += splitLen
     }
     if (current.nonEmpty) chunks += current.mkString(separator)
     chunks.toSeq
   }
+
+  // split patterns compiled ONCE per separator — splitRecursive runs per
+  // (row x separator x recursion level); String.split would recompile the
+  // regex on every call, a pure constant-factor tax on the hot path
+  private val separatorPatterns: Map[String, java.util.regex.Pattern] =
+    Separators.filter(_.nonEmpty)
+      .map(s => s -> java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(s)))
+      .toMap
 
   /** chunker.py:81 `_split_recursive`. */
   private[graft] def splitRecursive(
@@ -118,7 +132,9 @@ object Chunker {
     val remaining = separators.tail
     val splits =
       if (sep.isEmpty) text.map(_.toString)
-      else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      else separatorPatterns.getOrElse(sep,
+        java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(sep)))
+        .split(text, -1).toSeq
     val all = splits.filter(_.nonEmpty).flatMap { s =>
       if (lenFn(s) > chunkSize) splitRecursive(s, remaining, chunkSize, overlap, lenFn)
       else Seq(s)

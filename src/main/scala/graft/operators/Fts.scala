@@ -51,6 +51,39 @@ object Fts {
         java.nio.file.Files.createTempDirectory("graft_fts_").toString)
     )
 
+  // Parquet handles per (session, layout, segment): re-using one
+  // DataFrame instance re-uses its resolved FileIndex, so repeated
+  // probes don't pay file listing + footer/schema resolution per call
+  // (the catalog-table-handle pattern — at cluster scale this is the
+  // metastore's job). Invalidated when the layout mutates (append).
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def segment(spark: SparkSession, dir: String, sub: String): DataFrame =
+    segmentCache.computeIfAbsent((spark, dir, sub), _ => spark.read.parquet(s"$dir/$sub"))
+
+  private def invalidateSegments(dir: String): Unit =
+    segmentCache.keySet.removeIf(k => k._2 == dir)
+
+  /** The layout's LIVE face of one segment: anti-join the tombstone
+    * sidecar when present — shared by ALL probe entry points
+    * ([[probe]], [[probeBatch]], [[semanticProbe]],
+    * [[semanticProbeBatch]]), so a delete is honored uniformly: after
+    * [[deleteFromIndex]] no probe family keeps serving deleted docs.
+    */
+  private def liveSegment(
+      spark: SparkSession,
+      dir: String,
+      sub: String,
+      idCol: String
+  ): DataFrame = {
+    val df = segment(spark, dir, sub)
+    val tombDir = java.nio.file.Paths.get(dir, "_tombstones")
+    if (java.nio.file.Files.exists(tombDir))
+      df.join(broadcast(spark.read.parquet(tombDir.toString)), Seq(idCol), "left_anti")
+    else df
+  }
+
   /** Tokenize once; write term-sorted postings with dl denormalized,
     * plus the semantic sidecar: hashed-BoW doc-dim counts (`docdims`)
     * and per-doc squared norms (`docnorms`) — so the text-query cosine
@@ -59,6 +92,7 @@ object Fts {
     */
   def build(docs: DataFrame, textCol: String, idCol: String, outDir: String): Index = {
     val (n, sumDl) = writeSegments(docs, textCol, idCol, outDir, overwrite = true)
+    invalidateSegments(outDir) // a rebuild replaces the layout
     Index(outDir, n, sumDl)
   }
 
@@ -86,6 +120,7 @@ object Fts {
       // path (periodic `build` compaction restores the global layout)
       val (dn, dSumDl) = writeSegments(newDocs, textCol, idCol, index.dir,
         overwrite = false, parts = 4)
+      invalidateSegments(index.dir) // layout grew: cached handles are stale
       Index(index.dir, index.nDocs + dn, index.sumDl + dSumDl)
     }
   }
@@ -97,18 +132,27 @@ object Fts {
     * doc's token count (`dl`) rides its own posting rows, so one
     * semi-joined scan recovers the batch's (docs, Σdl) and the
     * returned Index scores the live corpus bit-identically to a
-    * from-scratch build over it (df shrinks in [[probe]]'s anti-joined
-    * scan; N/avgdl shrink here). Contract: delete each id at most
-    * once — stats are decremented per CALL from `ids`, while the
-    * sidecar accumulates. Compaction = [[build]] over the live docs.
+    * from-scratch build over it (df shrinks in the probes' anti-joined
+    * scans; N/avgdl shrink here). IDEMPOTENT: ids already tombstoned
+    * (repeat calls, overlapping batches) are anti-joined away before
+    * the stat decrement, so a re-delete is a no-op instead of silent
+    * N/avgdl drift. Compaction = [[build]] over the live docs.
     */
   def deleteFromIndex(spark: SparkSession, index: Index, ids: DataFrame, idCol: String): Index = {
-    val del = ids.select(idCol).distinct()
-    del.coalesce(1).write.mode("append").parquet(s"${index.dir}/_tombstones")
-    val st = spark.read.parquet(s"${index.dir}/postings")
-      .join(broadcast(del), Seq(idCol), "left_semi")
+    val tombPath = s"${index.dir}/_tombstones"
+    val requested = ids.select(idCol).distinct()
+    val fresh =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath)))
+        requested.join(broadcast(spark.read.parquet(tombPath)), Seq(idCol), "left_anti")
+      else requested
+    // stats BEFORE the sidecar append: `fresh` reads the current
+    // tombstone listing lazily, so the decrement must be materialized
+    // while the sidecar still excludes this batch
+    val st = segment(spark, index.dir, "postings")
+      .join(broadcast(fresh), Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double"), sum("dl")).head()
+    fresh.coalesce(1).write.mode("append").parquet(tombPath)
     if (st.isNullAt(1)) index
     else Index(index.dir, index.nDocs - st.getDouble(0), index.sumDl - st.getDouble(1))
   }
@@ -195,8 +239,10 @@ object Fts {
       .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
       .select(TextOps.hashedBowDim(col("term")).as("dim"))
       .groupBy("dim").agg(count(lit(1)).as("qcnt"))
-    val dd = spark.read.parquet(s"${index.dir}/docdims")
-    val dn = spark.read.parquet(s"${index.dir}/docnorms")
+    // anti-joining docdims alone suffices: docnorms joins back inner on
+    // the id, so tombstoned docs can't resurface through the norm table
+    val dd = liveSegment(spark, index.dir, "docdims", idCol)
+    val dn = segment(spark, index.dir, "docnorms")
     val qn = qd.agg(sum(col("qcnt") * col("qcnt")).as("qss"))
     dd.join(broadcast(qd), "dim")
       .groupBy(col(idCol)).agg(sum(col("cnt") * col("qcnt")).as("dot"))
@@ -228,8 +274,8 @@ object Fts {
       .select(col("query_id"), TextOps.hashedBowDim(col("term")).as("dim"))
       .groupBy("query_id", "dim").agg(count(lit(1)).as("qcnt"))
     val qn = qd.groupBy("query_id").agg(sum(col("qcnt") * col("qcnt")).as("qss"))
-    val dd = spark.read.parquet(s"${index.dir}/docdims")
-    val dn = spark.read.parquet(s"${index.dir}/docnorms")
+    val dd = liveSegment(spark, index.dir, "docdims", idCol)
+    val dn = segment(spark, index.dir, "docnorms")
     val scored = dd
       .join(broadcast(qd), "dim")
       .groupBy(col("query_id"), col(idCol))
@@ -258,16 +304,13 @@ object Fts {
       b: Double = 0.75
   ): DataFrame = {
     def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
-    val p0 = spark.read.parquet(s"${index.dir}/postings")
-      .filter(col("term").isin(queryTerms: _*)) // pushed to the scan; prunes sorted row groups
     // an index with tombstones serves the LIVE corpus: the anti-join
     // sits before the df count and tf pivot, so df shrinks with the
-    // deletes exactly as a from-scratch build over live docs would
-    val tombDir = java.nio.file.Paths.get(index.dir, "_tombstones")
-    val p =
-      if (java.nio.file.Files.exists(tombDir))
-        p0.join(broadcast(spark.read.parquet(tombDir.toString)), Seq(idCol), "left_anti")
-      else p0
+    // deletes exactly as a from-scratch build over live docs would;
+    // the term filter still pushes to the scan and prunes sorted row
+    // groups under the anti-join
+    val p = liveSegment(spark, index.dir, "postings", idCol)
+      .filter(col("term").isin(queryTerms: _*))
     val pivotAggs = first(col("dl")).as("dl") +:
       queryTerms.map(t => sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(tfCol(t)))
     val perDoc = p.groupBy(col(idCol)).agg(pivotAggs.head, pivotAggs.tail: _*)
@@ -315,7 +358,7 @@ object Fts {
   ): DataFrame = {
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val p = spark.read.parquet(s"${index.dir}/postings")
+    val p = liveSegment(spark, index.dir, "postings", idCol)
       .filter(col("term").isin(allTerms: _*))
     val qdf = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }

@@ -76,17 +76,35 @@ object Multimodal {
     var dataLen = -1L
     while (pos + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
       val id = new String(b, pos, 4, "US-ASCII")
-      val size = le32(pos + 4)
+      val size = le32(pos + 4) // unsigned: a hostile 0xFFFFFFF8 stays positive
       if (id == "fmt " && pos + 24 <= b.length) {
         val audioFormat = le16(pos + 8)
         if (audioFormat != 1 && audioFormat != 3) return None // PCM / IEEE float only
         fmt = Some((le16(pos + 10), le32(pos + 12).toInt, le16(pos + 22)))
       } else if (id == "data") dataLen = math.min(size, b.length - pos - 8L)
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // word-aligned advance in Long: strictly increasing (size >= 0),
+      // clamped to the buffer — a corrupt/hostile chunk size terminates
+      // the walk, it can never stall it or step backwards
+      pos = math.min(pos.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
     }
     fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
       WavMeta(ch, rate, bits, dataLen / (ch * bits / 8))
     }
+  }
+
+  /** Offset of the `data` chunk's payload, or -1 — same hardened RIFF
+    * walk as [[parseWav]] (unsigned sizes, monotonic clamped advance).
+    */
+  private def findDataChunk(b: Array[Byte]): Int = {
+    def le32(i: Int) = ((b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+      ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24))
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      if (new String(b, pos, 4, "US-ASCII") == "data") return pos + 8
+      val size = le32(pos + 4)
+      pos = math.min(pos.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
+    }
+    -1
   }
 
   /** Cheap, fully-expression-based features over a binary column —
@@ -180,9 +198,11 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val meta: Row = sniff(bytes) match {
           case "wav" =>
-            parseWav(bytes)
+            // same never-kill-the-stage contract as the image branch
+            try parseWav(bytes)
               .map(w => Row("wav", 0, 0, w.nFrames.toInt, w.channels, w.sampleRate, w.durationMs))
               .orNull
+            catch { case _: Exception => null }
           case f @ ("png" | "jpeg" | "gif" | "bmp") =>
             try {
               val in = javax.imageio.ImageIO.createImageInputStream(
@@ -276,28 +296,20 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val feats: Seq[Any] = sniff(bytes) match {
           case "wav" =>
-            parseWav(bytes) match {
+            // same never-kill-the-stage contract as the image branch
+            try parseWav(bytes) match {
               case Some(w) if w.bitsPerSample == 16 && w.nFrames > 0 =>
                 // 16-bit PCM RMS over all samples, normalized by 32768
-                val start = {
-                  var pos = 12; var dataAt = -1
-                  while (pos + 8 <= bytes.length && dataAt < 0) {
-                    val id = new String(bytes, pos, 4, "US-ASCII")
-                    val size = ((bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
-                      ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24))
-                    if (id == "data") dataAt = pos + 8 else pos += 8 + size + (size & 1)
-                  }
-                  dataAt
-                }
+                val start = findDataChunk(bytes)
                 val n = (w.nFrames * w.channels).toInt
                 var ss = 0.0; var i = 0
-                while (i < n && start + 2 * i + 1 < bytes.length) {
+                while (start >= 0 && i < n && start + 2 * i + 1 < bytes.length) {
                   val s = ((bytes(start + 2 * i) & 0xff) | (bytes(start + 2 * i + 1) << 8)).toShort
                   ss += s.toDouble * s; i += 1
                 }
                 Seq("audio", null, null, null, null, math.sqrt(ss / math.max(i, 1)) / 32768.0)
               case _ => Seq("audio", null, null, null, null, null)
-            }
+            } catch { case _: Exception => Seq("audio", null, null, null, null, null) }
           case "png" | "jpeg" | "gif" | "bmp" =>
             try {
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -353,15 +365,51 @@ object Multimodal {
                 try {
                   rd.setInput(in)
                   val n = math.max(rd.getNumImages(true), 1)
+                  // GIF partial-frame updates carry per-frame left/top
+                  // offsets in the ImageDescriptor; compositing them at
+                  // (0,0) would place partial frames wrong
+                  def frameOffset(i: Int): (Int, Int) =
+                    try {
+                      val root = rd.getImageMetadata(i)
+                        .getAsTree("javax_imageio_gif_image_1.0")
+                        .asInstanceOf[org.w3c.dom.Element]
+                      val ds = root.getElementsByTagName("ImageDescriptor")
+                      if (ds.getLength == 0) (0, 0)
+                      else {
+                        val e = ds.item(0).asInstanceOf[org.w3c.dom.Element]
+                        (e.getAttribute("imageLeftPosition").toInt,
+                          e.getAttribute("imageTopPosition").toInt)
+                      }
+                    } catch { case _: Exception => (0, 0) }
+                  // canvas = the logical screen, not frame 0's bounds
+                  val screen: Option[(Int, Int)] =
+                    try {
+                      val root = rd.getStreamMetadata
+                        .getAsTree("javax_imageio_gif_stream_1.0")
+                        .asInstanceOf[org.w3c.dom.Element]
+                      val ls = root.getElementsByTagName("LogicalScreenDescriptor")
+                      if (ls.getLength == 0) None
+                      else {
+                        val e = ls.item(0).asInstanceOf[org.w3c.dom.Element]
+                        val (w, h) = (e.getAttribute("logicalScreenWidth").toInt,
+                          e.getAttribute("logicalScreenHeight").toInt)
+                        if (w > 0 && h > 0) Some((w, h)) else None
+                      }
+                    } catch { case _: Exception => None }
                   var canvas: java.awt.image.BufferedImage = null
                   (0 until n).flatMap { i =>
                     val frame = rd.read(i)
-                    if (canvas == null)
+                    val (ox, oy) = frameOffset(i)
+                    if (canvas == null) {
+                      val (cw, ch) = screen.getOrElse(
+                        (frame.getWidth + ox, frame.getHeight + oy))
                       canvas = new java.awt.image.BufferedImage(
-                        frame.getWidth, frame.getHeight,
+                        math.max(cw, frame.getWidth + ox),
+                        math.max(ch, frame.getHeight + oy),
                         java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    }
                     val g = canvas.createGraphics()
-                    try g.drawImage(frame, 0, 0, null) finally g.dispose()
+                    try g.drawImage(frame, ox, oy, null) finally g.dispose()
                     if (i % everyN == 0) {
                       val bos = new java.io.ByteArrayOutputStream()
                       javax.imageio.ImageIO.write(canvas, "png", bos)

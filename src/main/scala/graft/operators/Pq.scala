@@ -27,6 +27,34 @@ object Pq {
     */
   final case class Model(m: Int, dim: Int, codebooks: Array[Array[Array[Double]]])
 
+  // A PQ codebook is a fitted model: trained once per (corpus, params),
+  // reused by every encode/probe — the exact contract of Ann.buildCached
+  // for the IVF centroids. Without this memo a "probe" pays the
+  // driver-side Lloyd's fit on every call (the round-7 ann_batch_pq
+  // defect: warm == cold because each probe re-trained the codebook).
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int, Int, Int, Long), Model]()
+
+  /** Memoizing [[train]] keyed on (data key, columns, m, codes,
+    * sampleSize, iters, seed). `dataKey` identifies the corpus (e.g.
+    * the parquet dir), mirroring [[Ann.buildCached]].
+    */
+  def trainCached(
+      dataKey: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      codes: Int = 16,
+      sampleSize: Int = 4096,
+      iters: Int = 15,
+      seed: Long = 42L
+  ): Model =
+    modelCache.computeIfAbsent(
+      (dataKey, vecCol, idCol, m, codes, sampleSize, iters, seed),
+      _ => train(df, vecCol, idCol, m, codes, sampleSize, iters, seed)
+    )
+
   /** Train codebooks with a seeded local Lloyd's over a sample.
     * Deterministic: sample = first `sampleSize` rows by id order.
     */

@@ -207,4 +207,21 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
     assert(out.toSeq == expected.toSeq, s"live probe diverges:\n${out.toSeq}\n${expected.toSeq}")
   }
+
+  test("probePersistedLive works on a delete-free layout (no tombstone sidecar)") {
+    val embs = Tables.embeddings(spark, sf)
+    val queryDf = embs.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_nodelete").resolve("idx").toString
+    Ann.writeIndex(index, path)
+    // never deleted from: the live probe must equal the plain persisted probe
+    val live = Ann.probePersistedLive(spark, path, index.centroids,
+      queryDf, "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val plain = Ann.probePersisted(spark, path, index.centroids,
+      queryDf, "q_vec", "embedding", "vec_id", nProbe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(live == plain, s"delete-free live probe diverges:\n$live\n$plain")
+  }
 }

@@ -153,4 +153,49 @@ class FtsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == expect, s"tombstoned vs rebuilt diverge:\n$got\n$expect")
   }
+
+  test("deleteFromIndex is idempotent: re-deleting tombstoned ids never drifts the stats") {
+    val dir = Files.createTempDirectory("graft_fts_del_idem").toString
+    val full = Fts.build(docsFixture, "text", "doc_id", dir)
+    val once = Fts.deleteFromIndex(spark, full,
+      docsFixture.filter(col("doc_id") === 3L).select("doc_id"), "doc_id")
+    // same id again, plus an overlapping batch: stats must not move twice
+    val twice = Fts.deleteFromIndex(spark, once,
+      docsFixture.filter(col("doc_id") === 3L).select("doc_id"), "doc_id")
+    assert(twice.nDocs == once.nDocs && twice.sumDl == once.sumDl,
+      s"re-delete drifted stats: $twice vs $once")
+    val overlap = Fts.deleteFromIndex(spark, twice,
+      docsFixture.filter(col("doc_id").isin(3L, 2L)).select("doc_id"), "doc_id")
+    assert(overlap.nDocs == once.nDocs - 1 && overlap.sumDl == once.sumDl - 2.0,
+      s"overlapping batch must decrement only the fresh id: $overlap")
+    val got = Fts.probe(spark, overlap, "doc_id", Seq("cat", "dog"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!got.contains(3L) && !got.contains(2L))
+  }
+
+  test("ALL probe families honor tombstones: probeBatch and the semantic sidecar probes") {
+    val dir = Files.createTempDirectory("graft_fts_del_all").toString
+    val full = Fts.build(docsFixture, "text", "doc_id", dir)
+    val deleted = Fts.deleteFromIndex(spark, full,
+      docsFixture.filter(col("doc_id") === 4L).select("doc_id"), "doc_id")
+    val batch = Fts.probeBatch(spark, deleted, "doc_id",
+      Seq(0L -> Seq("bird"), 1L -> Seq("cat", "fish")), k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!batch.contains(4L), "probeBatch served a deleted doc")
+    val sem = Fts.semanticProbe(spark, deleted, "doc_id", "bird cat fish", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!sem.contains(4L), "semanticProbe served a deleted doc")
+    val semBatch = Fts.semanticProbeBatch(spark, deleted, "doc_id",
+      Seq(0L -> "bird cat", 1L -> "dog fish"), k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!semBatch.contains(4L), "semanticProbeBatch served a deleted doc")
+    // batch probe scores over the live corpus equal a live-only rebuild
+    val live = Fts.build(docsFixture.filter(col("doc_id") =!= 4L), "text", "doc_id",
+      Files.createTempDirectory("graft_fts_live_all").toString)
+    val got = Fts.probeBatch(spark, deleted, "doc_id", Seq(0L -> Seq("cat", "dog")), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val expect = Fts.probeBatch(spark, live, "doc_id", Seq(0L -> Seq("cat", "dog")), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, s"live-face batch probe diverges from rebuild:\n$got\n$expect")
+  }
 }

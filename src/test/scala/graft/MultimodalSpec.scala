@@ -139,4 +139,71 @@ class MultimodalSpec extends SparkSpec {
     assert(single(1L) == 1 && single(2L) == 1 && single(3L) == 3)
     assert(!single.contains(4L) && !single.contains(5L))
   }
+
+  /** Animated GIF whose second frame is a 2×2 white PARTIAL update at
+    * image-descriptor offset (6, 4) on a 10×8 black screen.
+    */
+  private def offsetGif(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(out)
+    wr.prepareWriteSequence(null)
+    val f0 = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    wr.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+    val f1 = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) f1.setRGB(x, y, 0xFFFFFF)
+    val md = wr.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f1), null)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val d = root.getElementsByTagName("ImageDescriptor").item(0)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    d.setAttribute("imageLeftPosition", "6")
+    d.setAttribute("imageTopPosition", "4")
+    md.setFromTree(fmt, root)
+    wr.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
+    wr.endWriteSequence(); wr.dispose(); out.close()
+    bos.toByteArray
+  }
+
+  test("frameSample composites GIF partial-frame updates at their descriptor offsets") {
+    val df = Seq((1L, offsetGif())).toDF("id", "content")
+    val out = Multimodal.frameSample(df, "content", everyN = 1)
+      .select("frame_idx", "frame_png").collect().sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1))
+    val composed = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]](1)))
+    // canvas keeps the logical screen, the patch lands at (6,4)..(8,6)
+    assert(composed.getWidth == 10 && composed.getHeight == 8,
+      s"canvas ${composed.getWidth}x${composed.getHeight} != logical screen 10x8")
+    assert((composed.getRGB(7, 5) & 0xFFFFFF) == 0xFFFFFF, "patch pixel must be white")
+    assert((composed.getRGB(0, 0) & 0xFFFFFF) == 0x000000, "outside the patch stays black")
+    assert((composed.getRGB(1, 1) & 0xFFFFFF) == 0x000000,
+      "a (0,0)-composited patch would have painted here")
+  }
+
+  test("hostile RIFF chunk sizes terminate the walk: decode survives with NULL meta") {
+    // chunk declares size 0xFFFFFFF8 (negative as int32, 0-advance under
+    // the old signed arithmetic); the walk must clamp and exit
+    def riff(junkSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(28).put("WAVE".getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(junkSize)
+      bb.array()
+    }
+    val hostile = Seq(
+      (1L, riff(0xFFFFFFF8)),          // stall case under signed advance
+      (2L, riff(Int.MinValue)),        // negative-pos case
+      (3L, riff(7))                    // size past the buffer
+    ).toDF("id", "content")
+    val metas = Multimodal.decode(hostile, "content")
+      .select("id", "meta").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(metas.size == 3 && metas.values.forall(_ == null),
+      s"hostile WAVs must yield NULL meta, got $metas")
+    val feats = Multimodal.contentFeatures(hostile, "content", "id")
+      .select("id", "rms").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(feats.size == 3 && feats.values.forall(_ == null))
+  }
 }
