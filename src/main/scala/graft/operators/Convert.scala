@@ -15,10 +15,12 @@ import scala.jdk.CollectionConverters._
   * OOXML family via java.util.zip — DOCX ([[docxToText]],
   * word/document.xml runs), PPTX ([[pptxToText]], one page per slide)
   * and XLSX ([[xlsxToText]], shared strings resolved, one page per
-  * sheet). Each returns None on inputs outside its honest subset
-  * (encrypted, image-only, exotic encodings) and falls back to the
-  * documented deterministic stub; legacy binary formats (doc/ppt/xls,
-  * media) stay stubbed — their parsers are not in this container.
+  * sheet). The legacy OLE2 family (doc/ppt/xls) extracts for real via
+  * the pure-JVM CFB container parser in [[Ole]]. Each returns None on
+  * inputs outside its honest subset (encrypted, image-only, exotic
+  * encodings) and falls back to the documented deterministic stub;
+  * only media (images/audio handled by [[Multimodal]], video) stays
+  * stubbed here — no codec in this container.
   *
   * Runs ONCE per ingested file (bounded by file count, not corpus
   * rows), so a scalar function over the converted column is the right
@@ -509,6 +511,9 @@ object Convert {
       case "xlsx"         => xlsxToText(bytes).getOrElse(fallback)
       case "rtf"          => rtfToText(bytes).getOrElse(fallback)
       case "zip"          => zipToText(bytes).getOrElse(fallback)
+      case "doc"          => Ole.docToText(bytes).getOrElse(fallback)
+      case "ppt"          => Ole.pptToText(bytes).getOrElse(fallback)
+      case "xls"          => Ole.xlsToText(bytes).getOrElse(fallback)
       case _              => fallback
     }
   }

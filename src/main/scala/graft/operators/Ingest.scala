@@ -30,12 +30,13 @@ object Ingest {
   )
 
   /** Formats [[Convert]] extracts for real (pdf = the uncompressed/
-    * FlateDecode text subset; docx/pptx/xlsx via java.util.zip; rtf —
+    * FlateDecode text subset; docx/pptx/xlsx via java.util.zip; rtf;
+    * legacy OLE doc/ppt/xls via the pure-JVM CFB parser in [[Ole]] —
     * each with stub fallback outside its honest subset); the rest
-    * (legacy OLE doc/ppt/xls, media, zip) stub.
+    * (media) stub.
     */
   private val Convertible = Set("txt", "md", "csv", "json", "xml", "html",
-    "htm", "pdf", "docx", "pptx", "xlsx", "rtf", "zip")
+    "htm", "pdf", "docx", "pptx", "xlsx", "rtf", "zip", "doc", "ppt", "xls")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the

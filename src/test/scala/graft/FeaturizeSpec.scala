@@ -307,4 +307,77 @@ class FeaturizeSpec extends SparkSpec {
     val asQuery = Featurize.onnxEmbedder(isQuery = true)()(text)
     assert(!asDoc.sameElements(asQuery), "doc/query prefixes must change the embedding")
   }
+
+  test("embed_encoder query: FULL registered output matches an independent recomputation") {
+    // The registered query has no DuckDB twin (softmax/layernorm are
+    // transcendental), so this is its quantitative gate: every
+    // (doc_id, dim) of Queries.embedEncoder over the whole corpus is
+    // recomputed INDEPENDENTLY — BPE → id hash → the block math in
+    // plain Scala (no OnnxMini) → mean-pool → L2 → round(5) — and must
+    // agree within half a 5dp rounding step.
+    import graft.functions.{OnnxFixture => F}
+    import graft.operators.Bpe
+    type M = Vector[Vector[Double]]
+    def mm(a: M, b: M): M =
+      a.map(r => b.transpose.map(c => r.lazyZip(c).map(_ * _).sum))
+    def mat(f: (Int, Int) => Int): M =
+      Vector.tabulate(F.HeadDims, F.HeadDims)((i, j) => f(i, j).toDouble)
+    def block(x: M): M = {
+      val q = mm(x, mat(F.wq)); val k = mm(x, mat(F.wk)); val v = mm(x, mat(F.wv))
+      val s = mm(q, k.transpose).map(_.map(_ * 0.25))
+      val att = s.map { r =>
+        val m = r.max; val e = r.map(z => math.exp(z - m)); val su = e.sum; e.map(_ / su)
+      }
+      val ctx = mm(att, v)
+      val res = ctx.lazyZip(x).map((a, b) => a.lazyZip(b).map(_ + _))
+      val eps = 1e-5f.toDouble
+      val ln: M = res.map { r =>
+        val mean = r.sum / F.HeadDims
+        val va = r.map(z => (z - mean) * (z - mean)).sum / F.HeadDims
+        val inv = 1.0 / math.sqrt(va + eps)
+        r.zipWithIndex.map { case (z, j) => (z - mean) * inv * F.gamma(j) + F.beta(j) }
+      }
+      val f1 = mm(ln, mat(F.wf1)).map(_.zipWithIndex.map { case (z, j) => z + F.bf1(j) })
+      val f2 = f1.map(_.map(z => math.max(z, 0.0)))
+      val f4 = mm(f2, mat(F.wf2)).map(_.zipWithIndex.map { case (z, j) => z + F.bf2(j) })
+      f4.lazyZip(ln).map((a, b) => a.lazyZip(b).map(_ + _))
+    }
+    val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    def reEmbed(text: String): Vector[Double] = {
+      val ids = Vector.newBuilder[Int]
+      var n = 0
+      val m = pretoken.matcher(text.toLowerCase)
+      while (m.find() && n < 64) {
+        val wids = Bpe.encodeWord(m.group(), Bpe.merges)
+          .map(s => java.lang.Math.floorMod(s.hashCode, F.VocabSize))
+        var i = 0
+        while (i < wids.length && n < 64) { ids += wids(i); n += 1; i += 1 }
+      }
+      val idv = ids.result()
+      if (idv.isEmpty) Vector.fill(F.HeadDims)(0.0)
+      else {
+        val x: M = idv.map(id => Vector.tabulate(F.HeadDims)(j => F.embTable(id, j).toDouble))
+        val r = block(x)
+        val pooled = Vector.tabulate(F.HeadDims)(j => r.map(_(j)).sum / idv.length)
+        val norm = math.sqrt(pooled.map(z => z * z).sum)
+        if (norm > 0) pooled.map(_ / norm) else pooled
+      }
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Queries.embedEncoder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == texts.size * F.HeadDims, "one row per (doc, dim)")
+    val expected = texts.map { case (id, t) => id -> reEmbed(t) }
+    var checked = 0
+    expected.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (e, k) =>
+        val g = got((id, k.toLong))
+        // 5e-6 = half the query's round(5) step; 1e-9 recompute slack
+        assert(math.abs(g - e) <= 5.000001e-6, s"doc $id dim $k: $g vs $e")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
 }
