@@ -39,6 +39,11 @@ object OracleArtifacts {
     */
   @volatile var annDeleted: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** Same shape from ann_compacted (probe over the rewritten live
+    * layout — same live corpus as ann_deleted, no sidecar left).
+    */
+  @volatile var annCompacted: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** IVF centroids from ann_batch_probe (cells are per-query, computed
     * in SQL by the twin itself).
     */
@@ -95,7 +100,8 @@ object OracleArtifacts {
   @volatile var clusterTopics: Option[Array[Array[Double]]] = None
 
   def clear(): Unit = {
-    ann = None; annIncremental = None; annDeleted = None; annBatch = None; annBatchSq = None
+    ann = None; annIncremental = None; annDeleted = None; annCompacted = None
+    annBatch = None; annBatchSq = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
     semdedup = None; clusterTopics = None

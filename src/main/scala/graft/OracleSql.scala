@@ -448,15 +448,27 @@ object OracleSql {
              |       ROUND(CAST((SELECT count(*) FROM ex JOIN probe USING (vec_id)) AS DOUBLE) / 10.0, 4) AS recall""".stripMargin
       )
     }
-    val annIncrEntries = OracleArtifacts.annIncremental.toSeq.map { case (cents, cells) =>
-      "ann_incremental" ->
+    val annIncrEntries = OracleArtifacts.annIncremental.toSeq.flatMap { case (cents, cells) =>
+      val sql =
         s"""WITH ${annCtes(cents)}
            |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")})
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      // the stream-fed append is the same scenario landed by
+      // micro-batches — one twin, two keys (like ann_batch_persisted)
+      Seq("ann_incremental" -> sql, "stream_ann" -> sql)
     }
     val annDeletedEntries = OracleArtifacts.annDeleted.toSeq.map { case (cents, cells) =>
       "ann_deleted" ->
+        s"""WITH ${annCtes(cents)}
+           |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
+           |FROM asg, q WHERE cluster IN (${cells.mkString(", ")}) AND vec_id % 10 <> 3
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
+    val annCompactedEntries = OracleArtifacts.annCompacted.toSeq.map { case (cents, cells) =>
+      // same live corpus as ann_deleted: compaction rewrites the
+      // layout, it must not move a single ranked row
+      "ann_compacted" ->
         s"""WITH ${annCtes(cents)}
            |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
            |FROM asg, q WHERE cluster IN (${cells.mkString(", ")}) AND vec_id % 10 <> 3
@@ -786,7 +798,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }
@@ -939,6 +951,12 @@ object OracleSql {
       // Twin of the tombstone-maintained index: BM25 over the LIVE
       // corpus — df/N/avgdl all shrink with the deletes, which is what
       // the anti-joined probe + exact stat decrements reproduce.
+      s"""WITH ${bm25CteOver("WHERE doc_id % 10 <> 3")}
+         |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_compacted" ->
+      // Same live corpus as bm25_deleted: compaction rewrites the
+      // layout, it must not move a single score.
       s"""WITH ${bm25CteOver("WHERE doc_id % 10 <> 3")}
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -193,6 +193,29 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  private val compactFtsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
+
+  /** COMPACTION closes the FTS maintenance triangle
+    * (append [[bm25Incremental]] → delete [[bm25Deleted]] → compact):
+    * the tombstoned index from [[bm25Deleted]]'s scenario is rewritten
+    * live-only ([[graft.operators.Fts.compact]] — from the index, no
+    * corpus re-tokenize), and the probe over the COMPACTED layout must
+    * score the live corpus identically — so it shares bm25_deleted's
+    * twin (BM25 over `documents` minus the deleted set).
+    */
+  def bm25Compacted(s: SparkSession, dir: String): DataFrame = {
+    val idx = compactFtsCache.computeIfAbsent(dir, _ => {
+      val deleted = Fts.deleteFromIndex(s,
+        Fts.cloneIndex(Fts.buildCached(dir, docs(s, dir), "text", "doc_id")),
+        docs(s, dir).filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      Fts.compact(s, deleted, "doc_id",
+        graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+          java.nio.file.Files.createTempDirectory("graft_fts_compact_")).toString)
+    })
+    Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
+  }
+
   /** SNIPPET extraction for the serving path: the BM25 top-10 each
     * return a ±3-token highlight window around the document's FIRST
     * query-term occurrence (what a search UI renders under the title).
@@ -1860,6 +1883,29 @@ object Queries {
       nProbe = 3, topK = 10)
   }
 
+  /** [[annIncremental]]'s delta fed from a STREAM (the vector face of
+    * [[streamBm25]]): the 10% delta arrives as micro-batches, each
+    * assigned to the FIXED base centroids and appended to the
+    * persisted layout
+    * ([[graft.streaming.StreamPipeline.appendToAnnIndex]]). Assignment
+    * is per-row pure, so the landed layout is batch-invariant and the
+    * probe equals the one-shot incremental append — it shares
+    * ann_incremental's twin.
+    */
+  def streamAnn(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).filter(col("vec_id") % 10 =!= 7)
+    val index = Ann.buildCached(dir + "#incr-base", base, "embedding", "vec_id", k = 10, seed = 42)
+    val path = graft.operators.LayoutCache.getOrWrite(s"annidx_stream:$dir") { p =>
+      Ann.writeIndex(index, p)
+      graft.streaming.StreamPipeline.appendToAnnIndex(s, dir, p, index.centroids)
+    }
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.annIncremental = Some((index.centroids, cells))
+    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
+      nProbe = 3, topK = 10)
+  }
+
   /** DELETE-aware persisted probe — the reference's `delete_document`
     * (store.py:237) at the INDEX level: deletions append to a
     * tombstone sidecar ([[graft.operators.Ann.deleteFromIndex]],
@@ -1883,6 +1929,33 @@ object Queries {
     val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
     OracleArtifacts.annDeleted = Some((index.centroids, cells))
     Ann.probePersistedLive(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
+      nProbe = 3, topK = 10)
+  }
+
+  /** COMPACTION closes the ANN maintenance triangle (append
+    * [[annIncremental]] → delete [[annDeleted]] → compact): the
+    * tombstoned layout from [[annDeleted]]'s scenario is rewritten
+    * live-only ([[graft.operators.Ann.compact]] — delta files folded,
+    * sidecar cleared), and the PLAIN persisted probe (no anti-join
+    * left to pay) over it must equal the live probe over the
+    * tombstoned layout — the twin ranks the same live corpus through
+    * the fitted centroid literals.
+    */
+  def annCompacted(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val path = graft.operators.LayoutCache.getOrWrite(s"annidx_compacted:$dir") { p =>
+      val staged = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+        java.nio.file.Files.createTempDirectory("graft_ann_precompact_"))
+        .resolve("idx").toString
+      Ann.writeIndex(index, staged)
+      Ann.deleteFromIndex(s, staged,
+        embs(s, dir).filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+      Ann.compact(s, staged, p, "vec_id")
+    }
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.annCompacted = Some((index.centroids, cells))
+    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
       nProbe = 3, topK = 10)
   }
 

@@ -119,7 +119,9 @@ object SparkEntry {
     "bpe_tokens"          -> (Queries.bpeTokens(_, _)),
     "chunk_token_budget"  -> (Queries.chunkTokenBudget(_, _)),
     "ann_incremental"     -> (Queries.annIncremental(_, _)),
+    "stream_ann"          -> (Queries.streamAnn(_, _)),
     "ann_deleted"         -> (Queries.annDeleted(_, _)),
+    "ann_compacted"       -> (Queries.annCompacted(_, _)),
     "ivfpq_probe"         -> (Queries.ivfpqProbe(_, _)),
     "ann_batch_probe"     -> (Queries.annBatchProbe(_, _)),
     "ann_batch_persisted" -> (Queries.annBatchPersisted(_, _)),
@@ -131,6 +133,7 @@ object SparkEntry {
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "bm25_incremental"    -> (Queries.bm25Incremental(_, _)),
     "bm25_deleted"        -> (Queries.bm25Deleted(_, _)),
+    "bm25_compacted"      -> (Queries.bm25Compacted(_, _)),
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),

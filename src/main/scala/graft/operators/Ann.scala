@@ -160,6 +160,27 @@ object Ann {
     ids.select(idCol).distinct().coalesce(1)
       .write.mode("append").parquet(s"$path/_tombstones")
 
+  /** COMPACTION — the third maintenance verb after append and delete:
+    * rewrite the LIVE rows (tombstones dropped, delta files folded back
+    * into one file set per cluster, sidecar cleared) into a fresh
+    * partitioned layout, from the index itself — the vectors ride the
+    * layout, so no corpus re-read, and the scan stays cluster-pruned.
+    * Probes over the compacted layout equal the tombstone-anti-joined
+    * live probe bit-for-bit (pinned in AnnSpec).
+    */
+  def compact(spark: SparkSession, path: String, outPath: String, idCol: String): Unit = {
+    val all = spark.read.parquet(path)
+    val tombDir = java.nio.file.Paths.get(path, "_tombstones")
+    val live =
+      if (java.nio.file.Files.exists(tombDir))
+        all.join(
+          org.apache.spark.sql.functions.broadcast(spark.read.parquet(tombDir.toString)),
+          Seq(idCol), "left_anti")
+      else all
+    live.repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(outPath)
+  }
+
   /** Probe serving only LIVE rows: the tombstone set (small next to
     * the corpus — deletes are rare) broadcast-ANTI-joins inside the
     * partition-pruned scan, BEFORE the top-k heap, so all k results

@@ -157,6 +157,30 @@ object Fts {
     else Index(index.dir, index.nDocs - st.getDouble(0), index.sumDl - st.getDouble(1))
   }
 
+  /** COMPACTION — the third maintenance verb after append and delete:
+    * rewrite the LIVE face of the layout (delta segments folded into
+    * the global term-range order, tombstoned docs dropped, sidecar
+    * cleared) into a fresh directory, FROM THE INDEX ITSELF — no
+    * corpus re-tokenize. At 100 TB this is the difference between a
+    * background segment-merge job (reads the index, term-pruned) and
+    * the reference's replace=True full rebuild (store.py:197, reads +
+    * re-tokenizes the corpus). Stats carry over unchanged: delete
+    * already decremented them exactly, so the compacted index scores
+    * bit-identically to the tombstoned one (pinned in FtsSpec).
+    */
+  def compact(spark: SparkSession, index: Index, idCol: String, outDir: String): Index = {
+    liveSegment(spark, index.dir, "postings", idCol)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", idCol)
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    liveSegment(spark, index.dir, "docdims", idCol)
+      .write.mode("overwrite").parquet(s"$outDir/docdims")
+    liveSegment(spark, index.dir, "docnorms", idCol)
+      .write.mode("overwrite").parquet(s"$outDir/docnorms")
+    invalidateSegments(outDir)
+    Index(outDir, index.nDocs, index.sumDl)
+  }
+
   /** Hardlink-clone a persisted index layout into a fresh directory so
     * a caller can APPEND deltas without mutating the shared base — an
     * O(#files) metadata operation, no data copied (segment files are

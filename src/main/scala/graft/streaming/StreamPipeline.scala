@@ -37,6 +37,46 @@ object StreamPipeline {
     spark.readStream.schema(schema).parquet(staging.toString)
   }
 
+  /** File-stream the embeddings table of a testdata dir — the vector
+    * landing zone ([[documentStream]]'s sibling for embedding ingest).
+    */
+  def embeddingStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.embeddings(spark, dir).schema
+    val staging = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    deleteRecursivelyOnExit(staging)
+    spark.readStream.schema(schema).parquet(staging.toString)
+  }
+
+  /** STREAMED ANN index maintenance (the vector face of
+    * [[bm25AppendSnapshot]]'s loop): delta vectors arrive as a file
+    * stream, each micro-batch is assigned to the FIXED base centroids
+    * and appended into the persisted partitioned layout via
+    * [[graft.operators.Ann.appendToIndex]] — no refit, no rewrite,
+    * probes see new rows at the next trigger. Assignment is a pure
+    * per-row function of (vector, centroids), so batch boundaries
+    * cannot change the landed layout: the merged index equals
+    * ann_incremental's one-shot append whatever the trigger cadence.
+    */
+  def appendToAnnIndex(
+      spark: SparkSession,
+      dir: String,
+      path: String,
+      centroids: Array[Array[Double]]
+  ): Unit = {
+    val stream = embeddingStream(spark, dir).select("vec_id", "embedding")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch.filter(col("vec_id") % 10 === 7))
+        if (!b.isEmpty) graft.operators.Ann.appendToIndex(path, b, "embedding", centroids)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Spread a file-source micro-batch across the cluster before heavy
     * per-row work. The micro-batch arrives as a SINGLE-partition row
     * RDD (one trigger's files), and a bare `repartition` is not enough:

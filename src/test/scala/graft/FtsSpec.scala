@@ -198,4 +198,44 @@ class FtsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(got == expect, s"live-face batch probe diverges from rebuild:\n$got\n$expect")
   }
+
+  test("compact: append + delete fold into a clean layout scoring bit-identically") {
+    val dir = Files.createTempDirectory("graft_fts_cmp").toString
+    val base = Fts.build(docsFixture.filter(col("doc_id") <= 3L), "text", "doc_id", dir)
+    val appended = Fts.appendToIndex(base,
+      docsFixture.filter(col("doc_id") === 4L), "text", "doc_id")
+    val deleted = Fts.deleteFromIndex(spark, appended,
+      docsFixture.filter(col("doc_id") === 3L).select("doc_id"), "doc_id")
+    val out = Files.createTempDirectory("graft_fts_cmp_out").toString
+    val compacted = Fts.compact(spark, deleted, "doc_id", out)
+    // stats carry over; the sidecar does NOT
+    assert(compacted.nDocs == deleted.nDocs && compacted.sumDl == deleted.sumDl)
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_tombstones")))
+    // every probe family scores the compacted layout == the tombstoned one
+    for (terms <- Seq(Seq("cat"), Seq("cat", "dog"), Seq("fish", "bird"))) {
+      val a = Fts.probe(spark, compacted, "doc_id", terms, k = 10).collect().toSeq
+      val b = Fts.probe(spark, deleted, "doc_id", terms, k = 10).collect().toSeq
+      assert(a == b, s"compacted vs tombstoned diverge for $terms:\n$a\n$b")
+    }
+    val semA = Fts.semanticProbe(spark, compacted, "doc_id", "cat dog fish", k = 10)
+      .collect().toSeq
+    val semB = Fts.semanticProbe(spark, deleted, "doc_id", "cat dog fish", k = 10)
+      .collect().toSeq
+    assert(semA == semB)
+    // ... and equals a from-scratch build over the live corpus
+    val live = Fts.build(
+      docsFixture.filter(col("doc_id") =!= 3L), "text", "doc_id",
+      Files.createTempDirectory("graft_fts_cmp_live").toString)
+    val a = Fts.probe(spark, compacted, "doc_id", Seq("cat", "dog"), k = 10).collect().toSeq
+    val b = Fts.probe(spark, live, "doc_id", Seq("cat", "dog"), k = 10).collect().toSeq
+    assert(a == b, s"compacted vs live rebuild diverge:\n$a\n$b")
+    // compaction restores the bounded file count a delta append grew
+    def nFiles(d: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(d, "postings"))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(nFiles(out) <= nFiles(dir),
+      s"compaction must not grow the segment count: ${nFiles(out)} vs ${nFiles(dir)}")
+  }
 }

@@ -82,4 +82,19 @@ class StreamPipelineSpec extends SparkSpec {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+
+  test("stream_ann: micro-batch delta appends land the same index as the one-shot append") {
+    val streamed = Queries.streamAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = Queries.annIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == oneShot,
+      s"stream-fed layout diverges from the batch append:\n$streamed\n$oneShot")
+    // the streamed delta is actually visible in the probed top-k corpus
+    val path = graft.operators.LayoutCache.getOrWrite(s"annidx_stream:$sf")(_ =>
+      fail("must be memoized"))
+    assert(spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 7).count() > 0,
+      "streamed delta rows must land in the layout")
+  }
 }
