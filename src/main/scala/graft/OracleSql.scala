@@ -1332,6 +1332,24 @@ object OracleSql {
          |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "lm_train" ->
+      // Twin of Lm.trainBigrams: consecutive-token pairs via a
+      // positional list_transform, counts per bigram, context totals
+      // DERIVED from the bigram counts (same single-pass derivation),
+      // MLE conditional as an exact rational before one rounding.
+      s"""WITH tk AS (SELECT ${toks()} AS toks FROM documents),
+         |pr AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || chr(32) || toks[i + 1])) AS pair
+         |       FROM tk WHERE len(toks) >= 2),
+         |pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM pr GROUP BY pair),
+         |px AS (SELECT split_part(pair, chr(32), 1) AS w1,
+         |              split_part(pair, chr(32), 2) AS w2, n_pair FROM pc),
+         |w1c AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM px GROUP BY w1)
+         |SELECT px.w1, px.w2, px.n_pair, w1c.n_w1,
+         |       ROUND(CAST(px.n_pair AS DOUBLE) / w1c.n_w1, 6) AS cond_p
+         |FROM px JOIN w1c USING (w1)
+         |ORDER BY px.n_pair DESC, px.w1, px.w2 LIMIT 100""".stripMargin,
+
     "perplexity_filter" -> {
       // Twin of Lm.perplexity: the checked-in bigram LM is constants,
       // inlined as two VALUES tables (dlit keeps the precomputed
@@ -1939,6 +1957,30 @@ object OracleSql {
         |       CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
         |       ROUND(CAST((doc_id % 100) * 300 AS DOUBLE) / 32768.0, 5) AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_embed" -> {
+      // closed-form twin of the real decode -> 2x2-patch-mean ->
+      // fixed-projection -> L2 pipeline over solid-color images: every
+      // patch mean equals the (r,g,b) constants, so the projection
+      // reduces to per-channel coefficient sums (integer literals from
+      // Multimodal.projCoef — the same matrix the operator applies).
+      val chans = (0 until 8).map { k =>
+        val a = (0 until 4).map(p => graft.operators.Multimodal.projCoef(k, p * 3)).sum
+        val b = (0 until 4).map(p => graft.operators.Multimodal.projCoef(k, p * 3 + 1)).sum
+        val c = (0 until 4).map(p => graft.operators.Multimodal.projCoef(k, p * 3 + 2)).sum
+        s"(($a) * r + ($b) * g + ($c) * b)"
+      }
+      s"""WITH base AS (SELECT doc_id,
+         |        CAST((doc_id * 3) % 256 AS DOUBLE) AS r,
+         |        CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+         |        CAST((doc_id * 11) % 256 AS DOUBLE) AS b FROM documents),
+         |raw AS (SELECT doc_id, [${chans.mkString(", ")}] AS rv FROM base),
+         |nn AS (SELECT doc_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM raw),
+         |e AS (SELECT doc_id, rv, nrm, unnest(generate_series(0, 7)) AS k FROM nn)
+         |SELECT doc_id, CAST(k AS BIGINT) AS k,
+         |       ROUND(CASE WHEN nrm > 0 THEN rv[k + 1] / nrm ELSE rv[k + 1] END, 5) AS x
+         |FROM e ORDER BY doc_id, k""".stripMargin
+    },
 
     "multimodal_image" ->
       // closed-form twin of the real PNG encode -> ImageIO decode ->

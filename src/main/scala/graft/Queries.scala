@@ -946,6 +946,17 @@ object Queries {
   def lineDedup(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lineDedup(docs(s, dir), "text", "doc_id", minDocs = 3)
 
+  /** Distributed LM TRAINING over the corpus
+    * ([[graft.operators.Lm.trainBigrams]]): the top-100 bigrams of the
+    * fitted table with their context totals and exact-rational MLE
+    * conditional probabilities — the 100 TB face of the offline
+    * `TrainLm` step that produced the checked-in scoring artifact.
+    */
+  def lmTrain(s: SparkSession, dir: String): DataFrame =
+    Lm.trainBigrams(docs(s, dir), "text")
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(100)
+
   /** CCNet-style LM-perplexity bucketing: per-doc bigram-LM perplexity
     * under the checked-in model, head/middle/tail split at the trained
     * thresholds.
@@ -1482,6 +1493,21 @@ object Queries {
         round(col("mean_g"), 5).as("mean_g"), round(col("mean_b"), 5).as("mean_b"),
         round(col("luma"), 5).as("luma"))
     dec.join(feats, "doc_id").orderBy("doc_id")
+  }
+
+  /** REAL image EMBEDDING end to end on hash-verified twins: the PNG
+    * encode → ImageIO decode → 2×2 patch means → fixed projection →
+    * L2 pipeline ([[graft.operators.Multimodal.imageEmbed]]) over the
+    * closed-form solid-color corpus — per-patch means collapse to the
+    * (r,g,b) constants, so the twin computes the projection from the
+    * doc_id color formula and the WHOLE pixel path is hash-checked.
+    */
+  def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val synth = Multimodal.synthPng(docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.imageEmbed(synth, "content", "doc_id", grid = 2, dims = 8)
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
+      .orderBy("doc_id", "k")
   }
 
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

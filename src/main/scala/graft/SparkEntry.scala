@@ -69,6 +69,7 @@ object SparkEntry {
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     "multimodal_audio"    -> (Queries.multimodalAudio(_, _)),
     "multimodal_image"    -> (Queries.multimodalImage(_, _)),
+    "multimodal_embed"    -> (Queries.multimodalEmbed(_, _)),
     // E. text analysis
     "text_stats"          -> (Queries.textStats(_, _)),
     "lang_id"             -> (Queries.langId(_, _)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "repetition_stats"    -> (Queries.repetitionStats(_, _)),
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
+    "lm_train"            -> (Queries.lmTrain(_, _)),
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
     "decontaminate_xlingual" -> (Queries.decontaminateXlingual(_, _)),

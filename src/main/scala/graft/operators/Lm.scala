@@ -27,6 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object Lm {
 
+  /** Distributed n-gram LM TRAINING — the step `graft.tools.TrainLm`
+    * runs offline, expressed as the corpus-scale operator it really is
+    * (CCNet trains its KenLM filter on a reference corpus; at 100 TB
+    * that training pass is itself a distributed job): one tokenize +
+    * bigram explode, one map-side-combined count per bigram, the
+    * context totals derived FROM the bigram counts (no second corpus
+    * pass), and the MLE conditional probability as an exact rational
+    * before the single rounding. Returns one row per observed bigram:
+    * (w1, w2, n_pair, n_w1, cond_p).
+    *
+    * Shape at scale: groupBy(bigram) is the canonical partial-agg
+    * shuffle; the context-total join runs on the already-aggregated
+    * bigram table (|vocab²∩corpus| rows, not corpus rows), so stopword
+    * contexts skew the join input only as far as their distinct
+    * continuation count — bounded by |vocab|, not corpus size.
+    */
+  def trainBigrams(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df
+      .select(TextOps.tokenize(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // tokens are [a-z0-9]+ by construction, so ' ' is a safe separator
+    val pairs = toks.select(
+      explode(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat(element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))).as("pair"))
+    val pc = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
+    val withW1 = pc
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+    val w1c = withW1.groupBy("w1").agg(sum("n_pair").as("n_w1"))
+    withW1
+      .join(w1c, "w1")
+      .select(col("w1"), col("w2"),
+        col("n_pair").cast("long").as("n_pair"),
+        col("n_w1").cast("long").as("n_w1"),
+        round(col("n_pair").cast("double") / col("n_w1"), 6).as("cond_p"))
+  }
+
   /** Bigram LM with precomputed log-probs.
     *
     * @param uni     token -> ln P_uni(token)  (add-one smoothed)

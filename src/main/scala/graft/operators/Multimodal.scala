@@ -181,6 +181,97 @@ object Multimodal {
     }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Deterministic projection-matrix entry for [[imageEmbed]] — shared
+    * with the oracle twin, which inlines the per-channel coefficient
+    * sums as literals (the fixed-random-projection analog of
+    * OnnxFixture.embTable).
+    */
+  def projCoef(k: Int, f: Int): Int = ((k * 31 + f * 17) % 7) - 3
+
+  /** REAL image EMBEDDING for cross-modal dedup / similarity: decode,
+    * split into a grid×grid patch layout, per-patch per-channel pixel
+    * means (the classic patchify step every vision encoder starts
+    * with), project the grid²·3 features through the fixed seeded
+    * integer matrix [[projCoef]], L2-normalize. The output plugs
+    * straight into the vector stack (knn/IVF/LSH all take
+    * Array[Double]). Swapping [[projCoef]] for a learned projection —
+    * or the patch means for a real vision tower — changes only this
+    * function; the mapPartitions batch shape and the downstream index
+    * machinery stay put. Undecodable payloads embed to NULL (the
+    * never-kill-the-stage contract).
+    */
+  def imageEmbed(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      grid: Int = 2,
+      dims: Int = 8
+  ): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("embedding", ArrayType(DoubleType, false), nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      imageIoInit()
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val emb: Seq[Double] =
+          try {
+            val img =
+              if (Set("png", "jpeg", "gif", "bmp")(sniff(bytes)))
+                javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              else null
+            if (img == null) null
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val feats = new Array[Double](grid * grid * 3)
+              var gy = 0
+              while (gy < grid) {
+                var gx = 0
+                while (gx < grid) {
+                  // partition [0,w) into grid ranges; every pixel lands
+                  // in exactly one patch, uneven tails included
+                  val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+                  val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+                  var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+                  var y = y0
+                  while (y < h && y < y1) {
+                    var x = x0
+                    while (x < w && x < x1) {
+                      val p = img.getRGB(x, y)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  val base = (gy * grid + gx) * 3
+                  if (n > 0) {
+                    feats(base) = sr.toDouble / n
+                    feats(base + 1) = sg.toDouble / n
+                    feats(base + 2) = sb.toDouble / n
+                  }
+                  gx += 1
+                }
+                gy += 1
+              }
+              val raw = Array.tabulate(dims) { k =>
+                var acc = 0.0; var f = 0
+                while (f < feats.length) { acc += projCoef(k, f) * feats(f); f += 1 }
+                acc
+              }
+              var ss = 0.0; var k = 0
+              while (k < dims) { ss += raw(k) * raw(k); k += 1 }
+              val norm = math.sqrt(ss)
+              (if (norm > 0) raw.map(_ / norm) else raw).toSeq
+            }
+          } catch { case _: Exception => null }
+        Row.fromSeq(Seq(r.get(idIdx), emb))
+      }
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** REAL decode over the JDK-codec formats: adds a nullable
     * [[DecodedSchema]] `meta` struct. One mapPartitions pass, one
     * codec-session init per partition (the ImageIO headless/cache

@@ -62,4 +62,34 @@ class LmSpec extends SparkSpec {
     val maxReal = out.agg(max("ppl")).head().getDouble(0)
     assert(w(1L)._1.get.asInstanceOf[Double] > maxReal)
   }
+
+  test("trainBigrams: exact counts on a hand corpus; conditionals sum to 1 per context") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "a cat"),
+      (4L, "solo")           // < 2 tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = Lm.trainBigrams(corpus, "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("the", "cat")) == ((2L, 2L, 1.0)))
+    // "cat" is a CONTEXT twice (doc 3's cat is sentence-final)
+    assert(got(("cat", "sat")) == ((1L, 2L, 0.5)))
+    assert(got(("cat", "ran")) == ((1L, 2L, 0.5)))
+    assert(got(("a", "cat")) == ((1L, 1L, 1.0)))
+    assert(!got.keySet.exists(_._1 == "solo"), "1-token docs must not contribute")
+    // MLE property: per-context conditionals sum to 1 (before rounding)
+    val byCtx = got.toSeq.groupBy(_._1._1)
+    byCtx.foreach { case (w1, rows) =>
+      val mass = rows.map { case (_, (np, nw1, _)) => np.toDouble / nw1 }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context '$w1' mass $mass")
+    }
+    // the registered query is the fitted table's top slice
+    val q = Queries.lmTrain(spark, sf).collect()
+    assert(q.length == 100)
+    val counts = q.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y }, "ordered by count")
+  }
 }

@@ -183,6 +183,34 @@ class MultimodalSpec extends SparkSpec {
       "a (0,0)-composited patch would have painted here")
   }
 
+  test("imageEmbed: patch-sensitive, unit-norm, null for undecodable payloads") {
+    import graft.operators.Multimodal
+    def halves(left: Int, right: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, if (x < 4) left else right)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, halves(0xFF0000, 0x0000FF)),  // red|blue
+      (2L, halves(0x0000FF, 0xFF0000)),  // blue|red — same GLOBAL mean
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "content")
+    val out = Multimodal.imageEmbed(df, "content", "id")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(3L).isEmpty, "garbage must embed to NULL, not kill the stage")
+    val (a, b) = (out(1L).get, out(2L).get)
+    assert(a.length == 8 && b.length == 8)
+    // identical global means, different patch layout → different vectors:
+    // the embedding genuinely sees spatial structure, not just the mean
+    assert(a != b, "patch layout must matter")
+    for (v <- Seq(a, b)) {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"unit norm expected, got $n")
+    }
+  }
+
   test("hostile RIFF chunk sizes terminate the walk: decode survives with NULL meta") {
     // chunk declares size 0xFFFFFFF8 (negative as int32, 0-advance under
     // the old signed arithmetic); the walk must clamp and exit
