@@ -1332,6 +1332,22 @@ object OracleSql {
          |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "text_normalize" ->
+      // Twin of the norm_text codegen expression: NFC + control/
+      // whitespace collapse + trim. The planted suffix is rebuilt from
+      // chr() codepoints (controls, decomposed e+U+0301, U+2126);
+      // NFC is a Unicode spec so both engines emit identical bytes,
+      // and length() counts codepoints on both sides.
+      s"""WITH m AS (SELECT doc_id,
+         |        text || ' x' || chr(1) || chr(2) || '  e' || chr(769) || '  '
+         |             || chr(8486) || ' fin' || chr(13) || chr(10) || chr(9) AS mm
+         |        FROM documents),
+         |n AS (SELECT doc_id,
+         |        trim(regexp_replace(nfc_normalize(mm), '[\\s\\x00-\\x1f\\x7f]+', ' ', 'g')) AS normalized,
+         |        CAST(length(mm) AS BIGINT) AS n_before FROM m)
+         |SELECT doc_id, normalized, n_before, CAST(length(normalized) AS BIGINT) AS n_after
+         |FROM n ORDER BY doc_id""".stripMargin,
+
     "lm_train" ->
       // Twin of Lm.trainBigrams: consecutive-token pairs via a
       // positional list_transform, counts per bigram, context totals

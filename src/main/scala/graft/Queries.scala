@@ -946,6 +946,29 @@ object Queries {
   def lineDedup(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lineDedup(docs(s, dir), "text", "doc_id", minDocs = 3)
 
+  /** Crawl-scale text NORMALIZATION (the cleanup C4/CCNet run before
+    * anything else) via the native codegen expression
+    * [[graft.plans.NormalizeText]]: Unicode NFC + control/whitespace
+    * collapse + trim. The corpus text is ASCII-clean, so each doc is
+    * planted with a deterministic messy suffix (controls, decomposed
+    * e+combining-acute, the Ω compatibility singleton U+2126, CRLF) —
+    * built identically in the twin from chr() codepoints — and the
+    * char counts before/after pin the collapse arithmetic.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    // controls, DECOMPOSED e+U+0301, U+2126 (NFC singleton -> U+03A9),
+    // CRLF+tab tail - all as escapes, never raw bytes in source
+    val messy = concat(col("text"),
+      lit(" x\u0001\u0002  e\u0301  \u2126 fin\r\n\t"))
+    docs(s, dir).select(col("doc_id"), messy.as("_m"))
+      .select(col("doc_id"),
+        call_function("norm_text", col("_m")).as("normalized"),
+        length(col("_m")).cast("long").as("n_before"))
+      .withColumn("n_after", length(col("normalized")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed LM TRAINING over the corpus
     * ([[graft.operators.Lm.trainBigrams]]): the top-100 bigrams of the
     * fitted table with their context totals and exact-rational MLE

@@ -139,6 +139,7 @@ object SparkEntry {
     "line_dedup"          -> (Queries.lineDedup(_, _)),
     "perplexity_filter"   -> (Queries.perplexityFilter(_, _)),
     "lm_train"            -> (Queries.lmTrain(_, _)),
+    "text_normalize"      -> (Queries.textNormalize(_, _)),
     "c4_filters"          -> (Queries.c4Filters(_, _)),
     "decontaminate_spans" -> (Queries.decontaminateSpans(_, _)),
     "decontaminate_xlingual" -> (Queries.decontaminateXlingual(_, _)),

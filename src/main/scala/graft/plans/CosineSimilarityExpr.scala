@@ -136,6 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.phrasePositionsDescriptor)
+    ext.injectFunction(GraftFunctions.normTextDescriptor)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
@@ -159,9 +160,18 @@ object GraftFunctions {
     }
   )
 
+  val normTextDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("norm_text"),
+    new ExpressionInfo(classOf[NormalizeText].getName, "norm_text"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "norm_text takes exactly 1 argument")
+      NormalizeText(children.head)
+    }
+  )
+
   /** Register on an already-constructed session (driver-owned sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSimDescriptor, phrasePositionsDescriptor).foreach { case (id, info, builder) =>
+    Seq(cosineSimDescriptor, phrasePositionsDescriptor, normTextDescriptor).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     ensureStrategy(spark)
