@@ -1332,6 +1332,22 @@ object OracleSql {
          |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "fts_stats" ->
+      // Twin of Fts.stats: re-derive the index's books from the raw
+      // corpus — distinct (doc, term) pairs ARE the postings, docs
+      // with >= 1 token are the indexed docs, avgdl is the exact
+      // integer ratio.
+      s"""WITH tk AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term FROM t GROUP BY doc_id, term),
+         |agg AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |               CAST(count(*) AS BIGINT) AS n_postings FROM tf),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(len(toks)) AS s
+         |       FROM tk WHERE len(toks) > 0)
+         |SELECT agg.n_terms, agg.n_postings, st.n_docs,
+         |       ROUND(CAST(st.s AS DOUBLE) / st.n_docs, 5) AS avgdl
+         |FROM agg, st""".stripMargin,
+
     "text_normalize" ->
       // Twin of the norm_text codegen expression: NFC + control/
       // whitespace collapse + trim. The planted suffix is rebuilt from

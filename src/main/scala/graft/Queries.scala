@@ -109,6 +109,15 @@ object Queries {
     Fts.probe(s, idx, "doc_id", QueryTerms, k = 10)
   }
 
+  /** Index observability ([[graft.operators.Fts.stats]], the
+    * server_info face of the persisted FTS layout): live distinct-term
+    * and postings counts + the driver-side corpus stats, from ONE
+    * aggregate over the index — the twin re-derives all four from the
+    * raw corpus, proving the layout's books balance.
+    */
+  def ftsStats(s: SparkSession, dir: String): DataFrame =
+    Fts.stats(s, Fts.buildCached(dir, docs(s, dir), "text", "doc_id"), "doc_id")
+
   private val incFtsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
 

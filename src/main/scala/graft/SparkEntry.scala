@@ -132,6 +132,7 @@ object SparkEntry {
     "semantic_search"     -> (Queries.semanticSearch(_, _)),
     "maxsim_search"       -> (Queries.maxsimSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
+    "fts_stats"           -> (Queries.ftsStats(_, _)),
     "bm25_incremental"    -> (Queries.bm25Incremental(_, _)),
     "bm25_deleted"        -> (Queries.bm25Deleted(_, _)),
     "bm25_compacted"      -> (Queries.bm25Compacted(_, _)),

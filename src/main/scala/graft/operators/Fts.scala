@@ -157,6 +157,20 @@ object Fts {
     else Index(index.dir, index.nDocs - st.getDouble(0), index.sumDl - st.getDouble(1))
   }
 
+  /** Observability surface of a persisted index (what a server_info-
+    * style endpoint reads): LIVE distinct-term and postings counts plus
+    * the driver-side corpus stats. One aggregate over the postings
+    * segment — O(index), never a corpus re-tokenize.
+    */
+  def stats(spark: SparkSession, index: Index, idCol: String): DataFrame =
+    liveSegment(spark, index.dir, "postings", idCol)
+      .agg(
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"))
+      .select(col("n_terms"), col("n_postings"),
+        lit(index.nDocs.toLong).as("n_docs"),
+        round(lit(index.avgdl), 5).as("avgdl"))
+
   /** COMPACTION — the third maintenance verb after append and delete:
     * rewrite the LIVE face of the layout (delta segments folded into
     * the global term-range order, tombstoned docs dropped, sidecar

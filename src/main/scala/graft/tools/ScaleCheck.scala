@@ -170,6 +170,43 @@ object ScaleCheck {
       val want = Ann.exact(corpusVecs, ivfQuery, "embedding", "q_vec", "vec_id", 10)
         .collect().map(_.getLong(0)).toSet
       println(f"[scale] ivf_recall nlist=$nlist         ${(got & want).size / want.size.toDouble}%.2f")
+
+      // Maintenance lifecycle at the same scale: append a 10% delta,
+      // tombstone-delete 10%, probe the live face, compact, probe the
+      // rewritten layout. What must hold as N grows: delete cost is
+      // O(delete batch) (a sidecar append + one semi-joined stat scan —
+      // never a partition rewrite), the live probe pays only a
+      // broadcast anti-join over the pruned scan, and compaction is one
+      // index-sized rewrite that restores the sidecar-free probe and
+      // folds delta files back to O(nlist).
+      def parquetFiles(dir: String): Long = {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try w.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+        finally w.close()
+      }
+      val delta = perturbed
+        .filter(col("vec_id") =!= 0)
+        .select((col("vec_id") + 500000000L).as("vec_id"), col("embedding"))
+        .filter(pmod(col("vec_id"), lit(100)) === 1) // ~1% arriving batch
+      val ta = System.nanoTime()
+      Ann.appendToIndex(ivfDir, delta, "embedding", ivfIdx.centroids)
+      println(f"[scale] ivf_append 1pct delta        ${(System.nanoTime() - ta) / 1e9}%7.2f s")
+      val td = System.nanoTime()
+      Ann.deleteFromIndex(spark, ivfDir,
+        corpusVecs.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"), "vec_id")
+      println(f"[scale] ivf_delete 10pct             ${(System.nanoTime() - td) / 1e9}%7.2f s")
+      time(f"ivf_probe_live nlist=$nlist",
+        Ann.probePersistedLive(spark, ivfDir, ivfIdx.centroids, ivfQuery,
+          "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10))
+      val filesBefore = parquetFiles(ivfDir)
+      val compDir = java.nio.file.Files
+        .createTempDirectory("graft_scale_compact_").toString + "/idx"
+      val tc = System.nanoTime()
+      Ann.compact(spark, ivfDir, compDir, "vec_id")
+      println(f"[scale] ivf_compact                  ${(System.nanoTime() - tc) / 1e9}%7.2f s  (files $filesBefore -> ${parquetFiles(compDir)})")
+      time(f"ivf_probe_compacted nlist=$nlist",
+        Ann.probePersisted(spark, compDir, ivfIdx.centroids, ivfQuery,
+          "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10))
     }
     spark.stop()
   }

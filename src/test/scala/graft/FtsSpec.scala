@@ -199,6 +199,26 @@ class FtsSpec extends SparkSpec {
     assert(got == expect, s"live-face batch probe diverges from rebuild:\n$got\n$expect")
   }
 
+  test("stats: live books balance through build, delete and compaction") {
+    val dir = Files.createTempDirectory("graft_fts_stats").toString
+    val full = Fts.build(docsFixture, "text", "doc_id", dir)
+    def row(idx: Fts.Index) = Fts.stats(spark, idx, "doc_id").collect().head
+    val r0 = row(full)
+    // corpus: 4 docs, 14 tokens, distinct (doc, term) postings = 10
+    assert(r0.getLong(0) == 4L, "distinct terms: cat dog bird fish")
+    assert(r0.getLong(1) == 10L, s"postings: ${r0.getLong(1)}")
+    assert(r0.getLong(2) == 4L && r0.getDouble(3) == 3.5)
+    val deleted = Fts.deleteFromIndex(spark, full,
+      docsFixture.filter(col("doc_id") === 4L).select("doc_id"), "doc_id")
+    val r1 = row(deleted)
+    // doc 4 carried 4 distinct-term postings and 5 tokens
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 3L)
+    assert(r1.getDouble(3) == (14.0 - 5.0) / 3.0)
+    val compacted = Fts.compact(spark, deleted, "doc_id",
+      Files.createTempDirectory("graft_fts_stats_c").toString)
+    assert(row(compacted) == r1, "compaction must not move the books")
+  }
+
   test("compact: append + delete fold into a clean layout scoring bit-identically") {
     val dir = Files.createTempDirectory("graft_fts_cmp").toString
     val base = Fts.build(docsFixture.filter(col("doc_id") <= 3L), "text", "doc_id", dir)
