@@ -1975,6 +1975,21 @@ object OracleSql {
          |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
          |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
 
+    "bloom_decontaminate" ->
+      // Same twin as contamination_check: the Bloom prefilter is
+      // exactness-preserving (no false negatives; false positives die
+      // in the confirm join), so the scale path must reproduce the
+      // exact report bit-for-bit.
+      s"""WITH bt AS (SELECT ${toks()} AS toks FROM documents WHERE doc_id < 10),
+         |bs AS (SELECT DISTINCT unnest($shingleExpr) AS shm FROM bt),
+         |ct AS (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id >= 10),
+         |cs AS (SELECT doc_id, unnest($shingleExpr) AS shm FROM ct)
+         |SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(bs.shm) AS BIGINT) AS n_contaminated,
+         |       ROUND(CAST(count(bs.shm) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS ratio
+         |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
+         |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,

@@ -1169,6 +1169,17 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** [[contaminationCheck]] by the Bloom-prefilter scale path — same
+    * split, bit-identical report (the filter is exactness-preserving,
+    * which is the property the shared twin proves).
+    */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bloomDecontaminate(
+      docs(s, dir).filter(col("doc_id") >= 10),
+      docs(s, dir).filter(col("doc_id") < 10),
+      "text", "doc_id"
+    ).orderBy("doc_id")
+
   /** Span-level decontamination: drop the corpus token positions
     * covered by any benchmark 10-gram and rebuild (surgical removal,
     * vs [[contaminationCheck]]'s ratio report).

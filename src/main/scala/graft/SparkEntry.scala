@@ -87,6 +87,7 @@ object SparkEntry {
     "embed_tfidf"         -> (Queries.embedTfidf(_, _)),
     "pii_scrub"           -> (Queries.piiScrub(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
+    "bloom_decontaminate" -> (Queries.bloomDecontaminate(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "split_grouped"       -> (Queries.splitGrouped(_, _)),
     "curation_disposition" -> (Queries.curationDisposition(_, _)),

@@ -453,9 +453,7 @@ object TextAnalysis {
       idCol: String
   ): DataFrame = {
     def shingleRows(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
-      df.select(keep :+ TextOps.tokenize(col(textCol)).as("_toks"): _*)
-        .select(keep :+ explode(array_distinct(TextOps.rawShingles(col("_toks")))).as("raw"): _*)
-        .withColumn("shm", md5(col("raw"))).drop("raw")
+      distinctShingleRows(df, textCol, keep)
     val bench = shingleRows(benchmark, Seq.empty).select("shm").distinct()
     shingleRows(corpus, Seq(col(idCol)))
       .join(broadcast(bench.withColumn("_hit", lit(1L))), Seq("shm"), "left_outer")
@@ -464,6 +462,102 @@ object TextAnalysis {
         count("*").as("n_shingles"),
         count(col("_hit")).as("n_contaminated")
       )
+      .withColumn("ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
+  }
+
+  /** One row per DISTINCT 3-token shingle per document: (keep…, shm)
+    * with `shm = md5(shingle text)` — the shared shingle stream for
+    * [[contamination]] and [[bloomDecontaminate]].
+    */
+  private def distinctShingleRows(
+      df: DataFrame,
+      textCol: String,
+      keep: Seq[org.apache.spark.sql.Column]
+  ): DataFrame =
+    df.select(keep :+ TextOps.tokenize(col(textCol)).as("_toks"): _*)
+      .select(keep :+ explode(array_distinct(TextOps.rawShingles(col("_toks")))).as("raw"): _*)
+      .withColumn("shm", md5(col("raw"))).drop("raw")
+
+  /** Bloom-prefiltered benchmark decontamination — the shape
+    * [[contamination]] takes at crawl scale when the benchmark shingle
+    * set is too large to broadcast (a multi-benchmark eval suite is
+    * easily 10^8+ shingles). A Bloom BITMASK over the benchmark
+    * shingles (m bits, k hashes — ~1-2 bytes/shingle instead of the
+    * 16-byte md5s plus hash-map overhead a broadcast join ships) is
+    * built distributively and broadcast as a plan literal; the corpus
+    * shingle stream is prefiltered by pure-codegen bit tests, and only
+    * the survivors — true hits plus the ~(1-e^(-kn/m))^k false-positive
+    * residue — reach the exact confirmation join. Bloom filters have no
+    * false negatives, so the result is EXACTLY [[contamination]]'s:
+    * the filter moves work, never answers.
+    *
+    * The confirm join is deliberately NOT broadcast (shuffle-hash
+    * hint): in the regime this operator exists for, the benchmark side
+    * can't broadcast — the prefilter is what makes the shuffle small.
+    *
+    * Filter sizing is measured, not guessed: m = next power of two
+    * >= 16n bits (>= `minBits`), k = round(ln 2 · m/n) clamped to
+    * [1,6] — ~0.046% FP rate at the 16 bits/key design point. The
+    * driver-side artifact is the m-bit mask itself (32 KiB at the
+    * floor), built by a per-partition OR `treeAggregate` — O(m), never
+    * O(benchmark).
+    *
+    * Reference: mcpvectordb has no decontamination tooling; this is
+    * the scale path for the pipeline's [[contamination]] check
+    * (Bloom 1970; same contract as `BloomFilterMightContain` in
+    * Spark's own injected runtime filters).
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      minBits: Int = 1 << 18
+  ): DataFrame = {
+    val bench = distinctShingleRows(benchmark, textCol, Seq.empty)
+      .select("shm").distinct()
+    val n = math.max(1L, bench.count())
+    val mBits: Long = {
+      val want = 16L * n
+      var m = minBits.toLong
+      while (m < want) m <<= 1
+      m
+    }
+    val k = math.max(1, math.min(6, math.round(0.6931 * mBits / n).toInt))
+    val words = (mBits / 64).toInt
+
+    def positions(shm: org.apache.spark.sql.Column) =
+      (0 until k).map(i => pmod(xxhash64(shm, lit(i)), lit(mBits)))
+
+    // Distributed build: per-partition bitmask OR, merged up a tree.
+    // The zero value makes an empty benchmark a valid (all-miss) mask.
+    val mask: Array[Long] = bench
+      .select(explode(array(positions(col("shm")): _*)).as("pos"))
+      .rdd.treeAggregate(new Array[Long](words))(
+        (a, r) => { val p = r.getLong(0); a((p >>> 6).toInt) |= 1L << (p & 63); a },
+        (x, y) => { var i = 0; while (i < words) { x(i) |= y(i); i += 1 }; x })
+    val maskCol = typedLit(mask.toSeq)
+
+    // All-k bit test, pure codegen: word = mask[pos >> 6], bit = pos & 63.
+    def mightContain(shm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      positions(shm).map { p =>
+        val word = element_at(maskCol, shiftright(p, 6).cast("int") + 1)
+        call_function("shiftright", word, (p % 64).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+
+    val corpusSh = distinctShingleRows(corpus, textCol, Seq(col(idCol)))
+    val totals = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val confirmed = corpusSh
+      .filter(mightContain(col("shm")))
+      .join(bench.hint("shuffle_hash"), Seq("shm"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(confirmed, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("ratio",
         round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 4))
   }

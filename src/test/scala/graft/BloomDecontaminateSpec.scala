@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** The Bloom-prefiltered decontamination path must be EXACTLY the
+  * broadcast-join path: no false negatives by Bloom construction, and
+  * every false positive must die in the confirmation join — across
+  * normal, adversarially-undersized, and empty-filter regimes.
+  */
+class BloomDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("bloom path equals the exact broadcast path on the real corpus") {
+    val corpus = docsDf.filter(col("doc_id") >= 10)
+    val bench  = docsDf.filter(col("doc_id") < 10)
+    val exact = TextAnalysis.contamination(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val bloom = TextAnalysis.bloomDecontaminate(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("undersized filter (high FP rate) still yields the exact report") {
+    val corpus = docsDf.filter(col("doc_id") >= 10)
+    val bench  = docsDf.filter(col("doc_id") < 10)
+    val exact = TextAnalysis.contamination(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // minBits=64 forces m ~ 16n with k clamped high — FP-heavy prefilter;
+    // the confirm join must still kill every impostor.
+    val bloom = TextAnalysis
+      .bloomDecontaminate(corpus, bench, "text", "doc_id", minBits = 64)
+      .orderBy("doc_id").collect()
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("disjoint vocabularies report zero contamination; planted overlap reports the exact ratio") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "eta theta iota kappa lambda mu"),
+      // planted: 6 tokens -> 4 distinct shingles, 2 of them benchmark 3-grams
+      (102L, "one two three four nu xi")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "one two three four")).toDF("doc_id", "text")
+    val out = TextAnalysis.bloomDecontaminate(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((100L, 0L), (101L, 0L), (102L, 2L)))
+    val planted = out.find(_.getLong(0) == 102L).get
+    assert(planted.getLong(1) == 4L && planted.getDouble(3) == 0.5)
+  }
+
+  test("empty benchmark produces an all-zero mask and an all-zero report") {
+    val corpus = Seq((1L, "some words to shingle here now")).toDF("doc_id", "text")
+    val bench  = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.bloomDecontaminate(corpus, bench, "text", "doc_id").collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L)
+  }
+}
