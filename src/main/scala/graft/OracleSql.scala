@@ -1990,6 +1990,16 @@ object OracleSql {
          |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
          |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
 
+    "fuzzy_join" ->
+      // Brute-force all-pairs twin: the Spark side's q-gram
+      // prefix-filter blocking must lose NO pair within the distance
+      // threshold, so the O(n²) oracle is exactly the spec.
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_w,

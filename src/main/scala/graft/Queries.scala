@@ -1180,6 +1180,16 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** Edit-distance similarity self-join over customer names: every
+    * pair within Levenshtein distance 1, via rarest-first q-gram
+    * prefix-filter blocking + exact confirm ([[Dedup.editDistanceJoin]]
+    * — the record-linkage primitive; the DuckDB twin brute-forces all
+    * pairs, proving the blocking has no false negatives).
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceJoin(Tables.customer(s, dir), "c_name", "c_custkey", maxDist = 1)
+      .orderBy("id_a", "id_b")
+
   /** Span-level decontamination: drop the corpus token positions
     * covered by any benchmark 10-gram and rebuild (surgical removal,
     * vs [[contaminationCheck]]'s ratio report).
