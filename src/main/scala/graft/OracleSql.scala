@@ -893,6 +893,38 @@ object OracleSql {
       s"""WITH $bm25Cte
          |SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    "query_expand" ->
+      // Full two-round RM3 twin: round-1 BM25 (same CTEs as bm25_topk),
+      // relevance model rm1(w) = Σ_d (tf/dl)·s_d / Σ_d s_d over the
+      // top-10 feedback docs (query terms excluded), top-5 expansion
+      // terms by (ROUND(w,8) DESC, term), interpolated weights
+      // (α/|Q| originals, (1-α)·renormalized rm1 for expansions, both
+      // ROUND(…,8)), weighted rescoring, ROUND(…,5) final.
+      s"""WITH $bm25Cte,
+         |top10 AS (SELECT doc_id, ROUND(score, 5) AS s FROM sc ORDER BY s DESC, doc_id LIMIT 10),
+         |rtf AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM tok JOIN top10 ON tok.doc_id = top10.doc_id
+         |        WHERE tok.term NOT IN ($queryTermsSql)
+         |        GROUP BY tok.doc_id, tok.term),
+         |rm1 AS (SELECT rtf.term,
+         |        ROUND(SUM(rtf.tf / dl.dl * top10.s) / (SELECT SUM(s) FROM top10), 8) AS w
+         |        FROM rtf JOIN dl USING (doc_id) JOIN top10 USING (doc_id)
+         |        GROUP BY rtf.term),
+         |exp5 AS (SELECT term, w FROM rm1 ORDER BY w DESC, term LIMIT 5),
+         |wq AS (SELECT unnest([$queryTermsSql]) AS term,
+         |              ROUND(0.5 / ${Queries.QueryTerms.size}, 8) AS qw
+         |       UNION ALL
+         |       SELECT term, ROUND(0.5 * w / (SELECT SUM(w) FROM exp5), 8) FROM exp5),
+         |qt2 AS (SELECT tok.doc_id, tok.term FROM tok JOIN wq ON tok.term = wq.term),
+         |tf2 AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM qt2 GROUP BY doc_id, term),
+         |df2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM qt2 GROUP BY term),
+         |sc2 AS (SELECT tf2.doc_id,
+         |        SUM( wq.qw * ln(1.0 + (st.n - df2.df + 0.5) / (df2.df + 0.5))
+         |             * tf2.tf * (1.2 + 1) / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+         |        FROM tf2 JOIN df2 USING (term) JOIN wq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |        GROUP BY tf2.doc_id)
+         |SELECT doc_id, ROUND(score, 5) AS rm3 FROM sc2 ORDER BY rm3 DESC, doc_id LIMIT 10""".stripMargin,
+
     "bm25_indexed" ->
       // Same twin as bm25_topk: the persisted-index probe must reproduce
       // the full-scan scorer bit-for-bit (index contents are a pure

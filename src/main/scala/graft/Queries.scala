@@ -99,6 +99,19 @@ object Queries {
       idCol = "doc_id", queryTerms = QueryTerms, k = 10
     )
 
+  /** RM3 pseudo-relevance-feedback expansion of the canonical query:
+    * feedback from the bm25_topk top-10, 5 expansion terms, α = 0.5
+    * ([[Search.rm3ExpandTopK]] — the twin recomputes the relevance
+    * model, the expansion-term selection AND the interpolated rescoring
+    * entirely in SQL, so the whole two-round pipeline is verified, not
+    * just the final scoring).
+    */
+  def queryExpand(s: SparkSession, dir: String): DataFrame =
+    Search.rm3ExpandTopK(
+      tokenTable(s, dir).select("doc_id", "term"),
+      idCol = "doc_id", queryTerms = QueryTerms, k = 10
+    )
+
   /** BM25 over the PERSISTED inverted index (store.py:197
     * `create_fts_index`): tokenize-once build (memoized, cold-pass
     * cost), then a term-pruned postings probe — must hash-match the

@@ -26,6 +26,7 @@ object SparkEntry {
     "knn_batch"           -> (Queries.knnBatch(_, _)),
     "hard_negatives"      -> (Queries.hardNegatives(_, _)),
     "bm25_topk"           -> (Queries.bm25TopK(_, _)),
+    "query_expand"        -> (Queries.queryExpand(_, _)),
     "bm25_phrase"         -> (Queries.bm25Phrase(_, _)),
     "bm25_pergroup"       -> (Queries.bm25PerGroup(_, _)),
     "snippet_extract"     -> (Queries.snippetExtract(_, _)),

@@ -225,6 +225,109 @@ object Search {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Term-WEIGHTED BM25 scores — [[bm25Scores]] with a per-term weight
+    * multiplier on each contribution (the scoring half of RM3 query
+    * expansion). Same single-shuffle pivoted shape; weights are plan
+    * literals.
+    */
+  def bm25WeightedScores(
+      tokens: DataFrame,
+      idCol: String,
+      termWeights: Seq[(String, Double)],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val terms = termWeights.map(_._1)
+    def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
+    val perDocAggs = count("*").cast("double").as("dl") +:
+      terms.map(t => count(when(col("term") === t, true)).cast("double").as(tfCol(t)))
+    val perDoc = tokens.groupBy(col(idCol)).agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = count("*").cast("double").as("n") +: avg("dl").as("avgdl") +:
+      terms.map(t => count(when(col(tfCol(t)) > 0, true)).cast("double").as(s"df_${tfCol(t)}"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val contribs = termWeights.map { case (t, w) =>
+      val tf = col(tfCol(t))
+      val df = col(s"df_${tfCol(t)}")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      val tfNorm = tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, lit(w) * idf * tfNorm).otherwise(lit(0.0))
+    }
+    perDoc
+      .filter(terms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", contribs.reduce(_ + _))
+      .select(col(idCol), col("score"))
+  }
+
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    * Croft 2001 relevance models; the Anserini/Indri default): run the
+    * original query, build a relevance model from the top `fbDocs`
+    * feedback documents, expand the query with the `fbTerms` heaviest
+    * non-query terms, and rescore with the interpolated term weights —
+    * original terms carry α/|Q| each, expansion terms share (1−α)
+    * proportional to their renormalized RM1 mass
+    * rm1(w) = Σ_d (tf_{w,d}/dl_d)·s_d / Σ_d s_d.
+    *
+    * Determinism contract (shared with the DuckDB twin): feedback
+    * scores are the ROUND(…,5) round-1 scores; rm1 and the final
+    * interpolated weights are ROUND(…,8) BEFORE selection and scoring,
+    * so term selection can never diverge on an ulp; final scores are
+    * ROUND(…,5) with (score DESC, id) ordering throughout.
+    *
+    * Scale shape: two single-shuffle scoring passes over the token
+    * table plus one aggregation restricted to the fbDocs feedback docs
+    * (broadcast semi-join on ≤ fbDocs ids). The collected artifacts
+    * are the feedback doc list (≤ fbDocs rows) and the expansion terms
+    * (≤ fbTerms rows) — bounded, independent of corpus size.
+    */
+  def rm3ExpandTopK(
+      tokens: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    val fb = bm25TopK(tokens, idCol, queryTerms, fbDocs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sSum = fb.map(_._2).sum
+    val fbDf = tokens.sparkSession.createDataFrame(fb.toSeq).toDF("_fbid", "_s")
+
+    val fbTok = tokens.join(
+      broadcast(fbDf), col(idCol) === col("_fbid"), "inner")
+    val fbDl = fbTok.groupBy(col(idCol)).agg(count(lit(1)).cast("double").as("_dl"))
+    val rm1 = fbTok
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"), col("_s"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+      .join(broadcast(fbDl), idCol)
+      .groupBy(col("term"))
+      .agg(round(sum(col("_tf") / col("_dl") * col("_s")) / lit(sSum), 8).as("_w"))
+      .orderBy(col("_w").desc, col("term"))
+      .limit(fbTerms)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+
+    val wSum = rm1.map(_._2).sum
+    val qw = BigDecimal(alpha / queryTerms.size)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Degenerate feedback (no non-query terms / zero RM1 mass): fall
+    // back to the unexpanded weighted query instead of dividing by 0.
+    val expansion =
+      if (wSum <= 0.0) Seq.empty[(String, Double)]
+      else rm1.toSeq.map { case (t, w) =>
+        t -> BigDecimal((1 - alpha) * w / wSum)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val weights = queryTerms.map(_ -> qw) ++ expansion
+    bm25WeightedScores(tokens, idCol, weights)
+      .withColumn("rm3", round(col("score"), 5))
+      .select(col(idCol), col("rm3"))
+      .orderBy(col("rm3").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BM25 with an exact-phrase proximity boost: the FTS score plus
     * `boost · ln(1 + phrase occurrences)`. Phrase counting is the
     * native codegen'd [[graft.plans.PhrasePositions]] scan over the
