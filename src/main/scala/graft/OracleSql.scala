@@ -421,6 +421,19 @@ object OracleSql {
              |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim
              |FROM asg, q WHERE cluster IN ($inCells)
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+        "ann_stats" ->
+          // Twin of Ann.stats: cell population re-derived from raw
+          // embeddings + fitted centroid literals.
+          s"""WITH $ctes,
+             |cc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM asg GROUP BY cluster),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_used, CAST(sum(c) AS BIGINT) AS nv,
+             |             CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx FROM cc)
+             |SELECT CAST(${cents.length} AS BIGINT) AS nlist, nv AS n_vectors,
+             |       CAST(${cents.length} - n_used AS BIGINT) AS n_empty,
+             |       mn AS min_cluster, mx AS max_cluster,
+             |       ROUND(CAST(nv AS DOUBLE) / ${cents.length}, 5) AS avg_cluster,
+             |       ROUND(CAST(mx AS DOUBLE) / (CAST(nv AS DOUBLE) / ${cents.length}), 5) AS balance
+             |FROM t""".stripMargin,
         "hybrid_indexed" ->
           // Both serving indexes fused: BM25 replayed from raw docs (the
           // postings layout is a pure function of the corpus — proven

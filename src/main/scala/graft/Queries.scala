@@ -1892,6 +1892,13 @@ object Queries {
     Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
   }
 
+  /** IVF index books ([[Ann.stats]]) — the twin re-derives the cell
+    * population from raw embeddings + the fitted centroid literals,
+    * proving the assignment table balances.
+    */
+  def annStats(s: SparkSession, dir: String): DataFrame =
+    Ann.stats(annIndexAndCells(s, dir)._1)
+
   /** PCA-reduced probe: approximate cosine in the 16-dim principal
     * subspace (fit memoized per corpus, components then constants)
     * prunes to 100 candidates, exact 64-dim cosine re-ranks to top 10.

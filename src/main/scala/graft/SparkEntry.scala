@@ -60,6 +60,7 @@ object SparkEntry {
     "simhash_pairs"       -> (Queries.simhashPairs(_, _)),
     // C. ANN
     "ann_probe"           -> (Queries.annProbe(_, _)),
+    "ann_stats"           -> (Queries.annStats(_, _)),
     "ann_filtered"        -> (Queries.annFiltered(_, _)),
     "ann_recall"          -> (Queries.annRecall(_, _)),
     "ann_recall_sweep"    -> (Queries.annRecallSweep(_, _)),

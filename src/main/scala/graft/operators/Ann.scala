@@ -113,6 +113,35 @@ object Ann {
   /** Probe restricted to an explicit cell list (cells are driver-side
     * constants — the same list is inlined into the DuckDB twin).
     */
+  /** Index observability — the IVF analog of [[Fts.stats]]: one
+    * O(index) aggregate over the assignment table exposing the books a
+    * capacity planner reads. A skewed coarse quantizer means hot probe
+    * cells at serving time (`balance` = max cell over the uniform
+    * ideal); empty cells are real capacity, so `avg_cluster` and
+    * `balance` divide by nlist while min/max range over POPULATED
+    * cells.
+    */
+  def stats(index: Index): DataFrame = {
+    val nlist = index.centroids.length
+    index.assigned
+      .groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(col("c")).as("nv"),
+        min(col("c")).as("mn"),
+        max(col("c")).as("mx"))
+      .select(
+        lit(nlist.toLong).as("nlist"),
+        col("nv").cast("long").as("n_vectors"),
+        (lit(nlist.toLong) - col("n_used")).cast("long").as("n_empty"),
+        col("mn").cast("long").as("min_cluster"),
+        col("mx").cast("long").as("max_cluster"),
+        round(col("nv").cast("double") / lit(nlist.toDouble), 5).as("avg_cluster"),
+        round(
+          col("mx").cast("double") / (col("nv").cast("double") / lit(nlist.toDouble)),
+          5).as("balance"))
+  }
+
   def probeCells(index: Index, queryDf: DataFrame, queryVec: String, cells: Seq[Int], topK: Int): DataFrame =
     Search
       .knnTopK(

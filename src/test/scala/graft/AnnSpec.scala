@@ -245,4 +245,29 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(live == plain, s"delete-free live probe diverges:\n$live\n$plain")
   }
+
+  test("stats books balance: counts sum to the corpus, bounds hold, skew detected") {
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    val index = Ann.build(embs, "embedding", "vec_id", k = 10, seed = 42)
+    val r = Ann.stats(index).collect().head
+    val (nlist, nv, nEmpty, mn, mx, avg, bal) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))
+    assert(nlist == 10 && nv == n && nEmpty >= 0 && nEmpty < nlist)
+    assert(mn >= 1 && mn <= mx && mx <= nv)
+    assert(math.abs(avg - nv.toDouble / nlist) < 1e-5)
+    assert(bal >= 1.0 - 1e-9 && bal == {
+      BigDecimal(mx / (nv.toDouble / nlist)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+    // A deliberately skewed corpus (all duplicates of one vector plus
+    // one outlier) must show up in the balance factor.
+    import spark.implicits._
+    val v = Array.fill(4)(1.0f); val w = Array.fill(4)(-1.0f)
+    val skewed = ((0L until 99L).map(i => (i, v)) :+ (99L, w)).toDF("vec_id", "embedding")
+    val sk = Ann.stats(Ann.build(skewed, "embedding", "vec_id", k = 4, seed = 1)).collect().head
+    // (k-means may split the duplicate mass across tied centroids, so
+    // the observable floor is well under the nominal 3x)
+    assert(sk.getDouble(6) >= 1.5, s"expected skew, balance=${sk.getDouble(6)}")
+  }
 }
