@@ -2035,6 +2035,37 @@ object OracleSql {
          |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
          |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
 
+    "url_dedup" ->
+      // The raw-url literal matches Queries.urlDedup verbatim; the
+      // canonicalization mirrors UrlOps.canonicalizeUrl rule for rule
+      // (DuckDB regexp_replace is first-match-only, but every replace
+      // pattern here is anchored or can match at most once).
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Page/' || (doc_id % 100) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  '?utm_source=feed&sid=' || (doc_id % 5) || '&b=2&a=1#sec' || doc_id AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS n FROM u),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(n, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(n, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?]+)', 1)), '^www\.', '') AS host,
+        |  regexp_extract(n, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?]+:([0-9]+)', 1) AS port,
+        |  regexp_replace(regexp_extract(n, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$', '') AS pathstrip,
+        |  list_filter(str_split(regexp_extract(n, '\?(.*)$', 1), '&'),
+        |              p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |                   AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')) AS params
+        |  FROM nf),
+        |c AS (SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+        |            OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END ||
+        |  CASE WHEN pathstrip = '' THEN '/' ELSE pathstrip END ||
+        |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END
+        |  AS canonical_url FROM parts)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
     "fuzzy_join" ->
       // Brute-force all-pairs twin: the Spark side's q-gram
       // prefix-filter blocking must lose NO pair within the distance

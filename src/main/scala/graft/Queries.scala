@@ -1182,6 +1182,24 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** URL canonicalization + dedup over a deterministic synthetic URL
+    * per document (the corpus has no url column, so the raw url is the
+    * same literal expression in Spark and the twin): case-varied
+    * scheme/host, default port, tracking params, fragment and a
+    * trailing-slash variant all collapse — 5 raw variants per
+    * canonical page ([[Dedup.urlDedup]]).
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 20).cast("string"),
+      lit(".COM:443/Page/"), (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&sid="), (col("doc_id") % 5).cast("string"),
+      lit("&b=2&a=1#sec"), col("doc_id").cast("string"))
+    Dedup.urlDedup(docs(s, dir).withColumn("url", raw), "url", "doc_id")
+      .orderBy("canonical_url")
+  }
+
   /** [[contaminationCheck]] by the Bloom-prefilter scale path — same
     * split, bit-identical report (the filter is exactness-preserving,
     * which is the property the shared twin proves).

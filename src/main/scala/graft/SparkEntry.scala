@@ -91,6 +91,7 @@ object SparkEntry {
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "bloom_decontaminate" -> (Queries.bloomDecontaminate(_, _)),
     "fuzzy_join"          -> (Queries.fuzzyJoin(_, _)),
+    "url_dedup"           -> (Queries.urlDedup(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "split_grouped"       -> (Queries.splitGrouped(_, _)),
     "curation_disposition" -> (Queries.curationDisposition(_, _)),

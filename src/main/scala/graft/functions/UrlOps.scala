@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — step 0 of any crawl-scale pipeline: a fetch
+  * frontier and the dedup pass both key on the CANONICAL url, or the
+  * same page is crawled and kept once per tracking-parameter variant
+  * (CommonCrawl-derived corpora like C4/RefinedWeb dedupe by
+  * normalized URL before any content pass).
+  *
+  * Pure codegen'd string expressions (no UDF): the same normalization
+  * is expressed verbatim in the DuckDB twin, so every rule is
+  * oracle-verified. Rules (conservative, order-independent set):
+  * lowercase scheme and host, drop a leading `www.`, drop default
+  * ports (`:80` http / `:443` https), drop the fragment, drop
+  * `utm_*` / `fbclid` / `gclid` tracking parameters, sort surviving
+  * query parameters, collapse trailing slashes on the path (root
+  * stays `/`).
+  */
+object UrlOps {
+
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?]+)", 1)),
+      "^www\\.", "")
+    val port = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?]+:([0-9]+)", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)", 1)
+    val stripped = regexp_replace(rawPath, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val params = filter(
+      split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => p =!= "" && !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")))
+    val query = when(size(params) > 0,
+      concat(lit("?"), concat_ws("&", array_sort(params)))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart, path, query)
+  }
+}

@@ -378,6 +378,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** URL-keyed exact dedup — crawl step 0: group on the CANONICAL url
+    * ([[graft.functions.UrlOps.canonicalizeUrl]] — case-folded
+    * scheme/host, `www.`/default-port/fragment/tracking-param
+    * stripped, query params sorted, trailing slashes collapsed) and
+    * keep the minimum id. One hash-partitioned aggregation; the
+    * canonicalization is pure codegen string work, so the whole pass
+    * is a map + one shuffle on the canonical key.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(graft.functions.UrlOps.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
   /** 64-bit SimHash signature per row, rendered as a 64-char '0'/'1'
     * string, computed with ONE md5 per token: explode → md5 as a
     * top-level codegen'd column → 16 hex-digit values → 64 bit-sums in
