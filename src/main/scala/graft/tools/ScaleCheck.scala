@@ -117,6 +117,27 @@ object ScaleCheck {
         Featurize.embedWithModel(c.select("doc_id", "text"), "text", keep = Seq("doc_id"),
           model = Featurize.encoderEmbedder())
           .select(col("doc_id"), hash(col("embedding")).as("h0"))))
+      time(s"url_dedup", forced(Dedup.urlDedup(
+        c.withColumn("url", concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 2000).cast("string"),
+          lit(".COM:443/Page/"), (col("doc_id") % 10000).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&sid="), (col("doc_id") % 5).cast("string"),
+          lit("&b=2&a=1#sec"), col("doc_id").cast("string"))),
+        "url", "doc_id")))
+      time(s"bloom_decontaminate", forced(TextAnalysis.bloomDecontaminate(
+        c, Tables.documents(spark, sfDir).filter(col("doc_id") < 10),
+        "text", "doc_id")))
+      // replicated customer names: near-dup structure is intact within
+      // a replica, while the replica salt keeps cross-replica pairs out
+      // of threshold — output pairs scale linearly with the corpus
+      val fuzzyNames = Tables.customer(spark, sfDir)
+        .crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select(
+          (col("c_custkey") + col("rep") * 10000000L).as("c_custkey"),
+          concat(col("c_name"), lit("-r"), col("rep").cast("string")).as("c_name"))
+      time(s"fuzzy_join", forced(
+        Dedup.editDistanceJoin(fuzzyNames, "c_name", "c_custkey", maxDist = 1)))
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
