@@ -2253,6 +2253,28 @@ object OracleSql {
         |SELECT cohort, day - cohort AS day_offset, CAST(count(*) AS BIGINT) AS users
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "events_paths" ->
+      // Same sessionization CTEs as events_sessionize, then two leads
+      // over the same user-ordered window; a path counts only when all
+      // three steps share the user's session id.
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events),
+        |l AS (SELECT user_id, event_id, event_type, t,
+        |       lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),
+        |m AS (SELECT user_id, event_id, event_type, t,
+        |       CASE WHEN pt IS NULL OR t - pt > 1800000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, event_id, event_type, t,
+        |       SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |p AS (SELECT user_id, sid, event_type AS s0,
+        |       lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2,
+        |       lead(sid, 1) OVER w AS g1, lead(sid, 2) OVER w AS g2
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        |       CAST(count(*) AS BIGINT) AS occurrences,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p WHERE g1 = sid AND g2 = sid
+        |GROUP BY 1 ORDER BY occurrences DESC, path LIMIT 20""".stripMargin,
+
     "events_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
         |l AS (SELECT user_id, event_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM o),

@@ -1870,6 +1870,16 @@ object Queries {
     Events.funnel(events(s, dir), "user_id", "event_type", "ts",
       Seq("view", "click", "purchase"))
 
+  /** Top-20 most common 3-step session paths ([[Events.topPaths]]) —
+    * the path report next to the funnel: what users actually DO in
+    * order, not just whether they reached staged milestones.
+    */
+  def eventsPaths(s: SparkSession, dir: String): DataFrame =
+    Events.topPaths(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000000").as("t"), col("event_id")),
+      "user_id", "event_type", "t", "event_id")
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val sessions = events(s, dir)

@@ -107,6 +107,7 @@ object SparkEntry {
     "q5_region"           -> (Queries.q5Region(_, _)),
     "events_window"       -> (Queries.eventsWindow(_, _)),
     "events_sessionize"   -> (Queries.eventsSessionize(_, _)),
+    "events_paths"        -> (Queries.eventsPaths(_, _)),
     "events_funnel"       -> (Queries.eventsFunnel(_, _)),
     "events_retention"    -> (Queries.eventsRetention(_, _)),
     "stream_funnel"       -> (Queries.streamFunnel(_, _)),

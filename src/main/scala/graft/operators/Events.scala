@@ -7,6 +7,54 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Event-table temporal operators. */
 object Events {
 
+  /** Session PATH analysis (the ClickHouse `sequenceCount`/path-report
+    * family): the top-k most common length-`n` event-type paths, where
+    * a path is `n` CONSECUTIVE events of one user within one session
+    * (same 30-minute inactivity boundary as sessionization). One
+    * shuffle on the user key with a lag + running-sum session id and
+    * n−1 leads over the SAME user-ordered sort (a single
+    * Exchange+Sort, never a per-user collect), then a map-side-combined
+    * hash aggregation on the path string and a bounded TakeOrdered —
+    * the 100 TB shape: per-user windows partition cleanly, the agg
+    * carries one row per DISTINCT path per task.
+    *
+    * `tsCol` must be epoch MILLIS (caller normalizes); ordering ties
+    * break on `idCol` so the report is deterministic.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      n: Int = 3,
+      gapMs: Long = 1800000L,
+      topK: Int = 20
+  ): DataFrame = {
+    require(n >= 2, s"a path needs >= 2 steps (got $n)")
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("_pt", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("_brk",
+        when(col("_pt").isNull || col(tsCol) - col("_pt") > gapMs, 1L).otherwise(0L))
+      .withColumn("_sid", sum("_brk").over(wRun))
+    val steps = (1 until n).map(i => lead(col(typeCol), i).over(wOrd).as(s"_s$i"))
+    val sids = (1 until n).map(i => lead(col("_sid"), i).over(wOrd).as(s"_g$i"))
+    val withSteps = sessioned.select(
+      (col(userCol) +: col(typeCol).as("_s0") +: col("_sid") +: (steps ++ sids)): _*)
+    withSteps
+      // the whole path must lie inside ONE session of this user
+      .filter((1 until n).map(i => col(s"_g$i") === col("_sid")).reduce(_ && _))
+      .select(col(userCol),
+        concat_ws(">", (0 until n).map(i => col(s"_s$i")): _*).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("occurrences").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Ordered conversion FUNNEL over an event stream: how many users
     * reached each stage of `stages` in strict temporal order (stage
     * i+1 counts only when it happens strictly AFTER the user's first

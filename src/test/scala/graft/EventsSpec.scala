@@ -60,4 +60,25 @@ class EventsSpec extends SparkSpec {
       s"funnel must narrow: ${counts.toSeq}")
     assert(counts.head > 0)
   }
+
+  test("topPaths: paths never cross a session or user boundary, counts exact") {
+    // u1 session A: v>c>p and c>p>v (4 events -> two 3-grams);
+    // 40-min gap; u1 session B: v>c>p again (one 3-gram).
+    // u2: v>c>p once. u3: only 2 events — no path.
+    val ms = 60000L
+    val ev = Seq(
+      (1L, "v", 0 * ms, 1L), (1L, "c", 1 * ms, 2L), (1L, "p", 2 * ms, 3L), (1L, "v", 3 * ms, 4L),
+      (1L, "v", 50 * ms, 5L), (1L, "c", 51 * ms, 6L), (1L, "p", 52 * ms, 7L),
+      (2L, "v", 0 * ms, 8L), (2L, "c", 1 * ms, 9L), (2L, "p", 2 * ms, 10L),
+      (3L, "v", 0 * ms, 11L), (3L, "c", 1 * ms, 12L)
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val out = graft.operators.Events
+      .topPaths(ev, "user_id", "event_type", "t", "event_id", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // v>c>p: u1 sessions A+B and u2 -> 3 occurrences, 2 users;
+    // c>p>v: only inside u1 session A -> 1 occurrence. The 4th u1
+    // session-A 3-gram would be p>v + session-B's v — but it CROSSES
+    // the 40-min gap, so it must not appear.
+    assert(out == Seq(("v>c>p", 3L, 2L), ("c>p>v", 1L, 1L)))
+  }
 }

@@ -47,4 +47,22 @@ class UrlOpsSpec extends SparkSpec {
       "https://shop.com/item/7#reviews")
     assert(canon(variants: _*).distinct.size == 1)
   }
+
+  test("canonicalization is idempotent on randomized urls (fixed point property)") {
+    val rnd = new scala.util.Random(77)
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("www.A.com", "b.ORG", "WWW.c.d.net", "x.io")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/P/q", "/a/b/c/", "/Z//")
+    val queries = Seq("", "?utm_source=1", "?z=9&a=1", "?utm_a=1&m=2&b=3")
+    val frags = Seq("", "#x", "#sec/2")
+    val urls = Seq.fill(200)(
+      schemes(rnd.nextInt(3)) + "://" + hosts(rnd.nextInt(4)) + ports(rnd.nextInt(4)) +
+        paths(rnd.nextInt(5)) + queries(rnd.nextInt(4)) + frags(rnd.nextInt(3)))
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    once.zip(twice).zip(urls).foreach { case ((a, b), raw) =>
+      assert(a == b, s"not a fixed point: raw=$raw once=$a twice=$b")
+    }
+  }
 }
