@@ -2313,6 +2313,9 @@ object OracleSql {
     // append-mode emission of each newly seen (user, day) makes the
     // sink's (cohort, offset) count equal the batch distinct-then-count
     "stream_retention" -> sql("events_retention"),
+    // per-user trailing-window state emits each in-session path once,
+    // so the drained top-k is the batch report — one twin, two keys
+    "stream_paths" -> sql("events_paths"),
     // micro-batch FTS appends accumulate to exactly the one-shot index
     // (sumDl arithmetic + per-posting df/tf/dl), so the merged probe
     // shares the full-corpus twin

@@ -1849,6 +1849,14 @@ object Queries {
   def streamRetention(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamPipeline.retentionSnapshot(s, dir)
 
+  /** STREAMED session-path report
+    * ([[graft.streaming.StreamPipeline.pathsSnapshot]]): per-user
+    * O(n) trailing-window state emits each completed in-session path
+    * exactly once — the drained top-k shares [[eventsPaths]]'s twin.
+    */
+  def streamPaths(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.pathsSnapshot(s, dir)
+
   /** STREAMED FTS maintenance
     * ([[graft.streaming.StreamPipeline.bm25AppendSnapshot]]): base
     * index over four fifths of the corpus, the last fifth appended

@@ -112,6 +112,7 @@ object SparkEntry {
     "events_retention"    -> (Queries.eventsRetention(_, _)),
     "stream_funnel"       -> (Queries.streamFunnel(_, _)),
     "stream_retention"    -> (Queries.streamRetention(_, _)),
+    "stream_paths"        -> (Queries.streamPaths(_, _)),
     "stream_bm25"         -> (Queries.streamBm25(_, _)),
     "stream_docsim"       -> (Queries.streamDocsim(_, _)),
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),

@@ -463,6 +463,68 @@ object StreamPipeline {
       .orderBy("cohort", "day_offset")
   }
 
+  /** STREAMED session-path analysis — the state loop behind
+    * [[pathsSnapshot]]: per-user state is (last event millis, the
+    * CURRENT session's trailing n−1 event types) — O(n) per user, the
+    * 100 TB shape (state never grows with history, unlike a
+    * collect-the-session formulation). Each arriving event emits
+    * exactly the one n-step path it completes (append mode), with the
+    * session cleared on a gap — so the drained sink holds one row per
+    * consecutive in-session window, identical to the batch
+    * [[graft.operators.Events.topPaths]] pre-aggregation. Same
+    * per-user in-order arrival contract as [[funnelProgress]]; within
+    * a micro-batch rows sort by (ts, event_id).
+    */
+  def pathsProgress(
+      typed: org.apache.spark.sql.Dataset[(Long, Long, Long, String)], // (user, ms, event_id, type)
+      n: Int = 3,
+      gapMs: Long = 1800000L
+  ): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import typed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[String]), (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)], state) =>
+          var (lastTs, recent) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[String]))
+          val out = Seq.newBuilder[(Long, String)]
+          for ((_, t, _, tpe) <- rows.toSeq.sortBy(r => (r._2, r._3))) {
+            if (lastTs != Long.MinValue && t - lastTs > gapMs) recent = Seq.empty
+            recent = (recent :+ tpe).takeRight(n)
+            if (recent.length == n) out += ((uid, recent.mkString(">")))
+            lastTs = t
+          }
+          state.update((lastTs, recent))
+          out.result().iterator
+      }
+  }
+
+  def pathsSnapshot(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 3,
+      gapMs: Long = 1800000L,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val typed = eventStream(spark, dir)
+      .select(col("user_id").cast("long"),
+        expr("ts DIV 1000000").cast("long").as("ms"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val name = "stream_paths_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = pathsProgress(typed, n, gapMs).toDF("user_id", "path")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy("path")
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("occurrences").desc, col("path"))
+      .limit(topK)
+  }
+
   def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val stream = documentStream(spark, dir).select("doc_id", "source", "text")
     val name = "stream_token_budget_" +

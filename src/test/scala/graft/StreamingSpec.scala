@@ -83,6 +83,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed((10L, 1L)) == 1L)
   }
 
+  test("streamed session paths equal the batch report across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gap = 1800000L
+    // (user, ms, event_id, type) — u1's first session straddles the
+    // batch boundary mid-window; a 40-min gap opens a second session
+    // inside batch 2 (the trailing-window state must clear on it).
+    val batch1 = Seq(
+      (1L, 0L, 1L, "v"), (1L, 60000L, 2L, "c"),
+      (2L, 0L, 3L, "v"), (2L, 60000L, 4L, "c"), (2L, 120000L, 5L, "p"))
+    val batch2 = Seq(
+      (1L, 120000L, 6L, "p"), (1L, 180000L, 7L, "v"),          // completes v>c>p, then c>p>v
+      (1L, 180000L + gap + 60000L, 8L, "v"),                    // new session
+      (1L, 180000L + gap + 120000L, 9L, "c"),
+      (1L, 180000L + gap + 180000L, 10L, "p"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val name = "paths_parity_test"
+    val q = graft.streaming.StreamPipeline.pathsProgress(input.toDS())
+      .toDF("user_id", "path")
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions.{count, countDistinct, lit}
+    val streamed = spark.table(name).groupBy("path")
+      .agg(count(lit(1)).as("o"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.Events.topPaths(
+      (batch1 ++ batch2).toDF("user_id", "t", "event_id", "event_type"),
+      "user_id", "event_type", "t", "event_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // the cross-batch mid-window split is genuinely exercised (u1's
+    // v>c>p completed in batch 2 from batch-1 state), and the gap
+    // reset kept the sessions apart (p>v>v across the gap is absent)
+    assert(streamed("v>c>p") == ((3L, 2L)))
+    assert(!streamed.contains("p>v>v"))
+  }
+
   test("streamed FTS appends across micro-batches equal the one-shot index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
