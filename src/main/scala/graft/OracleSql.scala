@@ -2035,6 +2035,24 @@ object OracleSql {
          |FROM cs LEFT JOIN bs ON cs.shm = bs.shm
          |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
 
+    "containment_pairs" ->
+      // Brute-force all-pairs twin over the same documents+excerpts
+      // universe: the rarity-prefix blocking must lose no pair with
+      // containment >= 0.8.
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, array_to_string(list_slice(${toks()}, 6, 35), ' ')
+         |  FROM documents WHERE doc_id < 20),
+         |tk AS (SELECT doc_id, ${toks()} AS toks FROM uni),
+         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
+         |s2 AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS containment
+         |FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id
+         |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "url_dedup" ->
       // The raw-url literal matches Queries.urlDedup verbatim; the
       // canonicalization mirrors UrlOps.canonicalizeUrl rule for rule

@@ -1182,6 +1182,23 @@ object Queries {
       "text", "doc_id"
     ).orderBy("doc_id")
 
+  /** Asymmetric containment pairs over documents plus 20 planted
+    * excerpts (tokens 6..35 of docs 0-19, id + 10000 — the same
+    * construction in the twin): every excerpt must be found inside its
+    * source even though its Jaccard with the source is far below any
+    * near-dup threshold ([[Dedup.containmentPairs]]; the twin
+    * brute-forces all pairs, proving the rarity-prefix blocking loses
+    * nothing).
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat_ws(" ", slice(TextOps.tokenize(col("text")), 6, 30)).as("text"))
+    Dedup.containmentPairs(d.unionByName(excerpts), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+  }
+
   /** URL canonicalization + dedup over a deterministic synthetic URL
     * per document (the corpus has no url column, so the raw url is the
     * same literal expression in Spark and the twin): case-varied

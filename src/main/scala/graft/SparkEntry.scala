@@ -92,6 +92,7 @@ object SparkEntry {
     "bloom_decontaminate" -> (Queries.bloomDecontaminate(_, _)),
     "fuzzy_join"          -> (Queries.fuzzyJoin(_, _)),
     "url_dedup"           -> (Queries.urlDedup(_, _)),
+    "containment_pairs"   -> (Queries.containmentPairs(_, _)),
     "sample_stratified"   -> (Queries.sampleStratified(_, _)),
     "split_grouped"       -> (Queries.splitGrouped(_, _)),
     "curation_disposition" -> (Queries.curationDisposition(_, _)),

@@ -378,6 +378,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — excerpt/quote detection:
+    * containment(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ finds documents
+    * whose shingles are (mostly) a subset of another's. Jaccard-keyed
+    * near-dup ([[minHashLshPairs]]) structurally MISSES these: a short
+    * excerpt inside a long document has containment 1.0 but Jaccard
+    * ≈ |A|/|B| — arbitrarily low, so no symmetric threshold finds it.
+    *
+    * Blocking (no false negatives): if |A∩B| ≥ τ|A| then A misses at
+    * most (1−τ)|A| of its own shingles, so among any ⌊(1−τ)|A|⌋+1
+    * shingles of A at least one is in B — join A's ⌊(1−τ)|A|⌋+1
+    * RAREST shingles (global-frequency order; only A's side needs a
+    * prefix because the probe side is the complete shingle postings)
+    * against the postings, then verify the exact ratio on the paired
+    * shingle arrays. Candidate volume is Σ_prefix df(g) — bounded by
+    * rarity, and skew-safe unless a document consists entirely of
+    * corpus-ubiquitous shingles (those candidates are real near-misses
+    * the verify step must price anyway).
+    *
+    * Shuffles carry 16-byte shingle hashes and id pairs; the two
+    * per-doc arrays meet only at the verify join. Scale shape: one
+    * explode + one frequency agg + one bounded per-doc sort, a
+    * postings join, distinct, verify.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tau: Double = 0.8,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks"))
+      .select(col("_id"), array_distinct(TextOps.shingles(col("_toks"), shingleK)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val ex = sh.select(col("_id"), explode(col("_sh")).as("g"))
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("_f"))
+    val prefix = ex.join(freq, "g")
+      .groupBy(col("_id"))
+      .agg(slice(
+        array_sort(collect_list(struct(col("_f"), col("g")))),
+        lit(1),
+        // +1e-9 before floor: binary float makes (1-0.8)*10 equal
+        // 1.9999999999999996, which would shorten the prefix by one
+        // and DROP a pair sitting exactly on the threshold; the
+        // epsilon can only lengthen the prefix (more candidates,
+        // never a false negative)
+        (floor(lit(1.0 - tau) * count(lit(1)) + lit(1e-9)) + 1).cast("int")).as("_p"))
+      .select(col("_id").as("id_a"), explode(col("_p")).as("_pg"))
+      .select(col("id_a"), col("_pg.g").as("g"))
+    val cand = prefix
+      .join(ex.select(col("g"), col("_id").as("id_b")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_sb")), "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          size(col("_sa")).cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** URL-keyed exact dedup — crawl step 0: group on the CANONICAL url
     * ([[graft.functions.UrlOps.canonicalizeUrl]] — case-folded
     * scheme/host, `www.`/default-port/fragment/tracking-param
