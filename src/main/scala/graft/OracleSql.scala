@@ -2045,7 +2045,10 @@ object OracleSql {
          |  SELECT doc_id + 10000, array_to_string(list_slice(${toks()}, 6, 35), ' ')
          |  FROM documents WHERE doc_id < 20),
          |tk AS (SELECT doc_id, ${toks()} AS toks FROM uni),
-         |shx AS (SELECT doc_id, $shingleExpr AS sh FROM tk),
+         |shx AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(toks) >= 5 THEN list_transform(generate_series(1, len(toks) - 4),
+         |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+         |  ELSE [] END) AS sh FROM tk),
          |s2 AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4) AS containment

@@ -1195,7 +1195,11 @@ object Queries {
     val excerpts = d.filter(col("doc_id") < 20)
       .select((col("doc_id") + 10000L).as("doc_id"),
         concat_ws(" ", slice(TextOps.tokenize(col("text")), 6, 30)).as("text"))
-    Dedup.containmentPairs(d.unionByName(excerpts), "text", "doc_id")
+    // 5-gram shingles: the corpus vocabulary is tiny, so 3-gram
+    // document frequencies are high everywhere and the rarity prefix
+    // stops pruning (measured 56 s at sf0.1); 5-grams make prefix
+    // shingles near-unique and candidates track true pairs (1.5 s)
+    Dedup.containmentPairs(d.unionByName(excerpts), "text", "doc_id", shingleK = 5)
       .orderBy("id_a", "id_b")
   }
 

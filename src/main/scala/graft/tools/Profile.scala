@@ -59,6 +59,33 @@ object Profile {
           .select("qid", "vec_id", "c")
         graft.plans.TopK.perKey(scored, Seq("qid"), Seq(("c", false), ("vec_id", true)), 10)
       }),
+      // containment_pairs dissection: shingle-set materialization vs
+      // postings explode vs the co-occurrence join
+      "d_cont_sh" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+          .select(col("doc_id"), array_distinct(TextOps.shingles(col("_toks"), 5)).as("_sh"))
+          .filter(size(col("_sh")) > 0)),
+      "d_cont_ex" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+          .select(col("doc_id"), array_distinct(TextOps.shingles(col("_toks"), 5)).as("_sh"))
+          .select(col("doc_id"), explode(col("_sh")).as("g"))),
+      "d_cont_ex2" -> ((s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+          .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(col("_toks"), 5))).as("raw"))
+          .select(col("doc_id"), md5(col("raw")).as("g"))),
+      "d_cont_join" -> ((s, dir) => {
+        val ex = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+          .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(col("_toks"), 5))).as("raw"))
+          .select(col("doc_id"), md5(col("raw")).as("g"))
+        ex.select(col("g"), col("doc_id").as("id_a"))
+          .join(ex.select(col("g"), col("doc_id").as("id_b")), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      }),
       "d_agg" -> ((s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))
