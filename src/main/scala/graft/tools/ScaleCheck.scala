@@ -128,6 +128,8 @@ object ScaleCheck {
       time(s"bloom_decontaminate", forced(TextAnalysis.bloomDecontaminate(
         c, Tables.documents(spark, sfDir).filter(col("doc_id") < 10),
         "text", "doc_id")))
+      time(s"containment_pairs", forced(
+        Dedup.containmentPairs(c, "text", "doc_id", tau = 0.8, shingleK = 5)))
       // replicated customer names: near-dup structure is intact within
       // a replica, while the replica salt keeps cross-replica pairs out
       // of threshold — output pairs scale linearly with the corpus
