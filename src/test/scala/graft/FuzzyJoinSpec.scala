@@ -56,6 +56,17 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("randomized fuzz vs brute force at t=1 and t=2 (seeded)") {
+    // small alphabet + short lengths force dense distance-1/2
+    // neighborhoods — the regime where a blocking bug would show
+    val rnd = new scala.util.Random(4242)
+    val strings = Seq.fill(250)(
+      (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    check(df, 1)
+    check(df, 2)
+  }
+
   test("thresholds beyond the combinatorial range are rejected") {
     val df = Seq(1L -> "abc").toDF("id", "s")
     val e = intercept[IllegalArgumentException] {
