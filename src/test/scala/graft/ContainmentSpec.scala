@@ -56,6 +56,21 @@ class ContainmentSpec extends SparkSpec {
     assert(jac < 0.15)
   }
 
+  test("randomized fuzz vs brute force (seeded)") {
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 12).map(i => s"v$i")
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(12))).mkString(" "))
+    }
+    val df = rows.toDF("id", "s")
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentPairs(df, "s", "id", tau)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute(df, tau), s"tau=$tau")
+    }
+  }
+
   test("threshold boundary: containment just below tau is excluded") {
     // A has 10 shingles (12 tokens), 8 of them inside B -> 0.8
     val a = (1 to 12).map(i => s"t$i").mkString(" ")
