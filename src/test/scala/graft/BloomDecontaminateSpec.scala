@@ -52,6 +52,22 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(planted.getLong(1) == 4L && planted.getDouble(3) == 0.5)
   }
 
+  test("randomized fuzz vs the exact path (seeded, overlapping vocabularies)") {
+    val rnd = new scala.util.Random(2025)
+    val vocab = (0 until 15).map(i => s"w$i")
+    def doc(id: Long) =
+      (id, (0 until (5 + rnd.nextInt(25))).map(_ => vocab(rnd.nextInt(15))).mkString(" "))
+    val corpus = (100L until 200L).map(doc).toDF("doc_id", "text")
+    val bench = (0L until 8L).map(doc).toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val bloom = TextAnalysis.bloomDecontaminate(corpus, bench, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    // dense overlap regime: the report must actually be non-trivial
+    assert(exact.exists(_.getLong(2) > 0))
+  }
+
   test("empty benchmark produces an all-zero mask and an all-zero report") {
     val corpus = Seq((1L, "some words to shingle here now")).toDF("doc_id", "text")
     val bench  = Seq.empty[(Long, String)].toDF("doc_id", "text")
