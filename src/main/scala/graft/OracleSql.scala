@@ -2037,7 +2037,8 @@ object OracleSql {
 
     "containment_pairs" ->
       // Brute-force all-pairs twin over the same documents+excerpts
-      // universe: the rarity-prefix blocking must lose no pair with
+      // universe: the inverted-index co-occurrence join (plus the
+      // rarest-prefix hot-shingle path) must lose no pair with
       // containment >= 0.8.
       s"""WITH uni AS (
          |  SELECT doc_id, text FROM documents
@@ -2066,7 +2067,9 @@ object OracleSql {
         |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
         |  '?utm_source=feed&sid=' || (doc_id % 5) || '&b=2&a=1#sec' || doc_id AS url
         |  FROM documents),
-        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS n FROM u),
+        |nf AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(url, '#.*', ''),
+        |                 '^([a-zA-Z][a-zA-Z0-9+.-]*://)[^/@?#]*@', '\1') AS n FROM u),
         |parts AS (SELECT doc_id,
         |  lower(regexp_extract(n, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         |  regexp_replace(lower(regexp_extract(n, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?]+)', 1)), '^www\.', '') AS host,
@@ -2088,9 +2091,9 @@ object OracleSql {
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "fuzzy_join" ->
-      // Brute-force all-pairs twin: the Spark side's q-gram
-      // prefix-filter blocking must lose NO pair within the distance
-      // threshold, so the O(n²) oracle is exactly the spec.
+      // Brute-force all-pairs twin: the Spark side's FastSS
+      // deletion-neighborhood blocking must lose NO pair within the
+      // distance threshold, so the O(n²) oracle is exactly the spec.
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey

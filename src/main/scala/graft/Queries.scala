@@ -1186,9 +1186,10 @@ object Queries {
     * excerpts (tokens 6..35 of docs 0-19, id + 10000 — the same
     * construction in the twin): every excerpt must be found inside its
     * source even though its Jaccard with the source is far below any
-    * near-dup threshold ([[Dedup.containmentPairs]]; the twin
-    * brute-forces all pairs, proving the rarity-prefix blocking loses
-    * nothing).
+    * near-dup threshold ([[Dedup.containmentPairs]] — the inverted-index
+    * co-occurrence join with the rarest-prefix escape hatch for hot
+    * shingles; the twin brute-forces all pairs, proving the blocking
+    * loses nothing).
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
@@ -1233,9 +1234,10 @@ object Queries {
     ).orderBy("doc_id")
 
   /** Edit-distance similarity self-join over customer names: every
-    * pair within Levenshtein distance 1, via rarest-first q-gram
-    * prefix-filter blocking + exact confirm ([[Dedup.editDistanceJoin]]
-    * — the record-linkage primitive; the DuckDB twin brute-forces all
+    * pair within Levenshtein distance 1, via FastSS deletion-
+    * neighborhood blocking + exact confirm ([[Dedup.editDistanceJoin]]
+    * — the record-linkage primitive; q-gram prefix filtering was
+    * measured and rejected there. The DuckDB twin brute-forces all
     * pairs, proving the blocking has no false negatives).
     */
   def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
@@ -2053,7 +2055,10 @@ object Queries {
     val index = Ann.buildCached(dir + "#incr-base", base, "embedding", "vec_id", k = 10, seed = 42)
     val path = graft.operators.LayoutCache.getOrWrite(s"annidx_stream:$dir") { p =>
       Ann.writeIndex(index, p)
-      graft.streaming.StreamPipeline.appendToAnnIndex(s, dir, p, index.centroids)
+      // the landing zone replays the whole embeddings table, so the
+      // query-side delta predicate picks the 10% not already in base
+      graft.streaming.StreamPipeline.appendToAnnIndex(s, dir, p, index.centroids,
+        deltaFilter = col("vec_id") % 10 === 7)
     }
     val q = queryVecDf(s, dir)
     val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)

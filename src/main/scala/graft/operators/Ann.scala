@@ -198,6 +198,9 @@ object Ann {
     * live probe bit-for-bit (pinned in AnnSpec).
     */
   def compact(spark: SparkSession, path: String, outPath: String, idCol: String): Unit = {
+    require(outPath != path,
+      s"Ann.compact: outPath must differ from the source layout ($path) — " +
+        "mode(overwrite) over a directory concurrently read as input corrupts the index")
     val all = spark.read.parquet(path)
     val tombDir = java.nio.file.Paths.get(path, "_tombstones")
     val live =

