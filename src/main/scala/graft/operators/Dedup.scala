@@ -457,12 +457,34 @@ object Dedup {
     * array verify shuffles ~5 KB per doc per candidate and took 81 s
     * at sf0.1 where this formulation takes ~2 s.
     *
-    * Cost model and guard: the co-occurrence join emits Σ_g df(g)²
-    * rows, so a corpus-ubiquitous shingle is quadratic — the maximum
-    * df is checked up front (one aggregation) and anything over
-    * `maxDf` fails fast with direction (raise shingleK: longer
-    * shingles are rarer) instead of melting an executor — same
-    * contract as [[ngramJaccardPairs]]'s block guard.
+    * Cost model and hot-shingle routing: the co-occurrence join emits
+    * Σ_g df(g)² rows, so a corpus-ubiquitous shingle (boilerplate, a
+    * license header) is quadratic. The maximum df is checked up front
+    * (one aggregation over the CACHED postings — built once, consumed
+    * by every leg below); when every shingle's df ≤ `hotDf` the plain
+    * join runs unchanged. Above the cap the EXACT hybrid takes over —
+    * no recall bound, no fail-fast:
+    *
+    *   - the co-occurrence join is restricted to RARE shingles
+    *     (df ≤ hotDf), bounding its output by hotDf·Σ df;
+    *   - each doc's HOT shingles (df > hotDf) become a per-doc set —
+    *     there are < |postings|/hotDf distinct hot shingles, so the
+    *     sets are small — and the hot part of any pair's intersection
+    *     is `array_intersect` on the candidate, never a join through
+    *     the quadratic postings;
+    *   - completeness: a qualifying pair (A,B) misses at most
+    *     ⌊(1−τ)·|A|⌋ of A's shingles, so A's ⌊(1−τ)·|A|⌋+1 RAREST
+    *     shingles (df-ascending prefix) must contain one shared with
+    *     B. If that prefix holds any rare shingle shared with B the
+    *     rare join already generated the pair; otherwise a hot PREFIX
+    *     shingle is shared, and those few prefix-hot entries probe the
+    *     hot postings — Σ df per probe, linear not quadratic. The
+    *     prefix is widened by the round(…,4) slack (+5e-5·|A|+1) so
+    *     boundary pairs the ratio filter would keep are never lost.
+    *
+    * A corpus where EVERY doc is the same boilerplate still emits
+    * O(n²) pairs — but that output is genuinely quadratic; the hybrid
+    * is output-bound, not postings-bound.
     */
   def containmentPairs(
       df: DataFrame,
@@ -470,29 +492,67 @@ object Dedup {
       idCol: String,
       tau: Double = 0.8,
       shingleK: Int = 3,
-      maxDf: Long = 10000L
+      hotDf: Long = 10000L
   ): DataFrame = {
     // explode the RAW shingles and hash as a top-level projection:
     // md5 inside a transform lambda runs interpreted (HOFs are codegen
     // fallbacks — see TextOps.shingles' own caveat) and measured 6×
-    // slower here (36 s vs 5.5 s for the postings at sf0.1)
+    // slower here (36 s vs 5.5 s for the postings at sf0.1).
+    // persist: the postings feed the df guard, the size leg and both
+    // join sides (4 consumers — previously 4 rebuilds); materialized
+    // by the topDf action, evicted LRU under memory pressure.
     val ex = df
       .select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(col("_id"),
         explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("_raw"))
       .select(col("_id"), md5(col("_raw")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy(col("_id")).agg(count(lit(1)).cast("double").as("_na"))
-    val topDf = ex.groupBy("g").agg(count(lit(1)).as("_f"))
-      .agg(max(col("_f"))).first().getLong(0)
-    require(topDf <= maxDf,
-      s"containmentPairs: a shingle occurs in $topDf documents (> maxDf=$maxDf); " +
-        "the co-occurrence join is quadratic in shingle df — raise shingleK " +
-        "(longer shingles are rarer) or raise maxDf deliberately")
-    ex.select(col("g"), col("_id").as("id_a"))
-      .join(ex.select(col("g"), col("_id").as("id_b")), "g")
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_c"))
+    val dfs = ex.groupBy("g").agg(count(lit(1)).as("_df"))
+    val topDf = dfs.agg(max(col("_df"))).first().getLong(0)
+    val pairCounts =
+      if (topDf <= hotDf) {
+        // fast path: every shingle is rare — one co-occurrence join
+        ex.select(col("g"), col("_id").as("id_a"))
+          .join(ex.select(col("g"), col("_id").as("id_b")), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("_c"))
+      } else {
+        val exD = ex.join(dfs, "g")
+        val rare = exD.filter(col("_df") <= hotDf).select("_id", "g")
+        val hot = exD.filter(col("_df") > hotDf).select("_id", "g")
+        val rareCnt = rare.select(col("g"), col("_id").as("id_a"))
+          .join(rare.select(col("g"), col("_id").as("id_b")), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("_cr"))
+        val hotSets = hot.groupBy(col("_id")).agg(collect_set(col("g")).as("_hs"))
+        // prefix probes: per-doc df-ascending rank (window keyed by doc
+        // id — never partition-less); prefix width ⌊(1−τ+5e-5)·na⌋+2
+        // absorbs the round(…,4) boundary slack
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_id")).orderBy(col("_df"), col("g"))
+        val prefixHot = exD
+          .withColumn("_rk", row_number().over(w))
+          .join(sizes, "_id")
+          .filter(col("_rk") <= floor(lit(1.0 - tau + 5e-5) * col("_na")) + 2)
+          .filter(col("_df") > hotDf)
+          .select("_id", "g")
+        val probePairs = prefixHot.select(col("g"), col("_id").as("id_a"))
+          .join(hot.select(col("g"), col("_id").as("id_b")), "g")
+          .filter(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b").distinct()
+        rareCnt.select("id_a", "id_b").unionByName(probePairs).distinct()
+          .join(rareCnt, Seq("id_a", "id_b"), "left")
+          .join(hotSets.select(col("_id").as("id_a"), col("_hs").as("_ha")), Seq("id_a"), "left")
+          .join(hotSets.select(col("_id").as("id_b"), col("_hs").as("_hb")), Seq("id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (coalesce(col("_cr"), lit(0L)) +
+              coalesce(size(array_intersect(col("_ha"), col("_hb"))), lit(0)).cast("long"))
+              .as("_c"))
+      }
+    pairCounts
       .join(sizes.withColumnRenamed("_id", "id_a"), "id_a")
       .withColumn("containment", round(col("_c").cast("double") / col("_na"), 4))
       .filter(col("containment") >= tau)

@@ -82,4 +82,54 @@ class ContainmentSpec extends SparkSpec {
     assert(at(0.8).contains((1L, 2L)))
     assert(!at(0.81).contains((1L, 2L)))
   }
+
+  test("hot-shingle hybrid equals brute force on the boilerplate fixture") {
+    // the `common` core's shingles occur in 31 docs — with hotDf=2
+    // every one of them routes through the hot path (a fixture this
+    // shape used to trip the maxDf fail-fast)
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val df = (
+      (0 until 30).map(i => (i.toLong, s"$common tail$i piece$i word$i extra$i")) :+
+        (100L, common) :+
+        (101L, "totally different text with nothing shared at all here now")
+      ).toDF("id", "s")
+    for (tau <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentPairs(df, "s", "id", tau, hotDf = 2L)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute(df, tau), s"tau=$tau")
+    }
+  }
+
+  test("hot-shingle hybrid: randomized fuzz vs brute force (seeded)") {
+    // tiny vocabulary => most shingles are corpus-hot at hotDf=3;
+    // docs range from all-hot to mixed, exercising the prefix-probe
+    // completeness argument (pairs whose shared shingles are ALL hot)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 10).map(i => s"h$i")
+    val rows = (0 until 90).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(18))).map(_ => vocab(rnd.nextInt(10))).mkString(" "))
+    }
+    val df = rows.toDF("id", "s")
+    for (tau <- Seq(0.5, 0.8, 1.0); cap <- Seq(1L, 3L, 10L)) {
+      val got = Dedup.containmentPairs(df, "s", "id", tau, hotDf = cap)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute(df, tau), s"tau=$tau hotDf=$cap")
+    }
+  }
+
+  test("hybrid and fast path agree exactly at the routing boundary") {
+    val rnd = new scala.util.Random(21)
+    val vocab = (0 until 14).map(i => s"b$i")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(14))).mkString(" "))
+    }
+    val df = rows.toDF("id", "s")
+    val fast = Dedup.containmentPairs(df, "s", "id", 0.7, hotDf = 100000L)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hybrid = Dedup.containmentPairs(df, "s", "id", 0.7, hotDf = 1L)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fast == hybrid)
+  }
 }
