@@ -37,8 +37,7 @@ object Ann {
   // An IVF index is an offline artifact: built once, probed many times
   // (at scale: persisted partitioned-by-cluster). Memoize per build key
   // so repeated probes in one session don't refit.
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Long), Index]()
+  private val indexCache = Caches.lru[(String, String, String, Int, Long), Index](64)
 
   /** Memoizing build keyed on (data key, columns, k, seed). `dataKey`
     * identifies the source (e.g. the parquet dir).

@@ -41,8 +41,7 @@ object Fts {
   // Memoize per (data key, columns) so repeated probes in one session
   // don't re-tokenize (the cold build cost stays visible in the bench's
   // cold pass — same amortized-cost framing as Ann.buildCached).
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Index]()
+  private val indexCache = Caches.lru[(String, String, String), Index](64)
 
   def buildCached(dataKey: String, docs: DataFrame, textCol: String, idCol: String): Index =
     indexCache.computeIfAbsent(
@@ -51,19 +50,30 @@ object Fts {
         java.nio.file.Files.createTempDirectory("graft_fts_").toString)
     )
 
-  // Parquet handles per (session, layout, segment): re-using one
+  // Parquet handles per (session id, layout, segment): re-using one
   // DataFrame instance re-uses its resolved FileIndex, so repeated
   // probes don't pay file listing + footer/schema resolution per call
   // (the catalog-table-handle pattern — at cluster scale this is the
-  // metastore's job). Invalidated when the layout mutates (append).
-  private val segmentCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // metastore's job). Keyed by a session ID string, not the session
+  // object, so a retired session can't be pinned by its handles (the
+  // cached DataFrame still references its session, but it ages out of
+  // the LRU instead of living forever under a strong map key);
+  // LRU-bounded so retired layouts (clones, compactions) age out.
+  // Invalidated when the layout mutates (append).
+  private val segmentCache = Caches.lru[(String, String, String), DataFrame](256)
+
+  private def sessionId(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
 
   private def segment(spark: SparkSession, dir: String, sub: String): DataFrame =
-    segmentCache.computeIfAbsent((spark, dir, sub), _ => spark.read.parquet(s"$dir/$sub"))
+    segmentCache.computeIfAbsent(
+      (sessionId(spark), dir, sub),
+      _ => spark.read.parquet(s"$dir/$sub"))
 
   private def invalidateSegments(dir: String): Unit =
-    segmentCache.keySet.removeIf(k => k._2 == dir)
+    segmentCache.synchronized {
+      segmentCache.keySet.removeIf(k => k._2 == dir)
+    }
 
   /** The layout's LIVE face of one segment: anti-join the tombstone
     * sidecar when present — shared by ALL probe entry points

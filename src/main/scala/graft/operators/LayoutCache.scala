@@ -12,7 +12,7 @@ package graft.operators
   * dirs are reaped on JVM exit.
   */
 object LayoutCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val cache = Caches.lru[String, String](128)
 
   /** Return the memoized layout path for `key`, writing it first (into
     * a fresh temp dir) on first use.

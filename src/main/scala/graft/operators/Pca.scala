@@ -25,8 +25,7 @@ object Pca {
   /** components(j) = j-th principal axis (length = input dim). */
   final case class Model(components: Array[Array[Double]])
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Model]()
+  private val cache = Caches.lru[(String, String, Int), Model](64)
 
   /** Memoizing MLlib PCA fit (uncentered transform semantics — MLlib's
     * `PCAModel.transform` projects without subtracting the mean, and

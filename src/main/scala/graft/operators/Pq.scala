@@ -33,7 +33,7 @@ object Pq {
   // driver-side Lloyd's fit on every call (the round-7 ann_batch_pq
   // defect: warm == cold because each probe re-trained the codebook).
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int, Int, Int, Long), Model]()
+    Caches.lru[(String, String, String, Int, Int, Int, Int, Long), Model](64)
 
   /** Memoizing [[train]] keyed on (data key, columns, m, codes,
     * sampleSize, iters, seed). `dataKey` identifies the corpus (e.g.
