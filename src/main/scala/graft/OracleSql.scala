@@ -1377,6 +1377,16 @@ object OracleSql {
          |       COALESCE(string_agg(CASE WHEN NOT drp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "server_info" ->
+      // Constant twin over server_info's deterministic face: the
+      // extension wiring and the corpus-path probe have exactly one
+      // correct answer on a healthy engine; box facts (version,
+      // master, parallelism) are excluded from the registered
+      // projection because no cross-engine oracle can know them.
+      """SELECT TRUE AS cosine_sim_registered,
+        |'graft.plans.GraftExtensions' AS extensions,
+        |TRUE AS docs_readable""".stripMargin,
+
     "fts_stats" ->
       // Twin of Fts.stats: re-derive the index's books from the raw
       // corpus — distinct (doc, term) pairs ARE the postings, docs

@@ -131,6 +131,24 @@ object Queries {
   def ftsStats(s: SparkSession, dir: String): DataFrame =
     Fts.stats(s, Fts.buildCached(dir, docs(s, dir), "text", "doc_id"), "doc_id")
 
+  /** Engine diagnostics ([[graft.operators.Info.serverInfo]] — the
+    * reference's `server_info` tool, server.py:401): projected to its
+    * DETERMINISTIC face so the constant twin is a real oracle — the
+    * extension wiring (custom-function registration, extensions class)
+    * and the path-readability probe against the corpus dir. Box facts
+    * (spark version, master, shuffle partitions) stay on the full
+    * [[graft.operators.Info.serverInfo]] surface, pinned in
+    * CatalogSpec, where no cross-engine twin can see them.
+    */
+  def serverInfo(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    graft.operators.Info.serverInfo(s, Some(s"$dir/documents.parquet"))
+      .select(
+        col("cosine_sim_registered"),
+        col("extensions"),
+        col("path_check").startsWith("exists").as("docs_readable"))
+  }
+
   private val incFtsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Fts.Index]()
 

@@ -141,6 +141,7 @@ object SparkEntry {
     "maxsim_search"       -> (Queries.maxsimSearch(_, _)),
     "bm25_indexed"        -> (Queries.bm25Indexed(_, _)),
     "fts_stats"           -> (Queries.ftsStats(_, _)),
+    "server_info"         -> (Queries.serverInfo(_, _)),
     "bm25_incremental"    -> (Queries.bm25Incremental(_, _)),
     "bm25_deleted"        -> (Queries.bm25Deleted(_, _)),
     "bm25_compacted"      -> (Queries.bm25Compacted(_, _)),
