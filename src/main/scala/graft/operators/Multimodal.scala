@@ -13,8 +13,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * headless-safe) and WAV/PCM via a RIFF chunk parse — [[decode]],
   * [[resize]] (actual pixel resampling + PNG re-encode),
   * [[imageFeatures]] (per-channel means + luma) and [[frameSample]]
-  * (true multi-frame extraction for animated GIF). Formats with no
-  * JDK codec (video containers, mp3/ogg/m4a) fall to the
+  * (true multi-frame extraction for animated GIF). MP3 and WebP get a
+  * REAL metadata-level parse with no codec: [[parseMp3]] walks every
+  * MPEG frame header (exact VBR frame counts / duration / rate /
+  * channels), [[parseWebp]] reads dimensions from all three container
+  * layouts (VP8L/VP8X/VP8) — their SAMPLE data (pixels, PCM) stays
+  * stubbed, as does everything with neither a JDK codec nor a
+  * walkable frame structure (video containers, ogg/m4a) via the
   * clearly-marked deterministic [[decodeStub]]. All decoders run as a
   * single mapPartitions pass — schema, batch shape and
   * partition-preserving layout are identical between the real and
@@ -53,6 +58,11 @@ object Multimodal {
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') "webp"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3" // ID3v2-tagged
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
+      ((b(1) >> 1) & 3) == 1) "mp3" // bare frame sync, layer III
     else "unknown"
 
   private def imageIoInit(): Unit = {
@@ -90,6 +100,114 @@ object Multimodal {
     fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
       WavMeta(ch, rate, bits, dataLen / (ch * bits / 8))
     }
+  }
+
+  /** Parsed MPEG-audio facts from a per-frame header walk (the same
+    * metadata-level REAL parse class as the WAV RIFF walk: no codec,
+    * every frame header is read, so VBR files get exact frame counts
+    * and durations — not a first-frame-bitrate guess).
+    */
+  private[operators] final case class Mp3Meta(
+      channels: Int, sampleRate: Int, nFrames: Int, durationMs: Long)
+
+  // Layer III bitrate rows (kbps, index 1-14; 0 = free-format and
+  // 15 = bad are rejected) and sample-rate rows by MPEG version.
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+  private[operators] def parseMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    // skip an ID3v2 tag: 10-byte header, syncsafe 28-bit size
+    var pos =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        10 + ((b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 | (b(8) & 0x7f) << 7 | (b(9) & 0x7f))
+      else 0
+    if (pos < 0) return None // hostile syncsafe bytes can't go negative, belt and braces
+    // tolerate padding between the tag and the first frame sync
+    while (pos + 4 <= b.length &&
+      !((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xe0) == 0xe0)) pos += 1
+    var frames = 0
+    var samplesNum = 0L // Σ samplesPerFrame, divided by rate at the end
+    var channels = 0
+    var rate = 0
+    var ok = true
+    while (ok && pos + 4 <= b.length) {
+      val h0 = b(pos) & 0xff; val h1 = b(pos + 1) & 0xff
+      val h2 = b(pos + 2) & 0xff; val h3 = b(pos + 3) & 0xff
+      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) ok = false
+      else {
+        val version = (h1 >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1=reserved)
+        val layer = (h1 >> 1) & 3   // 1 = Layer III
+        val brIdx = (h2 >> 4) & 0xf
+        val srIdx = (h2 >> 2) & 3
+        val padding = (h2 >> 1) & 1
+        if (version == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+        else {
+          val bitrate = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000
+          val sr = (version match {
+            case 3 => Mp3RateV1
+            case 2 => Mp3RateV2
+            case _ => Mp3RateV25
+          })(srIdx)
+          if (frames == 0) {
+            rate = sr
+            channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+          } else if (sr != rate) ok = false // mid-stream rate switch: stop the walk
+          if (ok) {
+            // L3: 1152 samples/frame (MPEG1), 576 (MPEG2/2.5)
+            val samples = if (version == 3) 1152 else 576
+            val frameLen = samples / 8 * bitrate / sr + padding
+            if (frameLen <= 4) ok = false // degenerate header: never stall
+            else {
+              frames += 1
+              samplesNum += samples
+              pos += frameLen
+            }
+          }
+        }
+      }
+    }
+    if (frames == 0 || rate == 0) None
+    else Some(Mp3Meta(channels, rate, frames, samplesNum * 1000L / rate))
+  }
+
+  /** WebP dimensions from the container headers — REAL for all three
+    * chunk layouts (VP8L lossless 14-bit dims, VP8X extended 24-bit
+    * canvas, VP8 lossy frame tag); pixel decode stays honestly stubbed
+    * (no JDK codec). Same hardened RIFF walk as [[parseWav]].
+    */
+  private[operators] def parseWebp(b: Array[Byte]): Option[(Int, Int)] = {
+    def le24(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    def le16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int) = ((b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+      ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24))
+    if (sniff(b) != "webp") return None
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(pos + 4)
+      val p = pos + 8
+      id match {
+        case "VP8L" if p + 5 <= b.length && (b(p) & 0xff) == 0x2f =>
+          // 0x2F signature, then 14-bit (w-1), 14-bit (h-1) little-endian
+          val bits = le32(p + 1)
+          return Some((1 + (bits & 0x3fff).toInt, 1 + ((bits >> 14) & 0x3fff).toInt))
+        case "VP8X" if p + 10 <= b.length =>
+          return Some((1 + le24(p + 4), 1 + le24(p + 7)))
+        case "VP8 " if p + 10 <= b.length &&
+          (b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 && (b(p + 5) & 0xff) == 0x2a =>
+          // 3-byte frame tag, 3-byte start code, then 14-bit dims
+          return Some((le16(p + 6) & 0x3fff, le16(p + 8) & 0x3fff))
+        case _ => ()
+      }
+      pos = math.min(pos.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
+    }
+    None
   }
 
   /** Offset of the `data` chunk's payload, or -1 — same hardened RIFF
@@ -292,6 +410,16 @@ object Multimodal {
             // same never-kill-the-stage contract as the image branch
             try parseWav(bytes)
               .map(w => Row("wav", 0, 0, w.nFrames.toInt, w.channels, w.sampleRate, w.durationMs))
+              .orNull
+            catch { case _: Exception => null }
+          case "mp3" =>
+            try parseMp3(bytes)
+              .map(m => Row("mp3", 0, 0, m.nFrames, m.channels, m.sampleRate, m.durationMs))
+              .orNull
+            catch { case _: Exception => null }
+          case "webp" =>
+            try parseWebp(bytes)
+              .map { case (w, h) => Row("webp", w, h, 1, 0, 0, 0L) }
               .orNull
             catch { case _: Exception => null }
           case f @ ("png" | "jpeg" | "gif" | "bmp") =>
@@ -550,9 +678,10 @@ object Multimodal {
       .withColumn("frame_digest",
         md5(concat(md5(col(binCol)), lit(":"), col("frame_idx").cast("string"))))
 
-  /** STUB decoder for the formats the JDK ships NO codec for (video
-    * containers, mp3/ogg/m4a — see [[decode]] for the real JDK-codec
-    * path). Deterministic fake: dimensions derived from the payload
+  /** STUB decoder for the formats with neither a JDK codec nor a
+    * walkable header structure (video containers, ogg/m4a — see
+    * [[decode]] for the real JDK-codec path and the mp3/WebP
+    * metadata parsers). Deterministic fake: dimensions derived from the payload
     * length, format from the first byte. Runs as the same single
     * mapPartitions pass, so a JNI/codec decoder drops in without
     * changing the plan.

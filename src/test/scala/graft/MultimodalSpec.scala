@@ -234,4 +234,73 @@ class MultimodalSpec extends SparkSpec {
       .select("id", "rms").collect().map(r => r.getLong(0) -> r.get(1)).toMap
     assert(feats.size == 3 && feats.values.forall(_ == null))
   }
+
+  // Hand-built MPEG1 Layer III frames: 128 kbps, 44100 Hz, header
+  // 0xFF 0xFB 0x90 then mode byte; frameLen = 144*128000/44100 = 417.
+  private def mp3Frames(n: Int, mono: Boolean, id3: Boolean, pad: Int = 0): Array[Byte] = {
+    val frameLen = 417
+    val mode: Byte = if (mono) 0xC0.toByte else 0x00
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      // ID3v2 header: 10 bytes, syncsafe size = pad (tag body of `pad` zeros)
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0,
+        ((pad >> 21) & 0x7f).toByte, ((pad >> 14) & 0x7f).toByte,
+        ((pad >> 7) & 0x7f).toByte, (pad & 0x7f).toByte))
+      out.write(new Array[Byte](pad))
+    }
+    (0 until n).foreach { _ =>
+      val f = new Array[Byte](frameLen)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte; f(3) = mode
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  private def webpChunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + payload.length + (payload.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+      .put("WEBP".getBytes("US-ASCII"))
+    bb.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    bb.array()
+  }
+
+  test("mp3: exact frame count, duration, rate and channels from the header walk") {
+    // 38 frames * 1152 samples / 44100 Hz = 0.99265... s -> 992 ms
+    val rows = Seq(
+      (1L, mp3Frames(38, mono = true, id3 = false)),
+      (2L, mp3Frames(38, mono = false, id3 = true, pad = 100)), // tagged + padding
+      (3L, "ID3garbagewithnoframes".getBytes("US-ASCII"))
+    ).toDF("id", "content")
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[org.apache.spark.sql.Row](1))).toMap
+    val m1 = out(1L).get
+    assert(m1.getString(0) == "mp3" && m1.getInt(3) == 38 &&
+      m1.getInt(4) == 1 && m1.getInt(5) == 44100 &&
+      m1.getLong(6) == 38L * 1152 * 1000 / 44100, m1.toString)
+    val m2 = out(2L).get
+    assert(m2.getInt(3) == 38 && m2.getInt(4) == 2, m2.toString)
+    assert(out(3L).isEmpty, "tag with no frames must yield NULL meta")
+  }
+
+  test("webp: dimensions parsed from VP8L, VP8X and VP8 layouts; pixels stay stubbed") {
+    // VP8L: sig 0x2F, then (w-1)=639, (h-1)=359 packed 14+14 bits LE
+    val bits = 639 | (359 << 14)
+    val vp8l = webpChunk("VP8L", Array(0x2F, bits & 0xff, (bits >> 8) & 0xff,
+      (bits >> 16) & 0xff, (bits >> 24) & 0xff).map(_.toByte))
+    // VP8X: 4 feature/reserved bytes, then (w-1),(h-1) as 24-bit LE
+    val vp8x = webpChunk("VP8X", Array[Int](0, 0, 0, 0,
+      0x7F, 0x01, 0x00, /* w-1 = 383 */ 0xDF, 0x00, 0x00 /* h-1 = 223 */).map(_.toByte))
+    // VP8 lossy: 3-byte frame tag, start code 9D 01 2A, 16-bit w, h
+    val vp8 = webpChunk("VP8 ", Array[Int](0, 0, 0, 0x9D, 0x01, 0x2A,
+      320 & 0xff, 320 >> 8, 240 & 0xff, 240 >> 8).map(_.toByte))
+    val rows = Seq((1L, vp8l), (2L, vp8x), (3L, vp8)).toDF("id", "content")
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row](1)).toMap
+    assert(out(1L).getString(0) == "webp" && out(1L).getInt(1) == 640 && out(1L).getInt(2) == 360)
+    assert(out(2L).getInt(1) == 384 && out(2L).getInt(2) == 224)
+    assert(out(3L).getInt(1) == 320 && out(3L).getInt(2) == 240)
+  }
 }
