@@ -381,8 +381,10 @@ object OracleSql {
         s"""WITH res AS (${bm25BatchSelect(qs, 10)}),
            |qids(query_id) AS (SELECT * FROM (VALUES $qids)),
            |sr AS (SELECT query_id, min(rk) AS _sr FROM res
-           |       WHERE doc_id = query_id GROUP BY 1)
-           |SELECT q.query_id, CAST(COALESCE(_sr, 0) AS BIGINT) AS self_rank,
+           |       WHERE doc_id = query_id % 100 GROUP BY 1)
+           |SELECT q.query_id,
+           |       CASE WHEN q.query_id < 100 THEN 'self' ELSE 'para' END AS variant,
+           |       CAST(COALESCE(_sr, 0) AS BIGINT) AS self_rank,
            |       COALESCE(ROUND(1.0 / _sr, 4), 0.0) AS rr
            |FROM qids q LEFT JOIN sr USING (query_id) ORDER BY q.query_id""".stripMargin
       }

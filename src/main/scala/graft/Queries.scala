@@ -339,29 +339,42 @@ object Queries {
   }
 
   /** Offline retrieval-quality EVAL — the search-quality harness a
-    * store runs after every index build: SELF-retrieval over the
-    * persisted FTS index. Each eval query is the first 5 tokens of one
-    * of the first 8 documents with its own document as the relevant
-    * result; reports per-query hit rank and reciprocal rank (the MRR
-    * components) at k=10. The query set is a bounded driver artifact
-    * (8 tiny strings, the same class as fitted centroids) stashed in
-    * [[OracleArtifacts]] so the twin replays the identical batch probe.
+    * store runs after every index build, with TWO query classes over
+    * the persisted FTS index:
+    *
+    *   - `self` (query_id 0-7): the first 5 tokens of each of the
+    *     first 8 documents — exact-opening retrieval, the smoke test;
+    *   - `para` (query_id 100-107): a planted PARAPHRASE of the same
+    *     opening — every other opening token (positions 2/4/6/8) plus
+    *     one token from deeper in the document (position 13), so the
+    *     query overlaps the source lexically but is not a substring.
+    *     Self-retrieval alone only proves the tokenizer round-trips;
+    *     this class measures ranking ROBUSTNESS under lossy rewording.
+    *
+    * The relevant document for query q is q % 100; reports per-query
+    * hit rank and reciprocal rank (the MRR components) at k=10. The
+    * query set is a bounded driver artifact (16 tiny token lists, the
+    * same class as fitted centroids) stashed in [[OracleArtifacts]] so
+    * the twin replays the identical batch probe.
     */
   def retrievalEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val idx = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
-    val qs = docs(s, dir).filter(col("doc_id") < 8)
-      .select(col("doc_id"), slice(TextOps.tokenize(col("text")), 1, 5).as("q"))
+    val base = docs(s, dir).filter(col("doc_id") < 8)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
       .sortBy(_._1).toSeq
+    val qs = base.map { case (id, t) => (id, t.take(5)) } ++
+      base.map { case (id, t) => (id + 100L, Seq(1, 3, 5, 7, 12).flatMap(t.lift)) }
     OracleArtifacts.retrievalEval = Some(qs)
     val res = Fts.probeBatch(s, idx, "doc_id", qs, k = 10)
-    val sr = res.filter(col("doc_id") === col("query_id"))
+    val sr = res.filter(col("doc_id") === col("query_id") % 100)
       .groupBy("query_id").agg(min("rk").as("_sr"))
     qs.map(_._1).toDF("query_id")
       .join(sr, Seq("query_id"), "left_outer")
       .select(col("query_id"),
+        when(col("query_id") < 100, lit("self")).otherwise(lit("para")).as("variant"),
         coalesce(col("_sr"), lit(0L)).as("self_rank"),
         coalesce(round(lit(1.0) / col("_sr"), 4), lit(0.0)).as("rr"))
       .orderBy("query_id")
