@@ -2127,6 +2127,24 @@ object OracleSql {
         |       ROUND(CAST((doc_id % 100) * 300 AS DOUBLE) / 32768.0, 5) AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "multimodal_mp3" ->
+      // closed-form twin of the VBR frame-header walk (see
+      // Multimodal.synthMp3): duration is integer sample math, exactly
+      // the parser's Long arithmetic
+      """SELECT doc_id, 'mp3' AS format,
+        |       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        |       44100 AS sample_rate,
+        |       CAST(5 + doc_id % 40 AS BIGINT) AS n_frames,
+        |       CAST((5 + doc_id % 40) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_webp" ->
+      // closed-form twin of the VP8L header parse (Multimodal.synthWebp)
+      """SELECT doc_id, 'webp' AS format,
+        |       CAST(16 + doc_id % 100 AS INT) AS width,
+        |       CAST(9 + doc_id % 50 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "multimodal_embed" -> {
       // closed-form twin of the real decode -> 2x2-patch-mean ->
       // fixed-projection -> L2 pipeline over solid-color images: every

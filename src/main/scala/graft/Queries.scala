@@ -1614,6 +1614,37 @@ object Queries {
     dec.join(feats, "doc_id").orderBy("doc_id")
   }
 
+  /** [[multimodalAudio]]'s compressed sibling: deterministic VBR MP3
+    * per doc through the REAL per-frame MPEG header walk
+    * ([[graft.operators.Multimodal.parseMp3]]). The synth cycles the
+    * bitrate index per FRAME, so only a walk that reads every header
+    * stays in sync — the twin recomputes the closed-form facts
+    * (channels/rate/frame count/duration), hash-verifying the whole
+    * encode → walk pipeline.
+    */
+  def multimodalMp3(s: SparkSession, dir: String): DataFrame = {
+    val synth = Multimodal.synthMp3(docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decode(synth, "content")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.channels").as("channels"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.n_frames").cast("long").as("n_frames"),
+        col("meta.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** Lossless-WebP dimensions through the REAL container-header parse
+    * ([[graft.operators.Multimodal.parseWebp]], VP8L layout) on a
+    * hash-verified path — closed-form dims per doc id.
+    */
+  def multimodalWebp(s: SparkSession, dir: String): DataFrame = {
+    val synth = Multimodal.synthWebp(docs(s, dir).select("doc_id"), "doc_id")
+    Multimodal.decode(synth, "content")
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** [[multimodalAudio]]'s image sibling: deterministic solid-color
     * PNG per doc through the REAL ImageIO decode + pixel-mean feature
     * pass; PNG is lossless so every decoded fact has a closed form the

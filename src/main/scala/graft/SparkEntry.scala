@@ -70,6 +70,8 @@ object SparkEntry {
     // D. multimodal
     "multimodal_features" -> (Queries.multimodalFeatures(_, _)),
     "multimodal_audio"    -> (Queries.multimodalAudio(_, _)),
+    "multimodal_mp3"      -> (Queries.multimodalMp3(_, _)),
+    "multimodal_webp"     -> (Queries.multimodalWebp(_, _)),
     "multimodal_image"    -> (Queries.multimodalImage(_, _)),
     "multimodal_embed"    -> (Queries.multimodalEmbed(_, _)),
     // E. text analysis

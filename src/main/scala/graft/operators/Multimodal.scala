@@ -271,6 +271,78 @@ object Multimodal {
     }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
   }
 
+  /** Deterministic MP3 synthesis — [[synthWav]]'s compressed-audio
+    * sibling: doc id → a VBR MPEG1 Layer III stream (44100 Hz,
+    * nFrames = 5 + id % 40, mono iff id even, ID3v2 tag with
+    * id % 50 padding bytes on every third doc). The per-FRAME bitrate
+    * index cycles 9..13, so a parser that guessed length from the
+    * first frame's bitrate would desync — hash-verifying that
+    * [[parseMp3]] genuinely walks every header. Sample data is zeros
+    * (the metadata walk never touches it); the decoded facts —
+    * channels, rate, frame count, duration — have closed forms for
+    * the SQL twin.
+    */
+  def synthMp3(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val nFrames = (5 + id % 40).toInt
+        val mono = id % 2 == 0
+        val out = new java.io.ByteArrayOutputStream()
+        if (id % 3 == 0) {
+          val pad = (id % 50).toInt
+          out.write(Array[Byte]('I', 'D', '3', 4, 0, 0,
+            ((pad >> 21) & 0x7f).toByte, ((pad >> 14) & 0x7f).toByte,
+            ((pad >> 7) & 0x7f).toByte, (pad & 0x7f).toByte))
+          out.write(new Array[Byte](pad))
+        }
+        var i = 0
+        while (i < nFrames) {
+          val brIdx = 9 + ((id + i) % 5).toInt // V1 L3: 160..320 kbps
+          val bitrate = Mp3BitrateV1(brIdx) * 1000
+          val frameLen = 1152 / 8 * bitrate / 44100
+          val f = new Array[Byte](frameLen)
+          f(0) = 0xFF.toByte; f(1) = 0xFB.toByte
+          f(2) = (brIdx << 4).toByte // srIdx=0 (44100), no padding
+          f(3) = if (mono) 0xC0.toByte else 0x00
+          out.write(f)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      }
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Deterministic lossless-WebP synthesis: doc id → a VP8L container
+    * whose header declares width 16 + id % 100, height 9 + id % 50
+    * (the bitstream body is padding — [[parseWebp]] is a header-only
+    * parser and the twin checks exactly the header facts).
+    */
+  def synthWebp(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType, nullable = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (16 + id % 100).toInt
+        val h = (9 + id % 50).toInt
+        val bits = (w - 1) | ((h - 1) << 14)
+        val payload = Array(0x2f, bits & 0xff, (bits >> 8) & 0xff,
+          (bits >> 16) & 0xff, (bits >> 24) & 0xff, 0, 0, 0).map(_.toByte)
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + payload.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+          .put("WEBP".getBytes("US-ASCII"))
+        bb.put("VP8L".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Deterministic PNG synthesis — [[synthWav]]'s image sibling: doc
     * id → a solid-color RGB PNG (width 4 + id % 16, height 3 + id % 8,
     * color ((id·3) % 256, (id·7) % 256, (id·11) % 256)). PNG is

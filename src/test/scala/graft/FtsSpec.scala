@@ -109,11 +109,13 @@ class FtsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"))
   }
 
-  test("retrievalEval: self-retrieval ranks are consistent MRR components") {
+  test("retrievalEval: self + paraphrase ranks are consistent MRR components") {
     val out = Queries.retrievalEval(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.map(_._1).toSeq == (0L until 8L), "one row per eval query")
-    out.foreach { case (qid, rank, rr) =>
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == ((0L until 8L) ++ (100L until 108L)),
+      "one row per eval query, both classes")
+    out.foreach { case (qid, variant, rank, rr) =>
+      assert(variant == (if (qid < 100) "self" else "para"), s"q$qid variant $variant")
       if (rank == 0L) assert(rr == 0.0, s"q$qid: miss must have rr 0")
       else {
         assert(rank >= 1L && rank <= 10L)
@@ -121,8 +123,10 @@ class FtsSpec extends SparkSpec {
           s"q$qid: rr $rr != 1/$rank")
       }
     }
-    // on this corpus at least some self-retrievals must land in the top-10
-    assert(out.exists(_._2 > 0L), "no query found its own document")
+    // on this corpus at least some self-retrievals must land in the
+    // top-10; paraphrase hits are corpus-dependent (they DO hit at
+    // sf0.01 — the structural checks above pin the class regardless)
+    assert(out.exists(o => o._1 < 100 && o._3 > 0L), "no self query found its document")
   }
 
   test("rebuild after new documents land refreshes the same index dir (store.py:197 replace=True)") {
