@@ -13,13 +13,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * headless-safe) and WAV/PCM via a RIFF chunk parse — [[decode]],
   * [[resize]] (actual pixel resampling + PNG re-encode),
   * [[imageFeatures]] (per-channel means + luma) and [[frameSample]]
-  * (true multi-frame extraction for animated GIF). MP3 and WebP get a
-  * REAL metadata-level parse with no codec: [[parseMp3]] walks every
-  * MPEG frame header (exact VBR frame counts / duration / rate /
-  * channels), [[parseWebp]] reads dimensions from all three container
-  * layouts (VP8L/VP8X/VP8) — their SAMPLE data (pixels, PCM) stays
-  * stubbed, as does everything with neither a JDK codec nor a
-  * walkable frame structure (video containers, ogg/m4a) via the
+  * (true multi-frame extraction for animated GIF). The container
+  * formats get a REAL metadata-level parse with no codec:
+  * [[parseMp3]] walks every MPEG frame header (exact VBR frame
+  * counts / duration / rate / channels), [[parseWebp]] reads
+  * dimensions from all three container layouts (VP8L/VP8X/VP8),
+  * [[parseMp4]] walks ISO-BMFF boxes (mp4/m4a/mov: movie duration,
+  * video dims, audio channels/rate) and [[parseOgg]] walks Ogg pages
+  * (Vorbis/Opus id headers + last-granule duration). Their SAMPLE
+  * data (pixels, compressed audio/video frames) stays stubbed —
+  * that's the codec itself, the one thing a pure JVM with no codec
+  * library genuinely cannot do; unrecognized formats fall to the
   * clearly-marked deterministic [[decodeStub]]. All decoders run as a
   * single mapPartitions pass — schema, batch shape and
   * partition-preserving layout are identical between the real and
@@ -63,6 +67,8 @@ object Multimodal {
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3" // ID3v2-tagged
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
       ((b(1) >> 1) & 3) == 1) "mp3" // bare frame sync, layer III
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4" // ISO-BMFF (m4a/mp4/mov)
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') "ogg"
     else "unknown"
 
   private def imageIoInit(): Unit = {
@@ -208,6 +214,140 @@ object Multimodal {
       pos = math.min(pos.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
     }
     None
+  }
+
+  /** Container facts from an ISO-BMFF (mp4/m4a/mov) box walk — the
+    * same metadata-level REAL parse class as the RIFF/MPEG walks:
+    * movie duration from `mvhd`, video dimensions from the first
+    * visual `stsd` sample entry, audio channels/sample-rate from the
+    * first `mp4a` entry. Box sizes are read as unsigned with clamped
+    * monotonic advance (size 1 = 64-bit largesize honored, size 0 =
+    * to-end-of-enclosing), so hostile lengths terminate the walk.
+    * Sample DATA (mdat) is never touched — codec decode stays stubbed.
+    */
+  private[operators] final case class Mp4Meta(
+      width: Int, height: Int, channels: Int, sampleRate: Int, durationMs: Long)
+
+  private[operators] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    def be16(i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def be32(i: Int): Long = ((b(i) & 0xff).toLong << 24) | ((b(i + 1) & 0xff).toLong << 16) |
+      ((b(i + 2) & 0xff).toLong << 8) | (b(i + 3) & 0xff).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    if (sniff(b) != "mp4") return None
+    var width = 0; var height = 0; var channels = 0; var rate = 0
+    var durationMs = -1L
+
+    // walk the children of [start, end); returns nothing — findings
+    // land in the vars above (first-wins per fact)
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return // corrupt self-nesting guard
+      var pos = start
+      while (pos + 8 <= end) {
+        val size0 = be32(pos.toInt)
+        val tpe = new String(b, pos.toInt + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size0 == 1L && pos + 16 <= end) { header = 16L; be64(pos.toInt + 8) }
+          else if (size0 == 0L) end - pos // last box: runs to enclosing end
+          else size0
+        if (size < header) return // hostile/corrupt: terminate
+        val bodyStart = pos + header
+        val bodyEnd = math.min(pos + size, end)
+        tpe match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(bodyStart, bodyEnd, depth + 1)
+          case "mvhd" if durationMs < 0 && bodyStart + 4 <= bodyEnd =>
+            val v = b(bodyStart.toInt) & 0xff
+            val (tsOff, dur) =
+              if (v == 1 && bodyStart + 32 <= bodyEnd)
+                (bodyStart + 20, be64(bodyStart.toInt + 24))
+              else if (v == 0 && bodyStart + 20 <= bodyEnd)
+                (bodyStart + 12, be32(bodyStart.toInt + 16))
+              else (-1L, 0L)
+            if (tsOff >= 0) {
+              val timescale = be32(tsOff.toInt)
+              if (timescale > 0) durationMs = dur * 1000L / timescale
+            }
+          case "stsd" if bodyStart + 16 <= bodyEnd =>
+            // ver/flags(4) entry_count(4), then the first sample entry:
+            // size(4) format(4) reserved(6) data_ref_index(2)
+            val e = bodyStart + 8
+            val fmt = new String(b, e.toInt + 4, 4, "US-ASCII")
+            fmt match {
+              case "mp4a" | "alac" | "ac-3" if channels == 0 && e + 36 <= bodyEnd =>
+                channels = be16(e.toInt + 24)
+                rate = be32(e.toInt + 32).toInt >>> 16 // 16.16 fixed
+              case "avc1" | "hvc1" | "hev1" | "mp4v" | "vp09" | "av01"
+                if width == 0 && e + 36 <= bodyEnd =>
+                width = be16(e.toInt + 32)
+                height = be16(e.toInt + 34)
+              case _ => ()
+            }
+          case _ => ()
+        }
+        // monotonic clamped advance (size >= header > 0)
+        pos = math.min(pos + size, end)
+      }
+    }
+    try walk(0L, b.length.toLong, 0) catch { case _: Exception => return None }
+    if (durationMs < 0 && width == 0 && channels == 0) None
+    else Some(Mp4Meta(width, height, channels, rate, math.max(durationMs, 0L)))
+  }
+
+  /** Stream facts from an Ogg page walk: channels and sample rate
+    * from the first packet's identification header (Vorbis `vorbis`
+    * or Opus `OpusHead`), duration from the LAST page's granule
+    * position (PCM samples at the stream rate for Vorbis; 48 kHz
+    * minus pre-skip for Opus, per RFC 7845). Every page header is
+    * read (capture pattern checked, lacing table summed) — compressed
+    * packet payloads are never decoded.
+    */
+  private[operators] final case class OggMeta(
+      codec: String, channels: Int, sampleRate: Int, durationMs: Long)
+
+  private[operators] def parseOgg(b: Array[Byte]): Option[OggMeta] = {
+    def le32(i: Int): Long = ((b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+      ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24))
+    def le64(i: Int): Long = le32(i) | (le32(i + 4) << 32)
+    if (sniff(b) != "ogg") return None
+    var codec = ""; var channels = 0; var rate = 0; var preSkip = 0
+    var lastGranule = -1L
+    var pos = 0
+    var first = true
+    while (pos + 27 <= b.length &&
+      b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' && b(pos + 3) == 'S') {
+      val granule = le64(pos + 6)
+      val nSegs = b(pos + 26) & 0xff
+      if (pos + 27 + nSegs > b.length) return None // truncated lacing table
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += b(pos + 27 + i) & 0xff; i += 1 }
+      val body = pos + 27 + nSegs
+      if (first && body + 8 <= b.length) {
+        if (b(body) == 1 && new String(b, body + 1, 6, "US-ASCII") == "vorbis" &&
+          body + 16 <= b.length) {
+          codec = "vorbis"
+          channels = b(body + 11) & 0xff
+          rate = le32(body + 12).toInt
+        } else if (new String(b, body, 8, "US-ASCII") == "OpusHead" &&
+          body + 14 <= b.length) {
+          codec = "opus"
+          channels = b(body + 9) & 0xff
+          preSkip = (b(body + 10) & 0xff) | ((b(body + 11) & 0xff) << 8)
+          rate = 48000 // Opus granules are always at 48 kHz (RFC 7845 §4)
+        }
+        first = false
+      }
+      if (granule >= 0) lastGranule = math.max(lastGranule, granule)
+      val next = pos.toLong + 27L + nSegs + bodyLen
+      if (next <= pos) return None // hostile zero-advance
+      pos = math.min(next, b.length.toLong).toInt
+    }
+    if (codec.isEmpty || rate <= 0) None
+    else {
+      val samples = math.max(0L, lastGranule - (if (codec == "opus") preSkip.toLong else 0L))
+      Some(OggMeta(codec, channels, rate, samples * 1000L / rate))
+    }
   }
 
   /** Offset of the `data` chunk's payload, or -1 — same hardened RIFF
@@ -494,6 +634,16 @@ object Multimodal {
               .map { case (w, h) => Row("webp", w, h, 1, 0, 0, 0L) }
               .orNull
             catch { case _: Exception => null }
+          case "mp4" =>
+            try parseMp4(bytes)
+              .map(m => Row("mp4", m.width, m.height, 0, m.channels, m.sampleRate, m.durationMs))
+              .orNull
+            catch { case _: Exception => null }
+          case "ogg" =>
+            try parseOgg(bytes)
+              .map(o => Row(s"ogg/${o.codec}", 0, 0, 0, o.channels, o.sampleRate, o.durationMs))
+              .orNull
+            catch { case _: Exception => null }
           case f @ ("png" | "jpeg" | "gif" | "bmp") =>
             try {
               val in = javax.imageio.ImageIO.createImageInputStream(
@@ -750,10 +900,10 @@ object Multimodal {
       .withColumn("frame_digest",
         md5(concat(md5(col(binCol)), lit(":"), col("frame_idx").cast("string"))))
 
-  /** STUB decoder for the formats with neither a JDK codec nor a
-    * walkable header structure (video containers, ogg/m4a — see
-    * [[decode]] for the real JDK-codec path and the mp3/WebP
-    * metadata parsers). Deterministic fake: dimensions derived from the payload
+  /** STUB decoder for unrecognized formats — everything outside the
+    * real JDK-codec path and the mp3/WebP/ISO-BMFF/Ogg metadata
+    * walks (see [[decode]]): raw codec bitstreams and exotic
+    * containers. Deterministic fake: dimensions derived from the payload
     * length, format from the first byte. Runs as the same single
     * mapPartitions pass, so a JNI/codec decoder drops in without
     * changing the plan.

@@ -284,6 +284,108 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isEmpty, "tag with no frames must yield NULL meta")
   }
 
+  // --- ISO-BMFF fixture builders: size-prefixed boxes, big-endian ---
+  private def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+  private def be(i: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(i).array()
+  private def be16b(i: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(2).putShort(i.toShort).array()
+
+  private def mvhd(timescale: Int, duration: Int): Array[Byte] =
+    box("mvhd", Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++ be(timescale) ++ be(duration)
+      ++ new Array[Byte](80))
+
+  private def stsdAudio(ch: Int, rate: Int): Array[Byte] = {
+    val entry = java.nio.ByteBuffer.allocate(36)
+    entry.putInt(36).put("mp4a".getBytes("US-ASCII"))
+      .put(new Array[Byte](6)).putShort(1)          // reserved + data_ref_index
+      .put(new Array[Byte](8))                      // audio reserved
+      .putShort(ch.toShort).putShort(16)            // channels, samplesize
+      .putInt(0).putInt(rate << 16)                 // reserved, 16.16 rate
+    box("stsd", Array[Byte](0, 0, 0, 0) ++ be(1) ++ entry.array())
+  }
+  private def stsdVideo(w: Int, h: Int): Array[Byte] = {
+    val entry = java.nio.ByteBuffer.allocate(40)
+    entry.putInt(40).put("avc1".getBytes("US-ASCII"))
+      .put(new Array[Byte](6)).putShort(1)          // reserved + data_ref_index
+      .put(new Array[Byte](16))                     // video pre_defined/reserved
+      .putShort(w.toShort).putShort(h.toShort)
+    box("stsd", Array[Byte](0, 0, 0, 0) ++ be(1) ++ entry.array())
+  }
+  private def trak(stsd: Array[Byte]): Array[Byte] =
+    box("trak", box("mdia", box("minf", box("stbl", stsd))))
+  private def mp4File(traks: Array[Byte]*): Array[Byte] =
+    box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", mvhd(1000, 2500) ++ traks.flatten.toArray) ++
+      box("mdat", new Array[Byte](16))
+
+  // --- Ogg fixture builders ---
+  private def oggPage(granule: Long, body: Array[Byte], seq: Int): Array[Byte] = {
+    val nSegs = (body.length / 255) + 1
+    val bb = java.nio.ByteBuffer.allocate(27 + nSegs + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .putLong(granule).putInt(1).putInt(seq).putInt(0).put(nSegs.toByte)
+    var rest = body.length
+    (0 until nSegs).foreach { _ =>
+      bb.put(math.min(rest, 255).toByte); rest -= math.min(rest, 255)
+    }
+    bb.put(body).array()
+  }
+  private def vorbisId(ch: Int, rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+      .put(ch.toByte).putInt(rate).array()
+  }
+  private def opusHead(ch: Int, preSkip: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(ch.toByte)
+      .putShort(preSkip.toShort).putInt(48000).putShort(0).put(0.toByte).array()
+  }
+
+  test("mp4/m4a: duration, audio channels/rate and video dims from the box walk") {
+    val m4a = mp4File(trak(stsdAudio(2, 44100)))
+    val vid = mp4File(trak(stsdVideo(1280, 720)), trak(stsdAudio(1, 48000)))
+    val hostile = box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      Array[Byte](0, 0, 0, 1, 'm', 'o', 'o', 'v') // size=1 but no largesize
+    val rows = Seq((1L, m4a), (2L, vid), (3L, hostile)).toDF("id", "content")
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[org.apache.spark.sql.Row](1))).toMap
+    val a = out(1L).get
+    assert(a.getString(0) == "mp4" && a.getInt(4) == 2 && a.getInt(5) == 44100 &&
+      a.getLong(6) == 2500L, a.toString) // 2500/1000 timescale units = 2500 ms
+    val v = out(2L).get
+    assert(v.getInt(1) == 1280 && v.getInt(2) == 720 &&
+      v.getInt(4) == 1 && v.getInt(5) == 48000 && v.getLong(6) == 2500L, v.toString)
+    assert(out(3L).isEmpty, "hostile largesize must yield NULL meta")
+  }
+
+  test("ogg: vorbis and opus id headers + last-granule duration from the page walk") {
+    // vorbis: id page granule 0, then a data page at granule 44100 -> 1000 ms
+    val vorb = oggPage(0L, vorbisId(2, 44100), 0) ++
+      oggPage(44100L, new Array[Byte](10), 1)
+    // opus: pre-skip 312, last granule 48312 -> (48312-312)/48000 = 1000 ms
+    val opus = oggPage(0L, opusHead(1, 312), 0) ++
+      oggPage(48312L, new Array[Byte](10), 1)
+    val garbage = "OggSbutnotreallyapagewalkable".getBytes("US-ASCII")
+    val rows = Seq((1L, vorb), (2L, opus), (3L, garbage)).toDF("id", "content")
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[org.apache.spark.sql.Row](1))).toMap
+    val v = out(1L).get
+    assert(v.getString(0) == "ogg/vorbis" && v.getInt(4) == 2 &&
+      v.getInt(5) == 44100 && v.getLong(6) == 1000L, v.toString)
+    val o = out(2L).get
+    assert(o.getString(0) == "ogg/opus" && o.getInt(4) == 1 &&
+      o.getInt(5) == 48000 && o.getLong(6) == 1000L, o.toString)
+    assert(out(3L).isEmpty, "truncated page must yield NULL meta")
+  }
+
   test("webp: dimensions parsed from VP8L, VP8X and VP8 layouts; pixels stay stubbed") {
     // VP8L: sig 0x2F, then (w-1)=639, (h-1)=359 packed 14+14 bits LE
     val bits = 639 | (359 << 14)
