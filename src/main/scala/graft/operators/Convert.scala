@@ -514,7 +514,39 @@ object Convert {
       case "doc"          => Ole.docToText(bytes).getOrElse(fallback)
       case "ppt"          => Ole.pptToText(bytes).getOrElse(fallback)
       case "xls"          => Ole.xlsToText(bytes).getOrElse(fallback)
+      case "mp3" | "m4a" | "mp4" | "mov" | "ogg" | "opus" | "webp" =>
+        mediaToText(source.replaceAll("^.*[/\\\\]", ""), bytes).getOrElse(fallback)
       case _              => fallback
+    }
+  }
+
+  /** Media → MarkItDown-style metadata text (converter.py:44 routes
+    * mp3/m4a through MarkItDown, which emits file metadata plus a
+    * transcription attempt): the REAL container facts from
+    * [[Multimodal]]'s codec-less walks become the converted text;
+    * the transcription line is the honest stub (a speech model is a
+    * codec-class dependency this container doesn't ship). Returns
+    * None when the payload doesn't parse as its claimed family —
+    * falling back to the generic stub like every other converter.
+    */
+  def mediaToText(basename: String, bytes: Array[Byte]): Option[String] = {
+    val noSpeech = "[transcription unavailable: no speech model in this container]"
+    Multimodal.sniff(bytes) match {
+      case "mp3" => Multimodal.parseMp3(bytes).map(m =>
+        s"# $basename\n[audio mp3: ${m.channels} ch, ${m.sampleRate} Hz, " +
+          s"${m.durationMs} ms, ${m.nFrames} frames]\n$noSpeech")
+      case "mp4" => Multimodal.parseMp4(bytes).map { m =>
+        val video = if (m.width > 0) s", video ${m.width}x${m.height}" else ""
+        val audio = if (m.channels > 0) s", audio ${m.channels} ch ${m.sampleRate} Hz" else ""
+        s"# $basename\n[media mp4: ${m.durationMs} ms$video$audio]\n$noSpeech"
+      }
+      case "ogg" => Multimodal.parseOgg(bytes).map(o =>
+        s"# $basename\n[audio ogg/${o.codec}: ${o.channels} ch, ${o.sampleRate} Hz, " +
+          s"${o.durationMs} ms]\n$noSpeech")
+      case "webp" => Multimodal.parseWebp(bytes).map { case (w, h) =>
+        s"# $basename\n[image webp: ${w}x$h]"
+      }
+      case _ => None
     }
   }
 

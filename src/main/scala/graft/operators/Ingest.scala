@@ -31,12 +31,16 @@ object Ingest {
 
   /** Formats [[Convert]] extracts for real (pdf = the uncompressed/
     * FlateDecode text subset; docx/pptx/xlsx via java.util.zip; rtf;
-    * legacy OLE doc/ppt/xls via the pure-JVM CFB parser in [[Ole]] —
-    * each with stub fallback outside its honest subset); the rest
-    * (media) stub.
+    * legacy OLE doc/ppt/xls via the pure-JVM CFB parser in [[Ole]];
+    * mp3/m4a/ogg/webp = MarkItDown-style metadata text from the
+    * codec-less container walks in [[Multimodal]], transcription
+    * honestly stubbed — each with stub fallback outside its honest
+    * subset); the rest (raw codec media: decoded by [[Multimodal]]
+    * where a JDK codec exists) stub.
     */
   private val Convertible = Set("txt", "md", "csv", "json", "xml", "html",
-    "htm", "pdf", "docx", "pptx", "xlsx", "rtf", "zip", "doc", "ppt", "xls")
+    "htm", "pdf", "docx", "pptx", "xlsx", "rtf", "zip", "doc", "ppt", "xls",
+    "mp3", "m4a", "ogg", "webp")
 
   /** Scan a folder (recursively) for supported files: one row per file
     * with path/source, file_type, last_modified, raw bytes and the

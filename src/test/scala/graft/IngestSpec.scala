@@ -356,4 +356,33 @@ class IngestSpec extends SparkSpec {
       .filter(col("file_type") === "png").select("meta.*").collect().head
     assert(meta == again)
   }
+
+  test("media conversion: real container metadata becomes the converted text") {
+    // two CBR MPEG1-L3 frames @ 128 kbps 44100 Hz stereo (frameLen 417)
+    val mp3 = (0 until 2).flatMap { _ =>
+      val f = new Array[Byte](417)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+      f
+    }.toArray
+    val out = graft.operators.Convert.convert("/x/clip.mp3", "mp3", mp3, mp3.length.toLong)
+    assert(out.startsWith("# clip.mp3"), out)
+    assert(out.contains("[audio mp3: 2 ch, 44100 Hz, 52 ms, 2 frames]"), out)
+    assert(out.contains("transcription unavailable"), out)
+    // lossless webp, 64x32
+    val bits = 63 | (31 << 14)
+    val payload = Array(0x2f, bits & 0xff, (bits >> 8) & 0xff,
+      (bits >> 16) & 0xff, (bits >> 24) & 0xff).map(_.toByte)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + payload.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+      .put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8L".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    val webp = bb.array()
+    val wout = graft.operators.Convert.convert("pic.webp", "webp", webp, webp.length.toLong)
+    assert(wout == "# pic.webp\n[image webp: 64x32]", wout)
+    // a file whose extension lies about its bytes falls back to the stub
+    val lie = graft.operators.Convert.convert("fake.mp3", "mp3",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), 12L)
+    assert(lie.contains("[stub-converted mp3 12 bytes]"), lie)
+  }
 }
