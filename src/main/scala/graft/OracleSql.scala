@@ -861,6 +861,22 @@ object OracleSql {
          |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
          |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "bq_probe" ->
+      // Twin of Bq.probe (k=10, refine=40): hamming = count of
+      // dimensions whose SIGNS disagree (strict > 0 on both sides —
+      // no packing needed in SQL, the bit count IS the disagreement
+      // count), candidate cut by (hamming, vec_id), exact cosine
+      // re-rank over the candidates.
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |h AS (SELECT vec_id, ev, qv,
+         |       CAST(len(list_filter(generate_series(1, 64),
+         |                            i -> (ev[i] > 0) <> (qv[i] > 0))) AS BIGINT) AS hamming
+         |       FROM c, q),
+         |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40)
+         |SELECT vec_id, hamming, ${cosine("ev", "qv")} AS cos_sim
+         |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "knn_pergroup" ->
       s"""WITH $knnCte,
          |s AS (SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim FROM c, q),

@@ -66,6 +66,19 @@ object Queries {
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
+  /** Binary-quantization probe ([[graft.operators.Bq]]): sign-bit
+    * pack → XOR+popcount hamming candidates → exact cosine re-rank.
+    * Pure deterministic arithmetic, so the twin recomputes the whole
+    * probe (per-dimension sign disagreement count) with no fitted
+    * constants.
+    */
+  def bqProbe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bq.probe(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      k = 10, refine = 40)
+
   def knnPerGroup(s: SparkSession, dir: String): DataFrame =
     Search.knnTopKPerGroup(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),

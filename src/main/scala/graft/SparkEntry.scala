@@ -159,6 +159,7 @@ object SparkEntry {
     "gopher_quality"      -> (Queries.gopherQuality(_, _)),
     "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
+    "bq_probe"            -> (Queries.bqProbe(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "ivfsq_residual"      -> (Queries.ivfsqResidual(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),
