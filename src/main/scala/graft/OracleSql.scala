@@ -2232,6 +2232,18 @@ object OracleSql {
         |       CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
 
+    "events_interval_join" ->
+      // The NAIVE range join is the spec: the Spark side's
+      // bin-bucketing must produce exactly these pairs.
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS t, event_type, value FROM events),
+        |w AS (SELECT event_id AS win_id, t AS w_start, t + 300000 AS w_end
+        |      FROM e WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS click_id, t, value FROM e WHERE event_type = 'click')
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |       ROUND(sum(value), 2) AS click_value
+        |FROM c JOIN w ON c.t BETWEEN w.w_start AND w.w_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
     "events_asof" ->
       """WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type,
         |             CASE WHEN event_type = 'error' THEN epoch_ms(ts) END AS err_t

@@ -1803,6 +1803,28 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Interval join ([[graft.operators.Events.intervalJoin]] — the
+    * bin-bucketed range join): clicks landing inside the 5-minute
+    * post-error window of ANY error event (no shared equi key —
+    * incident impact analysis). Per window: click count and value
+    * sum. The twin is the naive BETWEEN join, proving the
+    * bin-bucketing loses and invents nothing.
+    */
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(col("event_id"),
+      expr("ts DIV 1000000").as("t"), col("event_type"), col("value"))
+    val windows = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("t").as("w_start"),
+        (col("t") + 300000L).as("w_end"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("t"), col("value"))
+    graft.operators.Events
+      .intervalJoin(clicks, windows, "t", "w_start", "w_end", binWidth = 300000L)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 2).as("click_value"))
+      .orderBy("win_id")
+  }
+
   /** As-of lookup: for each purchase event, the timestamp of the most
     * recent preceding error by the same user (running-max window —
     * no self-join).

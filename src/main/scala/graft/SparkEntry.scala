@@ -121,6 +121,7 @@ object SparkEntry {
     "events_enrich"       -> (Queries.eventsEnrich(_, _)),
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),
+    "events_interval_join" -> (Queries.eventsIntervalJoin(_, _)),
     "events_asof_join"    -> (Queries.eventsAsofJoin(_, _)),
     "events_percentiles"  -> (Queries.eventsPercentiles(_, _)),
     "events_rollup"       -> (Queries.eventsRollup(_, _)),

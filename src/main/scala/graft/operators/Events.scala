@@ -7,6 +7,37 @@ import org.apache.spark.sql.{Column, DataFrame}
 /** Event-table temporal operators. */
 object Events {
 
+  /** INTERVAL (range) JOIN at scale — points matched to the windows
+    * containing them with NO shared equi key. The naive plan for
+    * `p.ts BETWEEN w.start AND w.end` is a broadcast-nested-loop (or
+    * worse, a cartesian): O(|P|·|W|) comparisons, the classic 100 TB
+    * melter. Bin-bucketing converts it to an EQUI-join: every window
+    * explodes into the fixed-width time bins it overlaps, every point
+    * maps to its single bin, the shuffle key is the bin, and the
+    * exact range predicate only filters same-bin candidates. A
+    * (window, point) pair can meet in at most one bin — the point's —
+    * so no dedup pass is needed. Shuffle cost: each window is
+    * replicated once per overlapped bin; pick `binWidth` near the
+    * typical window length to keep that factor ~2. All time math is
+    * integer `DIV` (the events gotcha: never doubles at ns/ms scale).
+    */
+  def intervalJoin(
+      points: DataFrame,
+      windows: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    val w = windows.withColumn("_bin",
+      explode(sequence(expr(s"$startCol DIV $binWidth"), expr(s"$endCol DIV $binWidth"))))
+    val p = points.withColumn("_bin", expr(s"$tsCol DIV $binWidth"))
+    p.join(w, Seq("_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** Session PATH analysis (the ClickHouse `sequenceCount`/path-report
     * family): the top-k most common length-`n` event-type paths, where
     * a path is `n` CONSECUTIVE events of one user within one session

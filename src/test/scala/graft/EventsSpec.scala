@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Events
+import org.apache.spark.sql.functions.col
 
 class EventsSpec extends SparkSpec {
   import spark.implicits._
@@ -80,5 +81,43 @@ class EventsSpec extends SparkSpec {
     // session-A 3-gram would be p>v + session-B's v — but it CROSSES
     // the 40-min gap, so it must not appear.
     assert(out == Seq(("v>c>p", 3L, 2L), ("c>p>v", 1L, 1L)))
+  }
+
+  test("intervalJoin: bin-bucketing equals the naive range join, boundaries inclusive") {
+    val rnd = new scala.util.Random(17)
+    val points = (0 until 400)
+      .map(i => (i.toLong, rnd.nextLong().abs % 100000L))
+      .toDF("pid", "t")
+    val windows = (0 until 60)
+      .map { i =>
+        val s = rnd.nextLong().abs % 95000L
+        (i.toLong, s, s + 1 + rnd.nextLong().abs % 20000L) // spans 0..3 bins at width 7000
+      }
+      .toDF("win_id", "w_start", "w_end")
+    val got = graft.operators.Events
+      .intervalJoin(points, windows, "t", "w_start", "w_end", binWidth = 7000L)
+      .select("win_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(windows)
+      .filter(col("t") >= col("w_start") && col("t") <= col("w_end"))
+      .select("win_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    // exact boundary points are included on both ends
+    val bp = Seq((100L, 50L), (101L, 60L), (102L, 49L), (103L, 61L)).toDF("pid", "t")
+    val bw = Seq((1L, 50L, 60L)).toDF("win_id", "w_start", "w_end")
+    val hits = graft.operators.Events
+      .intervalJoin(bp, bw, "t", "w_start", "w_end", binWidth = 7L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(100L, 101L))
+  }
+
+  test("intervalJoin plan: equi-join on the bin, no cartesian/BNLJ") {
+    val points = (0 until 50).map(i => (i.toLong, i * 100L)).toDF("pid", "t")
+    val windows = (0 until 5).map(i => (i.toLong, i * 1000L, i * 1000L + 500L))
+      .toDF("win_id", "w_start", "w_end")
+    val plan = graft.operators.Events
+      .intervalJoin(points, windows, "t", "w_start", "w_end", binWidth = 500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must become an equi-join on the bin:\n$plan")
   }
 }
