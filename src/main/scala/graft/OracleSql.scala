@@ -1164,6 +1164,42 @@ object OracleSql {
          |)
          |SELECT u AS id, min(v) AS cluster_id FROM r GROUP BY u ORDER BY id""".stripMargin,
 
+    "dedup_canonical" ->
+      // Clusters re-derived with the recursive dedup_clusters chain,
+      // quality re-derived over the SAME planted corpus (originals +
+      // truncated near-dups), canonical = argmax(quality, min id).
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |p AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.3),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |r AS (
+         |  SELECT id AS u, id AS v FROM nodes
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+         |),
+         |cl AS (SELECT u AS id, min(v) AS cluster_id FROM r GROUP BY u),
+         |tkc AS (SELECT doc_id, ${toks()} AS toks FROM corpus),
+         |qc AS (SELECT doc_id,
+         |        CASE WHEN len(toks) > 0
+         |             THEN CAST(len(list_filter(toks, t -> list_contains($enStopList, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |             ELSE 0.0 END AS sr, len(toks) AS n
+         |       FROM tkc),
+         |qs2 AS (SELECT doc_id,
+         |         ROUND(least(1.0, CAST(n AS DOUBLE) / 64.0) * 0.5 + least(1.0, sr * 5.0) * 0.5, 4) AS quality
+         |        FROM qc),
+         |m AS (SELECT corpus.doc_id AS doc_id,
+         |       COALESCE(cl.cluster_id, corpus.doc_id) AS cluster_id, qs2.quality
+         |      FROM corpus LEFT JOIN cl ON corpus.doc_id = cl.id
+         |      JOIN qs2 ON corpus.doc_id = qs2.doc_id),
+         |rk AS (SELECT doc_id, cluster_id, quality,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS _rk
+         |       FROM m),
+         |win AS (SELECT cluster_id, doc_id AS canonical_id FROM rk WHERE _rk = 1)
+         |SELECT m.doc_id, m.cluster_id, win.canonical_id, m.quality,
+         |       m.doc_id = win.canonical_id AS keep
+         |FROM m JOIN win ON m.cluster_id = win.cluster_id
+         |ORDER BY m.doc_id""".stripMargin,
+
     "sim_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
          |tk AS (SELECT doc_id, ${toks()} AS toks FROM d),

@@ -782,6 +782,22 @@ object Queries {
         numHashes = 8, shingleK = 3, threshold = 0.3)
     ).orderBy("id")
 
+  /** Canonical selection over the resolved near-dup clusters
+    * ([[Dedup.canonicalPerCluster]]): each cluster keeps its
+    * highest-quality member (ties to the lowest id) — on this corpus
+    * the planted truncated near-dups lose to their longer originals.
+    * The twin re-derives clusters (the recursive dedup_clusters CTE)
+    * AND quality over the same planted corpus.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(corpus, "text", "doc_id",
+        numHashes = 8, shingleK = 3, threshold = 0.3))
+    Dedup.canonicalPerCluster(corpus, clusters, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def simNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       docs(s, dir).filter(col("doc_id") < 40).select("doc_id", "text"),

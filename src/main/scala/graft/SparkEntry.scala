@@ -51,6 +51,7 @@ object SparkEntry {
     "stream_minhash"      -> (Queries.streamMinhash(_, _)),
     "stream_upsert_cdc"   -> (Queries.streamUpsertCdc(_, _)),
     "dedup_clusters"      -> (Queries.dedupClusters(_, _)),
+    "dedup_canonical"     -> (Queries.dedupCanonical(_, _)),
     "sim_ngram_jaccard"   -> (Queries.simNgramJaccard(_, _)),
     "dedup_embedding"     -> (Queries.dedupEmbedding(_, _)),
     "semdedup"            -> (Queries.semDeDup(_, _)),

@@ -764,6 +764,45 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** CANONICAL selection — the step after cluster resolution that
+    * production dedup actually ships: keep the BEST copy of each
+    * duplicate cluster (highest [[TextAnalysis.qualityScore]], ties
+    * to the lowest id), not an arbitrary one — dropping the boilerplate
+    * mirror and keeping the clean original. Docs in no cluster are
+    * their own canonical (singleton pass-through).
+    *
+    * Scale shape: one left join onto the cluster map, a per-cluster
+    * row_number window (keyed by cluster id — partitions stay bounded
+    * because near-dup clusters are small by construction; a
+    * degenerate all-alike corpus degrades this ONE window, not the
+    * corpus scan), and a join of the one-row-per-cluster winners back
+    * on the cluster key. Returns every input row:
+    * (id, cluster_id, canonical_id, quality, keep).
+    */
+  def canonicalPerCluster(
+      corpus: DataFrame,
+      clusters: DataFrame, // (id, cluster_id) from duplicateClusters
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val q = TextAnalysis.qualityScore(corpus, textCol, idCol)
+      .select(col(idCol), col("quality"))
+    val member = corpus.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .join(q, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("quality").desc, col(idCol))
+    val winners = member
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("canonical_id"))
+    member
+      .join(winners, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("canonical_id"),
+        col("quality"), (col(idCol) === col("canonical_id")).as("keep"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     * blocked by a fitted k-means coarse quantizer. Every document is
     * assigned to its nearest centroid; near-duplicate pairs (cosine >=

@@ -169,6 +169,30 @@ class DedupSpec extends SparkSpec {
     assert(dist == expect)
   }
 
+  test("canonicalPerCluster keeps the highest-quality member, singletons pass through") {
+    // cluster {1,2,3}: doc 2 is longest (highest length-quality);
+    // cluster {10,11}: equal texts -> tie broken by min id; 99 singleton
+    val longText = (1 to 80).map(i => s"the of a w$i").mkString(" ") // stop-rich + long
+    val corpus = Seq(
+      (1L, "the of a short"), (2L, longText), (3L, "the of a bit longer text here"),
+      (10L, "the same words exactly"), (11L, "the same words exactly"),
+      (99L, "a lonely singleton document")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val out = Dedup.canonicalPerCluster(corpus, clusters, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(2L) == ((1L, 2L, true)), s"longest doc wins its cluster: ${out(2L)}")
+    assert(out(1L) == ((1L, 2L, false)) && out(3L) == ((1L, 2L, false)))
+    assert(out(10L) == ((10L, 10L, true)), "tie broken to the lowest id")
+    assert(out(11L) == ((10L, 10L, false)))
+    assert(out(99L) == ((99L, 99L, true)), "singleton is its own canonical")
+    // exactly one keeper per cluster
+    val keepers = out.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._3) }
+    assert(keepers.values.forall(_ == 1), keepers.toString)
+  }
+
   test("simHash64 is deterministic and equal texts get equal signatures") {
     val df = Seq((1L, "spark filter join"), (2L, "spark filter join"), (3L, "totally different words"))
       .toDF("doc_id", "text")
