@@ -1665,6 +1665,34 @@ object OracleSql {
          |      FROM sc)
          |SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    "corpus_drift" ->
+      // Twin of TextAnalysis.corpusDrift over the even/odd doc-id
+      // split: full term-distribution JS divergence + OOV mass +
+      // shape stats, rounded where ln-sum order can differ in ulps.
+      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         |ta AS (SELECT t AS term, count(*) AS ca FROM
+         |        (SELECT unnest(${toks()}) AS t FROM a) GROUP BY 1),
+         |tb AS (SELECT t AS term, count(*) AS cb FROM
+         |        (SELECT unnest(${toks()}) AS t FROM b) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(ca) AS DOUBLE) FROM ta) AS tot_a,
+         |               (SELECT CAST(sum(cb) AS DOUBLE) FROM tb) AS tot_b),
+         |j AS (SELECT COALESCE(ta.ca, 0) AS ca, COALESCE(tb.cb, 0) AS cb
+         |      FROM ta FULL OUTER JOIN tb USING (term)),
+         |pq AS (SELECT CAST(ca AS DOUBLE) / tot_a AS p,
+         |              CAST(cb AS DOUBLE) / tot_b AS q, ca FROM j, tot),
+         |div AS (SELECT
+         |  ROUND(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END
+         |          + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) * 0.5 ELSE 0.0 END), 4)
+         |    AS js_divergence,
+         |  ROUND(sum(CASE WHEN ca = 0 THEN q ELSE 0.0 END), 4) AS oov_rate_b FROM pq),
+         |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_a,
+         |              ROUND(avg(CAST(len(${toks()}) AS DOUBLE)), 4) AS mean_len_a FROM a),
+         |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_b,
+         |              ROUND(avg(CAST(len(${toks()}) AS DOUBLE)), 4) AS mean_len_b FROM b)
+         |SELECT n_docs_a, n_docs_b, mean_len_a, mean_len_b, oov_rate_b, js_divergence
+         |FROM sa, sb, div""".stripMargin,
+
     "quality_score" ->
       s"""WITH $qualityCte
          |SELECT doc_id, n_tokens, stop_ratio, quality FROM qs ORDER BY doc_id""".stripMargin,

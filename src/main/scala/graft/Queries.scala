@@ -1110,6 +1110,19 @@ object Queries {
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  /** Corpus drift between two snapshots
+    * ([[TextAnalysis.corpusDrift]]): the even/odd doc-id split stands
+    * in for consecutive crawl batches; JS divergence, OOV mass and
+    * shape stats in one row. The twin recomputes the full
+    * term-distribution arithmetic.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    TextAnalysis.corpusDrift(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), "text")
+  }
+
   /** Per-language quality curation: drop the bottom quartile of docs by
     * quality score within each lang.
     */

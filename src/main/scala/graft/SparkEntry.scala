@@ -81,6 +81,7 @@ object SparkEntry {
     "token_topk"          -> (Queries.tokenTopK(_, _)),
     "keyword_topk"        -> (Queries.keywordTopK(_, _)),
     "quality_score"       -> (Queries.qualityScore(_, _)),
+    "corpus_drift"        -> (Queries.corpusDrift(_, _)),
     "quality_filter"      -> (Queries.qualityFilter(_, _)),
     "doc_fingerprint"     -> (Queries.docFingerprint(_, _)),
     "embed_hashed_bow"    -> (Queries.embedHashedBow(_, _)),

@@ -311,6 +311,55 @@ object TextAnalysis {
     ).withColumn("agree", col("claimed_lang") === col("predicted_lang"))
   }
 
+  /** Corpus DRIFT monitor between two snapshots — the health check a
+    * continuously-crawling pipeline runs before mixing a new batch
+    * into training data: has the term distribution moved, how much of
+    * the new mass is out-of-vocabulary, did document shape change?
+    *
+    *   - `js_divergence`: Jensen-Shannon divergence between the two
+    *     term distributions (symmetric, bounded [0, ln 2], defined
+    *     even where supports differ — the reason it beats raw KL for
+    *     monitoring);
+    *   - `oov_rate_b`: share of B's token MASS on terms A never saw;
+    *   - `mean_len_a/b`: per-snapshot mean token counts.
+    *
+    * Scale shape: two token aggregations + one full-outer term join +
+    * one scalar aggregate — all hash-partitioned on the term, no
+    * windows, no collects; the two one-row total tables broadcast.
+    * Sums of ln-terms are order-dependent in the last ulps, so the
+    * divergence is ROUNDed like every score in this repo (the BM25
+    * precedent).
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def termCounts(df: DataFrame, cntName: String) = df
+      .select(explode(TextOps.tokenize(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(cntName))
+    def shape(df: DataFrame, n: String, len: String) = df
+      .select(size(TextOps.tokenize(col(textCol))).cast("double").as("_len"))
+      .agg(count(lit(1)).as(n), round(avg(col("_len")), 4).as(len))
+    val ta = termCounts(a, "ca")
+    val tb = termCounts(b, "cb")
+    val totA = ta.agg(sum("ca").cast("double").as("tot_a"))
+    val totB = tb.agg(sum("cb").cast("double").as("tot_b"))
+    val joined = ta.join(tb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+    val p = col("ca").cast("double") / col("tot_a")
+    val q = col("cb").cast("double") / col("tot_b")
+    val m = (p + q) / 2.0
+    val jsTerm =
+      when(p > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+        when(q > 0, q * log(q / m) * 0.5).otherwise(0.0)
+    val divergence = joined.agg(
+      round(sum(jsTerm), 4).as("js_divergence"),
+      round(sum(when(col("ca") === 0, q).otherwise(0.0)), 4).as("oov_rate_b"))
+    shape(a, "n_docs_a", "mean_len_a")
+      .crossJoin(shape(b, "n_docs_b", "mean_len_b"))
+      .crossJoin(divergence)
+      .select("n_docs_a", "n_docs_b", "mean_len_a", "mean_len_b",
+        "oov_rate_b", "js_divergence")
+  }
+
   /** Per-language corpus stats from a pre-exploded token table. */
   def corpusStats(tokens: DataFrame, groupCol: String, idCol: String): DataFrame =
     tokens
