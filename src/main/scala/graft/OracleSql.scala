@@ -861,6 +861,35 @@ object OracleSql {
          |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
          |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "mmr_search" -> {
+      // Twin of Search.mmrRerank (k=5, pool=20, λ=0.7): the greedy
+      // unrolls into five chained argmax CTEs. λ and 1−λ are inlined
+      // with dlit so the DOUBLE arithmetic (including the IEEE value
+      // of 1−0.7) is bit-identical to the Spark side; all cosines are
+      // rounded 5 before entering the greedy, absorbing dot-order ulps.
+      val lam = dlit(0.7)
+      val oneMinusLam = dlit(1 - 0.7)
+      val sim = cosine("c.ev", "s.ev")
+      val steps = (2 to 5).map { j =>
+        s"""m$j AS (SELECT c.vec_id, c.ev, c.rel,
+           |        $lam * c.rel - $oneMinusLam *
+           |          (SELECT max($sim) FROM sel${j - 1} s) AS mmr
+           |       FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${j - 1})),
+           |s$j AS (SELECT vec_id, ev, rel, CAST($j AS BIGINT) AS rk, mmr
+           |       FROM m$j ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM s$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, ev, ${cosine("ev", "qv")} AS rel
+         |         FROM c, q ORDER BY rel DESC, vec_id LIMIT 20),
+         |s1 AS (SELECT vec_id, ev, rel, CAST(1 AS BIGINT) AS rk, rel AS mmr
+         |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT * FROM s1),
+         |$steps
+         |SELECT rk, vec_id, rel, ROUND(mmr, 5) AS mmr FROM sel5 ORDER BY rk""".stripMargin
+    },
+
     "bq_probe" ->
       // Twin of Bq.probe (k=10, refine=40): hamming = count of
       // dimensions whose SIGNS disagree (strict > 0 on both sides —

@@ -66,6 +66,20 @@ object Queries {
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
+  /** MMR diversified re-ranking ([[graft.operators.Search.mmrRerank]]):
+    * top-20 cosine pool for query vector 0, greedy λ=0.7 balance of
+    * relevance vs redundancy, k=5 — the near-dup-suppressing serving
+    * step between retrieval and the context window. The twin replays
+    * the identical greedy as five chained argmax CTEs over the same
+    * rounded cosine arithmetic.
+    */
+  def mmrSearch(s: SparkSession, dir: String): DataFrame =
+    Search.mmrRerank(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      k = 5, poolSize = 20, lambda = 0.7)
+
   /** Binary-quantization probe ([[graft.operators.Bq]]): sign-bit
     * pack → XOR+popcount hamming candidates → exact cosine re-rank.
     * Pure deterministic arithmetic, so the twin recomputes the whole

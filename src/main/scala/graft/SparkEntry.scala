@@ -163,6 +163,7 @@ object SparkEntry {
     "curation_report"     -> (Queries.curationReport(_, _)),
     "sq_probe"            -> (Queries.sqProbe(_, _)),
     "bq_probe"            -> (Queries.bqProbe(_, _)),
+    "mmr_search"          -> (Queries.mmrSearch(_, _)),
     "ivfsq_probe"         -> (Queries.ivfsqProbe(_, _)),
     "ivfsq_residual"      -> (Queries.ivfsqResidual(_, _)),
     "bm25_batch"          -> (Queries.bm25Batch(_, _)),

@@ -95,6 +95,75 @@ object Search {
       .select(col(queryId), col(corpusId), col(scoreName), col("rk"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein '98)
+    * diversified re-ranking — the serving-path step between retrieval
+    * and the context window: from a relevance-ranked candidate pool,
+    * greedily pick results that balance relevance against redundancy
+    * with what's already picked:
+    *
+    *   step 1: argmax rel;   step j: argmax λ·rel − (1−λ)·max_{s∈S} sim(·,s)
+    *
+    * (ties to the lowest id; the first pick carries its raw relevance
+    * as its mmr score). Near-duplicate hits — which a plain top-k is
+    * FULL of on a deduplicated-imperfectly corpus — get suppressed in
+    * favor of coverage.
+    *
+    * Scale shape: the DISTRIBUTED part is the candidate generation
+    * (any ANN/BM25 top-`poolSize` — here the exact scan);
+    * the greedy itself is O(poolSize²·dim) over a BOUNDED pool, a
+    * driver artifact by construction (same class as the fbDocs RM3
+    * feedback rows: collecting it is the honest shape, not a
+    * scalability leak). All similarity arithmetic is rounded like the
+    * rest of the cosine stack, so the greedy is cross-engine exact.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      corpusVec: String,
+      queryVec: String,
+      idCol: String,
+      k: Int = 5,
+      poolSize: Int = 20,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = knnTopK(corpus, queryDf, corpusVec, queryVec, idCol, poolSize)
+      .select(col(idCol), col(corpusVec), col("cos_sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos5(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double, Double)]
+    var remaining = pool.toBuffer
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, emb, rel) =>
+        val mmr =
+          if (selected.isEmpty) rel
+          else lambda * rel - (1 - lambda) * selected.map(s => cos5(emb, s._2)).max
+        (id, emb, rel, mmr)
+      }
+      val pick = scored.minBy { case (id, _, _, m) => (-m, id) }
+      selected += pick
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, mmr), i) =>
+        ((i + 1).toLong, id, rel,
+          BigDecimal(mmr).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq.toDF("rk", idCol, "rel", "mmr")
+  }
+
   /** FACETED BM25: top-k per group with PER-GROUP corpus statistics —
     * each library/source is scored as its own sub-corpus (its own N,
     * avgdl, df), which is the correct semantics when groups differ in

@@ -167,4 +167,35 @@ class SearchSpec extends SparkSpec {
     // every hit must actually share at least one hashed query dim (dot > 0)
     assert(sims.forall(_ > 0.0), "only docs sharing a query dim can appear")
   }
+
+  test("mmrRerank suppresses near-duplicate hits that plain top-k keeps") {
+    // corpus: three exact clones of the query direction, one
+    // orthogonal-ish doc. Plain top-3 = the three clones; MMR must
+    // swap a clone out for the diverse doc by rank 2.
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val clone = v(0 -> 1.0f, 1 -> 0.1f)
+    val corpus = Seq(
+      (1L, clone), (2L, clone), (3L, clone),
+      (4L, v(5 -> 1.0f, 0 -> 0.2f)) // low rel, but diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(v(0 -> 1.0f))).toDF("q_vec")
+    val out = Search.mmrRerank(corpus, q, "embedding", "q_vec", "vec_id",
+      k = 3, poolSize = 4, lambda = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "ranks 1..3")
+    assert(out(0)._2 == 1L, "first pick is pure relevance, tie to min id")
+    assert(out(1)._2 == 4L,
+      s"second pick must be the diverse doc, not a clone: $out")
+    // a clone's mmr at step 2 is 0.3*rel - 0.7*1.0 << the diverse doc's
+    assert(out(1)._4 < out(1)._3, "picked mmr reflects the redundancy penalty")
+    // greedy is deterministic and ordered by rank
+    val again = Search.mmrRerank(corpus, q, "embedding", "q_vec", "vec_id",
+      k = 3, poolSize = 4, lambda = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
