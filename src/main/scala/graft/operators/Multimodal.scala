@@ -69,6 +69,9 @@ object Multimodal {
       ((b(1) >> 1) & 3) == 1) "mp3" // bare frame sync, layer III
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4" // ISO-BMFF (m4a/mp4/mov)
     else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') "ogg"
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) "tiff" // JDK codec since 9
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') "flac"
     else "unknown"
 
   private def imageIoInit(): Unit = {
@@ -292,6 +295,39 @@ object Multimodal {
     try walk(0L, b.length.toLong, 0) catch { case _: Exception => return None }
     if (durationMs < 0 && width == 0 && channels == 0) None
     else Some(Mp4Meta(width, height, channels, rate, math.max(durationMs, 0L)))
+  }
+
+  /** FLAC facts from the STREAMINFO metadata block (the first block
+    * after the `fLaC` magic, by spec): sample rate (20 bits),
+    * channels (3 bits + 1) and total samples (36 bits) sit at fixed
+    * bit offsets — a pure header read, no frame decode.
+    */
+  private[operators] final case class FlacMeta(
+      channels: Int, sampleRate: Int, durationMs: Long)
+
+  private[operators] def parseFlac(b: Array[Byte]): Option[FlacMeta] = {
+    if (sniff(b) != "flac") return None
+    var pos = 4
+    while (pos + 4 <= b.length) {
+      val hdr = b(pos) & 0xff
+      val tpe = hdr & 0x7f
+      val len = ((b(pos + 1) & 0xff) << 16) | ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+      val body = pos + 4
+      if (tpe == 0) { // STREAMINFO
+        if (body + 18 > b.length || len < 34) return None
+        val rate = ((b(body + 10) & 0xff) << 12) | ((b(body + 11) & 0xff) << 4) |
+          ((b(body + 12) & 0xff) >> 4)
+        val channels = (((b(body + 12) & 0xff) >> 1) & 7) + 1
+        val totalSamples = ((b(body + 13) & 0x0f).toLong << 32) |
+          ((b(body + 14) & 0xff).toLong << 24) | ((b(body + 15) & 0xff).toLong << 16) |
+          ((b(body + 16) & 0xff).toLong << 8) | (b(body + 17) & 0xff).toLong
+        return if (rate <= 0) None
+        else Some(FlacMeta(channels, rate, totalSamples * 1000L / rate))
+      }
+      if ((hdr & 0x80) != 0) return None // last block and no STREAMINFO seen
+      pos = body + len // len >= 0 by construction; advance is monotonic
+    }
+    None
   }
 
   /** Stream facts from an Ogg page walk: channels and sample rate
@@ -644,7 +680,12 @@ object Multimodal {
               .map(o => Row(s"ogg/${o.codec}", 0, 0, 0, o.channels, o.sampleRate, o.durationMs))
               .orNull
             catch { case _: Exception => null }
-          case f @ ("png" | "jpeg" | "gif" | "bmp") =>
+          case "flac" =>
+            try parseFlac(bytes)
+              .map(f => Row("flac", 0, 0, 0, f.channels, f.sampleRate, f.durationMs))
+              .orNull
+            catch { case _: Exception => null }
+          case f @ ("png" | "jpeg" | "gif" | "bmp" | "tiff") =>
             try {
               val in = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(bytes))
@@ -656,7 +697,8 @@ object Multimodal {
                   rd.setInput(in)
                   val img = rd.read(0)
                   val frames =
-                    if (f == "gif") math.max(rd.getNumImages(true), 1) else 1
+                    if (f == "gif" || f == "tiff") math.max(rd.getNumImages(true), 1)
+                    else 1
                   Row(f, img.getWidth, img.getHeight, frames,
                     img.getColorModel.getNumComponents, 0, 0L)
                 } finally { rd.dispose(); in.close() }

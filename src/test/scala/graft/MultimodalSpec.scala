@@ -386,6 +386,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isEmpty, "truncated page must yield NULL meta")
   }
 
+  test("tiff decodes through the JDK codec; flac STREAMINFO walk gives exact facts") {
+    // real TIFF via ImageIO encode (the JDK ships the codec since 9)
+    val img = new java.awt.image.BufferedImage(13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", tout), "JDK must encode tiff")
+    val tiff = tout.toByteArray
+    // FLAC: magic + one last-flagged STREAMINFO block; 44100 Hz,
+    // 2 ch, 22050 samples -> 500 ms
+    val si = new Array[Byte](34)
+    val rate = 44100; val ch = 2; val samples = 22050L
+    si(10) = ((rate >> 12) & 0xff).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1)).toByte
+    si(13) = ((samples >> 32) & 0x0f).toByte
+    si(14) = ((samples >> 24) & 0xff).toByte
+    si(15) = ((samples >> 16) & 0xff).toByte
+    si(16) = ((samples >> 8) & 0xff).toByte
+    si(17) = (samples & 0xff).toByte
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    val rows = Seq((1L, tiff), (2L, flac)).toDF("id", "content")
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row](1)).toMap
+    val t = out(1L)
+    assert(t.getString(0) == "tiff" && t.getInt(1) == 13 && t.getInt(2) == 7, t.toString)
+    val f = out(2L)
+    assert(f.getString(0) == "flac" && f.getInt(4) == 2 &&
+      f.getInt(5) == 44100 && f.getLong(6) == 500L, f.toString)
+  }
+
   test("webp: dimensions parsed from VP8L, VP8X and VP8 layouts; pixels stay stubbed") {
     // VP8L: sig 0x2F, then (w-1)=639, (h-1)=359 packed 14+14 bits LE
     val bits = 639 | (359 << 14)
