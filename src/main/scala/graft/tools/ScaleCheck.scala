@@ -130,6 +130,18 @@ object ScaleCheck {
         "text", "doc_id")))
       time(s"containment_pairs", forced(
         Dedup.containmentPairs(c, "text", "doc_id", tau = 0.8, shingleK = 5)))
+      // boilerplate-heavy variant: every doc carries the SAME license
+      // header, so its shingles are corpus-ubiquitous (df = corpus
+      // size) — the case the pre-round-9 maxDf fail-fast ABORTED on;
+      // the hot-shingle hybrid must complete with near-linear growth
+      // (hotDf set below the replica count to force the hybrid path)
+      val boiler = c.select(col("doc_id"),
+        concat(lit("permission is hereby granted free of charge to any person obtaining a copy " +
+          "of this software and associated documentation files to deal without restriction "),
+          col("text")).as("text"))
+      time(s"containment_hot", forced(
+        Dedup.containmentPairs(boiler, "text", "doc_id", tau = 0.8, shingleK = 5,
+          hotDf = 200L)))
       // replicated customer names: near-dup structure is intact within
       // a replica, while the replica salt keeps cross-replica pairs out
       // of threshold — output pairs scale linearly with the corpus
