@@ -2491,6 +2491,12 @@ object OracleSql {
     // per-user trailing-window state emits each in-session path once,
     // so the drained top-k is the batch report — one twin, two keys
     "stream_paths" -> sql("events_paths"),
+    // each arriving click matches the STATIC window table
+    // independently of batching — drained agg shares the batch twin
+    "stream_interval_join" -> sql("events_interval_join"),
+    // term counts are a monoid: per-batch partials merge by summation
+    // to the batch counts, so the drift arithmetic shares one twin
+    "stream_drift" -> sql("corpus_drift"),
     // micro-batch FTS appends accumulate to exactly the one-shot index
     // (sumDl arithmetic + per-posting df/tf/dl), so the merged probe
     // shares the full-corpus twin

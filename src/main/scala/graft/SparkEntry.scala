@@ -124,6 +124,8 @@ object SparkEntry {
     "events_json"         -> (Queries.eventsJson(_, _)),
     "events_asof"         -> (Queries.eventsAsof(_, _)),
     "events_interval_join" -> (Queries.eventsIntervalJoin(_, _)),
+    "stream_interval_join" -> ((s, d) => graft.streaming.StreamPipeline.intervalJoinSnapshot(s, d)),
+    "stream_drift"        -> ((s, d) => graft.streaming.StreamPipeline.driftSnapshot(s, d)),
     "events_asof_join"    -> (Queries.eventsAsofJoin(_, _)),
     "events_percentiles"  -> (Queries.eventsPercentiles(_, _)),
     "events_rollup"       -> (Queries.eventsRollup(_, _)),

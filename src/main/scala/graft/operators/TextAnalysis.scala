@@ -330,15 +330,43 @@ object TextAnalysis {
     * divergence is ROUNDed like every score in this repo (the BM25
     * precedent).
     */
-  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    def termCounts(df: DataFrame, cntName: String) = df
-      .select(explode(TextOps.tokenize(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as(cntName))
-    def shape(df: DataFrame, n: String, len: String) = df
-      .select(size(TextOps.tokenize(col(textCol))).cast("double").as("_len"))
-      .agg(count(lit(1)).as(n), round(avg(col("_len")), 4).as(len))
-    val ta = termCounts(a, "ca")
-    val tb = termCounts(b, "cb")
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    corpusDriftFromCounts(
+      driftTermCounts(a, textCol, "ca"), driftTermCounts(b, textCol, "cb"),
+      driftShape(a, textCol), driftShape(b, textCol))
+
+  /** (term, cnt) table for one snapshot — the MONOID half of the
+    * drift computation: partial counts from any split of the corpus
+    * merge by summation (`groupBy(term).sum`), which is what lets a
+    * STREAMED snapshot accumulate per-micro-batch partials and drain
+    * to the exact batch answer ([[graft.streaming.StreamPipeline]]).
+    */
+  def driftTermCounts(df: DataFrame, textCol: String, cntName: String): DataFrame = df
+    .select(explode(TextOps.tokenize(col(textCol))).as("term"))
+    .groupBy("term").agg(count(lit(1)).as(cntName))
+
+  /** (doc count, token-length sum) partials — the other monoid. */
+  def driftShapePartials(df: DataFrame, textCol: String): DataFrame = df
+    .select(size(TextOps.tokenize(col(textCol))).cast("long").as("_len"))
+    .agg(count(lit(1)).as("n"), sum(col("_len")).as("len_sum"))
+
+  private def driftShape(df: DataFrame, textCol: String): DataFrame =
+    shapeFromPartials(driftShapePartials(df, textCol))
+
+  /** Merge shape partials → (n docs, mean length): the division
+    * happens ONCE after the exact integer sums merge, so streamed
+    * partials reproduce the batch mean bit-for-bit.
+    */
+  def shapeFromPartials(partials: DataFrame): DataFrame = partials
+    .agg(sum("n").as("_n"), sum("len_sum").as("_s"))
+    .select(col("_n").as("n"),
+      round(col("_s").cast("double") / col("_n").cast("double"), 4).as("len"))
+
+  /** [[corpusDrift]] from pre-aggregated counts — shared by the batch
+    * and streamed faces. `shapeA`/`shapeB` are one-row (n, len).
+    */
+  def corpusDriftFromCounts(
+      ta: DataFrame, tb: DataFrame, shapeA: DataFrame, shapeB: DataFrame): DataFrame = {
     val totA = ta.agg(sum("ca").cast("double").as("tot_a"))
     val totB = tb.agg(sum("cb").cast("double").as("tot_b"))
     val joined = ta.join(tb, Seq("term"), "full_outer")
@@ -353,8 +381,8 @@ object TextAnalysis {
     val divergence = joined.agg(
       round(sum(jsTerm), 4).as("js_divergence"),
       round(sum(when(col("ca") === 0, q).otherwise(0.0)), 4).as("oov_rate_b"))
-    shape(a, "n_docs_a", "mean_len_a")
-      .crossJoin(shape(b, "n_docs_b", "mean_len_b"))
+    shapeA.select(col("n").as("n_docs_a"), col("len").as("mean_len_a"))
+      .crossJoin(shapeB.select(col("n").as("n_docs_b"), col("len").as("mean_len_b")))
       .crossJoin(divergence)
       .select("n_docs_a", "n_docs_b", "mean_len_a", "mean_len_b",
         "oov_rate_b", "js_divergence")

@@ -543,6 +543,78 @@ object StreamPipeline {
       .limit(topK)
   }
 
+  /** STREAMED interval join — [[graft.operators.Events.intervalJoin]]'s
+    * streaming face: clicks ARRIVE as a stream and match against the
+    * STATIC incident-window table (a stream-static equi-join on the
+    * time bin; the exploded window-bin table is small and broadcast).
+    * Each match depends only on (click, window table), never on batch
+    * composition, so the drained per-window aggregation equals the
+    * batch flow over any micro-batching — the shared DuckDB twin.
+    */
+  def intervalJoinSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts DIV 1000000").as("t"),
+        col("event_type"), col("value"))
+    val windows = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("t").as("w_start"),
+        (col("t") + 300000L).as("w_end"))
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        expr("ts DIV 1000000").as("t"), col("value"))
+    val name = "stream_interval_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.operators.Events
+      .intervalJoin(clicks, broadcast(windows), "t", "w_start", "w_end", binWidth = 300000L)
+      .select("win_id", "click_id", "value")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_clicks"), round(sum("value"), 2).as("click_value"))
+      .orderBy("win_id")
+  }
+
+  /** STREAMED corpus drift — the MONOID face of
+    * [[graft.operators.TextAnalysis.corpusDrift]]: the new snapshot
+    * arrives as a file stream; each micro-batch lands only its PARTIAL
+    * term counts and shape sums (counts are a monoid — partials from
+    * any split merge by summation), never re-tokenizing earlier
+    * batches. The drain merges the partials and runs the same drift
+    * arithmetic against the reference snapshot, so the result equals
+    * the batch flow over any micro-batching — the shared twin. At
+    * scale this is the incremental-statistics design: per-batch work
+    * is proportional to the batch, drain-side work to the vocabulary.
+    */
+  def driftSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val refA = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val landTerms = java.nio.file.Files.createTempDirectory("graft_drift_t_").toString + "/t"
+    val landShape = java.nio.file.Files.createTempDirectory("graft_drift_s_").toString + "/s"
+    val stream = documentStream(spark, dir)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch)
+        if (!b.isEmpty) {
+          graft.operators.TextAnalysis.driftTermCounts(b, "text", "cb")
+            .write.mode("append").parquet(landTerms)
+          graft.operators.TextAnalysis.driftShapePartials(b, "text")
+            .write.mode("append").parquet(landShape)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tb = spark.read.parquet(landTerms)
+      .groupBy("term").agg(sum("cb").as("cb")) // monoid merge
+    graft.operators.TextAnalysis.corpusDriftFromCounts(
+      graft.operators.TextAnalysis.driftTermCounts(refA, "text", "ca"), tb,
+      graft.operators.TextAnalysis.shapeFromPartials(
+        graft.operators.TextAnalysis.driftShapePartials(refA, "text")),
+      graft.operators.TextAnalysis.shapeFromPartials(spark.read.parquet(landShape)))
+  }
+
   def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val stream = documentStream(spark, dir).select("doc_id", "source", "text")
     val name = "stream_token_budget_" +

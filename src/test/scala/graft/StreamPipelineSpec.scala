@@ -50,6 +50,35 @@ class StreamPipelineSpec extends SparkSpec {
     assert(streamed.values.exists(_._2 > 0), "some contaminated doc must have dropped tokens")
   }
 
+  test("driftSnapshot: monoid partials merge to the batch drift over the same split") {
+    val streamed = StreamPipeline.driftSnapshot(spark, sf).collect().head
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = graft.operators.TextAnalysis.corpusDrift(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1), "text")
+      .collect().head
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // monoid merge directly: two arbitrary splits of B sum to B's counts
+    val b = d.filter(col("doc_id") % 2 === 1)
+    val merged = graft.operators.TextAnalysis
+      .driftTermCounts(b.filter(col("doc_id") < 250), "text", "cb")
+      .unionByName(graft.operators.TextAnalysis
+        .driftTermCounts(b.filter(col("doc_id") >= 250), "text", "cb"))
+      .groupBy("term").agg(sum("cb").as("cb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.TextAnalysis.driftTermCounts(b, "text", "cb")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+  }
+
+  test("intervalJoinSnapshot equals the batch interval join") {
+    val streamed = StreamPipeline.intervalJoinSnapshot(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Queries.eventsIntervalJoin(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "some error window must contain clicks")
+  }
+
   test("upsertCdc: streamed CDC segments merge to the batch upsert→revise→delete flow") {
     val store = new graft.operators.ChunkStore(
       StreamPipeline.deleteRecursivelyOnExit(
