@@ -49,6 +49,11 @@ object OracleArtifacts {
     */
   @volatile var annBatch: Option[Array[Array[Double]]] = None
 
+  /** (IVF centroids, probed cells) from ivfbq_probe — the binary-
+    * quantization leg is pure sign arithmetic, computed by the twin.
+    */
+  @volatile var ivfbq: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** (IVF centroids, probed cells) from ann_filtered. */
   @volatile var annFiltered: Option[(Array[Array[Double]], Seq[Int])] = None
 

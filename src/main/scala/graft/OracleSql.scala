@@ -682,6 +682,27 @@ object OracleSql {
            |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
            |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val ivfbqEntries = OracleArtifacts.ivfbq.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.ivfbqProbe: IVF assignment (fitted-centroid
+      // literals) filters to the probed cells; the BQ leg is the
+      // per-dimension sign-disagreement count (see bq_probe — no
+      // packing needed in SQL); hamming cut to 40, exact re-rank.
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      "ivfbq_probe" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+           |dst AS (SELECT vec_id, ev, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst
+           |        WHERE (list_indexof(dl, list_min(dl)) - 1) IN (${cells.mkString(", ")})),
+           |h AS (SELECT a.vec_id, a.ev, a.cluster,
+           |       CAST(len(list_filter(generate_series(1, 64),
+           |                            i -> (a.ev[i] > 0) <> (qv[i] > 0))) AS BIGINT) AS hamming
+           |      FROM asg a, q),
+           |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40)
+           |SELECT vec_id, cluster, hamming, ${cosine("ev", "qv")} AS cos_sim
+           |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val ivfsqResEntries = OracleArtifacts.ivfsqResidual.toSeq.map { case (cents, cells) =>
       // Twin of Queries.ivfsqResidual: IVF assignment (centroid
       // literals) → per-row centroid pick (CASE over cluster) →
@@ -814,7 +835,7 @@ object OracleSql {
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
     (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
+      ivfbqEntries ++ ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }
 

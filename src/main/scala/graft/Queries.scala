@@ -93,6 +93,23 @@ object Queries {
       vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
+  /** IVF+BQ probe: the persisted cluster-partitioned 8-byte-code
+    * layout, partition-pruned to the probed cells, popcount hamming
+    * cut, exact re-rank from the base table — IVF pruning compounded
+    * with 32× code compression ([[graft.operators.Bq.probeIvf]]).
+    */
+  def ivfbqProbe(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.ivfbq = Some((index.centroids, cells))
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfbq:$dir")(p =>
+      graft.operators.Bq.writeIvfBq(p, corpus, "embedding", "vec_id", index.centroids))
+    graft.operators.Bq.probeIvf(s, path, index.centroids, corpus, q,
+      "q_vec", "vec_id", "embedding", nProbe = 3, k = 10, refine = 40)
+  }
+
   def knnPerGroup(s: SparkSession, dir: String): DataFrame =
     Search.knnTopKPerGroup(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
