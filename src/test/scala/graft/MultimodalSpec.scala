@@ -417,6 +417,38 @@ class MultimodalSpec extends SparkSpec {
       f.getInt(5) == 44100 && f.getLong(6) == 500L, f.toString)
   }
 
+  test("parser fuzz: random and truncated payloads never throw, hang or kill rows") {
+    val rnd = new scala.util.Random(991)
+    val magics = Seq[Array[Byte]](
+      "ID3".getBytes("US-ASCII"),
+      Array(0xFF, 0xFB).map(_.toByte),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      "RIFFxxxxWEBP".getBytes("US-ASCII"),
+      "xxxxftyp".getBytes("US-ASCII"),
+      "OggS".getBytes("US-ASCII"),
+      "fLaC".getBytes("US-ASCII"),
+      Array[Byte]('I', 'I', 42, 0),
+      Array[Byte]('M', 'M', 0, 42))
+    val rows = (0 until 300).map { i =>
+      val magic = magics(i % magics.length)
+      val tail = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(tail)
+      (i.toLong, magic ++ tail)
+    }.toDF("id", "content")
+    // the decode must complete (no hang on hostile sizes), keep every
+    // row, and each non-null meta must carry sane values
+    val out = Multimodal.decode(rows, "content")
+      .select(col("id"), col("meta")).collect()
+    assert(out.length == 300, "every row retained")
+    out.foreach { r =>
+      Option(r.getAs[org.apache.spark.sql.Row](1)).foreach { m =>
+        assert(m.getInt(1) >= 0 && m.getInt(2) >= 0, s"negative dims: $m")
+        assert(m.getInt(4) >= 0 && m.getInt(5) >= 0 && m.getLong(6) >= 0L,
+          s"negative audio facts: $m")
+      }
+    }
+  }
+
   test("webp: dimensions parsed from VP8L, VP8X and VP8 layouts; pixels stay stubbed") {
     // VP8L: sig 0x2F, then (w-1)=639, (h-1)=359 packed 14+14 bits LE
     val bits = 639 | (359 << 14)
