@@ -1541,6 +1541,47 @@ object OracleSql {
          |FROM px JOIN w1c USING (w1)
          |ORDER BY px.n_pair DESC, px.w1, px.w2 LIMIT 100""".stripMargin,
 
+    "mix_doremi" -> {
+      // Twin of Sampling.doremiWeights over source domains: the same
+      // inlined-LM per-doc ppl as perplexity_filter, then ln of the
+      // ROUNDED ppl, domain means rounded before differencing, the
+      // collapsed EG closed form exp(k·η·excess) and the smoothed
+      // normalization — every constant inlined with dlit so the
+      // double arithmetic is cross-engine identical.
+      val m = graft.operators.Lm.model
+      val uniValues = m.uni.map { case (w, lp) => s"('$w', ${dlit(lp)})" }.mkString(", ")
+      val biValues = m.bi.map { case (bg, lp) => s"('$bg', ${dlit(lp)})" }.mkString(", ")
+      val kEta = dlit(0.5 * 5)
+      val oneMinusEps = dlit(1 - 0.2)
+      val eps = dlit(0.2)
+      s"""WITH t AS (SELECT doc_id, ${toks()} AS toks FROM documents),
+         |p AS (SELECT doc_id, NULL AS bg, toks[1] AS w FROM t WHERE len(toks) >= 1
+         |      UNION ALL
+         |      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i+1] AS w
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+         |uni AS (SELECT * FROM (VALUES $uniValues) AS u(w, ulp)),
+         |bi AS (SELECT * FROM (VALUES $biValues) AS b(bg, blp)),
+         |lp AS (SELECT p.doc_id,
+         |        CASE WHEN p.bg IS NULL THEN COALESCE(uni.ulp, ${dlit(m.oovLp)})
+         |             ELSE COALESCE(bi.blp, ${dlit(m.backoffLp)} + COALESCE(uni.ulp, ${dlit(m.oovLp)})) END AS lp
+         |       FROM p LEFT JOIN uni ON p.w = uni.w LEFT JOIN bi ON p.bg = bi.bg),
+         |s AS (SELECT doc_id, ROUND(exp(-sum(lp) / count(*)), 5) AS ppl
+         |      FROM lp GROUP BY doc_id),
+         |d2 AS (SELECT d.source, ln(s.ppl) AS nll
+         |       FROM s JOIN documents d ON s.doc_id = d.doc_id WHERE s.ppl IS NOT NULL),
+         |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         ROUND(avg(nll), 5) AS mean_nll FROM d2 GROUP BY source),
+         |ref AS (SELECT ROUND(avg(mean_nll), 5) AS r, CAST(count(*) AS BIGINT) AS nd FROM dom),
+         |rw AS (SELECT source, n_docs, mean_nll,
+         |        greatest(0.0, mean_nll - r) AS excess_u,
+         |        exp($kEta * greatest(0.0, mean_nll - r)) AS raw, nd
+         |       FROM dom, ref),
+         |tot AS (SELECT sum(raw) AS tw FROM rw)
+         |SELECT source, n_docs, mean_nll, ROUND(excess_u, 5) AS excess,
+         |       ROUND($oneMinusEps * raw / tw + $eps / nd, 5) AS weight
+         |FROM rw, tot ORDER BY source""".stripMargin
+    },
+
     "perplexity_filter" -> {
       // Twin of Lm.perplexity: the checked-in bigram LM is constants,
       // inlined as two VALUES tables (dlit keeps the precomputed

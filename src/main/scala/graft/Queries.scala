@@ -1575,6 +1575,16 @@ object Queries {
   def mixTemperature(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMix(docs(s, dir).select("doc_id", "lang"), "lang", "doc_id")
 
+  /** DoReMi-style domain weights over the per-source proxy-LM losses
+    * ([[Sampling.doremiWeights]]): sources whose corpus fits the
+    * proxy LM worse than the cross-domain mean get upweighted, EG
+    * closed form, uniform smoothing. The twin recomputes the whole
+    * chain from the inlined LM constants.
+    */
+  def mixDoremi(s: SparkSession, dir: String): DataFrame =
+    Sampling.doremiWeights(docs(s, dir).select("doc_id", "source", "text"),
+      "text", "source", "doc_id")
+
   /** Deterministic global training shuffle into 4 round-robin shards
     * ([[graft.operators.Sampling.shuffleShards]]): seeded md5
     * permutation, global position via the two-phase distributed scan

@@ -31,6 +31,56 @@ object Sampling {
     * Shape at scale: one count aggregation, a two-row broadcast, one
     * window shuffle keyed by the group column.
     */
+  /** DoReMi-style domain reweighting (Xie et al. 2023,
+    * arXiv:2305.10429): domain weights from a proxy model's
+    * per-domain EXCESS loss via exponentiated-gradient ascent,
+    * smoothed toward the uniform mixture — the published method for
+    * choosing the pretraining data MIXTURE, the step [[temperatureMix]]
+    * (a heuristic) and [[dsirResample]] (per-example) sit either side
+    * of. The proxy scorer here is the checked-in bigram LM
+    * ([[Lm.model]] — the CCNet filter model), the reference loss the
+    * cross-domain mean, so excess_i = max(0, L_i − mean_j L_j). The
+    * losses are constant across EG steps (no retraining inside one
+    * operator call), which collapses the k-step update
+    * w_i ← w_i·exp(η·excess_i) to its closed form
+    * w_i ∝ exp(k·η·excess_i) — computed directly, documented here.
+    *
+    * Determinism: per-doc NLL enters as ln of the ROUNDED ppl and the
+    * domain means round before differencing, so both engines
+    * difference identical doubles (the perplexity-twin contract).
+    * Shape at scale: the corpus-sized work is [[Lm.perplexity]]'s
+    * linear pass; everything after is O(domains) with one-row
+    * broadcasts.
+    */
+  def doremiWeights(
+      df: DataFrame,
+      textCol: String,
+      domainCol: String,
+      idCol: String,
+      eta: Double = 0.5,
+      steps: Int = 5,
+      eps: Double = 0.2
+  ): DataFrame = {
+    val nll = Lm.perplexity(df, textCol, idCol)
+      .join(df.select(col(idCol), col(domainCol)), idCol)
+      .filter(col("ppl").isNotNull)
+      .select(col(domainCol), log(col("ppl")).as("_nll"))
+    val dom = nll.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("_nll")), 5).as("mean_nll"))
+    val ref = dom.agg(round(avg(col("mean_nll")), 5).as("_ref"),
+      count(lit(1)).cast("long").as("_nd"))
+    val ex = dom.crossJoin(broadcast(ref))
+      .withColumn("_excess", greatest(lit(0.0), col("mean_nll") - col("_ref")))
+      .withColumn("_raw", exp(lit(eta * steps) * col("_excess")))
+    val tot = ex.agg(sum(col("_raw")).as("_tot"))
+    ex.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("mean_nll"),
+        round(col("_excess"), 5).as("excess"),
+        round(lit(1 - eps) * col("_raw") / col("_tot") +
+          lit(eps) / col("_nd"), 5).as("weight"))
+      .orderBy(col(domainCol))
+  }
+
   def temperatureMix(
       df: DataFrame,
       groupCol: String,

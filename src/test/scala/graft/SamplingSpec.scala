@@ -170,4 +170,25 @@ class SamplingSpec extends SparkSpec {
     assert(hotPositions.last - hotPositions.head == hotPositions.length - 1,
       "equal-key rows must occupy one contiguous run of the global order")
   }
+
+  test("doremiWeights upweights the domain the proxy LM fits worst") {
+    // domain 'ood' is gibberish (all-OOV under the checked-in LM →
+    // max NLL); 'common' reuses frequent corpus words (low NLL)
+    val rows =
+      (0 until 30).map(i => (i.toLong, "common", "the a value table part row key")) ++
+        (100 until 130).map(i => (i.toLong, "ood", s"zzqx$i wvvk$i qqje$i xxoo$i ppra$i"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val out = Sampling.doremiWeights(df, "text", "source", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nllC, exC, wC) = out("common")
+    val (nllO, exO, wO) = out("ood")
+    assert(nllO > nllC, "gibberish must score a higher proxy loss")
+    assert(exC == 0.0 && exO > 0.0, s"only the worse-than-mean domain has excess: $out")
+    assert(wO > wC, "the high-excess domain must be upweighted")
+    assert(math.abs(wO + wC - 1.0) < 1e-4, "weights sum to 1 (within rounding)")
+    // closed form: w = 0.8 * exp(2.5*excess)/Z + 0.2/2
+    val rawC = math.exp(2.5 * exC); val rawO = math.exp(2.5 * exO)
+    val z = rawC + rawO
+    assert(math.abs(wO - (0.8 * rawO / z + 0.1)) < 1e-4, s"closed form mismatch: $wO")
+  }
 }
