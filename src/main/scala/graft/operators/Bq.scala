@@ -6,22 +6,26 @@ import org.apache.spark.sql.functions._
 
 /** Binary quantization (1 bit per dimension) for embedding columns —
   * the compression tier BELOW SQ8 (C7): each dimension collapses to
-  * its sign bit, a 64-dim vector packs into ONE long, and the
-  * candidate scan is pure integer bit work (XOR + popcount), the
-  * cheapest distance a vector index can compute. Sign agreement on
-  * the unit sphere is the hyperplane-LSH argument (Charikar '02,
-  * axis-aligned planes): hamming distance is a monotone-enough proxy
-  * for angle that a bounded exact re-rank recovers the true top-k —
-  * the same refine contract as [[Sq.probe]]/[[Pca.probe]].
+  * its sign bit, every 64 dims pack into one long word (the test
+  * corpus' 64-dim vectors take ONE; a 768-dim production embedding
+  * takes 12 — the word count scales with ⌈dim/64⌉, nothing else
+  * changes), and the candidate scan is pure integer bit work
+  * (XOR + popcount per word), the cheapest distance a vector index
+  * can compute. Sign agreement on the unit sphere is the
+  * hyperplane-LSH argument (Charikar '02, axis-aligned planes):
+  * hamming distance is a monotone-enough proxy for angle that a
+  * bounded exact re-rank recovers the true top-k — the same refine
+  * contract as [[Sq.probe]]/[[Pca.probe]].
   *
-  * Scale shape: the packed column is 8 bytes/vector — 32× smaller
-  * than the float32 embeddings — so the exhaustive candidate scan
-  * reads ~3% of the raw bytes, XOR+popcount stays inside whole-stage
-  * codegen with no branches, and only `refine` rows per query touch
-  * full vectors (served from the base table by id; a cluster layout
-  * co-locates them exactly as the SQ path does). Everything is
-  * deterministic integer/IEEE arithmetic, so the whole probe has an
-  * exact DuckDB twin with NO fitted constants.
+  * Scale shape: the packed columns are 8 bytes per 64 dims — 32×
+  * smaller than the float32 embeddings — so the exhaustive candidate
+  * scan reads ~3% of the raw bytes, XOR+popcount stays inside
+  * whole-stage codegen with no branches, and only `refine` rows per
+  * query touch full vectors (served from the base table by id; a
+  * cluster layout co-locates them exactly as the SQ path does).
+  * Everything is deterministic integer/IEEE arithmetic, so the whole
+  * probe has an exact DuckDB twin with NO fitted constants (the twin
+  * counts sign disagreements directly — packing-independent).
   *
   * Reference anchor: store.py:274 (index hint) — binary quantization
   * is the third standard ANN memory lever next to IVF (A15), PQ (C6)
@@ -29,40 +33,62 @@ import org.apache.spark.sql.functions._
   */
 object Bq {
 
-  /** Sign-bit pack: bit i set iff v[i+1] > 0 (strict — zeros pack as
-    * 0, matching the twin). A 64-term codegen'd integer sum, no HOFs
-    * on the corpus side — the [[Pq.batchProbe]] lesson says giant
-    * trees hurt, but 64 flat terms plan in microseconds and the
-    * per-row evaluation is branch-free selects.
+  /** Packed words needed for `dim` dimensions. */
+  def nWords(dim: Int): Int = (dim + 63) / 64
+
+  /** Sign bits of dims [word·64, min(dim, word·64+64)) as one long:
+    * bit (i mod 64) set iff v[i+1] > 0 (strict — zeros pack as 0,
+    * matching the twin). Flat codegen'd selects, no HOFs on the
+    * corpus side — the [[Pq.batchProbe]] lesson says giant trees
+    * hurt, but ≤64 flat terms per word plan in microseconds.
     */
-  def packExpr(v: Column, dim: Int = 64): Column =
-    (0 until dim)
-      .map(i => when(element_at(v, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L)))
+  def packWordExpr(v: Column, word: Int, dim: Int): Column =
+    (word * 64 until math.min(dim, word * 64 + 64))
+      .map(i => when(element_at(v, i + 1) > lit(0f), lit(1L << (i % 64))).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Add the packed-code column — a narrow projection; at scale this
-    * is the persisted index artifact (id, code, cluster).
+  /** Single-word convenience for dim ≤ 64 (the registered queries'
+    * shape).
     */
-  def pack(df: DataFrame, vecCol: String, codeCol: String = "bq_code"): DataFrame =
-    df.withColumn(codeCol, packExpr(col(vecCol)))
+  def packExpr(v: Column, dim: Int = 64): Column = {
+    require(dim <= 64, s"packExpr is the one-word form; use pack for dim=$dim")
+    packWordExpr(v, 0, dim)
+  }
 
-  /** Persisted IVF+BQ layout: (id, cluster, bq_code) partitioned by
-    * cluster — the index artifact is 8 bytes/vector plus the
-    * partition key, and the probe compounds partition pruning with
-    * the popcount scan. Full vectors stay in the base table.
+  /** Add the packed-word columns `<prefix>0 … <prefix>{nWords−1}` —
+    * a narrow projection; at scale these are the persisted index
+    * artifact (id, cluster, words).
+    */
+  def pack(df: DataFrame, vecCol: String, prefix: String = "bq_w", dim: Int = 64): DataFrame =
+    (0 until nWords(dim)).foldLeft(df) { (d, w) =>
+      d.withColumn(s"$prefix$w", packWordExpr(col(vecCol), w, dim))
+    }
+
+  /** Σ popcount(a_w xor b_w) over the packed words. */
+  def hammingExpr(prefixA: String, prefixB: String, dim: Int): Column =
+    (0 until nWords(dim))
+      .map(w => bit_count(col(s"$prefixA$w").bitwiseXOR(col(s"$prefixB$w"))))
+      .reduce(_ + _).cast("long")
+
+  /** Persisted IVF+BQ layout: (id, cluster, bq_w*) partitioned by
+    * cluster — 8 bytes per 64 dims plus the partition key; the probe
+    * compounds partition pruning with the popcount scan. Full vectors
+    * stay in the base table.
     */
   def writeIvfBq(
       path: String,
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      centroids: Array[Array[Double]]): Unit =
-    pack(Ann.assign(df, vecCol, centroids), vecCol)
-      .select(col(idCol), col("cluster"), col("bq_code"))
+      centroids: Array[Array[Double]],
+      dim: Int = 64): Unit =
+    pack(Ann.assign(df, vecCol, centroids), vecCol, dim = dim)
+      .select(col(idCol) +: col("cluster") +:
+        (0 until nWords(dim)).map(w => col(s"bq_w$w")): _*)
       .write.partitionBy("cluster").mode("overwrite").parquet(path)
 
   /** Probe the persisted IVF+BQ layout: nProbe-cell partition-pruned
-    * scan of the 8-byte codes, hamming cut to `refine` (ties by id),
+    * scan of the packed words, hamming cut to `refine` (ties by id),
     * exact cosine re-rank against the full-precision base joined back
     * by id — the two memory levers compounded: scan nProbe/k of the
     * corpus, at 1/32 of the float32 bytes.
@@ -78,14 +104,14 @@ object Bq {
       vecCol: String,
       nProbe: Int = 3,
       k: Int = 10,
-      refine: Int = 40): DataFrame = {
+      refine: Int = 40,
+      dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
     val candidates = spark.read.parquet(path)
       .filter(col("cluster").isInCollection(cells))
-      .crossJoin(broadcast(pack(queryDf, queryVec, "_qcode")))
-      .withColumn("hamming",
-        bit_count(col("bq_code").bitwiseXOR(col("_qcode"))).cast("long"))
+      .crossJoin(broadcast(pack(queryDf, queryVec, "_qw", dim)))
+      .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("hamming"))
       .orderBy(col("hamming"), col(idCol))
       .limit(refine)
@@ -111,13 +137,13 @@ object Bq {
       queryVec: String,
       idCol: String,
       k: Int = 10,
-      refine: Int = 40
+      refine: Int = 40,
+      dim: Int = 64
   ): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val cand = pack(corpus, vecCol)
-      .crossJoin(broadcast(pack(queryDf, queryVec, "_qcode")))
-      .withColumn("hamming",
-        bit_count(col("bq_code").bitwiseXOR(col("_qcode"))).cast("long"))
+    val cand = pack(corpus, vecCol, dim = dim)
+      .crossJoin(broadcast(pack(queryDf, queryVec, "_qw", dim)))
+      .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
       .orderBy(col("hamming"), col(idCol))
       .limit(refine)
     cand

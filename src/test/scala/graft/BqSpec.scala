@@ -72,6 +72,41 @@ class BqSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 with refine=40 too low: $recall")
   }
 
+  test("multi-word packing: 128-dim probe equals brute force across the word boundary") {
+    val rnd = new scala.util.Random(515)
+    val dim = 128
+    val rows = (0 until 150).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding").filter(col("vec_id") =!= 0)
+    val qv = rows.head._2
+    val q = Seq(Tuple1(qv)).toDF("q_vec")
+    val got = Bq.probe(corpus, q, "embedding", "q_vec", "vec_id",
+      k = 10, refine = 40, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      (0 until dim).count(i => (a(i) > 0) != (b(i) > 0)).toLong
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      dot / (math.sqrt((0 until dim).map(i => a(i).toDouble * a(i).toDouble).sum) *
+        math.sqrt((0 until dim).map(i => b(i).toDouble * b(i).toDouble).sum))
+    }
+    val expect = rows.tail.map { case (id, v) => (id, ham(v, qv), cos(v, qv)) }
+      .sortBy { case (id, h, _) => (h, id) }.take(40)
+      .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      .map(e => (e._1, e._2))
+    assert(got == expect, s"\n$got\n$expect")
+    // word boundary: dim 63 vs 64 land in different words
+    val a = Array.tabulate(dim)(i => if (i == 63 || i == 64) 1.0f else -1.0f)
+    val b = Array.tabulate(dim)(i => if (i == 63) 1.0f else -1.0f)
+    val packed = Seq((1L, a), (2L, b)).toDF("id", "v")
+    val words = Bq.pack(packed, "v", dim = dim)
+      .select("id", "bq_w0", "bq_w1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(words(1L)._1 == Long.MinValue && words(1L)._2 == 1L)
+    assert(words(2L)._1 == Long.MinValue && words(2L)._2 == 0L)
+  }
+
   test("probe plan: candidate scan is codegen'd integer work, no raw-vector read before refine") {
     val df = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = df.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
