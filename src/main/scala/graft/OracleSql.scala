@@ -1784,6 +1784,22 @@ object OracleSql {
          |SELECT n_docs_a, n_docs_b, mean_len_a, mean_len_b, oov_rate_b, js_divergence
          |FROM sa, sb, div""".stripMargin,
 
+    "zipf_fit" ->
+      // Twin of TextAnalysis.zipfFit: identical moment-sum OLS over
+      // the same deterministic (cnt desc, term) top-1000 ranking.
+      s"""WITH tc AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt FROM
+         |        (SELECT unnest(${toks()}) AS t FROM documents) GROUP BY 1),
+         |top AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+         |        FROM tc ORDER BY cnt DESC, term LIMIT 1000),
+         |xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         |       sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM xy)
+         |SELECT n AS n_terms,
+         |       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 5) AS slope,
+         |       ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 5) AS intercept,
+         |       ROUND(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 5) AS r2
+         |FROM m""".stripMargin,
+
     "quality_score" ->
       s"""WITH $qualityCte
          |SELECT doc_id, n_tokens, stop_ratio, quality FROM qs ORDER BY doc_id""".stripMargin,

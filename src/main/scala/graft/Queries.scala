@@ -1141,6 +1141,13 @@ object Queries {
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
+  /** Zipf power-law fit over the corpus term distribution
+    * ([[TextAnalysis.zipfFit]]): OLS slope/intercept/R² of the
+    * log-log rank-frequency line — the corpus-health scalar trio.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(docs(s, dir), "text")
+
   /** Corpus drift between two snapshots
     * ([[TextAnalysis.corpusDrift]]): the even/odd doc-id split stands
     * in for consecutive crawl batches; JS divergence, OOV mass and

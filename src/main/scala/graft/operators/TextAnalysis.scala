@@ -388,6 +388,49 @@ object TextAnalysis {
         "oov_rate_b", "js_divergence")
   }
 
+  /** Zipf power-law fit over the term-frequency distribution — the
+    * corpus-health check next to [[corpusDrift]]: natural text follows
+    * freq ∝ rank^s with s ≈ −1; a synthetic, template-generated or
+    * boilerplate-flooded corpus bends the log-log line (|s| far from
+    * 1, low R²), which this surfaces as three numbers. OLS fit of
+    * ln(freq) on ln(rank) over the top-`topN` terms via the explicit
+    * moment sums (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)) so the twin
+    * reproduces the arithmetic without engine-specific regression
+    * functions.
+    *
+    * Scale shape: one token aggregation (term-hash partitioned), a
+    * bounded top-N cut, and a window over ONLY those `topN` rows (the
+    * rrfFuse provably-small-global-window class) — the corpus-sized
+    * work never sorts globally.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    val counted = df
+      .select(explode(TextOps.tokenize(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    val xy = counted
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+    xy.agg(
+      count(lit(1)).as("_n"),
+      sum("x").as("_sx"), sum("y").as("_sy"),
+      sum(col("x") * col("y")).as("_sxy"),
+      sum(col("x") * col("x")).as("_sxx"),
+      sum(col("y") * col("y")).as("_syy"))
+      .select(
+        col("_n").as("n_terms"),
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 5).as("slope"),
+        round((col("_sy") - (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")) * col("_sx")) / col("_n"), 5)
+          .as("intercept"),
+        round(pow(col("_n") * col("_sxy") - col("_sx") * col("_sy"), 2) /
+          ((col("_n") * col("_sxx") - col("_sx") * col("_sx")) *
+            (col("_n") * col("_syy") - col("_sy") * col("_sy"))), 5).as("r2"))
+  }
+
   /** Per-language corpus stats from a pre-exploded token table. */
   def corpusStats(tokens: DataFrame, groupCol: String, idCol: String): DataFrame =
     tokens

@@ -161,6 +161,34 @@ object ScaleCheck {
         embCorpus.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
         "embedding", "q_vec", "vec_id"))
+      time(s"bq_probe", Bq.probe(
+        embCorpus.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        "embedding", "q_vec", "vec_id"))
+      time(s"corpus_drift", TextAnalysis.corpusDrift(
+        c.filter(col("doc_id") % 2 === 0), c.filter(col("doc_id") % 2 === 1), "text"))
+      time(s"dedup_canonical", forced({
+        val cl = Dedup.duplicateClusters(
+          Dedup.minHashLshPairs(c, "text", "doc_id", threshold = 0.3))
+        Dedup.canonicalPerCluster(c, cl, "text", "doc_id")
+      }))
+      // events interval join scaled on the events table (windows AND
+      // points both replicate — candidate pressure grows on both sides)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), expr("ts DIV 1000000").as("t"),
+          col("event_type"), col("value"))
+        .crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+          // shift each replica by a day so windows don't all overlap
+          (col("t") + col("rep") * 86400000L).as("t"),
+          col("event_type"), col("value"))
+      time(s"events_interval_join", forced(Events.intervalJoin(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("t"), col("value")),
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("win_id"), col("t").as("w_start"),
+            (col("t") + 300000L).as("w_end")),
+        "t", "w_start", "w_end", binWidth = 300000L)))
     }
 
     // IVF at scale-appropriate nlist (~√N): at 100 TB nlist must grow

@@ -41,6 +41,24 @@ class CorpusDriftSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_len_b") == 8.0)
   }
 
+  test("zipfFit: planted power law recovers its exponent; uniform corpus fits slope 0") {
+    // freq(rank r) = round(10000 / r) for 60 terms — slope should fit ≈ -1
+    val zipfDocs = (1 to 60).flatMap { r =>
+      val f = math.max(1, math.round(10000.0 / r).toInt)
+      Seq.fill(f)(s"w$r")
+    }
+    val zipf = Seq((1L, zipfDocs.mkString(" "))).toDF("id", "text")
+    val zr = TextAnalysis.zipfFit(zipf, "text", topN = 60).head()
+    assert(zr.getAs[Long]("n_terms") == 60L)
+    assert(math.abs(zr.getAs[Double]("slope") + 1.0) < 0.02, zr.toString)
+    assert(zr.getAs[Double]("r2") > 0.999, zr.toString)
+    // uniform frequencies: flat line, slope ~ 0
+    val flat = Seq((1L, (1 to 50).flatMap(i => Seq.fill(20)(s"u$i")).mkString(" ")))
+      .toDF("id", "text")
+    val fr = TextAnalysis.zipfFit(flat, "text", topN = 50).head()
+    assert(math.abs(fr.getAs[Double]("slope")) < 1e-9, fr.toString)
+  }
+
   test("drift is symmetric in the JS term (swap only flips the OOV side)") {
     val a = Seq("aa bb cc dd", "aa bb")
     val b = Seq("aa bb ee", "ee ff")
