@@ -424,6 +424,18 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Cross-encoder rerank over the BM25 pool
+    * ([[Search.crossEncoderRerank]]): the retrieve-then-rerank
+    * serving pipeline with the checked-in joint-attention model.
+    * Rows-only in the driver gate (softmax/layernorm admit no
+    * bit-exact SQL twin — the `embed_encoder` honest class); pinned
+    * instead by CrossRerankSpec's independent driver-side model
+    * recomputation.
+    */
+  def rerankCross(s: SparkSession, dir: String): DataFrame =
+    Search.crossEncoderRerank(docs(s, dir).select("doc_id", "text"),
+      "text", "doc_id", QueryTerms, k = 10, pool = 20)
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

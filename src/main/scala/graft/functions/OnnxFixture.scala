@@ -159,6 +159,40 @@ object OnnxFixture {
     inputName = "ids",
     outputName = "out")
 
+  /** Score head [16×1] for the cross-encoder, entries in [-2, 2]. */
+  def wScore(j: Int): Int = ((j * 23) % 5) - 2
+
+  /** The id reserved as the query/document SEPARATOR in the joint
+    * cross-encoder sequence (BERT's [SEP] analog): the top of the
+    * vocabulary, which the subword hasher never emits (it floorMods
+    * into [0, VocabSize−1) — see
+    * [[graft.operators.Featurize.encoderEmbedder]]).
+    */
+  val SepId: Int = VocabSize - 1
+
+  /** A CROSS-ENCODER reranker: the [[encoderGraph]] transformer over
+    * the JOINT `query ⊕ [SEP] ⊕ document` id sequence — attention
+    * mixes query and document tokens in one pass, which is exactly
+    * what a bi-encoder (two independent towers + cosine) structurally
+    * cannot do — then the pooled vector projects through a [16×1]
+    * score head to ONE scalar. The standard two-stage serving shape:
+    * cheap retrieval finds candidates, this scores each (query, doc)
+    * pair jointly (reference: embedder.py's model seam; the head is
+    * the only topology difference from `embed_encoder.onnx`).
+    */
+  def crossEncoderGraph: OnnxMini.Graph = {
+    val base = encoderGraph
+    OnnxMini.Graph(
+      nodes = base.nodes.map(n =>
+        if (n.outputs == Seq("out")) n.copy(outputs = Seq("pooled")) else n) :+
+        OnnxMini.Node("MatMul", Seq("pooled", "w_score"), Seq("out")),
+      initializers = base.initializers +
+        ("w_score" -> OnnxMini.Tensor(Seq(HeadDims, 1),
+          Array.tabulate(HeadDims)(wScore(_).toFloat))),
+      inputName = "ids",
+      outputName = "out")
+  }
+
   /** The graph MakeOnnx serializes: bow[1,64] → MatMul W1 → Add b1 →
     * Relu → MatMul W2 → Add b2 → out.
     */

@@ -294,6 +294,57 @@ object Featurize {
     }
   }
 
+  /** CROSS-ENCODER scorer — (query, document) → one scalar relevance,
+    * jointly encoded: BPE-subword ids of the query, the reserved
+    * [SEP] id, then the document's ids, through the checked-in
+    * transformer + score head (`graft/cross_encoder.onnx`,
+    * [[graft.functions.OnnxFixture.crossEncoderGraph]]). Attention
+    * mixes query and document tokens in one pass — the interaction a
+    * bi-encoder's two independent towers structurally cannot express,
+    * and why production search puts exactly this model class between
+    * retrieval and the result list. Same per-partition-session seam
+    * as [[encoderEmbedder]]; subwords hash into [0, VocabSize−1) so
+    * the [SEP] id is never collided with. The query's ids are
+    * budgeted to a quarter of `maxLen` so a long query cannot starve
+    * the document of context.
+    */
+  def crossEncoderScorer(
+      resource: String = "/graft/cross_encoder.onnx",
+      maxLen: Int = 64
+  ): () => (String, String) => Double = () => {
+    val session = graft.functions.OnnxMini.load(resource) // once per partition
+    val merges = Bpe.merges
+    val vocab = graft.functions.OnnxFixture.VocabSize - 1 // [SEP] reserved
+    val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    val memo = new java.util.HashMap[String, Array[Double]]()
+    val memoCap = 1 << 17
+    def idsOf(text: String, cap: Int): Array[Double] = {
+      val ids = Array.newBuilder[Double]
+      var n = 0
+      val m = pretoken.matcher(text.toLowerCase)
+      while (m.find() && n < cap) {
+        val w = m.group()
+        var wids = memo.get(w)
+        if (wids == null) {
+          wids = Bpe.encodeWord(w, merges)
+            .map(s => java.lang.Math.floorMod(s.hashCode, vocab).toDouble)
+          if (memo.size < memoCap) memo.put(w, wids)
+        }
+        var i = 0
+        while (i < wids.length && n < cap) { ids += wids(i); n += 1; i += 1 }
+      }
+      ids.result()
+    }
+    (query, doc) => {
+      val q = idsOf(query, maxLen / 4)
+      val d = idsOf(doc, maxLen - q.length - 1)
+      val seq = q ++ Array(graft.functions.OnnxFixture.SepId.toDouble) ++ d
+      if (q.isEmpty && d.isEmpty) 0.0
+      else graft.functions.OnnxMini
+        .run2d(session, graft.functions.OnnxMini.Mat(seq.length, 1, seq)).data(0)
+    }
+  }
+
   /** Deterministic stand-in model: the driver-side twin of
     * [[hashedBow]] (same tokenizer, same md5 bucketing, same L2
     * normalization) — exists so specs can assert the seam preserves

@@ -294,6 +294,51 @@ object Search {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Two-stage retrieve-then-RERANK with the checked-in CROSS-ENCODER
+    * ([[graft.operators.Featurize.crossEncoderScorer]]): BM25
+    * retrieval cuts the corpus to a bounded `pool`, then the model
+    * scores each (query, document) pair JOINTLY — query and document
+    * tokens attend to each other, the interaction the bi-encoder
+    * tower split gives up for indexability. The standard production
+    * serving shape: the O(L²) attention runs `pool` times per query,
+    * never corpus-times; scoring is a `mapPartitions` with one model
+    * session per partition (the ONNX-session seam — an
+    * externally-trained reranker drops in by replacing the artifact).
+    * Output (id, bm25, ce_score) ranked by the model, ties by id.
+    */
+  def crossEncoderRerank(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      pool: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tokens = docs
+      .select(col(idCol), explode(graft.functions.TextOps.tokenize(col(textCol))).as("term"))
+    val cand = bm25TopK(tokens, idCol, queryTerms, pool)
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+    val queryText = queryTerms.mkString(" ")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bm25", DoubleType, nullable = false),
+      StructField("ce_score", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val mkScorer = graft.operators.Featurize.crossEncoderScorer()
+    cand.mapPartitions { rows =>
+      val scorer = mkScorer()
+      rows.map { r =>
+        val score = scorer(queryText, r.getString(2))
+        Row(r.getLong(0), r.getDouble(1),
+          BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }(enc)
+      .orderBy(col("ce_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Term-WEIGHTED BM25 scores — [[bm25Scores]] with a per-term weight
     * multiplier on each contribution (the scoring half of RM3 query
     * expansion). Same single-shuffle pivoted shape; weights are plan

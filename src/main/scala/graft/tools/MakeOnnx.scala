@@ -53,5 +53,17 @@ object MakeOnnx {
     require(e7.cols == OnnxFixture.HeadDims && e1.cols == OnnxFixture.HeadDims)
     println(s"[make-onnx] ${encBytes.length} bytes, ${ge.initializers.size} initializers, " +
       s"enc out[0..3] = ${e7.data.take(4).mkString(", ")} -> $encOut")
+
+    // fourth artifact: the cross-encoder reranker (encoder + score head)
+    val ceOut = out.replace("embed_mlp.onnx", "cross_encoder.onnx")
+    val ceBytes = OnnxMini.write(OnnxFixture.crossEncoderGraph)
+    java.nio.file.Files.write(java.nio.file.Paths.get(ceOut), ceBytes)
+    val gc = OnnxMini.parse(ceBytes)
+    require(gc.nodes.last.opType == "MatMul" && gc.initializers.contains("w_score"))
+    val c1 = OnnxMini.run2d(gc, OnnxMini.Mat(5, 1,
+      Array(3.0, 9.0, OnnxFixture.SepId.toDouble, 11.0, 40.0)))
+    require(c1.rows == 1 && c1.cols == 1, s"cross-encoder must emit one scalar, got ${c1.rows}x${c1.cols}")
+    println(s"[make-onnx] ${ceBytes.length} bytes, ${gc.initializers.size} initializers, " +
+      s"ce score = ${c1.data(0)} -> $ceOut")
   }
 }
