@@ -882,6 +882,34 @@ object OracleSql {
          |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
          |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "bq_recall_sweep" ->
+      // Twin of Queries.bqRecallSweep: hamming + cosine materialized
+      // once, each refine leg a cheap rn <= r filter (the
+      // ann_recall_sweep MATERIALIZED pattern), recall vs the exact
+      // top-10 of the same rounded-cosine convention.
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |sc AS MATERIALIZED (SELECT vec_id,
+         |       CAST(len(list_filter(generate_series(1, 64),
+         |                            i -> (ev[i] > 0) <> (qv[i] > 0))) AS BIGINT) AS hamming,
+         |       ${cosine("ev", "qv")} AS cs FROM c, q),
+         |rk AS MATERIALIZED (SELECT vec_id, cs,
+         |       row_number() OVER (ORDER BY hamming, vec_id) AS rn FROM sc),
+         |ex AS MATERIALIZED (SELECT vec_id FROM sc ORDER BY cs DESC, vec_id LIMIT 10),
+         |probes AS (
+         |  (SELECT 10 AS refine, vec_id FROM rk WHERE rn <= 10 ORDER BY cs DESC, vec_id LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 20, vec_id FROM rk WHERE rn <= 20 ORDER BY cs DESC, vec_id LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 40, vec_id FROM rk WHERE rn <= 40 ORDER BY cs DESC, vec_id LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 80, vec_id FROM rk WHERE rn <= 80 ORDER BY cs DESC, vec_id LIMIT 10)),
+         |hits AS (SELECT refine, count(*) AS h FROM probes JOIN ex USING (vec_id) GROUP BY 1)
+         |SELECT CAST(10 AS BIGINT) AS top_k, CAST(r.r AS BIGINT) AS refine,
+         |       ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / 10.0, 4) AS recall
+         |FROM (SELECT unnest([10, 20, 40, 80]) AS r) r
+         |LEFT JOIN hits ON hits.refine = r.r ORDER BY refine""".stripMargin,
+
     "mmr_search" -> {
       // Twin of Search.mmrRerank (k=5, pool=20, λ=0.7): the greedy
       // unrolls into five chained argmax CTEs. λ and 1−λ are inlined

@@ -2474,6 +2474,28 @@ object Queries {
     }.toDF("top_k", "n_probe", "recall").orderBy("n_probe")
   }
 
+  /** BQ refine-knob eval ([[graft.operators.Bq.probe]]): recall@10 of
+    * the hamming-cut-then-rerank probe against the exact scan for
+    * refine ∈ {10, 20, 40, 80} — C17's quality/compute dial, the
+    * analog of [[annRecallSweep]]'s nProbe sweep. Pure arithmetic on
+    * both sides, so the twin is STATIC (no fitted constants).
+    */
+  def bqRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val q = queryVecDf(s, dir)
+    val exact = Search.knnTopK(corpus, q, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id")
+    Seq(10, 20, 40, 80).map { refine =>
+      val probe = graft.operators.Bq
+        .probe(corpus, q, "embedding", "q_vec", "vec_id", k = 10, refine = refine)
+        .select("vec_id")
+      val hits = exact.join(probe, Seq("vec_id"), "left_semi").count()
+      (10L, refine.toLong,
+        BigDecimal(hits.toDouble / 10.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("top_k", "refine", "recall").orderBy("refine")
+  }
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = queryVecDf(s, dir)

@@ -589,8 +589,10 @@ object StreamPipeline {
   def driftSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val refA = graft.Tables.documents(spark, dir)
       .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
-    val landTerms = java.nio.file.Files.createTempDirectory("graft_drift_t_").toString + "/t"
-    val landShape = java.nio.file.Files.createTempDirectory("graft_drift_s_").toString + "/s"
+    val landTerms = deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_drift_t_")).toString + "/t"
+    val landShape = deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_drift_s_")).toString + "/s"
     val stream = documentStream(spark, dir)
       .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
     val q = stream.writeStream
