@@ -19,7 +19,11 @@ object Events {
     * so no dedup pass is needed. Shuffle cost: each window is
     * replicated once per overlapped bin; pick `binWidth` near the
     * typical window length to keep that factor ~2. All time math is
-    * integer `DIV` (the events gotcha: never doubles at ns/ms scale).
+    * integer and uses FLOOR division — `DIV` truncates toward zero,
+    * which puts t = −1 and t = +1 in the same bin 0 and silently
+    * drops matches on any signed time domain (pre-epoch timestamps,
+    * relative offsets); `(t − pmod(t, w)) DIV w` floors exactly in
+    * long arithmetic (never doubles at ns/ms scale).
     */
   def intervalJoin(
       points: DataFrame,
@@ -30,9 +34,11 @@ object Events {
       binWidth: Long
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
+    def floorBin(c: String): Column =
+      expr(s"($c - pmod($c, ${binWidth}L)) DIV ${binWidth}L")
     val w = windows.withColumn("_bin",
-      explode(sequence(expr(s"$startCol DIV $binWidth"), expr(s"$endCol DIV $binWidth"))))
-    val p = points.withColumn("_bin", expr(s"$tsCol DIV $binWidth"))
+      explode(sequence(floorBin(startCol), floorBin(endCol))))
+    val p = points.withColumn("_bin", floorBin(tsCol))
     p.join(w, Seq("_bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bin")

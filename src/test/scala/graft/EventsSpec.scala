@@ -110,6 +110,24 @@ class EventsSpec extends SparkSpec {
     assert(hits == Set(100L, 101L))
   }
 
+  test("intervalJoin floors bins on negative timestamps (DIV-truncation trap)") {
+    // window [-5, 5] and points straddling zero: truncate-toward-zero
+    // bucketing would put t=-3 in bin 0 alongside t=3 but compute the
+    // window's start bin as 0 too — missing the pre-epoch points when
+    // the window is [-15, -5]. Brute-force parity over a signed domain.
+    val points = (-30L to 30L).map(t => (t + 100, t)).toDF("pid", "t")
+    val windows = Seq((1L, -15L, -5L), (2L, -5L, 5L), (3L, 5L, 15L))
+      .toDF("win_id", "w_start", "w_end")
+    val got = graft.operators.Events
+      .intervalJoin(points, windows, "t", "w_start", "w_end", binWidth = 7L)
+      .select("win_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(windows)
+      .filter(col("t") >= col("w_start") && col("t") <= col("w_end"))
+      .select("win_id", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(naive.count(_._1 == 1L) == 11, "the pre-epoch window has 11 points")
+  }
+
   test("intervalJoin plan: equi-join on the bin, no cartesian/BNLJ") {
     val points = (0 until 50).map(i => (i.toLong, i * 100L)).toDF("pid", "t")
     val windows = (0 until 5).map(i => (i.toLong, i * 1000L, i * 1000L + 500L))
