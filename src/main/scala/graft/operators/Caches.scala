@@ -1,25 +1,59 @@
 package graft.operators
 
-/** Bounded LRU maps for the session-lifetime operator memos (fitted
+/** Bounded memo maps for the session-lifetime operator memos (fitted
   * models, index handles, layout paths). A long-lived driver mints
   * fresh layouts/models across many corpora; an unbounded
   * ConcurrentHashMap never lets those entries die. Eviction is always
   * SAFE here — every cached value is recomputable (a model re-trains,
-  * a layout re-writes, a parquet handle re-resolves) — so a small
-  * access-ordered LRU gives the same warm-path amortization with a
-  * hard memory ceiling.
+  * a layout re-writes, a parquet handle re-resolves) — so an
+  * approximately-FIFO bound gives the same warm-path amortization
+  * with a hard ceiling.
   *
-  * `Collections.synchronizedMap` keeps `computeIfAbsent` atomic (the
-  * wrapper synchronizes default methods on itself), preserving the
-  * one-writer-per-key contract the layout writers rely on; callers
-  * that iterate a view (e.g. invalidation sweeps) must synchronize on
-  * the returned map, per the wrapper's contract.
+  * Backed by a ConcurrentHashMap so `computeIfAbsent` keeps PER-KEY
+  * blocking semantics: one writer per key, lock-free reads, and —
+  * crucially — a multi-second cold build (an index write, a layout
+  * dump) never blocks a warm hit on a DIFFERENT key. (The first cut
+  * used `Collections.synchronizedMap(LinkedHashMap)` for exact LRU;
+  * its single monitor serialized every cache access behind whichever
+  * thread happened to be building — exact recency ordering is not
+  * worth that for recomputable values.) When an insert pushes the map
+  * over `maxEntries`, an arbitrary batch of other entries is evicted
+  * — approximate FIFO via the map's iteration order, bounded is the
+  * contract, recency is best-effort.
   */
 private[graft] object Caches {
-  def lru[K, V](maxEntries: Int): java.util.Map[K, V] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-          size() > maxEntries
-      })
+
+  final class Bounded[K, V](maxEntries: Int) extends java.util.AbstractMap[K, V] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
+
+    override def computeIfAbsent(
+        key: K, fn: java.util.function.Function[_ >: K, _ <: V]): V = {
+      val v = m.computeIfAbsent(key, fn)
+      if (m.size() > maxEntries) {
+        val it = m.keySet().iterator()
+        while (m.size() > maxEntries && it.hasNext) {
+          val k = it.next()
+          if (k != key) it.remove()
+        }
+      }
+      v
+    }
+
+    override def entrySet(): java.util.Set[java.util.Map.Entry[K, V]] = m.entrySet()
+    override def get(key: AnyRef): V = m.get(key)
+    override def put(key: K, value: V): V = {
+      val old = m.put(key, value)
+      if (m.size() > maxEntries) {
+        val it = m.keySet().iterator()
+        while (m.size() > maxEntries && it.hasNext) {
+          val k = it.next()
+          if (k != key) it.remove()
+        }
+      }
+      old
+    }
+    override def keySet(): java.util.Set[K] = m.keySet()
+  }
+
+  def lru[K, V](maxEntries: Int): Bounded[K, V] = new Bounded[K, V](maxEntries)
 }

@@ -99,13 +99,25 @@ object Dedup {
       normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
   ): DataFrame =
     decontaminateSpansWithGrams(corpus,
-      benchmark
-        .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
-        .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
-        .select(explode(col("_sh")).as("gram"))
-        .select(md5(col("gram")).as("g"))
-        .distinct(),
-      textCol, idCol, n, normalize)
+      benchGramsDf(benchmark, textCol, n, normalize), textCol, idCol, n, normalize)
+
+  /** ONE definition of the benchmark gram derivation (tokenize →
+    * n-shingles → md5 → distinct) — shared by the batch operator, the
+    * driver-artifact capture below, and therefore the streamed path;
+    * a change here cannot desynchronize them.
+    */
+  private def benchGramsDf(
+      benchmark: DataFrame,
+      textCol: String,
+      n: Int,
+      normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+  ): DataFrame =
+    benchmark
+      .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
+      .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
+      .select(explode(col("_sh")).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
 
   /** The benchmark gram set as a bounded driver artifact (distinct md5
     * hashes — same O as [[decontaminateSpans]]'s broadcast, under the
@@ -121,13 +133,7 @@ object Dedup {
       n: Int = 10,
       normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity
   ): Array[String] =
-    benchmark
-      .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
-      .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
-      .select(explode(col("_sh")).as("gram"))
-      .select(md5(col("gram")).as("g"))
-      .distinct()
-      .collect().map(_.getString(0))
+    benchGramsDf(benchmark, textCol, n, normalize).collect().map(_.getString(0))
 
   /** [[decontaminateSpans]] against a PRECOMPUTED gram-hash set
     * ([[benchmarkGramHashes]]): identical results by construction —
@@ -157,12 +163,15 @@ object Dedup {
   ): DataFrame = {
     // Corpus grams must all be hashed and checked — that pass is
     // inherent. But the token-level REBUILD is only needed for docs
-    // that actually hit a benchmark gram (the rare case in a curated
-    // corpus): coverage comes back as one position-set ARRAY per
-    // contaminated doc, joins back to the token arrays, and clean
-    // docs reconstruct as a pure projection (no token explode, no
-    // corpus-wide collect_list sort — measured 4.3 s → ~1 s at sf0.1
-    // when materializing clean_text, which a landing write must).
+    // that actually hit a benchmark gram: clean docs (the vast
+    // majority of a curated corpus) reconstruct as a pure projection
+    // (no token explode, no corpus-wide collect_list sort — measured
+    // 4.3 s → ~1 s at sf0.1 when materializing clean_text, which a
+    // landing write must), while CONTAMINATED docs go through the
+    // token-level (id, pos) anti-coverage rebuild — linear per doc,
+    // so a fully-covered 100k-token document costs O(T log T), never
+    // the O(T²) a per-token membership scan over a position ARRAY
+    // would (the adversarial case: heavy genuine contamination).
     val toksDf = corpus
       .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
@@ -170,21 +179,29 @@ object Dedup {
       .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
       .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
-    val covered = gr.join(broadcast(benchGrams), "g")
+    val covPairs = gr.join(broadcast(benchGrams), "g")
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val contaminatedIds = covPairs.select(col(idCol)).distinct()
+    val rebuilt = toksDf
+      .join(contaminatedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
+      .join(covPairs.withColumn("_cov", lit(true)), Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(collect_set(col("pos")).as("_cov"))
-    toksDf
-      .join(covered, Seq(idCol), "left")
-      .select(
-        col(idCol),
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_cov"), 1L).otherwise(0L)).as("dropped_tokens"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("_cov").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok"))).as("clean_text"))
+    val clean = toksDf
+      .join(contaminatedIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
         size(col("_toks")).cast("long").as("n_tokens"),
-        coalesce(size(col("_cov")), lit(0)).cast("long").as("dropped_tokens"),
-        when(col("_cov").isNull, array_join(col("_toks"), " "))
-          .otherwise(concat_ws(" ",
-            filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))))
-          .as("clean_text"))
-      .orderBy(idCol)
+        lit(0L).as("dropped_tokens"),
+        array_join(col("_toks"), " ").as("clean_text"))
+    rebuilt.unionByName(clean).orderBy(idCol)
   }
 
   /** Exact dedup groups: one row per content hash that occurs more than
@@ -438,6 +455,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  // Bounded retention for operator-internal persisted DataFrames:
+  // the newest few stay cached, older ones unpersist (non-blocking) —
+  // a long-lived driver sweeping many corpora cannot accumulate
+  // cached postings forever, and an evicted entry merely recomputes.
+  private val retained = new java.util.ArrayDeque[DataFrame]()
+  private def retainCached(dfc: DataFrame, max: Int = 4): DataFrame = {
+    retained.synchronized {
+      retained.addLast(dfc)
+      while (retained.size > max) retained.removeFirst().unpersist(false)
+    }
+    dfc
+  }
+
   /** Asymmetric CONTAINMENT pairs — excerpt/quote detection:
     * containment(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ finds documents
     * whose shingles are (mostly) a subset of another's. Jaccard-keyed
@@ -500,13 +530,17 @@ object Dedup {
     // slower here (36 s vs 5.5 s for the postings at sf0.1).
     // persist: the postings feed the df guard, the size leg and both
     // join sides (4 consumers — previously 4 rebuilds); materialized
-    // by the topDf action, evicted LRU under memory pressure.
-    val ex = df
+    // by the topDf action. Retention is BOUNDED: the CacheManager
+    // holds cached blocks by strong reference (MEMORY_AND_DISK spills
+    // under pressure, it does not drop), so each call registers its
+    // postings in a small queue that unpersists the oldest — an
+    // evicted entry's downstream consumers recompute, never break.
+    val ex = retainCached(df
       .select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks"))
       .select(col("_id"),
         explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("_raw"))
       .select(col("_id"), md5(col("_raw")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = ex.groupBy(col("_id")).agg(count(lit(1)).cast("double").as("_na"))
     val dfs = ex.groupBy("g").agg(count(lit(1)).as("_df"))
     val topDf = dfs.agg(max(col("_df"))).first().getLong(0)
@@ -736,7 +770,11 @@ object Dedup {
     // joins — Catalyst re-analysis grows linearly per round and the
     // loop goes quadratic in planning (measured 82 s → 21 s on a 1.2M-
     // edge diameter-11 chain graph; the classic iterative-Spark trap;
-    // the remaining cost is the genuine O(diameter) round latency)
+    // the remaining cost is the genuine O(diameter) round latency).
+    // Superseded checkpoint blocks are freed by the ContextCleaner as
+    // each round's DataFrame becomes unreachable; the labels table is
+    // two longs per NODE (not per edge), so even the transient
+    // worst case of maxIter resident copies is node-count-bounded.
     val edges = edgesOne
       .unionAll(edgesOne.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()

@@ -31,13 +31,30 @@ object Events {
       tsCol: String,
       startCol: String,
       endCol: String,
-      binWidth: Long
+      binWidth: Long,
+      maxBinsPerWindow: Long = 100000L
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
     def floorBin(c: String): Column =
       expr(s"($c - pmod($c, ${binWidth}L)) DIV ${binWidth}L")
-    val w = windows.withColumn("_bin",
-      explode(sequence(floorBin(startCol), floorBin(endCol))))
+    // guard the explode: a corrupt outlier window (Long.MaxValue
+    // sentinel end, or a caller whose binWidth is sized for a
+    // different time unit) would otherwise build one multi-billion-
+    // element bin array and kill the executor — fail fast WITH the
+    // offending span instead (same contract as the block guards
+    // elsewhere); reversed windows (end < start) match nothing in the
+    // naive BETWEEN join, so they are dropped, not exploded
+    val w = windows
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("_binspan", floorBin(endCol) - floorBin(startCol) + 1L)
+      .withColumn("_bin", explode(
+        when(col("_binspan") <= maxBinsPerWindow,
+          sequence(floorBin(startCol), floorBin(endCol)))
+          .otherwise(raise_error(concat(
+            lit(s"intervalJoin: a window spans "), col("_binspan").cast("string"),
+            lit(s" bins (> maxBinsPerWindow=$maxBinsPerWindow) — widen binWidth " +
+              "or filter outlier windows"))))))
+      .drop("_binspan")
     val p = points.withColumn("_bin", floorBin(tsCol))
     p.join(w, Seq("_bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))

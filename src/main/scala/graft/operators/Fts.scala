@@ -62,8 +62,17 @@ object Fts {
   // Invalidated when the layout mutates (append).
   private val segmentCache = Caches.lru[(String, String, String), DataFrame](256)
 
+  // session → random id through a WEAK map: the key vanishes with the
+  // session (no pinning) and the UUID cannot collide across sessions
+  // the way an identity hash can (32-bit, reusable after GC — a
+  // collision would silently serve one session's resolved DataFrame
+  // to another)
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   private def sessionId(spark: SparkSession): String =
-    s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   private def segment(spark: SparkSession, dir: String, sub: String): DataFrame =
     segmentCache.computeIfAbsent(
