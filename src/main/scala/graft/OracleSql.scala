@@ -955,6 +955,19 @@ object OracleSql {
          |SELECT vec_id, hamming, ${cosine("ev", "qv")} AS cos_sim
          |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "matryoshka_probe" ->
+      // Twin of Matryoshka.probe (dPrefix=16, k=10, refine=40): the
+      // approximate stage is the same cosine over the 16-element list
+      // prefix (1-based inclusive slice == Spark's slice(col,1,16)),
+      // candidate cut by (approx_sim DESC, vec_id), exact full-dim
+      // re-rank over the 40 candidates. No fitted constants.
+      s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+         |a AS (SELECT vec_id, ev, qv, ${cosine("ev[1:16]", "qv[1:16]")} AS approx_sim
+         |      FROM c, q ORDER BY approx_sim DESC, vec_id LIMIT 40)
+         |SELECT vec_id, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+         |FROM a ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "knn_pergroup" ->
       s"""WITH $knnCte,
          |s AS (SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim FROM c, q),
@@ -1609,6 +1622,66 @@ object OracleSql {
          |       ROUND($oneMinusEps * raw / tw + $eps / nd, 5) AS weight
          |FROM rw, tot ORDER BY source""".stripMargin
     },
+
+    "mix_unimax" ->
+      // Twin of Sampling.unimaxWeights (epochCap=2, budgetFrac=0.5):
+      // the water-filling replayed with window prefix sums in
+      // (cap, domain) order — capped iff S_{i-1} + c_i·(n-i+1) ≤ T,
+      // level = (T − Σ_capped c)/(n−k). All comparisons exact BIGINT;
+      // only the level division is a double, rounded to 5 dp before
+      // the epochs ratio (also 5 dp), matching the Spark side.
+      s"""WITH tk AS (SELECT source AS domain, len(${toks()}) AS n FROM documents),
+         |dom AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |         CAST(sum(n) * 2 AS BIGINT) AS cap FROM tk GROUP BY domain),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |         CAST(count(*) AS BIGINT) AS nd FROM dom),
+         |w AS (SELECT dom.*, tot.nd,
+         |        CAST(floor(CAST(tot.total AS DOUBLE) * 0.5) AS BIGINT) AS budget,
+         |        CAST(coalesce(sum(cap) OVER (ORDER BY cap, domain
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_before,
+         |        CAST(row_number() OVER (ORDER BY cap, domain) AS BIGINT) AS rk
+         |       FROM dom, tot),
+         |f AS (SELECT *, cap * (nd - rk + 1) + s_before <= budget AS capped FROM w),
+         |ka AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS sk,
+         |        CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k FROM f),
+         |a AS (SELECT f.domain, f.n_tokens, f.cap, f.capped,
+         |        ROUND(CASE WHEN f.capped THEN CAST(f.cap AS DOUBLE)
+         |              ELSE CAST(f.budget - ka.sk AS DOUBLE) / CAST(f.nd - ka.k AS DOUBLE) END, 5)
+         |          AS alloc_tokens
+         |       FROM f, ka)
+         |SELECT domain, n_tokens, cap, capped, alloc_tokens,
+         |       ROUND(alloc_tokens / CAST(n_tokens AS DOUBLE), 5) AS epochs
+         |FROM a ORDER BY domain""".stripMargin,
+
+    "ngram_diversity" ->
+      // Twin of Queries.ngramDiversity: exact distinct bigrams per
+      // source; hll_ok pinned true — if Spark's DataSketches HLL
+      // estimate ever drifts past the 5% acceptance, the hash fails.
+      s"""WITH t AS (SELECT source, ${toks()} AS toks FROM documents),
+         |g AS (SELECT source, unnest(CASE WHEN len(toks) >= 2
+         |        THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE [] END) AS gram FROM t)
+         |SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS distinct_bigrams, true AS hll_ok
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "token_fertility" ->
+      // Twin of Queries.tokenFertility: per-doc BPE totals from the
+      // shared enc chain (LEFT JOIN + coalesce 0 for pretoken-less
+      // docs, the token_counts contract), pre-token counts from the
+      // same regex, then one per-lang aggregate with both ratios
+      // rounded to 5 dp.
+      s"""WITH $bpeEncCtes,
+         |bt AS (SELECT pt.doc_id, sum(enc.n) AS bpe FROM pt JOIN enc USING (w) GROUP BY pt.doc_id),
+         |pd AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |        len(regexp_extract_all(lower(d.text), '$bpePretokenRegex')) AS pre,
+         |        coalesce(bt.bpe, 0) AS bpe
+         |       FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(pre) AS BIGINT) AS pretokens,
+         |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |       ROUND(CAST(sum(bpe) AS DOUBLE) / sum(pre), 5) AS fertility,
+         |       ROUND(CAST(sum(n_chars) AS DOUBLE) / sum(bpe), 5) AS chars_per_token
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "perplexity_filter" -> {
       // Twin of Lm.perplexity: the checked-in bigram LM is constants,
@@ -2506,6 +2579,22 @@ object OracleSql {
         |       ROUND(sum(value), 2) AS total_value
         |FROM f JOIN customer ON key = c_custkey
         |GROUP BY mktsegment ORDER BY mktsegment""".stripMargin,
+
+    "skew_stats" ->
+      // Twin of Skew.keyStats over the planted-hot-key column: per-key
+      // counts, exact-long totals (Σc, Σc², max, top-10 sum), the
+      // three ratios as single double divisions rounded to 5 dp.
+      """WITH f AS (SELECT CASE WHEN user_id % 10 = 0 THEN 1 ELSE user_id END AS key FROM events),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY key),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(c) AS BIGINT) AS max_count, CAST(sum(c * c) AS BIGINT) AS sumsq FROM c),
+        |top AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS topk
+        |        FROM (SELECT c FROM c ORDER BY c DESC, key LIMIT 10))
+        |SELECT n_rows, n_keys, max_count,
+        |       ROUND(CAST(max_count AS DOUBLE) / n_rows, 5) AS max_share,
+        |       ROUND(CAST(topk AS DOUBLE) / n_rows, 5) AS top10_share,
+        |       ROUND(sqrt(CAST(n_keys * sumsq - n_rows * n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE), 5) AS cv
+        |FROM tot, top""".stripMargin,
 
     "events_funnel" ->
       // Twin of Events.funnel: the literal per-stage join-back

@@ -93,6 +93,20 @@ object Queries {
       vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
+  /** Matryoshka prefix-dim probe ([[graft.operators.Matryoshka]]):
+    * cosine on the leading 16 of 64 dims prunes to 40 candidates,
+    * exact full-dim cosine re-ranks to top 10 — the MRL
+    * adaptive-retrieval shape (the prefix is itself a vector, so the
+    * shortlist column needs no decode). Pure slice+fold arithmetic:
+    * the twin recomputes both stages with no fitted constants.
+    */
+  def matryoshkaProbe(s: SparkSession, dir: String): DataFrame =
+    Matryoshka.probe(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      dPrefix = 16, k = 10, refine = 40)
+
   /** IVF+BQ probe: the persisted cluster-partitioned 8-byte-code
     * layout, partition-pruned to the probed cells, popcount hamming
     * cut, exact re-rank from the base table — IVF pruning compounded
@@ -1208,6 +1222,58 @@ object Queries {
       )
       .orderBy("doc_id")
 
+  /** Distinct-bigram diversity per source via mergeable HLL sketches
+    * (Apache DataSketches `hll_sketch_agg`, lgK=14 ≈ 0.8% standard
+    * error), self-checked in-query against the exact distinct count:
+    * `hll_ok` is the |est − exact|/exact ≤ 5% acceptance. The twin
+    * recomputes the exact count and pins `hll_ok = true`, so a broken
+    * sketch path FAILS the hash — the falsifiable-approximation
+    * pattern (`ann_recall`'s shape applied to cardinality). At 100 TB
+    * the exact leg is what you drop: the sketch is a fixed-size
+    * mergeable partial aggregate (combine across shards/days with
+    * `hll_union_agg`), which is the entire point — distinct-counting
+    * a trillion n-grams exactly means shuffling them all.
+    */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        explode(TextOps.rawShingles(TextOps.tokenize(col("text")), 2)).as("gram"))
+      .groupBy("source")
+      .agg(
+        count_distinct(col("gram")).as("distinct_bigrams"),
+        hll_sketch_estimate(hll_sketch_agg(col("gram"), lit(14))).as("_est"))
+      .select(col("source"), col("distinct_bigrams"),
+        (abs(col("_est") - col("distinct_bigrams")).cast("double") /
+          col("distinct_bigrams").cast("double") <= 0.05).as("hll_ok"))
+      .orderBy("source")
+
+  /** Tokenizer fertility per language: BPE tokens per pre-token word
+    * and chars per BPE token — the standard multilingual-curation
+    * diagnostic for how (un)economically the tokenizer encodes each
+    * language (high fertility = the language pays more sequence
+    * positions per word, biasing any token-budgeted mix against it).
+    * One narrow codegen'd projection ([[graft.plans.BpeTextTokens]],
+    * no explode) + one partial-agg groupBy on lang.
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("lang"), col("n_chars"),
+        size(regexp_extract_all(lower(col("text")), lit(Bpe.PretokenRegex), lit(0)))
+          .cast("long").as("_pre"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.BpeTextTokens(
+            org.apache.spark.sql.GraftBridge.expression(lower(col("text"))),
+            Bpe.mergesArray)).as("_bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_pre").as("pretokens"),
+        sum("_bpe").as("bpe_tokens"),
+        round(sum("_bpe").cast("double") / sum("_pre"), 5).as("fertility"),
+        round(sum("n_chars").cast("double") / sum("_bpe"), 5).as("chars_per_token"))
+      .orderBy("lang")
+
   /** True BPE token budgeting: the checked-in merge table
     * (resources/graft/bpe_merges.txt, trained by graft.tools.TrainBpe)
     * applied per pre-token via the native codegen
@@ -1603,6 +1669,16 @@ object Queries {
   def mixDoremi(s: SparkSession, dir: String): DataFrame =
     Sampling.doremiWeights(docs(s, dir).select("doc_id", "source", "text"),
       "text", "source", "doc_id")
+
+  /** UniMax budget allocation over the source domains
+    * ([[graft.operators.Sampling.unimaxWeights]]): half the corpus's
+    * tokens spread as uniformly as the 2-epoch repetition cap allows.
+    * The twin replays the water-filling with window prefix sums over
+    * the same exact long arithmetic.
+    */
+  def mixUnimax(s: SparkSession, dir: String): DataFrame =
+    Sampling.unimaxWeights(docs(s, dir).select("source", "text"),
+      "text", "source", epochCap = 2L, budgetFrac = 0.5)
 
   /** Deterministic global training shuffle into 4 round-robin shards
     * ([[graft.operators.Sampling.shuffleShards]]): seeded md5
@@ -2016,6 +2092,20 @@ object Queries {
       .agg(count("*").as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("mktsegment")
   }
+
+  /** Key-skew diagnostic ([[graft.operators.Skew.keyStats]]) over the
+    * same planted-hot-key column [[eventsSkewJoin]] mitigates (10% of
+    * users collapsed onto key 1): the one-row report whose max_share /
+    * top10_share / cv decide between salting, AQE skew split, or a
+    * plain shuffle. The twin recomputes every figure from the per-key
+    * count table with exact long arithmetic.
+    */
+  def skewStats(s: SparkSession, dir: String): DataFrame =
+    Skew.keyStats(
+      events(s, dir).select(
+        when(pmod(col("user_id"), lit(10)) === 0, lit(1L))
+          .otherwise(col("user_id")).as("key")),
+      "key")
 
   /** Reference-faithful recursive chunking (chunker.py:55/81/107) run as
     * a distributed Dataset flatMap over documents — per-row imperative

@@ -81,6 +81,71 @@ object Sampling {
       .orderBy(col(domainCol))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * spread a total token budget as uniformly as possible across
+    * domains, capping each domain at `epochCap` epochs of its own
+    * data — the published alternative to temperature mixing that
+    * bounds repetition of low-resource domains explicitly. The
+    * solution is classic water-filling: sort domains by cap
+    * ascending; a domain is CAPPED iff granting its cap to itself and
+    * every later domain still fits the budget
+    * (S_{i−1} + c_i·(n−i+1) ≤ T); all uncapped domains share the
+    * leftover equally (the water level L = (T − Σ_capped c_j)/(n−k)).
+    *
+    * Determinism: token counts, caps, prefix sums and the capped test
+    * are EXACT long arithmetic; only the final level division is a
+    * double, rounded to 5 dp before the epochs ratio (also 5 dp) —
+    * both engines divide identical longs.
+    *
+    * Shape at scale: the corpus-sized work is one tokenize+count
+    * aggregation; the water-filling runs on the O(domains) table via a
+    * bounded self-join (domains² rows — no partition-less window) and
+    * two one-row broadcasts.
+    */
+  def unimaxWeights(
+      df: DataFrame,
+      textCol: String,
+      domainCol: String,
+      epochCap: Long = 2L,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val dom = df
+      .select(col(domainCol).as("domain"),
+        size(TextOps.tokenize(col(textCol))).cast("long").as("_n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("_n")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    val tot = dom.agg(sum(col("n_tokens")).as("_total"),
+      count(lit(1)).cast("long").as("_nd"))
+    val base = dom.crossJoin(broadcast(tot))
+      .withColumn("_budget",
+        floor(col("_total").cast("double") * budgetFrac).cast("long"))
+    // prefix sum + rank in (cap, domain) order via the bounded self-join
+    val d2 = dom.select(col("domain").as("_d2"), col("cap").as("_cap2"))
+    val pref = base
+      .join(d2,
+        col("_cap2") < col("cap") ||
+          (col("_cap2") === col("cap") && col("_d2") < col("domain")),
+        "left")
+      .groupBy(col("domain"), col("n_tokens"), col("cap"), col("_budget"), col("_nd"))
+      .agg(coalesce(sum(col("_cap2")), lit(0L)).as("_s_before"),
+        (count(col("_d2")) + 1).as("_rk"))
+    val flagged = pref.withColumn("capped",
+      col("cap") * (col("_nd") - col("_rk") + 1) + col("_s_before") <= col("_budget"))
+    val kAgg = flagged.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("_sk"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("_k"))
+    flagged.crossJoin(broadcast(kAgg))
+      .withColumn("alloc_tokens",
+        round(when(col("capped"), col("cap").cast("double"))
+          .otherwise((col("_budget") - col("_sk")).cast("double") /
+            (col("_nd") - col("_k")).cast("double")), 5))
+      .select(col("domain"), col("n_tokens"), col("cap"), col("capped"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens") / col("n_tokens").cast("double"), 5).as("epochs"))
+      .orderBy(col("domain"))
+  }
+
   def temperatureMix(
       df: DataFrame,
       groupCol: String,

@@ -35,4 +35,38 @@ object Skew {
       .join(replicated, Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Key-skew diagnostic for a prospective shuffle key: one row of
+    * n_rows, n_keys, the hot key's count and share, the top-10 keys'
+    * combined share, and the coefficient of variation of per-key
+    * counts — the numbers that decide BETWEEN the mitigation levers
+    * (max_share ≈ 1/parallelism or worse → salt that key; heavy tail
+    * but no single monster → AQE skew split; cv ≈ 0 → plain shuffle
+    * is fine). Two aggregation passes over the per-key count table
+    * (one total, one top-10 TakeOrdered) + one-row broadcasts — the
+    * diagnostic never shuffles more than the key-count table itself.
+    *
+    * Determinism: counts, Σc and Σc² are exact longs; the three
+    * ratios are single double divisions from exact longs (cv via
+    * sqrt(n·Σc² − (Σc)²)/Σc — no incremental variance), rounded to
+    * 5 dp on both engines.
+    */
+  def keyStats(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_count"),
+      sum(col("c") * col("c")).as("_sumsq"))
+    val top = counts.orderBy(col("c").desc, col(key)).limit(topK)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("_topk"))
+    tot.crossJoin(broadcast(top))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_count"),
+        round(col("max_count").cast("double") / col("n_rows"), 5).as("max_share"),
+        round(col("_topk").cast("double") / col("n_rows"), 5).as("top10_share"),
+        round(
+          sqrt((col("n_keys") * col("_sumsq") - col("n_rows") * col("n_rows")).cast("double")) /
+            col("n_rows").cast("double"), 5).as("cv"))
+  }
 }

@@ -191,4 +191,35 @@ class SamplingSpec extends SparkSpec {
     val z = rawC + rawO
     assert(math.abs(wO - (0.8 * rawO / z + 0.1)) < 1e-4, s"closed form mismatch: $wO")
   }
+
+  test("unimaxWeights: capped domains keep epochCap epochs, the rest share the level, budget exhausted") {
+    // tokens per doc = 4; domains sized 2/6/40 docs → 8/24/160 tokens
+    val rows =
+      (0 until 2).map(i => (s"tiny", "one two three four")) ++
+        (0 until 6).map(i => (s"small", "one two three four")) ++
+        (0 until 40).map(i => (s"big", "one two three four"))
+    val df = rows.toDF("source", "text")
+    val out = Sampling.unimaxWeights(df, "text", "source", epochCap = 2L, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5))).toMap
+    // total = 192, budget = 96; caps = 16/48/320 sorted (tiny, small, big)
+    //   tiny:  16*3 + 0  = 48  <= 96 → capped at 16 (2 epochs)
+    //   small: 48*2 + 16 = 112 > 96  → level = (96-16)/2 = 40
+    //   big:   uncapped → 40 tokens = 0.25 epochs
+    assert(out("tiny") == ((8L, 16L, true, 16.0, 2.0)), out.toString)
+    assert(out("small") == ((24L, 48L, false, 40.0, 1.66667)), out.toString)
+    assert(out("big")._3 == false && out("big")._4 == 40.0 && out("big")._5 == 0.25)
+    // allocations exhaust the budget exactly
+    assert(out.values.map(_._4).sum == 96.0)
+    // no domain exceeds its epoch cap
+    assert(out.values.forall { case (n, cap, _, a, _) => a <= cap && cap == 2 * n })
+  }
+
+  test("unimaxWeights: budget above the epoch-capped supply caps every domain") {
+    val rows = (0 until 4).map(_ => ("a", "w x y z")) ++ (0 until 8).map(_ => ("b", "w x y z"))
+    val out = Sampling.unimaxWeights(rows.toDF("source", "text"), "text", "source",
+        epochCap = 1L, budgetFrac = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getDouble(5))).toMap
+    assert(out("a") == ((true, 1.0)) && out("b") == ((true, 1.0)), out.toString)
+  }
 }

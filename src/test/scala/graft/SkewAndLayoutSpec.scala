@@ -47,4 +47,22 @@ class SkewAndLayoutSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 3,
       s"expected 3 of 10 cluster partitions, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("keyStats reports the planted hot key's share, top-k share and cv exactly") {
+    import spark.implicits._
+    // key 1 appears 60×, keys 2..21 appear 2× each → 100 rows, 21 keys
+    val rows = Seq.fill(60)(1L) ++ (2L to 21L).flatMap(k => Seq(k, k))
+    val out = graft.operators.Skew.keyStats(rows.toDF("k"), "k").head()
+    assert(out.getLong(0) == 100 && out.getLong(1) == 21 && out.getLong(2) == 60)
+    assert(out.getDouble(3) == 0.6, s"max_share ${out.getDouble(3)}")
+    // top-10 = hot(60) + nine 2s = 78
+    assert(out.getDouble(4) == 0.78, s"top10_share ${out.getDouble(4)}")
+    // counts: one 60, twenty 2s → Σc=100, Σc²=3680; cv = sqrt(21*3680-10000)/100
+    val cv = BigDecimal(math.sqrt(21.0 * 3680 - 10000) / 100)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(5) == cv, s"cv ${out.getDouble(5)} != $cv")
+    // a uniform key has cv 0 and max_share 1/n
+    val uni = graft.operators.Skew.keyStats((1L to 50L).toDF("k"), "k").head()
+    assert(uni.getDouble(5) == 0.0 && uni.getDouble(3) == 0.02)
+  }
 }
