@@ -1664,6 +1664,77 @@ object OracleSql {
          |SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS distinct_bigrams, true AS hll_ok
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
+    "heavy_hitters" ->
+      // Twin of Freq.heavyHitters (theta=0.005, m=512): the PLAIN
+      // exact GROUP BY + HAVING over all tokens. Equality proves the
+      // Misra-Gries candidate pass + exact recount found exactly the
+      // theta-heavy set with exact counts (no false negatives by the
+      // pigeonhole guarantee, no false positives by the recount).
+      // ceil(0.005*N) computed in IEEE double on both engines.
+      s"""WITH tok AS (SELECT unnest(${toks()}) AS term FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         |SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+         |       ROUND(CAST(count(*) AS DOUBLE) / CAST(any_value(tot.n) AS DOUBLE), 5) AS share
+         |FROM tok, tot GROUP BY term
+         |HAVING count(*) >= CAST(ceil(0.005 * any_value(tot.n)) AS BIGINT)
+         |ORDER BY cnt DESC, term""".stripMargin,
+
+    "quantile_digest" ->
+      // Twin of Queries.quantileDigest: the exact interpolated
+      // quantiles (quantile_cont == Spark's percentile, the
+      // events_percentiles contract) with digest_ok PINNED true — an
+      // approx_percentile value whose exact rank leaves the sketch's
+      // n/accuracy bound fails the hash.
+      """WITH e AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        quantile_cont(n_chars, 0.5) AS q50,
+        |        quantile_cont(n_chars, 0.9) AS q90,
+        |        quantile_cont(n_chars, 0.99) AS q99
+        |      FROM documents GROUP BY source)
+        |SELECT source, p, ROUND(v, 4) AS value, true AS digest_ok FROM (
+        |  SELECT source, 0.5 AS p, q50 AS v FROM e
+        |  UNION ALL SELECT source, 0.9, q90 FROM e
+        |  UNION ALL SELECT source, 0.99, q99 FROM e)
+        |ORDER BY source, p""".stripMargin,
+
+    "context_truncation" ->
+      // Twin of Queries.contextTruncation: per context length, docs
+      // over, token mass lost to truncate-at-L. Exact long arithmetic;
+      // one double division rounded to 5 dp.
+      s"""WITH t AS (SELECT CAST(len(${toks()}) AS BIGINT) AS tok FROM documents),
+         |ctx AS (SELECT CAST(unnest([512, 2048, 8192]) AS BIGINT) AS ctx_len)
+         |SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+         |       CAST(sum(greatest(tok - ctx_len, 0)) AS BIGINT) AS lost_tokens,
+         |       ROUND(CAST(sum(greatest(tok - ctx_len, 0)) AS DOUBLE) /
+         |             CAST(sum(tok) AS DOUBLE), 5) AS lost_share
+         |FROM t, ctx GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "embedding_stats" ->
+      // Twin of Queries.embeddingStats: same 1e-5 unit-component grid
+      // (exact BIGINT sums in any order), same left-fold norms, the
+      // identity (|Σu|² − Σ|u|²)/(n(n−1)) replayed per label; the two
+      // final divisions doubles at 5 dp.
+      s"""WITH v AS (SELECT label, ${dvec("embedding")} AS ev FROM embeddings),
+         |nn AS (SELECT label, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM v),
+         |q AS (SELECT label, CAST(round(nrm * 1e6) AS BIGINT) AS nmic,
+         |        list_transform(ev, x -> CAST(round(x * 100000 / nrm) AS BIGINT)) AS u FROM nn),
+         |r AS (SELECT label, nmic, u,
+         |        CAST(list_sum(list_transform(u, q -> q * q)) AS BIGINT) AS qn2 FROM q),
+         |d AS (SELECT label, i, u[i] AS qv FROM r, LATERAL (SELECT unnest(generate_series(1, len(u))) AS i)),
+         |ds AS (SELECT label, i, CAST(sum(qv) AS BIGINT) AS sq FROM d GROUP BY label, i),
+         |ss AS (SELECT label, CAST(sum(sq * sq) AS BIGINT) AS sig2 FROM ds GROUP BY label),
+         |pr AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |        CAST(sum(nmic) AS BIGINT) AS snorm, CAST(sum(qn2) AS BIGINT) AS sqn
+         |       FROM r GROUP BY label)
+         |SELECT pr.label, pr.n_vecs,
+         |       ROUND(CAST(snorm AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e6), 5) AS mean_norm,
+         |       CASE WHEN n_vecs > 1 THEN
+         |         ROUND(CAST(sig2 - sqn AS DOUBLE) /
+         |               (CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 1e10), 5)
+         |       END AS mean_pairwise_cos
+         |FROM pr JOIN ss USING (label) ORDER BY label""".stripMargin,
+
     "token_fertility" ->
       // Twin of Queries.tokenFertility: per-doc BPE totals from the
       // shared enc chain (LEFT JOIN + coalesce 0 for pretoken-less

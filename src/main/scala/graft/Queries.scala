@@ -1274,6 +1274,78 @@ object Queries {
         round(sum("n_chars").cast("double") / sum("_bpe"), 5).as("chars_per_token"))
       .orderBy("lang")
 
+  /** Exact corpus heavy hitters ([[graft.operators.Freq.heavyHitters]]):
+    * tokens with frequency ≥ 0.5% of the corpus via per-partition
+    * Misra-Gries candidates (m=512, so θ·(m+1) = 2.565 ≥ 1 — no
+    * false negatives) + exact recount of the broadcastable candidate
+    * set. The twin is the plain exact GROUP BY + HAVING — equality
+    * proves the sketch path found exactly the θ-heavy set with exact
+    * counts, while shuffling only candidate occurrences instead of
+    * the full vocabulary.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Freq.heavyHitters(
+      docs(s, dir).select(explode(TextOps.tokenize(col("text"))).as("term")),
+      "term", theta = 0.005, m = 512)
+
+  /** Sketch-backed length quantiles per source, self-checked in-query
+    * (the E32 falsifiable-approximation pattern applied to rank):
+    * `approx_percentile` (accuracy 1000) next to the exact
+    * interpolated `percentile`; `digest_ok` verifies the sketch value's
+    * EXACT rank sits within the sketch's published n/accuracy rank
+    * bound (one conditional-count join-back per (source, p)). The twin
+    * recomputes the exact quantiles and pins digest_ok — a sketch
+    * outside its own error contract fails the hash. At 100 TB the
+    * exact leg is what you drop: the KLL-style summary is a mergeable
+    * fixed-size partial aggregate; exact quantiles need a global sort.
+    */
+  def quantileDigest(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val d = docs(s, dir).select(col("source"), col("n_chars").cast("double").as("v"))
+    val per = d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("_exact"),
+        expr(s"approx_percentile(v, array(0.5D, 0.9D, 0.99D), $acc)").as("_apx"))
+      .select(col("source"), col("n"), col("_exact").as("ex"), col("_apx").as("ax"))
+      .select(col("source"), col("n"), posexplode(arrays_zip(col("ex"), col("ax"))))
+      .select(col("source"), col("n"),
+        element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
+        col("col.ex").as("_ev"), col("col.ax").as("_av"))
+    per.join(d, Seq("source"))
+      .groupBy(col("source"), col("p"), col("n"), col("_ev"), col("_av"))
+      .agg(sum(when(col("v") <= col("_av"), 1L).otherwise(0L)).as("_rank"))
+      .select(col("source"), col("p"), round(col("_ev"), 4).as("value"),
+        (abs(col("_rank") - col("p") * col("n")) <=
+          col("n").cast("double") / acc + 1.0).as("digest_ok"))
+      .orderBy("source", "p")
+  }
+
+  /** Context-window truncation report: for each standard training
+    * context length, how many documents overflow it and what token
+    * mass a truncate-at-L policy discards — the number that decides
+    * between truncation and the E22 concat-and-chunk packing. One
+    * narrow token-count projection crossed with the 3-row window
+    * table, one partial-agg groupBy.
+    */
+  def contextTruncation(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val t = docs(s, dir).select(TextOps.tokenCount(col("text")).cast("long").as("tok"))
+    t.crossJoin(broadcast(Seq(512L, 2048L, 8192L).toDF("ctx_len")))
+      .groupBy("ctx_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(when(col("tok") > col("ctx_len"), 1L).otherwise(0L)).as("docs_over"),
+        sum(greatest(col("tok") - col("ctx_len"), lit(0L))).as("lost_tokens"))
+      .select(col("ctx_len"), col("n_docs"), col("total_tokens"), col("docs_over"),
+        col("lost_tokens"),
+        round(col("lost_tokens").cast("double") / col("total_tokens").cast("double"), 5)
+          .as("lost_share"))
+      .orderBy("ctx_len")
+  }
+
   /** True BPE token budgeting: the checked-in merge table
     * (resources/graft/bpe_merges.txt, trained by graft.tools.TrainBpe)
     * applied per pre-token via the native codegen
@@ -1700,6 +1772,52 @@ object Queries {
     * term), then a per-cluster top-k window; the doc→cluster join is a
     * plain equi-join (co-partitioned by id at scale).
     */
+  /** Embedding-space health per label: count, mean vector norm, and
+    * the mean pairwise cosine of the unit vectors — the anisotropy
+    * diagnostic (Ethayarajh'19-style): a space whose vectors all point
+    * the same way (mean cosine → 1) ranks everything similar and
+    * clusters/dedups poorly; well-spread labels sit near 0. The n²
+    * pairwise sum is never materialized — the identity
+    * Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² turns it into ONE linear pass:
+    * per-dim component sums (an explode + groupBy, partial-agg'd)
+    * and per-row self-dots. Cross-engine exactness by the C14 integer
+    * trick: unit components quantized to a 1e-5 grid (longs), so both
+    * sums are EXACT integers in any engine and in any order; only the
+    * two final divisions are doubles (5 dp). Norm fold order is the
+    * deterministic left fold both engines share (the cosine-twin
+    * contract); per-row norms are rounded onto a 1e-6 grid before the
+    * cross-row sum so the mean is order-free too.
+    */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val grid = 100000.0 // 1e-5 unit-component grid
+    val base = embs(s, dir).select(col("label"),
+      VectorOps.toDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", VectorOps.l2Norm(col("ev")))
+      .withColumn("nmic", round(col("nrm") * 1e6, 0).cast("long"))
+      .withColumn("u", transform(col("ev"),
+        x => round(x * lit(grid) / col("nrm"), 0).cast("long")))
+      .withColumn("qn2", aggregate(col("u"), lit(0L), (a, q) => a + q * q))
+    val perRow = base.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("nmic")).as("_snorm"),
+      sum(col("qn2")).as("_sqn"))
+    val perDim = base
+      .select(col("label"), posexplode(col("u")).as(Seq("_d", "_q")))
+      .groupBy(col("label"), col("_d"))
+      .agg(sum(col("_q")).as("_sq"))
+      .groupBy("label")
+      .agg(sum(col("_sq") * col("_sq")).as("_sig2"))
+    perRow.join(perDim, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("_snorm").cast("double") / (col("n_vecs").cast("double") * 1e6), 5)
+          .as("mean_norm"),
+        when(col("n_vecs") > 1,
+          round((col("_sig2") - col("_sqn")).cast("double") /
+            ((col("n_vecs") * (col("n_vecs") - 1)).cast("double") * lit(grid * grid)), 5))
+          .as("mean_pairwise_cos"))
+      .orderBy("label")
+  }
+
   def clusterTopics(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
     OracleArtifacts.clusterTopics = Some(index.centroids)
