@@ -2763,6 +2763,10 @@ object OracleSql {
     // term counts are a monoid: per-batch partials merge by summation
     // to the batch counts, so the drift arithmetic shares one twin
     "stream_drift" -> sql("corpus_drift"),
+    // Misra-Gries completeness is over ANY cell decomposition — the
+    // per-batch candidate union feeds the same exact drain recount,
+    // so the streamed face shares the batch GROUP BY + HAVING twin
+    "stream_heavy_hitters" -> sql("heavy_hitters"),
     // micro-batch FTS appends accumulate to exactly the one-shot index
     // (sumDl arithmetic + per-posting df/tf/dl), so the merged probe
     // shares the full-corpus twin

@@ -1288,6 +1288,17 @@ object Queries {
       docs(s, dir).select(explode(TextOps.tokenize(col("text"))).as("term")),
       "term", theta = 0.005, m = 512)
 
+  /** Streamed face of [[heavyHitters]]
+    * ([[graft.streaming.StreamPipeline.heavyHittersSnapshot]]): terms
+    * and per-batch Misra-Gries candidate keys land per micro-batch,
+    * one exact recount at drain. Batch-boundary-invariant (pigeonhole
+    * over (batch × partition) cells), so it shares the batch twin.
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamPipeline.heavyHittersSnapshot(
+      s, graft.streaming.StreamPipeline.documentStream(s, dir),
+      theta = 0.005, m = 512)
+
   /** Sketch-backed length quantiles per source, self-checked in-query
     * (the E32 falsifiable-approximation pattern applied to rank):
     * `approx_percentile` (accuracy 1000) next to the exact

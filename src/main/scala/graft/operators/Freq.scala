@@ -43,14 +43,22 @@ object Freq {
       itemCol: String,
       theta: Double,
       m: Int = 512): DataFrame = {
-    require(theta > 0.0 && theta < 1.0, s"theta must be in (0,1): $theta")
     require(theta * (m + 1) >= 1.0,
       s"theta*(m+1) must be >= 1 for completeness: theta=$theta m=$m")
+    recount(items, mgCandidates(items, itemCol, m), itemCol, theta)
+  }
+
+  /** Stage 1: the per-partition Misra-Gries candidate keys — ≤ m per
+    * partition, a bounded sketch artifact. Mergeable across any
+    * partitioning of the corpus (micro-batches included): completeness
+    * holds over the UNION of candidate sets from any cell
+    * decomposition, by the pigeonhole argument above.
+    */
+  def mgCandidates(items: DataFrame, itemCol: String, m: Int = 512): DataFrame = {
+    require(m > 0)
     val spark = items.sparkSession
     import spark.implicits._
-
-    val ds = items.select(col(itemCol).cast("string")).as[String]
-    val candidates = ds
+    items.select(col(itemCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counters = new java.util.HashMap[String, java.lang.Long](m * 2)
         it.foreach { x =>
@@ -71,7 +79,18 @@ object Freq {
       }
       .toDF(itemCol)
       .distinct()
+  }
 
+  /** Stage 2: exact recount of the bounded candidate set + the θ cut.
+    * Output is exactly `{item : count(item) ≥ ⌈θ·N⌉}` with exact
+    * counts, provided `candidates` ⊇ the θ-heavy set.
+    */
+  def recount(
+      items: DataFrame,
+      candidates: DataFrame,
+      itemCol: String,
+      theta: Double): DataFrame = {
+    require(theta > 0.0 && theta < 1.0, s"theta must be in (0,1): $theta")
     val tot = items.agg(count(lit(1)).as("n_total"))
     items
       .join(broadcast(candidates), Seq(itemCol), "left_semi")

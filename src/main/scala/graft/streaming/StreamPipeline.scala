@@ -617,6 +617,53 @@ object StreamPipeline {
       graft.operators.TextAnalysis.shapeFromPartials(spark.read.parquet(landShape)))
   }
 
+  /** STREAMED heavy hitters (the E33 sketch run as ingest-time
+    * maintenance): each micro-batch lands its exploded term stream AND
+    * its per-partition Misra-Gries candidate keys — the landed sketch
+    * is ≤ m·partitions keys per batch, never the batch's vocabulary —
+    * and at drain ONE exact recount runs over the landed terms
+    * semi-joined to the accumulated candidate union. Completeness
+    * survives streaming because the pigeonhole argument is over ANY
+    * cell decomposition of the corpus: the cells are now
+    * (micro-batch × partition), and a globally θ-heavy term must be
+    * locally heavy in some cell, so its key is in some batch's landed
+    * candidate set. Per-batch work ∝ batch; the drain recount touches
+    * the corpus once — identical to the batch operator's shape, so the
+    * result is batch-boundary-invariant and shares
+    * [[graft.Queries.heavyHitters]]'s exact GROUP BY + HAVING twin.
+    */
+  def heavyHittersSnapshot(
+      spark: SparkSession,
+      docStream: DataFrame,
+      theta: Double,
+      m: Int): DataFrame = {
+    require(theta * (m + 1) >= 1.0,
+      s"theta*(m+1) must be >= 1 for completeness: theta=$theta m=$m")
+    val landTerms = deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_hh_t_")).toString + "/terms"
+    val landCand = deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_hh_c_")).toString + "/cand"
+    val stream = docStream.select("text")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = distributeBatch(batch)
+        if (!b.isEmpty) {
+          val items = b.select(
+            explode(graft.functions.TextOps.tokenize(col("text"))).as("term"))
+          items.write.mode("append").parquet(landTerms)
+          graft.operators.Freq.mgCandidates(items, "term", m)
+            .write.mode("append").parquet(landCand)
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Freq.recount(
+      spark.read.parquet(landTerms),
+      spark.read.parquet(landCand).distinct(),
+      "term", theta)
+  }
+
   def tokenBudgetSnapshot(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val stream = documentStream(spark, dir).select("doc_id", "source", "text")
     val name = "stream_token_budget_" +

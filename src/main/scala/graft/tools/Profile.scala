@@ -114,7 +114,48 @@ object Profile {
         Tables.documents(s, dir)
           .select(col("doc_id"), explode(array_distinct(TextOps.rawShingles(TextOps.tokenize(col("text"))))).as("raw"))
           .select(col("doc_id"), md5(col("raw")).as("shm"))
-          .groupBy("doc_id").agg(min("shm").as("fingerprint"), count("*").as("n")))
+          .groupBy("doc_id").agg(min("shm").as("fingerprint"), count("*").as("n"))),
+      // --- decontaminateSpans dissection (round-9 regression hunt) ---
+      "dx_toks" -> ((s, dir) =>
+        Tables.documents(s, dir).filter(col("doc_id") >= 10)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
+          .filter(size(col("_toks")) > 0)),
+      "dx_gr" -> ((s, dir) =>
+        diag("dx_toks")(s, dir)
+          .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
+          .select(col("doc_id"), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+          .select(col("doc_id"), col("gpos"), md5(col("gram")).as("g"))),
+      "dx_bg" -> ((s, dir) =>
+        Tables.documents(s, dir).filter(col("doc_id") < 10)
+          .select(TextOps.tokenize(col("text")).as("_btoks"))
+          .select(TextOps.rawShingles(col("_btoks"), 10).as("_sh"))
+          .select(explode(col("_sh")).as("gram"))
+          .select(md5(col("gram")).as("g")).distinct()),
+      "dx_cov" -> ((s, dir) =>
+        diag("dx_gr")(s, dir).join(broadcast(diag("dx_bg")(s, dir)), "g")
+          .select(col("doc_id"), explode(sequence(col("gpos"), col("gpos") + 9)).as("pos"))
+          .distinct()),
+      "dx_ids" -> ((s, dir) => diag("dx_cov")(s, dir).select(col("doc_id")).distinct()),
+      "dx_clean" -> ((s, dir) =>
+        diag("dx_toks")(s, dir)
+          .join(diag("dx_ids")(s, dir), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            size(col("_toks")).cast("long").as("n_tokens"),
+            lit(0L).as("dropped_tokens"),
+            array_join(col("_toks"), " ").as("clean_text"))),
+      "dx_reb" -> ((s, dir) =>
+        diag("dx_toks")(s, dir)
+          .join(diag("dx_ids")(s, dir), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "tok")))
+          .join(diag("dx_cov")(s, dir).withColumn("_cov", lit(true)), Seq("doc_id", "pos"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("_cov"), 1L).otherwise(0L)).as("dropped_tokens"),
+            concat_ws(" ",
+              transform(
+                sort_array(collect_list(when(col("_cov").isNull, struct(col("pos"), col("tok"))))),
+                x => x.getField("tok"))).as("clean_text")))
     )
   }
 

@@ -48,4 +48,48 @@ class FreqSpec extends SparkSpec {
       Freq.heavyHitters(Seq("a").toDF("term"), "term", theta = 0.001, m = 100)
     }
   }
+
+  test("streamed face equals the batch operator on the test corpus") {
+    val streamed = Queries.streamHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Queries.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch, s"streamed diverges:\n$streamed\n$batch")
+    assert(batch.nonEmpty)
+  }
+
+  test("cross-micro-batch parity under 4 one-file triggers with a tiny sketch") {
+    // 4 files × 100 tokens, a TINY m=16 sketch (the θ·(m+1) ≥ 1
+    // floor), distinct loud/rare populations per file so the
+    // candidate sets genuinely differ across batches; the streamed
+    // drain must equal the exact batch answer over the union.
+    val staging = java.nio.file.Files.createTempDirectory("graft_hh_spec")
+    graft.streaming.StreamPipeline.deleteRecursivelyOnExit(staging)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 4).foreach { f =>
+      val rows = (0 until 14).flatMap(i => Seq.fill(6)(s"loud${f}x$i")) ++
+        Seq.fill(6)("needle") ++ (0 until 10).map(i => s"rare${f}x$i")
+      all ++= rows
+      rows.map(t => (f.toLong, t)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(staging.resolve(s"part$f").toString)
+    }
+    val schema = spark.read.parquet(staging.resolve("part0").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging.toString + "/part*")
+    // m=16 < the 25 distinct keys per file → MG decrements genuinely
+    // fire in every batch; θ·(m+1) = 1.02 keeps the guarantee. Only
+    // needle (6 per file, 24 = 6% global) clears θN=24 — and no
+    // single batch reaches that count, so only cross-batch candidate
+    // accumulation + the drain recount can report it.
+    val theta = 0.06
+    val out = graft.streaming.StreamPipeline
+      .heavyHittersSnapshot(spark, stream, theta = theta, m = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val thr = math.ceil(theta * all.size).toLong
+    val expect = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= thr).sortBy { case (t, c) => (-c, t) }
+    assert(out == expect, s"streamed:\n$out\nexact:\n$expect")
+    assert(out == Seq(("needle", 24L)), out.toString)
+  }
 }
