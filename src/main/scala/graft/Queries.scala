@@ -1235,9 +1235,9 @@ object Queries {
     * a trillion n-grams exactly means shuffling them all.
     */
   def ngramDiversity(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("source"),
-        explode(TextOps.rawShingles(TextOps.tokenize(col("text")), 2)).as("gram"))
+    TextOps.explodeShingles(
+        docs(s, dir).select(col("source"), TextOps.tokenize(col("text")).as("_toks")),
+        TextOps.rawShingles(col("_toks"), 2), "gram", col("source"))
       .groupBy("source")
       .agg(
         count_distinct(col("gram")).as("distinct_bigrams"),

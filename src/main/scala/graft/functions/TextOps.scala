@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives shared by search, dedup and analysis
@@ -61,24 +61,59 @@ object TextOps {
     * bytes hex) — at 100 TB the shuffle carries hashes, never raw text.
     */
   def shingles(tokens: Column, k: Int = 3): Column =
-    when(
-      size(tokens) >= k,
-      transform(rawShingles(tokens, k), s => md5(s))
-    ).otherwise(array().cast("array<string>"))
+    transform(rawShingles(tokens, k), s => md5(s))
 
   /** Un-hashed k-token shingle strings. Callers that feed aggregations
     * should `explode` this and apply `md5` as a top-level column — md5
     * inside a lambda runs interpreted (HOFs are codegen fallbacks),
     * md5 over exploded rows is whole-stage-codegen'd.
+    *
+    * The `tokens` expression is BOUND ONCE via a 1-element
+    * `transform(array(tokens), ts => …)` wrapper before any per-shingle
+    * reference. Without the binding, `tokens` is spliced verbatim into
+    * every `element_at` (k copies per shingle) — harmless while it
+    * stays a column attribute, but Catalyst's predicate pushdown
+    * substitutes attributes with their defining expressions
+    * (`InferFiltersFromGenerate`'s `size(arr) > 0` guard pushed through
+    * the tokenize projection is the observed case), turning a composed
+    * `rawShingles(tokenize(text))` into k re-tokenizations PER SHINGLE
+    * inside an interpreted Filter: measured 60 s for 5k docs at sf0.1
+    * where the bound form runs in 1.4 s. Lambda variables are opaque
+    * to substitution, so the binding survives any optimizer rewrite.
+    *
+    * Explode call sites carry the second half of the defense: see
+    * [[explodeShingles]] / [[posexplodeShingles]].
     */
   def rawShingles(tokens: Column, k: Int = 3): Column =
-    when(
-      size(tokens) >= k,
-      transform(
-        sequence(lit(1), size(tokens) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)
-      )
-    ).otherwise(array().cast("array<string>"))
+    flatten(transform(array(tokens), ts =>
+      when(
+        size(ts) >= k,
+        transform(
+          sequence(lit(1), size(ts) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j)): _*)
+        )
+      ).otherwise(array().cast("array<string>"))))
+
+  /** Explode an expensive (HOF-built, never-null-element) array WITHOUT
+    * tripping `InferFiltersFromGenerate`: the rule wraps a plain
+    * `explode` in a `size(arr) > 0 AND isnotnull(arr)` filter whose
+    * pushdown through the producing projections re-inlines the whole
+    * array build (twice — one evaluation per conjunct, interpreted,
+    * no common-subexpression elimination in a Filter). `_outer`
+    * generates are exempt from the rule; the null row an empty array
+    * contributes is dropped right after the Generate, where the
+    * predicate sits on the GENERATED attribute and cannot be pushed
+    * below it. Only valid when real elements are never null (true for
+    * every shingle/token array here — `concat_ws` and `split` never
+    * produce null elements).
+    */
+  def explodeShingles(df: DataFrame, arr: Column, out: String, keep: Column*): DataFrame =
+    df.select(keep :+ explode_outer(arr).as(out): _*).filter(col(out).isNotNull)
+
+  /** [[explodeShingles]], positional flavor. */
+  def posexplodeShingles(df: DataFrame, arr: Column, posOut: String, out: String, keep: Column*): DataFrame =
+    df.select(keep :+ posexplode_outer(arr).as(Seq(posOut, out)): _*)
+      .filter(col(out).isNotNull)
 
   /** One min-hash value: lexicographic min over `md5(seed:shingle)`.
     * md5 re-keyed per seed is a valid min-wise independent family and —

@@ -43,10 +43,10 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     val toksDf = df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
-    val tok = toksDf.select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
-    val gr = toksDf
-      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
-      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+    val tok = TextOps.posexplodeShingles(toksDf, col("_toks"), "pos", "tok", col(idCol))
+    val gr = TextOps.posexplodeShingles(
+        toksDf.select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh")),
+        col("_sh"), "gpos", "gram", col(idCol))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
     val dup = gr.select(col(idCol), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
@@ -112,10 +112,11 @@ object Dedup {
       n: Int,
       normalize: org.apache.spark.sql.Column => org.apache.spark.sql.Column
   ): DataFrame =
-    benchmark
-      .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
-      .select(TextOps.rawShingles(col("_btoks"), n).as("_sh"))
-      .select(explode(col("_sh")).as("gram"))
+    TextOps.explodeShingles(
+        benchmark
+          .select(TextOps.tokenize(normalize(col(textCol))).as("_btoks"))
+          .select(TextOps.rawShingles(col("_btoks"), n).as("_sh")),
+        col("_sh"), "gram")
       .select(md5(col("gram")).as("g"))
       .distinct()
 
@@ -175,17 +176,24 @@ object Dedup {
     val toksDf = corpus
       .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
-    val gr = toksDf
-      .select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh"))
-      .select(col(idCol), posexplode(col("_sh")).as(Seq("gpos", "gram")))
+    val gr = TextOps.posexplodeShingles(
+        toksDf.select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh")),
+        col("_sh"), "gpos", "gram", col(idCol))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
-    val covPairs = gr.join(broadcast(benchGrams), "g")
+    // covPairs has TWO consumers (contaminated-id set + the rebuild's
+    // anti-coverage join) whose subtrees diverge after optimization, so
+    // exchange reuse never fires and the whole corpus gram pipeline
+    // would execute twice per action — cache the (small: positions
+    // inside contaminated docs only) pair set instead. Bounded
+    // retention, same lifecycle as containmentPairs' postings.
+    val covPairs = retainCached(gr.join(broadcast(benchGrams), "g")
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val contaminatedIds = covPairs.select(col(idCol)).distinct()
-    val rebuilt = toksDf
-      .join(contaminatedIds, Seq(idCol), "left_semi")
-      .select(col(idCol), posexplode(col("_toks")).as(Seq("pos", "tok")))
+    val rebuilt = TextOps.posexplodeShingles(
+        toksDf.join(contaminatedIds, Seq(idCol), "left_semi"),
+        col("_toks"), "pos", "tok", col(idCol))
       .join(covPairs.withColumn("_cov", lit(true)), Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -252,12 +260,9 @@ object Dedup {
       shingleK: Int = 3
   ): DataFrame = {
     require(numHashes % 2 == 0, "bands of 2 need an even numHashes")
-    val shRows = df
-      .select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
-      .select(
-        col(idCol),
-        explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("raw")
-      )
+    val shRows = TextOps.explodeShingles(
+        df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks")),
+        array_distinct(TextOps.rawShingles(col("_toks"), shingleK)), "raw", col(idCol))
       .select(col(idCol), md5(col("raw")).as("shm"))
     val minCols = (0 until numHashes).map { seed =>
       min(md5(concat(lit(s"$seed:"), col("shm")))).as(s"h$seed")
@@ -535,10 +540,9 @@ object Dedup {
     // under pressure, it does not drop), so each call registers its
     // postings in a small queue that unpersists the oldest — an
     // evicted entry's downstream consumers recompute, never break.
-    val ex = retainCached(df
-      .select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks"))
-      .select(col("_id"),
-        explode(array_distinct(TextOps.rawShingles(col("_toks"), shingleK))).as("_raw"))
+    val ex = retainCached(TextOps.explodeShingles(
+        df.select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks")),
+        array_distinct(TextOps.rawShingles(col("_toks"), shingleK)), "_raw", col("_id"))
       .select(col("_id"), md5(col("_raw")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = ex.groupBy(col("_id")).agg(count(lit(1)).cast("double").as("_na"))

@@ -47,11 +47,11 @@ object Lm {
     val toks = df
       .select(TextOps.tokenize(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-    // tokens are [a-z0-9]+ by construction, so ' ' is a safe separator
-    val pairs = toks.select(
-      explode(transform(sequence(lit(0), size(col("toks")) - 2),
-        i => concat(element_at(col("toks"), i + 1), lit(" "),
-          element_at(col("toks"), i + 2)))).as("pair"))
+    // tokens are [a-z0-9]+ by construction, so ' ' is a safe separator;
+    // bigram building IS rawShingles(toks, 2) — reuse it for the
+    // substitution-proof token binding + outer-explode (see its doc)
+    val pairs = TextOps.explodeShingles(
+      toks, TextOps.rawShingles(col("toks"), 2), "pair")
     val pc = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
     val withW1 = pc
       .withColumn("w1", split(col("pair"), " ").getItem(0))

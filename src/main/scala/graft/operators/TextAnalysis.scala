@@ -527,11 +527,9 @@ object TextAnalysis {
     * shingle, and the aggregation shape is 100 TB-safe.
     */
   def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), TextOps.tokenize(col(textCol)).as("toks"))
-      // tokens bound to an attribute BEFORE the generator: GenerateExec
-      // has no subexpression elimination, so an inlined tokenize would
-      // re-run inside every element_at of the shingle lambda.
-      .select(col(idCol), explode(array_distinct(TextOps.rawShingles(col("toks")))).as("raw"))
+    TextOps.explodeShingles(
+        df.select(col(idCol), TextOps.tokenize(col(textCol)).as("toks")),
+        array_distinct(TextOps.rawShingles(col("toks"))), "raw", col(idCol))
       .select(col(idCol), md5(col("raw")).as("shm"))
       .groupBy(col(idCol))
       .agg(
@@ -595,8 +593,9 @@ object TextAnalysis {
       textCol: String,
       keep: Seq[org.apache.spark.sql.Column]
   ): DataFrame =
-    df.select(keep :+ TextOps.tokenize(col(textCol)).as("_toks"): _*)
-      .select(keep :+ explode(array_distinct(TextOps.rawShingles(col("_toks")))).as("raw"): _*)
+    TextOps.explodeShingles(
+        df.select(keep :+ TextOps.tokenize(col(textCol)).as("_toks"): _*),
+        array_distinct(TextOps.rawShingles(col("_toks"))), "raw", keep: _*)
       .withColumn("shm", md5(col("raw"))).drop("raw")
 
   /** Bloom-prefiltered benchmark decontamination — the shape
@@ -710,8 +709,9 @@ object TextAnalysis {
     // tokenize BOUND through a projection before the shingle lambda:
     // inlining it makes the interpreted HOF re-tokenize the document
     // per element_at — measured 32x slower (see PLANS.md)
-    df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks"))
-      .select(col(idCol), explode(TextOps.rawShingles(col("_toks"), k)).as("ngram"))
+    TextOps.explodeShingles(
+        df.select(col(idCol), TextOps.tokenize(col(textCol)).as("_toks")),
+        TextOps.rawShingles(col("_toks"), k), "ngram", col(idCol))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("n_docs"))
       .filter(col("cnt") >= minCount)

@@ -125,6 +125,12 @@ object Profile {
           .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
           .select(col("doc_id"), posexplode(col("_sh")).as(Seq("gpos", "gram")))
           .select(col("doc_id"), col("gpos"), md5(col("gram")).as("g"))),
+      "dx_gr2" -> ((s, dir) =>
+        diag("dx_toks")(s, dir)
+          .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
+          .select(col("doc_id"), posexplode_outer(col("_sh")).as(Seq("gpos", "gram")))
+          .filter(col("gram").isNotNull)
+          .select(col("doc_id"), col("gpos"), md5(col("gram")).as("g"))),
       "dx_bg" -> ((s, dir) =>
         Tables.documents(s, dir).filter(col("doc_id") < 10)
           .select(TextOps.tokenize(col("text")).as("_btoks"))

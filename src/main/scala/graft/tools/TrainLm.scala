@@ -39,11 +39,9 @@ object TrainLm {
     val total = uniCnt.values.sum
     val v = uniCnt.size
 
-    val biCnt = toks
-      .filter(size(col("toks")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+    val biCnt = TextOps.explodeShingles(
+        toks.filter(size(col("toks")) >= 2),
+        TextOps.rawShingles(col("toks"), 2), "bg")
       .groupBy("bg").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
