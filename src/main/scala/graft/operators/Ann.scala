@@ -52,22 +52,42 @@ object Ann {
       }
     )
 
+  /** Train-sample budget per centroid: FAISS trains coarse quantizers
+    * on ~256 points/centroid — beyond that the cells stop moving while
+    * every kmeans|| init pass and Lloyd iteration still scans the
+    * full input. At 100 TB this is the ONLY viable shape (the sample
+    * fits executor RAM; the corpus never passes through the fit).
+    * At sf0.1 (2k vectors) the sample is a no-op and the win is the
+    * coalesce alone (14 KMeans jobs × 32 tasks → × 4); recall is
+    * pinned by AnnSpec's floors and the `ann_recall` query either way.
+    */
+  private val TrainPointsPerCentroid = 256L
+
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index = {
     // Cluster on L2-normalized vectors: euclidean cells on the unit
     // sphere are cosine cells, so a cosine probe's neighbors
     // concentrate in few cells.
     val featurized = df
       .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
-      .cache() // KMeans re-reads its input every iteration
+    // Deterministic fit sample (fraction from a metadata-cheap count,
+    // fixed seed), coalesced to a handful of partitions: a 14-job fit
+    // (kmeans|| init + 10 Lloyd iterations) on 32-task stages is pure
+    // scheduler overhead at sample scale.
+    val n = df.count()
+    val target = math.max(TrainPointsPerCentroid * k, 2000L)
+    val sampled =
+      if (n > 2 * target) featurized.sample(withReplacement = false, target.toDouble / n, seed)
+      else featurized
+    val fitInput = sampled.coalesce(4).cache()
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10)
       // keep the default kmeans|| init: random init was measured to drop
       // probe recall 0.9 → 0.4 on this corpus — the extra init passes
       // are what place centroids well at coarse-quantizer granularity
       .setFeaturesCol("_features").setPredictionCol("cluster")
-      .fit(featurized)
+      .fit(fitInput)
     val centroids = model.clusterCenters.map(_.toArray)
-    featurized.unpersist()
+    fitInput.unpersist()
     Index(centroids, assign(df, vecCol, centroids), vecCol, idCol)
   }
 
@@ -154,7 +174,13 @@ object Ann {
     * file listing, so a probe scans ~nProbe/k of the corpus bytes.
     */
   def writeIndex(index: Index, path: String): Unit =
-    index.assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    // cluster-hash exchange before the partitioned write (same rule as
+    // appendToIndex): without it every writing task opens a file in
+    // every cluster directory — O(tasks × k) files instead of O(k).
+    // At larger corpora raise spark.sql.shuffle.partitions; each
+    // cluster still lands in its own directory, just across more files.
+    index.assigned.repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
 
   /** Incremental index maintenance: assign NEW vectors to the existing
     * centroids and append them into the persisted partitioned layout —

@@ -125,6 +125,40 @@ object Profile {
           .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
           .select(col("doc_id"), posexplode(col("_sh")).as(Seq("gpos", "gram")))
           .select(col("doc_id"), col("gpos"), md5(col("gram")).as("g"))),
+      // ann_batch_persisted cold dissection: the KMeans fit vs the
+      // partitioned layout write vs the probe itself
+      "ann_fit" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = operators.Ann.build(e, "embedding", "vec_id", 10, 42L)
+        idx.assigned.groupBy("cluster").count()
+      }),
+      "ann_fit2" -> ((s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, dir)
+        def t[A](l: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[fit2] $l: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+        }
+        val n = t("count")(e.count())
+        val featurized = e.withColumn("_features",
+          array_to_vector(graft.functions.VectorOps.normalize(col("embedding"))))
+        val fitInput = (if (n > 5120) featurized.sample(false, 2560.0 / n, 42L) else featurized)
+          .coalesce(4).cache()
+        t("sample_cache")(fitInput.count())
+        val model = t("kmeans_fit")(new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("_features").setPredictionCol("cluster").fit(fitInput))
+        val cents = model.clusterCenters.map(_.toArray)
+        t("assign_count")(operators.Ann.assign(e, "embedding", cents).groupBy("cluster").count().count())
+        operators.Ann.assign(e, "embedding", cents).groupBy("cluster").count()
+      }),
+      "ann_layout" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = operators.Ann.buildCached(dir, e, "embedding", "vec_id", 10, 42L)
+        val p = java.nio.file.Files.createTempDirectory("graft_prof_layout_").toString
+        operators.Ann.writeIndex(idx, p)
+        s.read.parquet(p).groupBy("cluster").count()
+      }),
       "dx_gr2" -> ((s, dir) =>
         diag("dx_toks")(s, dir)
           .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
