@@ -860,6 +860,31 @@ object OracleSql {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
 
+    // Twin of the JSONL/CSV source round-trips: recompute the decorated
+    // corpus fingerprint straight from parquet — the Spark side must
+    // survive its own write→read through the format codec to match.
+    // DuckDB standard strings leave backslashes alone, so '\u' / '\n'
+    // below are the same literal backslash sequences as the Scala side.
+    "jsonl_scan" ->
+      """WITH t AS (SELECT source,
+        |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "csv_scan" ->
+      """WITH t AS (SELECT source,
+        |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     "knn_topk" ->
       s"""WITH $knnCte
          |SELECT vec_id, label, ${cosine("ev", "qv")} AS cos_sim

@@ -48,6 +48,90 @@ object Queries {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** Adversarial decoration shared by the JSONL/CSV source round-trips:
+    * appended to every document before the write so the format codecs
+    * must actually escape something — a comma, a double quote, a
+    * backslash, a real newline and non-ASCII text. Replicated verbatim
+    * by the DuckDB twins (which recompute from parquet), so any
+    * encode/decode infidelity shifts the per-source md5 anchors and
+    * fails the hash gate.
+    */
+  private val SourceDecoration = ", \"q\" \\x \\n\né 日本"
+
+  /** Per-source fidelity fingerprint for the source round-trip queries:
+    * count, total decorated length, md5 range anchors, corrupt-row
+    * count. Order-independent (aggregation), so file/partition layout
+    * of the round-trip is free to differ from the parquet original.
+    */
+  private def sourceFingerprint(back: DataFrame): DataFrame =
+    back.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).cast("long").as("sum_len"),
+      min(md5(col("text"))).as("min_md5"),
+      max(md5(col("text"))).as("max_md5"),
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt")
+    ).orderBy("source")
+
+  /** JSONL corpus source — the lingua franca of LLM training data
+    * (crawl dumps, The-Pile-style corpora ship as jsonl.gz). The write
+    * side lands gzip JSONL once per sf dir; the read side does what a
+    * 100 TB job must: an EXPLICIT schema (inference is a full extra
+    * pass over the corpus) with PERMISSIVE mode and a corrupt-record
+    * column, so malformed lines are counted instead of killing the job
+    * or silently vanishing. Scale note: .gz is non-splittable — one
+    * task per file — so a real corpus wants many shards (or zstd in a
+    * splittable container); the writer here inherits the source
+    * parallelism, which is exactly that shape.
+    */
+  def jsonlScan(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.operators.LayoutCache.getOrWrite(s"jsonl:$dir") { p =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(col("text"), lit(SourceDecoration)).as("text"))
+        .write.option("compression", "gzip").mode("overwrite").json(p)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt", StringType)))
+    sourceFingerprint(
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path))
+  }
+
+  /** CSV corpus source round-trip, same contract as [[jsonlScan]]. The
+    * decoration plants quotes, commas and a REAL newline in every
+    * field, so the read requires `multiLine` — which at scale is the
+    * documented trade: a multiLine gzip CSV parses serially per file
+    * (no line-boundary splitting), so corpora that need embedded
+    * newlines should prefer JSONL; this query exists to prove the
+    * quoting round-trip, not to recommend the format.
+    */
+  def csvScan(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.operators.LayoutCache.getOrWrite(s"csv:$dir") { p =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(col("text"), lit(SourceDecoration)).as("text"))
+        .write.option("header", "true").option("escape", "\"")
+        .mode("overwrite").csv(p)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt", StringType)))
+    sourceFingerprint(
+      s.read.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path))
+  }
+
   def knnTopK(s: SparkSession, dir: String): DataFrame =
     Search.knnTopK(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),

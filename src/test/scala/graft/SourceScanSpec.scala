@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The JSONL/CSV source round-trip contract (`jsonl_scan`/`csv_scan`):
+  * exact value fidelity through each format codec, and — what the
+  * oracle can't see because the landed corpus is well-formed —
+  * PERMISSIVE corrupt-record ACCOUNTING when it isn't.
+  */
+class SourceScanSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("text", StringType),
+    StructField("_corrupt", StringType)))
+
+  test("jsonl round-trip is value-exact incl. quotes, backslashes, newlines, non-ascii") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_j").toString + "/d"
+    val decorated = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(", \"q\" \\x \\n\né 日本")).as("text"))
+    decorated.write.option("compression", "gzip").json(dir)
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache()
+    assert(back.filter(col("_corrupt").isNotNull).count() === 0)
+    // anti-join both directions on every value column = exact multiset equality
+    val a = decorated.select("doc_id", "lang", "source", "text")
+    val b = back.select("doc_id", "lang", "source", "text")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("csv multiLine round-trip is value-exact with embedded newlines and quotes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_c").toString + "/d"
+    val decorated = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(", \"q\" \\x \\n\né 日本")).as("text"))
+    decorated.write.option("header", "true").option("escape", "\"").csv(dir)
+    val back = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .cache()
+    assert(back.filter(col("_corrupt").isNotNull).count() === 0)
+    val a = decorated.select("doc_id", "lang", "source", "text")
+    val b = back.select("doc_id", "lang", "source", "text")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("malformed jsonl lines are counted in _corrupt, not dropped or fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_m").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-bad.json"),
+      ("""{"doc_id": 1, "lang": "en", "source": "s", "text": "ok"}""" + "\n" +
+        """{"doc_id": "NOT_A_NUMBER_", "lang": "en"""" + "\n" + // truncated line
+        """not json at all""" + "\n" +
+        """{"doc_id": 2, "lang": "en", "source": "s", "text": "also ok"}""" + "\n")
+        .getBytes("UTF-8"))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache()
+    assert(back.count() === 4, "every line yields a row")
+    assert(back.filter(col("_corrupt").isNotNull).count() === 2)
+    assert(back.filter(col("_corrupt").isNull).count() === 2)
+    // good rows parsed with full values
+    assert(back.filter(col("_corrupt").isNull).agg(sum("doc_id")).head().getLong(0) === 3L)
+  }
+}
