@@ -21,6 +21,43 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("rawShingles (lambda-bound form) equals the brute-force sliding window") {
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.tabulate(60) { i =>
+      val n = rnd.nextInt(15) // 0..14 tokens, crossing every k boundary
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(2)))
+        .mkString(" ")
+    } :+ "" :+ "a b c" // empty and exactly-k cases
+    for (k <- Seq(2, 3, 10)) {
+      val got = texts.map(Tuple1(_)).toDF("text")
+        .select(TextOps.rawShingles(TextOps.tokenize(col("text")), k))
+        .as[Seq[String]].collect().toSeq
+      val want = texts.map { t =>
+        val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty
+      }
+      assert(got == want, s"k=$k")
+    }
+    // null text yields an empty shingle array, not null
+    val nul = Seq(Tuple1(null: String)).toDF("text")
+      .select(TextOps.rawShingles(TextOps.tokenize(col("text")), 3))
+      .as[Seq[String]].head()
+    assert(nul != null && nul.isEmpty)
+  }
+
+  test("explodeShingles matches plain explode semantics (empty arrays yield no rows)") {
+    val df = Seq(("d1", "a b c d"), ("d2", "a b"), ("d3", "")).toDF("id", "text")
+      .select(col("id"), TextOps.tokenize(col("text")).as("_toks"))
+    val viaHelper = TextOps.explodeShingles(
+      df, TextOps.rawShingles(col("_toks"), 3), "g", col("id"))
+      .select("id", "g").as[(String, String)].collect().sorted.toSeq
+    val viaPlain = df.select(col("id"),
+        explode(TextOps.rawShingles(col("_toks"), 3)).as("g"))
+      .select("id", "g").as[(String, String)].collect().sorted.toSeq
+    assert(viaHelper == viaPlain)
+    assert(viaHelper == Seq(("d1", "a b c"), ("d1", "b c d")))
+  }
+
   test("extractTitle takes the first markdown heading, strips #, caps at 200") {
     val cases = Seq(
       ("## My Title\nbody text", "src/path/doc.md", "My Title"),
