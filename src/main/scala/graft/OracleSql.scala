@@ -865,6 +865,33 @@ object OracleSql {
     // survive its own write→read through the format codec to match.
     // DuckDB standard strings leave backslashes alone, so '\u' / '\n'
     // below are the same literal backslash sequences as the Scala side.
+    // Twin of TextAnalysis.charEntropy: 36 count-by-length-diff terms
+    // over the [a-z0-9] restriction, entropy terms summed in the SAME
+    // left-to-right alphabet order as the Spark reduce (float addition
+    // is order-sensitive), round(4) absorbing the transcendental log2.
+    "text_entropy" -> {
+      val alphabet = ('a' to 'z') ++ ('0' to '9')
+      val counts = alphabet
+        .map(c => s"(n - length(replace(s, '$c', ''))) AS c_$c").mkString(",\n  ")
+      val terms = alphabet
+        .map(c => s"CASE WHEN c_$c > 0 THEN -(c_$c / n) * log2(c_$c / n) ELSE 0.0 END")
+        .mkString(" + ")
+      val gr = alphabet.map(c => s"c_$c").mkString(", ")
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM documents),
+         |n AS (SELECT doc_id, s, CAST(length(s) AS DOUBLE) AS n FROM src),
+         |c AS (SELECT doc_id, n,
+         |  $counts
+         |  FROM n)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_alnum,
+         |  CASE WHEN n > 0 THEN round($terms, 4) ELSE 0.0 END AS entropy,
+         |  CASE WHEN n > 0 THEN round(greatest($gr) / n, 4) ELSE 0.0 END
+         |    AS max_char_ratio
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "jsonl_scan" ->
       """WITH t AS (SELECT source,
         |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text

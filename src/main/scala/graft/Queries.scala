@@ -1318,6 +1318,9 @@ object Queries {
     * `hll_union_agg`), which is the entire point — distinct-counting
     * a trillion n-grams exactly means shuffling them all.
     */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+
   def ngramDiversity(s: SparkSession, dir: String): DataFrame =
     TextOps.explodeShingles(
         docs(s, dir).select(col("source"), TextOps.tokenize(col("text")).as("_toks")),

@@ -717,4 +717,45 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(topK)
+
+  /** Character-distribution quality signals — the information-theoretic
+    * curation cut (RefinedWeb / DCLM filter low-entropy gibberish and
+    * keyboard-mash; Gopher's repetition rules catch the same failure at
+    * the n-gram level, this catches it at the char level): Shannon
+    * entropy and the max-char ratio over the tokenizer alphabet
+    * ([a-z0-9] of the lowercased text — the restriction that makes the
+    * statistic identically computable in both engines, since splitting
+    * arbitrary unicode into chars differs between Java UTF-16 units and
+    * DuckDB graphemes).
+    *
+    * No explode, no HOF, no custom expression: each char's count is
+    * `length(s) - length(translate(s, c, ""))` — 36 codegen'd string
+    * scans per row, embarrassingly parallel, O(36·len) per doc. English
+    * text sits near 4.1 bits; uniform random alnum at log2(36) ≈ 5.17;
+    * `aaaa…` at 0.0 with max_char_ratio 1.0. Entropy rounded to 4 dp
+    * (log2 is transcendental — same cross-engine rounding contract as
+    * the BM25 ln terms).
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val alphabet = ('a' to 'z') ++ ('0' to '9')
+    val s = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val df2 = df.select(col(idCol), s.as("_s"))
+      .withColumn("_n", length(col("_s")).cast("double"))
+    val counts = alphabet.map { c =>
+      (col("_n") - length(translate(col("_s"), c.toString, ""))).as(s"_c_$c")
+    }
+    val withCounts = df2.select(col(idCol) +: col("_n") +: counts: _*)
+    val entropyTerms = alphabet.map { c =>
+      val p = col(s"_c_$c") / col("_n")
+      when(col(s"_c_$c") > 0, -p * log2(p)).otherwise(lit(0.0))
+    }
+    val maxCount = greatest(alphabet.map(c => col(s"_c_$c")): _*)
+    withCounts.select(
+      col(idCol),
+      col("_n").cast("long").as("n_alnum"),
+      when(col("_n") > 0, round(entropyTerms.reduce(_ + _), 4)).otherwise(lit(0.0))
+        .as("entropy"),
+      when(col("_n") > 0, round(maxCount / col("_n"), 4)).otherwise(lit(0.0))
+        .as("max_char_ratio"))
+  }
 }

@@ -58,6 +58,27 @@ class TextOpsSpec extends SparkSpec {
     assert(viaHelper == Seq(("d1", "a b c"), ("d1", "b c d")))
   }
 
+  test("charEntropy closed forms: constant, alternating, uniform, empty, non-alnum") {
+    val df = Seq(
+      (1L, "aaaa"),            // one symbol: H = 0, max ratio 1
+      (2L, "abab abab"),       // two equiprobable: H = 1, ratio 0.5
+      (3L, ('a' to 'z').mkString + ('0' to '9').mkString), // uniform 36: H = log2(36)
+      (4L, "!!! ???"),         // nothing in [a-z0-9]: n = 0, defined as 0
+      (5L, "AaAa")             // case folds before counting
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 4L, 0.0, 1.0)))
+    assert(out(1) == ((2L, 8L, 1.0, 0.5)))
+    assert(out(2)._2 == 36L)
+    assert(math.abs(out(2)._3 - math.round(math.log(36) / math.log(2) * 10000) / 10000.0) < 1e-9)
+    assert(out(2)._4 == math.round(1.0 / 36 * 10000) / 10000.0)
+    assert(out(3) == ((4L, 0L, 0.0, 0.0)))
+    assert(out(4) == ((5L, 4L, 0.0, 1.0)))
+  }
+
   test("extractTitle takes the first markdown heading, strips #, caps at 200") {
     val cases = Seq(
       ("## My Title\nbody text", "src/path/doc.md", "My Title"),
