@@ -51,11 +51,19 @@ object VectorOps {
   /** L2-normalize to the unit sphere (doubles). On unit vectors,
     * euclidean distance is monotone in cosine — this is what lets a
     * euclidean KMeans coarse quantizer serve a cosine search.
+    *
+    * The norm is BOUND ONCE through a 1-element struct wrapper before
+    * the per-element division — splicing `l2Norm(v)` (an O(d) fold)
+    * directly into the transform lambda would re-evaluate the whole
+    * fold for every element: O(d²) per row, the same substitution/
+    * re-evaluation class as [[graft.functions.TextOps.rawShingles]]'s
+    * token binding (lambda variables are opaque to both interpreted
+    * re-evaluation and optimizer substitution).
     */
-  def normalize(v: Column): Column = {
-    val n = l2Norm(v)
-    transform(v, x => x.cast("double") / n)
-  }
+  def normalize(v: Column): Column =
+    flatten(transform(
+      array(struct(toDouble(v).as("v"), l2Norm(v).as("n"))),
+      s => transform(s.getField("v"), x => x / s.getField("n"))))
 
   /** Squared euclidean distance in double precision. */
   def sqDist(a: Column, b: Column): Column =

@@ -52,14 +52,22 @@ object Featurize {
           i => coalesce(element_at(col("_m"), i.cast("long")), lit(0L)).cast("double")
         )
       )
-    val norm = sqrt(aggregate(col("_raw"), lit(0.0), (acc, x) => acc + x * x))
+    // norm lands in its OWN projection column so the per-element lambda
+    // reads an O(1) attribute — splicing the O(d) fold into the lambda
+    // re-runs it per element (O(d²)/row), and the 1-element struct
+    // binding VectorOps.normalize uses costs more in wrapper allocation
+    // than it saves at d=64 on this 100k-row hot path (measured 1.5 s →
+    // 2.9 s). An attribute is substitution-safe here: no Generate above
+    // it to infer filters from, no predicate to push through.
     dense
+      .withColumn("_n",
+        sqrt(aggregate(col("_raw"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn(
         "embedding",
-        when(norm > 0, transform(col("_raw"), x => x / norm))
+        when(col("_n") > 0, transform(col("_raw"), x => x / col("_n")))
           .otherwise(col("_raw"))
       )
-      .drop("_m", "_raw")
+      .drop("_m", "_raw", "_n")
   }
 
   /** Document embedding by MEAN-POOLING chunk embeddings: the standard
