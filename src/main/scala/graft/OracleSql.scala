@@ -855,6 +855,23 @@ object OracleSql {
   private def materializeCtes(sql: String): String =
     sql.replaceAll("(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
+  /** Twin of the JSONL/CSV source round-trips: recompute the decorated
+    * corpus fingerprint straight from parquet — the Spark side must
+    * survive its own write→read through the format codec to match.
+    * DuckDB standard strings leave backslashes alone, so '\x' / '\n'
+    * below are the same literal backslash sequences as the Scala
+    * decoration (Queries.SourceDecoration).
+    */
+  private val SourceRoundTripTwin: String =
+    """WITH t AS (SELECT source,
+      |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+      |  CAST(0 AS BIGINT) AS n_corrupt
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val sql: Map[String, String] = Map(
     "scan_pruned" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -892,25 +909,10 @@ object OracleSql {
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
-    "jsonl_scan" ->
-      """WITH t AS (SELECT source,
-        |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
-        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
-        |  CAST(0 AS BIGINT) AS n_corrupt
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
-
-    "csv_scan" ->
-      """WITH t AS (SELECT source,
-        |  text || ', "q" \x \n' || chr(10) || 'é 日本' AS text
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
-        |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
-        |  CAST(0 AS BIGINT) AS n_corrupt
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // ONE twin string, two keys — both formats must reproduce the same
+    // decorated fingerprint (see SourceRoundTripTwin above the map).
+    "jsonl_scan" -> SourceRoundTripTwin,
+    "csv_scan" -> SourceRoundTripTwin,
 
     "knn_topk" ->
       s"""WITH $knnCte

@@ -56,7 +56,7 @@ object Queries {
     * encode/decode infidelity shifts the per-source md5 anchors and
     * fails the hash gate.
     */
-  private val SourceDecoration = ", \"q\" \\x \\n\né 日本"
+  private[graft] val SourceDecoration = ", \"q\" \\x \\n\né 日本"
 
   /** Per-source fidelity fingerprint for the source round-trip queries:
     * count, total decorated length, md5 range anchors, corrupt-row
@@ -72,6 +72,29 @@ object Queries {
       sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt")
     ).orderBy("source")
 
+  /** ONE definition of the round-trip machinery the two format queries
+    * share — decorated write-side projection, explicit read schema,
+    * PERMISSIVE+corrupt-record reader — so a schema or decoration
+    * change cannot desynchronize the formats from each other or from
+    * the shared twin.
+    */
+  private def decoratedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      concat(col("text"), lit(SourceDecoration)).as("text"))
+
+  private[graft] val SourceReadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("_corrupt", StringType)))
+  }
+
+  private def sourceReader(s: SparkSession): org.apache.spark.sql.DataFrameReader =
+    s.read.schema(SourceReadSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+
   /** JSONL corpus source — the lingua franca of LLM training data
     * (crawl dumps, The-Pile-style corpora ship as jsonl.gz). The write
     * side lands gzip JSONL once per sf dir; the read side does what a
@@ -85,21 +108,10 @@ object Queries {
     */
   def jsonlScan(s: SparkSession, dir: String): DataFrame = {
     val path = graft.operators.LayoutCache.getOrWrite(s"jsonl:$dir") { p =>
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          concat(col("text"), lit(SourceDecoration)).as("text"))
+      decoratedDocs(s, dir)
         .write.option("compression", "gzip").mode("overwrite").json(p)
     }
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("source", StringType), StructField("text", StringType),
-      StructField("_corrupt", StringType)))
-    sourceFingerprint(
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path))
+    sourceFingerprint(sourceReader(s).json(path))
   }
 
   /** CSV corpus source round-trip, same contract as [[jsonlScan]]. The
@@ -112,23 +124,14 @@ object Queries {
     */
   def csvScan(s: SparkSession, dir: String): DataFrame = {
     val path = graft.operators.LayoutCache.getOrWrite(s"csv:$dir") { p =>
-      docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          concat(col("text"), lit(SourceDecoration)).as("text"))
+      decoratedDocs(s, dir)
         .write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(p)
     }
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("source", StringType), StructField("text", StringType),
-      StructField("_corrupt", StringType)))
     sourceFingerprint(
-      s.read.schema(schema)
+      sourceReader(s)
         .option("header", "true").option("multiLine", "true")
         .option("escape", "\"")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path))
   }
 
@@ -1318,9 +1321,6 @@ object Queries {
     * `hll_union_agg`), which is the entire point — distinct-counting
     * a trillion n-grams exactly means shuffling them all.
     */
-  def textEntropy(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.charEntropy(docs(s, dir), "text", "doc_id").orderBy("doc_id")
-
   def ngramDiversity(s: SparkSession, dir: String): DataFrame =
     TextOps.explodeShingles(
         docs(s, dir).select(col("source"), TextOps.tokenize(col("text")).as("_toks")),
@@ -1333,6 +1333,13 @@ object Queries {
         (abs(col("_est") - col("distinct_bigrams")).cast("double") /
           col("distinct_bigrams").cast("double") <= 0.05).as("hll_ok"))
       .orderBy("source")
+
+  /** Char-distribution quality signals ([[TextAnalysis.charEntropy]]):
+    * Shannon entropy + max-char ratio over the tokenizer alphabet —
+    * the information-theoretic gibberish/keyboard-mash cut.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(s, dir), "text", "doc_id").orderBy("doc_id")
 
   /** Tokenizer fertility per language: BPE tokens per pre-token word
     * and chars per BPE token — the standard multilingual-curation

@@ -58,27 +58,41 @@ object Ann {
     * full input. At 100 TB this is the ONLY viable shape (the sample
     * fits executor RAM; the corpus never passes through the fit).
     * At sf0.1 (2k vectors) the sample is a no-op and the win is the
-    * coalesce alone (14 KMeans jobs × 32 tasks → × 4); recall is
-    * pinned by AnnSpec's floors and the `ann_recall` query either way.
+    * narrow fit stages alone (14 KMeans jobs × 32 tasks → × 4); recall
+    * is pinned by AnnSpec's floors and the `ann_recall` query either way.
     */
-  private val TrainPointsPerCentroid = 256L
+  private[graft] val TrainPointsPerCentroid = 256L
 
-  def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long): Index = {
-    // Cluster on L2-normalized vectors: euclidean cells on the unit
-    // sphere are cosine cells, so a cosine probe's neighbors
-    // concentrate in few cells.
-    val featurized = df
-      .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
-    // Deterministic fit sample (fraction from a metadata-cheap count,
-    // fixed seed), coalesced to a handful of partitions: a 14-job fit
-    // (kmeans|| init + 10 Lloyd iterations) on 32-task stages is pure
-    // scheduler overhead at sample scale.
-    val n = df.count()
+  /** `rowCount`: pass the corpus size when the caller already knows it
+    * (e.g. a rebuild that just measured drift) — otherwise one count()
+    * derives the sample fraction (metadata-cheap on parquet; for
+    * non-file inputs it is still one narrow pass against the 14 wide
+    * passes the unsampled fit would run).
+    */
+  def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long,
+            rowCount: Option[Long] = None): Index = {
+    // Deterministic fit sample FIRST (fixed seed, fraction from the row
+    // count), so the per-row featurize below runs on sampled rows only
+    // — Spark does not push Sample under a Project, so featurize-then-
+    // sample would pay the O(d) vector math for every discarded row.
+    val n = rowCount.getOrElse(df.count())
     val target = math.max(TrainPointsPerCentroid * k, 2000L)
     val sampled =
-      if (n > 2 * target) featurized.sample(withReplacement = false, target.toDouble / n, seed)
-      else featurized
-    val fitInput = sampled.coalesce(4).cache()
+      if (n > 2 * target) df.sample(withReplacement = false, target.toDouble / n, seed)
+      else df
+    // Cluster on L2-normalized vectors: euclidean cells on the unit
+    // sphere are cosine cells, so a cosine probe's neighbors
+    // concentrate in few cells. The sample is cached and MATERIALIZED
+    // at source parallelism (the explicit count) BEFORE the coalesce —
+    // coalesce alone would pull the corpus scan + sample into 4 tasks;
+    // with the cache filled first, the 14-job fit (kmeans|| init +
+    // Lloyd) schedules over 4 partitions that merely concatenate cached
+    // blocks in partition-index order (deterministic layout).
+    val sampleCache = sampled
+      .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
+      .cache()
+    sampleCache.count()
+    val fitInput = sampleCache.coalesce(4)
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(10)
       // keep the default kmeans|| init: random init was measured to drop
@@ -87,7 +101,7 @@ object Ann {
       .setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(fitInput)
     val centroids = model.clusterCenters.map(_.toArray)
-    fitInput.unpersist()
+    sampleCache.unpersist()
     Index(centroids, assign(df, vecCol, centroids), vecCol, idCol)
   }
 

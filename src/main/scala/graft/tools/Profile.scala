@@ -120,6 +120,10 @@ object Profile {
         Tables.documents(s, dir).filter(col("doc_id") >= 10)
           .select(col("doc_id"), TextOps.tokenize(col("text")).as("_toks"))
           .filter(size(col("_toks")) > 0)),
+      // dx_gr: REGRESSION REPRO — plain (non-outer) posexplode, the shape
+      // that trips InferFiltersFromGenerate (see PLANS.md round-9 fix).
+      // dx_gr2 is the shipped outer-explode shape. Keep both: their
+      // timing gap IS the measurement of the hazard.
       "dx_gr" -> ((s, dir) =>
         diag("dx_toks")(s, dir)
           .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
@@ -143,8 +147,10 @@ object Profile {
         val n = t("count")(e.count())
         val featurized = e.withColumn("_features",
           array_to_vector(graft.functions.VectorOps.normalize(col("embedding"))))
-        val fitInput = (if (n > 5120) featurized.sample(false, 2560.0 / n, 42L) else featurized)
-          .coalesce(4).cache()
+        val target = math.max(operators.Ann.TrainPointsPerCentroid * 10, 2000L)
+        val fitInput = (if (n > 2 * target)
+            featurized.sample(false, target.toDouble / n, 42L) else featurized)
+          .repartition(4).cache()
         t("sample_cache")(fitInput.count())
         val model = t("kmeans_fit")(new KMeans().setK(10).setSeed(42L).setMaxIter(10)
           .setFeaturesCol("_features").setPredictionCol("cluster").fit(fitInput))

@@ -10,16 +10,13 @@ import org.apache.spark.sql.types._
   */
 class SourceScanSpec extends SparkSpec {
 
-  private val schema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("lang", StringType),
-    StructField("source", StringType), StructField("text", StringType),
-    StructField("_corrupt", StringType)))
+  private val schema = Queries.SourceReadSchema
 
   test("jsonl round-trip is value-exact incl. quotes, backslashes, newlines, non-ascii") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_j").toString + "/d"
     val decorated = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
-        concat(col("text"), lit(", \"q\" \\x \\n\né 日本")).as("text"))
+        concat(col("text"), lit(Queries.SourceDecoration)).as("text"))
     decorated.write.option("compression", "gzip").json(dir)
     val back = spark.read.schema(schema)
       .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
@@ -36,7 +33,7 @@ class SourceScanSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_c").toString + "/d"
     val decorated = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"),
-        concat(col("text"), lit(", \"q\" \\x \\n\né 日本")).as("text"))
+        concat(col("text"), lit(Queries.SourceDecoration)).as("text"))
     decorated.write.option("header", "true").option("escape", "\"").csv(dir)
     val back = spark.read.schema(schema)
       .option("header", "true").option("multiLine", "true").option("escape", "\"")
