@@ -46,6 +46,41 @@ class SourceScanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("astral-plane unicode (surrogate pairs) survives both format round-trips") {
+    // beyond the BMP decoration: emoji, Gothic hwair, a musical symbol —
+    // JSON escapes these as 😀-style surrogate pairs, CSV
+    // carries raw UTF-8; either path mangling them breaks exceptAll
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "s1", "emoji 😀🎉 mixed"),
+      (2L, "en", "s1", "gothic 𐍈 hwair"),
+      (3L, "en", "s2", "clef 𝄞 and text"),
+      (4L, "en", "s2", "zwj family 👨‍👩‍👦")
+    ).toDF("doc_id", "lang", "source", "text")
+    for ((fmt, write, read) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        String => org.apache.spark.sql.DataFrame)](
+      ("json",
+        (df, p) => df.write.option("compression", "gzip").json(p),
+        p => spark.read.schema(schema)
+          .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+          .json(p)),
+      ("csv",
+        (df, p) => df.write.option("header", "true").option("escape", "\"").csv(p),
+        p => spark.read.schema(schema)
+          .option("header", "true").option("multiLine", "true").option("escape", "\"")
+          .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(p)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_srcspec_u_$fmt").toString + "/d"
+      write(rows, dir)
+      val back = read(dir).cache()
+      assert(back.filter(col("_corrupt").isNotNull).count() === 0, s"$fmt corrupt")
+      val a = rows.select("doc_id", "lang", "source", "text")
+      val b = back.select("doc_id", "lang", "source", "text")
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0, s"$fmt mangled")
+    }
+  }
+
   test("malformed jsonl lines are counted in _corrupt, not dropped or fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_m").toString
     java.nio.file.Files.write(
