@@ -22,6 +22,61 @@ class SpanDedupSpec extends SparkSpec {
     assert(byId(3L)._3 == "completely different words here nothing shared at all between docs")
   }
 
+  test("fuzz: decontaminateSpans equals an independent brute-force rebuild (n=4)") {
+    // Random corpora over a 6-word vocabulary (so 4-gram collisions are
+    // dense) with benchmark snippets deliberately PLANTED into half the
+    // docs. Invariants per doc, vs a from-scratch Scala reimplementation:
+    // exact clean_text equality, exact dropped count, and the
+    // post-condition that no benchmark 4-gram survives in clean_text.
+    val n = 4
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def randToks(len: Int): Vector[String] = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    val benchDocs = (0 until 3).map(i => (100L + i, randToks(6 + rnd.nextInt(6)).mkString(" ")))
+    val benchGrams: Set[Seq[String]] = benchDocs.flatMap { case (_, t) =>
+      val toks = t.split(" ").toSeq
+      if (toks.length >= n) toks.sliding(n).map(_.toSeq).toSeq else Seq.empty
+    }.toSet
+    val corpusRows = (0 until 40).map { i =>
+      val base = randToks(3 + rnd.nextInt(20))
+      val toks =
+        if (i % 2 == 0 && benchDocs.nonEmpty) {
+          // plant a random benchmark snippet at a random position
+          val (_, bt) = benchDocs(rnd.nextInt(benchDocs.size))
+          val bToks = bt.split(" ").toVector
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ bToks.take(n + rnd.nextInt(3)) ++ base.drop(at)
+        } else base
+      (i.toLong, toks.mkString(" "))
+    }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val bench = benchDocs.toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, bench, "text", "doc_id", n = n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // independent reimplementation
+    for ((id, text) <- corpusRows) {
+      val toks = text.split(" ").toVector
+      val covered = (0 to toks.length - n).flatMap { i =>
+        if (benchGrams.contains(toks.slice(i, i + n))) i until (i + n) else Seq.empty
+      }.toSet
+      val clean = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+      val (nTok, dropped, cleanText) = got(id)
+      assert(nTok == toks.length.toLong, s"doc $id n_tokens")
+      assert(dropped == covered.size.toLong, s"doc $id dropped")
+      assert(cleanText == clean, s"doc $id clean_text")
+      // post-condition: no benchmark n-gram survives. NOTE: single-pass
+      // removal (the GPT-3 appendix-C semantics) can in principle SPLICE
+      // the flanks of a removed span into a new benchmark gram; this
+      // seed does not produce that case, so the check doubles as a
+      // sentinel — if a seed change trips it, that's the splice case
+      // (brute force and operator will still agree), not a regression.
+      val cleanToks = cleanText.split(" ").filter(_.nonEmpty).toSeq
+      if (cleanToks.length >= n)
+        assert(!cleanToks.sliding(n).exists(g => benchGrams.contains(g.toSeq)),
+          s"doc $id still contaminated")
+    }
+  }
+
   test("decontaminateSpans removes exactly the benchmark-covered positions") {
     val leaked = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10" // a benchmark 10-gram
     val benchmark = Seq((100L, s"intro $leaked outro")).toDF("doc_id", "text")
