@@ -128,6 +128,25 @@ object ScaleCheck {
       time(s"bloom_decontaminate", forced(TextAnalysis.bloomDecontaminate(
         c, Tables.documents(spark, sfDir).filter(col("doc_id") < 10),
         "text", "doc_id")))
+      time(s"text_entropy", forced(TextAnalysis.charEntropy(c, "text", "doc_id")))
+      time(s"jsonl_roundtrip", {
+        // gzip JSONL write + explicit-schema PERMISSIVE read at corpus
+        // scale — the format-codec path, not just the fingerprint agg
+        val p = java.nio.file.Files.createTempDirectory("graft_scale_jsonl_").toString + "/d"
+        c.select("doc_id", "lang", "source", "text")
+          .write.option("compression", "gzip").mode("overwrite").json(p)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType),
+          StructField("_corrupt", StringType)))
+        forced(spark.read.schema(schema)
+          .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+          .json(p)
+          .groupBy("source").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("bad")))
+      })
       time(s"containment_pairs", forced(
         Dedup.containmentPairs(c, "text", "doc_id", tau = 0.8, shingleK = 5)))
       // boilerplate-heavy variant: every doc carries the SAME license

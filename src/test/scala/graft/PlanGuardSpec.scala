@@ -40,6 +40,42 @@ class PlanGuardSpec extends SparkSpec {
     assert(missing.isEmpty, s"no plan snapshot for: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("baseline_sf01.txt has a row for every registered query (and no orphans)") {
+    // a new query without a baseline row silently escapes the >2x
+    // regression gate — this is what let 10 late-round-9 queries ship
+    // unbaselined until a manual audit caught them
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/baseline_sf01.txt"))(scala.io.Codec.UTF8)
+    val rows = try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+")(0)).toSet finally src.close()
+    val missing = SparkEntry.queries.keySet -- rows
+    val orphans = rows -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries without a baseline row: ${missing.toSeq.sorted.mkString(", ")}")
+    assert(orphans.isEmpty, s"baseline rows for unregistered queries: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every registered query has an oracle twin or is a documented rows-only key") {
+    val rowsOnly = Set("chunk_recursive", "embed_encoder", "rerank_cross")
+    // twinned at RUNTIME via OracleArtifacts fitted-constant literals
+    // (OracleSql.dynamic is empty until the query has run) — every new
+    // fitted-model query must be consciously added here or to the
+    // static map; that forced decision is this test's purpose
+    val fittedTwinned = Set(
+      "ann_probe", "ann_recall", "ann_recall_sweep", "ann_stats",
+      "ann_incremental", "ann_deleted", "ann_compacted", "ann_filtered",
+      "ann_batch_probe", "ann_batch_persisted", "ann_batch_pq", "ann_batch_sq",
+      "ivfpq_probe", "ivfsq_probe", "ivfsq_residual", "ivfbq_probe",
+      "pq_probe", "pca_probe", "cluster_topics", "semdedup",
+      "hybrid_indexed", "retrieval_eval", "stream_pipeline", "stream_ann")
+    val untwinned =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- fittedTwinned
+    assert(untwinned.isEmpty,
+      s"queries missing an OracleSql twin (add it, declare fitted, or document rows-only): ${untwinned.toSeq.sorted.mkString(", ")}")
+    val staleRowsOnly = rowsOnly.filter(SparkEntry.oracleSql.contains)
+    assert(staleRowsOnly.isEmpty, s"rows-only keys that now HAVE twins: ${staleRowsOnly.mkString(", ")}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan shape unchanged: $name") {
       val snap = snapDir.resolve(s"$name.txt")
