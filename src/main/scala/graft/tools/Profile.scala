@@ -122,8 +122,11 @@ object Profile {
           .filter(size(col("_toks")) > 0)),
       // dx_gr: REGRESSION REPRO — plain (non-outer) posexplode, the shape
       // that trips InferFiltersFromGenerate (see PLANS.md round-9 fix).
-      // dx_gr2 is the shipped outer-explode shape. Keep both: their
-      // timing gap IS the measurement of the hazard.
+      // dx_gr2 is the shipped outer-explode shape. With rawShingles'
+      // lambda binding in place the gap is small (1.16 vs 1.10 s warm at
+      // sf0.1 — the inferred filter now costs two extra LINEAR array
+      // builds); before the binding it was 60 s vs 1.4 s. Keep both: a
+      // future regression in either defense reopens the gap.
       "dx_gr" -> ((s, dir) =>
         diag("dx_toks")(s, dir)
           .select(col("doc_id"), TextOps.rawShingles(col("_toks"), 10).as("_sh"))
