@@ -913,6 +913,7 @@ object OracleSql {
     // decorated fingerprint (see SourceRoundTripTwin above the map).
     "jsonl_scan" -> SourceRoundTripTwin,
     "csv_scan" -> SourceRoundTripTwin,
+    "xml_scan" -> SourceRoundTripTwin,
 
     "knn_topk" ->
       s"""WITH $knnCte

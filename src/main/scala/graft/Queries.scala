@@ -135,6 +135,28 @@ object Queries {
         .csv(path))
   }
 
+  /** XML corpus source round-trip — Spark 4's NATIVE xml data source
+    * (the spark-xml merge), same contract as [[jsonlScan]]. XML is the
+    * format where entity escaping (&quot; &amp; &lt;) and the parser's
+    * surrounding-space handling can silently corrupt text values —
+    * `ignoreSurroundingSpaces=false` because corpus text is data, not
+    * markup indentation. Scale note: rowTag framing means records are
+    * located by tag scan, so like multiLine CSV a file parses serially;
+    * shard count is the parallelism knob.
+    */
+  def xmlScan(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.operators.LayoutCache.getOrWrite(s"xml:$dir") { p =>
+      decoratedDocs(s, dir)
+        .write.format("xml").option("rootTag", "docs").option("rowTag", "doc")
+        .mode("overwrite").save(p)
+    }
+    sourceFingerprint(
+      sourceReader(s)
+        .format("xml").option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(path))
+  }
+
   def knnTopK(s: SparkSession, dir: String): DataFrame =
     Search.knnTopK(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),

@@ -81,6 +81,29 @@ class SourceScanSpec extends SparkSpec {
     }
   }
 
+  test("xml round-trip is value-exact incl. entity-escaped chars and the decoration") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "s1", "markup chars & < > \" ' in text"),
+      (2L, "en", "s1", "entity lookalikes &amp; &lt; stay literal"),
+      (3L, "en", "s2", "cdata trap ]]> inside text"),
+      (4L, "en", "s2", "decoration " + Queries.SourceDecoration)
+    ).toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_x").toString + "/d"
+    rows.write.format("xml").option("rootTag", "docs").option("rowTag", "doc").save(dir)
+    val back = spark.read.schema(schema)
+      .format("xml").option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .load(dir)
+      .cache()
+    assert(back.filter(col("_corrupt").isNotNull).count() === 0)
+    val a = rows.select("doc_id", "lang", "source", "text")
+    val b = back.select("doc_id", "lang", "source", "text")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "xml entity escaping must be lossless")
+  }
+
   test("malformed jsonl lines are counted in _corrupt, not dropped or fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_m").toString
     java.nio.file.Files.write(
