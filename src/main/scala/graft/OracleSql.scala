@@ -1773,7 +1773,8 @@ object OracleSql {
       s"""WITH v AS (SELECT label, ${dvec("embedding")} AS ev FROM embeddings),
          |nn AS (SELECT label, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM v),
          |q AS (SELECT label, CAST(round(nrm * 1e6) AS BIGINT) AS nmic,
-         |        list_transform(ev, x -> CAST(round(x * 100000 / nrm) AS BIGINT)) AS u FROM nn),
+         |        list_transform(ev, x -> CASE WHEN nrm > 0
+         |          THEN CAST(round(x * 100000 / nrm) AS BIGINT) ELSE 0 END) AS u FROM nn),
          |r AS (SELECT label, nmic, u,
          |        CAST(list_sum(list_transform(u, q -> q * q)) AS BIGINT) AS qn2 FROM q),
          |d AS (SELECT label, i, u[i] AS qv FROM r, LATERAL (SELECT unnest(generate_series(1, len(u))) AS i)),
@@ -2719,7 +2720,8 @@ object OracleSql {
         |SELECT n_rows, n_keys, max_count,
         |       ROUND(CAST(max_count AS DOUBLE) / n_rows, 5) AS max_share,
         |       ROUND(CAST(topk AS DOUBLE) / n_rows, 5) AS top10_share,
-        |       ROUND(sqrt(CAST(n_keys * sumsq - n_rows * n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE), 5) AS cv
+        |       ROUND(sqrt(CAST(n_keys AS DOUBLE) * CAST(sumsq AS DOUBLE) -
+        |                  CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE), 5) AS cv
         |FROM tot, top""".stripMargin,
 
     "events_funnel" ->

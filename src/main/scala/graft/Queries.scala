@@ -1439,12 +1439,20 @@ object Queries {
       .select(col("source"), col("n"),
         element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("p"),
         col("col.ex").as("_ev"), col("col.ax").as("_av"))
+    // With duplicated values the sketch value's exact rank is an
+    // INTERVAL [count(v < av), count(v <= av)], not a point: accept
+    // when that interval intersects [p·n − n/acc − 1, p·n + n/acc + 1].
+    // The single upper-rank test spuriously fails a within-bound sketch
+    // whenever a heavy duplicate run straddles the quantile.
     per.join(d, Seq("source"))
       .groupBy(col("source"), col("p"), col("n"), col("_ev"), col("_av"))
-      .agg(sum(when(col("v") <= col("_av"), 1L).otherwise(0L)).as("_rank"))
+      .agg(
+        sum(when(col("v") < col("_av"), 1L).otherwise(0L)).as("_rank_lo"),
+        sum(when(col("v") <= col("_av"), 1L).otherwise(0L)).as("_rank_hi"))
       .select(col("source"), col("p"), round(col("_ev"), 4).as("value"),
-        (abs(col("_rank") - col("p") * col("n")) <=
-          col("n").cast("double") / acc + 1.0).as("digest_ok"))
+        (col("_rank_lo") <= col("p") * col("n") + col("n").cast("double") / acc + 1.0 &&
+          col("_rank_hi") >= col("p") * col("n") - col("n").cast("double") / acc - 1.0)
+          .as("digest_ok"))
       .orderBy("source", "p")
   }
 
@@ -1921,8 +1929,13 @@ object Queries {
       VectorOps.toDouble(col("embedding")).as("ev"))
       .withColumn("nrm", VectorOps.l2Norm(col("ev")))
       .withColumn("nmic", round(col("nrm") * 1e6, 0).cast("long"))
+      // Zero-norm guard: x·grid/0 = Inf, which Spark's round/cast turns
+      // into nulls (silently poisoning qn2/_sig2) while DuckDB errors on
+      // CAST(round(inf)) — a zero vector has no direction, so its unit
+      // components are defined as 0 on BOTH engines.
       .withColumn("u", transform(col("ev"),
-        x => round(x * lit(grid) / col("nrm"), 0).cast("long")))
+        x => when(col("nrm") > 0, round(x * lit(grid) / col("nrm"), 0).cast("long"))
+          .otherwise(lit(0L))))
       .withColumn("qn2", aggregate(col("u"), lit(0L), (a, q) => a + q * q))
     val perRow = base.groupBy("label").agg(
       count(lit(1)).as("n_vecs"),

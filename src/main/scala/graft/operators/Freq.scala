@@ -43,8 +43,13 @@ object Freq {
       itemCol: String,
       theta: Double,
       m: Int = 512): DataFrame = {
-    require(theta * (m + 1) >= 1.0,
-      s"theta*(m+1) must be >= 1 for completeness: theta=$theta m=$m")
+    // STRICT inequality: at the boundary theta*(m+1) == 1 an item with
+    // global count exactly N/(m+1) = ceil(theta*N) passes the HAVING cut
+    // yet can have local count exactly n_p/(m+1) in EVERY partition —
+    // Misra-Gries only retains items strictly above n_p/(m+1), so the
+    // boundary item would be a silent false negative.
+    require(theta * (m + 1) > 1.0,
+      s"theta*(m+1) must be > 1 for completeness: theta=$theta m=$m")
     recount(items, mgCandidates(items, itemCol, m), itemCol, theta)
   }
 

@@ -65,8 +65,15 @@ object Skew {
         col("n_rows"), col("n_keys"), col("max_count"),
         round(col("max_count").cast("double") / col("n_rows"), 5).as("max_share"),
         round(col("_topk").cast("double") / col("n_rows"), 5).as("top10_share"),
+        // n_keys·Σc² − (Σc)² computed in DOUBLES: in long arithmetic the
+        // product wraps silently past 2^63 at large scale (negative →
+        // sqrt → NaN) while the DuckDB twin would raise on BIGINT
+        // overflow — divergent exactly at the scale this diagnostic
+        // targets. Doubles are exact below 2^53 and degrade gracefully
+        // (monotone, no wrap) above; the twin casts identically.
         round(
-          sqrt((col("n_keys") * col("_sumsq") - col("n_rows") * col("n_rows")).cast("double")) /
+          sqrt(col("n_keys").cast("double") * col("_sumsq").cast("double") -
+            col("n_rows").cast("double") * col("n_rows").cast("double")) /
             col("n_rows").cast("double"), 5).as("cv"))
   }
 }

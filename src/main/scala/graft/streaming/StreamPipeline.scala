@@ -637,12 +637,23 @@ object StreamPipeline {
       docStream: DataFrame,
       theta: Double,
       m: Int): DataFrame = {
-    require(theta * (m + 1) >= 1.0,
-      s"theta*(m+1) must be >= 1 for completeness: theta=$theta m=$m")
+    // Strict, matching Freq.heavyHitters: at theta*(m+1) == 1 the
+    // pigeonhole argument only gives local count ≥ n_p/(m+1), but MG
+    // retention needs strictly greater — the boundary is a silent
+    // false-negative class.
+    require(theta * (m + 1) > 1.0,
+      s"theta*(m+1) must be > 1 for completeness: theta=$theta m=$m")
     val landTerms = deleteRecursivelyOnExit(
       java.nio.file.Files.createTempDirectory("graft_hh_t_")).toString + "/terms"
     val landCand = deleteRecursivelyOnExit(
       java.nio.file.Files.createTempDirectory("graft_hh_c_")).toString + "/cand"
+    // Seed both land dirs with an empty typed write: if EVERY
+    // micro-batch is empty the foreachBatch body never runs, and the
+    // drain's spark.read.parquet would throw 'Path does not exist'
+    // instead of returning the (correct) empty result.
+    val emptyTerms = spark.range(0).select(lit("").as("term"))
+    emptyTerms.write.mode("overwrite").parquet(landTerms)
+    emptyTerms.write.mode("overwrite").parquet(landCand)
     val stream = docStream.select("text")
     val q = stream.writeStream
       .outputMode("append")
