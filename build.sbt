@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the collector so bench cold times (GC-sensitive: one-time
+  // codegen + index builds allocate heavily) are comparable across
+  // boxes/JDK builds; Bench records the effective flags in its JSON.
+  "-XX:+UseG1GC",
 )

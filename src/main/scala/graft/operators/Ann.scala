@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * live there post-fit) to pick the nProbe nearest cells, then a single
   * pruned scan + cosine top-k over ~nProbe/k of the corpus.
   */
-object Ann {
+object Ann extends IndexMaintenance {
 
   final case class Index(
       centroids: Array[Array[Double]], // unit-sphere space, k x dim
@@ -188,13 +188,7 @@ object Ann {
     * file listing, so a probe scans ~nProbe/k of the corpus bytes.
     */
   def writeIndex(index: Index, path: String): Unit =
-    // cluster-hash exchange before the partitioned write (same rule as
-    // appendToIndex): without it every writing task opens a file in
-    // every cluster directory — O(tasks × k) files instead of O(k).
-    // At larger corpora raise spark.sql.shuffle.partitions; each
-    // cluster still lands in its own directory, just across more files.
-    index.assigned.repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+    writeClustered(index.assigned, path, "overwrite")
 
   /** Incremental index maintenance: assign NEW vectors to the existing
     * centroids and append them into the persisted partitioned layout —
@@ -206,27 +200,14 @@ object Ann {
     * [[assignmentCost]].
     */
   def appendToIndex(path: String, delta: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Unit =
-    // cluster-hash exchange before the partitioned write: a delta
-    // append must add O(k) files, not O(writing-tasks × k) — without it
-    // a 32-task micro-batch lands up to 256 files per trigger, and
-    // small-file accumulation (plus the commit/list cost per file) is
-    // what kills a continuously-maintained layout at scale.
-    assign(delta, vecCol, centroids)
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("append").parquet(path)
+    writeClustered(assign(delta, vecCol, centroids), path, "append")
 
-  /** DELETE maintenance for a persisted layout: deletions land as an
-    * append-only TOMBSTONE sidecar (`<path>/_tombstones` — the
-    * underscore prefix keeps it invisible to the data scan), never a
-    * partition rewrite. This is merge-on-read applied to the index —
-    * the exact analog of the ChunkStore's tombstone segments, and the
-    * only delete shape that works on a continuously-probed 100 TB
-    * layout (rewriting a cluster partition per delete batch would
-    * churn the files every probe prunes over).
+  /** DELETE maintenance for a persisted layout: the shared tombstone
+    * sidecar shape ([[IndexMaintenance]]) — the exact analog of the
+    * ChunkStore's tombstone segments.
     */
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame, idCol: String): Unit =
-    ids.select(idCol).distinct().coalesce(1)
-      .write.mode("append").parquet(s"$path/_tombstones")
+    appendTombstones(ids.select(idCol).distinct(), path)
 
   /** COMPACTION — the third maintenance verb after append and delete:
     * rewrite the LIVE rows (tombstones dropped, delta files folded back
@@ -237,19 +218,9 @@ object Ann {
     * live probe bit-for-bit (pinned in AnnSpec).
     */
   def compact(spark: SparkSession, path: String, outPath: String, idCol: String): Unit = {
-    require(outPath != path,
-      s"Ann.compact: outPath must differ from the source layout ($path) — " +
-        "mode(overwrite) over a directory concurrently read as input corrupts the index")
-    val all = spark.read.parquet(path)
-    val tombDir = java.nio.file.Paths.get(path, "_tombstones")
-    val live =
-      if (java.nio.file.Files.exists(tombDir))
-        all.join(
-          org.apache.spark.sql.functions.broadcast(spark.read.parquet(tombDir.toString)),
-          Seq(idCol), "left_anti")
-      else all
-    live.repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(outPath)
+    requireSeparateDir("Ann", path, outPath)
+    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+      outPath, "overwrite")
   }
 
   /** Probe serving only LIVE rows: the tombstone set (small next to
@@ -272,15 +243,7 @@ object Ann {
   ): DataFrame = {
     val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
     val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
-    // delete-free layouts have no sidecar: skip the anti-join instead of
-    // failing the listing (mirrors Fts.probe's guard)
-    val tombDir = java.nio.file.Paths.get(path, "_tombstones")
-    val live =
-      if (java.nio.file.Files.exists(tombDir))
-        pruned.join(
-          org.apache.spark.sql.functions.broadcast(spark.read.parquet(tombDir.toString)),
-          Seq(idCol), "left_anti")
-      else pruned
+    val live = liveFace(spark, path, pruned, idCol)
     Search
       .knnTopK(live, queryDf, vecCol, queryVec, idCol, topK)
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * is the third standard ANN memory lever next to IVF (A15), PQ (C6)
   * and SQ8 (C7).
   */
-object Bq {
+object Bq extends IndexMaintenance {
 
   /** Packed words needed for `dim` dimensions. */
   def nWords(dim: Int): Int = (dim + 63) / 64
@@ -82,10 +82,11 @@ object Bq {
       idCol: String,
       centroids: Array[Array[Double]],
       dim: Int = 64): Unit =
-    pack(Ann.assign(df, vecCol, centroids), vecCol, dim = dim)
-      .select(col(idCol) +: col("cluster") +:
-        (0 until nWords(dim)).map(w => col(s"bq_w$w")): _*)
-      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+    writeClustered(
+      pack(Ann.assign(df, vecCol, centroids), vecCol, dim = dim)
+        .select(col(idCol) +: col("cluster") +:
+          (0 until nWords(dim)).map(w => col(s"bq_w$w")): _*),
+      path, "overwrite")
 
   /** Probe the persisted IVF+BQ layout: nProbe-cell partition-pruned
     * scan of the packed words, hamming cut to `refine` (ties by id),

@@ -28,7 +28,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Like the reference (store.py:197 `replace=True`), a re-ingest
   * rebuilds: `build` overwrites the layout atomically per subdir.
   */
-object Fts {
+object Fts extends IndexMaintenance {
 
   // sumDl (not avgdl) is the stored stat so incremental appends stay
   // EXACTLY equal to a one-shot build: base+delta adds token counts,
@@ -95,13 +95,7 @@ object Fts {
       dir: String,
       sub: String,
       idCol: String
-  ): DataFrame = {
-    val df = segment(spark, dir, sub)
-    val tombDir = java.nio.file.Paths.get(dir, "_tombstones")
-    if (java.nio.file.Files.exists(tombDir))
-      df.join(broadcast(spark.read.parquet(tombDir.toString)), Seq(idCol), "left_anti")
-    else df
-  }
+  ): DataFrame = liveFace(spark, dir, segment(spark, dir, sub), idCol)
 
   /** Tokenize once; write term-sorted postings with dl denormalized,
     * plus the semantic sidecar: hashed-BoW doc-dim counts (`docdims`)
@@ -158,12 +152,7 @@ object Fts {
     * N/avgdl drift. Compaction = [[build]] over the live docs.
     */
   def deleteFromIndex(spark: SparkSession, index: Index, ids: DataFrame, idCol: String): Index = {
-    val tombPath = s"${index.dir}/_tombstones"
-    val requested = ids.select(idCol).distinct()
-    val fresh =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(tombPath)))
-        requested.join(broadcast(spark.read.parquet(tombPath)), Seq(idCol), "left_anti")
-      else requested
+    val fresh = freshIds(spark, index.dir, ids, idCol)
     // stats BEFORE the sidecar append: `fresh` reads the current
     // tombstone listing lazily, so the decrement must be materialized
     // while the sidecar still excludes this batch
@@ -171,7 +160,7 @@ object Fts {
       .join(broadcast(fresh), Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double"), sum("dl")).head()
-    fresh.coalesce(1).write.mode("append").parquet(tombPath)
+    appendTombstones(fresh, index.dir)
     if (st.isNullAt(1)) index
     else Index(index.dir, index.nDocs - st.getDouble(0), index.sumDl - st.getDouble(1))
   }
@@ -202,9 +191,7 @@ object Fts {
     * bit-identically to the tombstoned one (pinned in FtsSpec).
     */
   def compact(spark: SparkSession, index: Index, idCol: String, outDir: String): Index = {
-    require(outDir != index.dir,
-      s"Fts.compact: outDir must differ from the source layout ($outDir) — " +
-        "mode(overwrite) over a directory concurrently read as input corrupts the index")
+    requireSeparateDir("Fts", index.dir, outDir)
     liveSegment(spark, index.dir, "postings", idCol)
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", idCol)
@@ -228,7 +215,7 @@ object Fts {
   def cloneIndex(index: Index): Index = {
     val dst = java.nio.file.Files.createTempDirectory("graft_fts_clone_")
     val subs = Seq("postings", "docdims", "docnorms") ++
-      Seq("_tombstones").filter(t => java.nio.file.Files.exists(java.nio.file.Paths.get(index.dir, t)))
+      Seq(TombstonesSub).filter(_ => hasTombstones(index.dir))
     subs.foreach { sub =>
       val from = java.nio.file.Paths.get(index.dir, sub)
       val to = dst.resolve(sub)

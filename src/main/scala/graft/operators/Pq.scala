@@ -20,7 +20,7 @@ import org.apache.spark.sql.DataFrame
   *  - exact re-rank of the top `k * refineFactor` ADC candidates
   *    mirrors the reference's `search_refine_factor` (config.py:62).
   */
-object Pq {
+object Pq extends IndexMaintenance {
 
   /** Per-subspace codebooks: codebooks(j)(c) is the c-th centroid of
     * subspace j (each of length dim/m).
@@ -239,9 +239,10 @@ object Pq {
       ivfCentroids: Array[Array[Double]],
       model: Model
   ): Unit =
-    encode(Ann.assign(df, vecCol, ivfCentroids), vecCol, model)
-      .select(col(idCol), col(vecCol), col("codes"), col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+    writeClustered(
+      encode(Ann.assign(df, vecCol, ivfCentroids), vecCol, model)
+        .select(col(idCol), col(vecCol), col("codes"), col("cluster")),
+      path, "overwrite")
 
   /** Probe a persisted IVF-PQ index: partition-pruned scan of the
     * nProbe nearest cells → ADC rank → exact re-rank (reference:

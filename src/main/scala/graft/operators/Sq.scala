@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Reference anchor: store.py:274 (index hint) — quantization is the
   * other standard ANN memory lever next to IVF (A15) and PQ (C6).
   */
-object Sq {
+object Sq extends IndexMaintenance {
 
   /** Add (scale, codes) columns: per-row scale and int codes in
     * [-127, 127]. All-zero vectors get scale 0 and all-zero codes.
@@ -59,9 +59,10 @@ object Sq {
       vecCol: String,
       idCol: String,
       centroids: Array[Array[Double]]): Unit =
-    quantize(Ann.assign(df, vecCol, centroids), vecCol)
-      .select(col(idCol), col("cluster"), col("sq_scale"), col("sq_codes"))
-      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+    writeClustered(
+      quantize(Ann.assign(df, vecCol, centroids), vecCol)
+        .select(col(idCol), col("cluster"), col("sq_scale"), col("sq_codes")),
+      path, "overwrite")
 
   /** Probe the persisted IVF+SQ8 layout: nProbe-cell partition-pruned
     * scan of the CODES sidecar, approximate-cosine prune to `refine`
