@@ -21,6 +21,13 @@ object OracleArtifacts {
     */
   @volatile var retrievalEval: Option[Seq[(Long, Seq[String])]] = None
 
+  /** Held-out eval set from retrieval_eval_clusters: (query_id = the
+    * cluster's source doc_id, lossy query terms, relevant doc ids —
+    * the OTHER members of the derived near-dup cluster). A bounded
+    * driver artifact (≤16 clusters) the twin replays as VALUES.
+    */
+  @volatile var retrievalEvalClusters: Option[Seq[(Long, Seq[String], Seq[Long])]] = None
+
   /** (centroids, nProbe=5 ranked cells) from ann_recall_sweep — each
     * smaller nProbe probes a prefix of the ranked list.
     */
@@ -81,6 +88,11 @@ object OracleArtifacts {
     */
   @volatile var ivfsq: Option[(Array[Array[Double]], Seq[Int])] = None
 
+  /** (IVF centroids, probed cells) from ivfmrl_probe — the MRL leg is
+    * a plain list slice, so only the IVF side needs literals.
+    */
+  @volatile var ivfmrl: Option[(Array[Array[Double]], Seq[Int])] = None
+
   /** Principal components (r x dim) from pca_probe's memoized fit. */
   @volatile var pca: Option[Array[Array[Double]]] = None
 
@@ -108,7 +120,9 @@ object OracleArtifacts {
     ann = None; annIncremental = None; annDeleted = None; annCompacted = None
     annBatch = None; annBatchSq = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
-    ivfsq = None; pca = None; ivfsqResidual = None; streamPipeline = None
-    semdedup = None; clusterTopics = None
+    ivfsq = None; ivfbq = None; ivfmrl = None; pca = None
+    ivfsqResidual = None; streamPipeline = None
+    semdedup = None; clusterTopics = None; annSweep = None
+    retrievalEval = None; retrievalEvalClusters = None
   }
 }

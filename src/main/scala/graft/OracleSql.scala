@@ -276,13 +276,18 @@ object OracleSql {
     * by the static bm25_batch twin and the dynamic retrieval_eval twin
     * (whose query set is captured from the corpus at run time).
     */
-  private def bm25BatchSelect(queries: Seq[(Long, Seq[String])], k: Int): String = {
+  /** The batch-BM25 scoring CTE chain (… → `sc(query_id, doc_id,
+    * bm25)`) over an arbitrary (doc_id, text) source — `documents` for
+    * the static twins, the planted near-dup corpus for the
+    * cluster-eval twin.
+    */
+  private def bm25BatchScoreCtes(queries: Seq[(Long, Seq[String])], src: String): String = {
     val qValues = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
       .mkString(", ")
     val allTerms = queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM $src),
        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
        |qq AS (SELECT * FROM (VALUES $qValues) AS t(query_id, term)),
@@ -293,12 +298,15 @@ object OracleSql {
        |        ROUND(SUM( ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
        |             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) ), 5) AS bm25
        |       FROM tf JOIN qq USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-       |       GROUP BY qq.query_id, tf.doc_id),
+       |       GROUP BY qq.query_id, tf.doc_id)""".stripMargin
+  }
+
+  private def bm25BatchSelect(queries: Seq[(Long, Seq[String])], k: Int): String =
+    s"""WITH ${bm25BatchScoreCtes(queries, "documents")},
        |r AS (SELECT query_id, doc_id, bm25,
        |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk FROM sc)
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25, rk FROM r
        |WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
-  }
 
   private lazy val bm25BatchSql: String = bm25BatchSelect(Queries.BatchTextQueries, 5)
 
@@ -387,6 +395,46 @@ object OracleSql {
            |       CAST(COALESCE(_sr, 0) AS BIGINT) AS self_rank,
            |       COALESCE(ROUND(1.0 / _sr, 4), 0.0) AS rr
            |FROM qids q LEFT JOIN sr USING (query_id) ORDER BY q.query_id""".stripMargin
+      }
+    }
+    val retrievalClusterEntries = OracleArtifacts.retrievalEvalClusters.toSeq.map { qs =>
+      // Twin of Queries.retrievalEvalClusters: the batch-BM25 scoring
+      // chain over the PLANTED near-dup corpus (the dedup family's own
+      // corpus CTE), the held-out source excluded BEFORE ranking, and
+      // MRR/recall@10 recomputed from the derived (query, relevant)
+      // sets replayed as VALUES literals.
+      "retrieval_eval_clusters" -> {
+        val relValues = qs
+          .flatMap { case (q, _, rs) => rs.map(r => s"(CAST($q AS BIGINT), CAST($r AS BIGINT))") }
+          .mkString(", ")
+        val nrelValues = qs
+          .map { case (q, _, rs) => s"(CAST($q AS BIGINT), CAST(${rs.size} AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000 AS doc_id,
+           |         array_to_string(toks[1 : greatest(len(toks) - 5, 1)], ' ') AS text
+           |  FROM (SELECT doc_id, ${toks()} AS toks FROM documents WHERE doc_id < 25)),
+           |${bm25BatchScoreCtes(qs.map(q => (q._1, q._2)), "corpus")},
+           |ranked AS (SELECT query_id, doc_id, bm25,
+           |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk2
+           |           FROM sc WHERE doc_id <> query_id),
+           |top AS (SELECT * FROM ranked WHERE rk2 <= 10),
+           |qrel(query_id, doc_id) AS (SELECT * FROM (VALUES $relValues)),
+           |nrel(query_id, n_rel) AS (SELECT * FROM (VALUES $nrelValues)),
+           |per AS (SELECT t.query_id,
+           |         min(CASE WHEN qr.doc_id IS NOT NULL THEN t.rk2 END) AS hr,
+           |         sum(CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+           |        FROM top t LEFT JOIN qrel qr
+           |          ON t.query_id = qr.query_id AND t.doc_id = qr.doc_id
+           |        GROUP BY t.query_id)
+           |SELECT n.query_id, n.n_rel,
+           |       CAST(COALESCE(hr, 0) AS BIGINT) AS hit_rank,
+           |       COALESCE(ROUND(1.0 / hr, 4), 0.0) AS rr,
+           |       ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / n.n_rel, 4) AS recall_at_10
+           |FROM nrel n LEFT JOIN per ON n.query_id = per.query_id
+           |ORDER BY n.query_id""".stripMargin
       }
     }
     val annSweepEntries = OracleArtifacts.annSweep.toSeq.map { case (cents, cells5) =>
@@ -703,6 +751,25 @@ object OracleSql {
            |SELECT vec_id, cluster, hamming, ${cosine("ev", "qv")} AS cos_sim
            |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val ivfmrlEntries = OracleArtifacts.ivfmrl.toSeq.map { case (cents, cells) =>
+      // Twin of Queries.ivfmrlProbe: IVF assignment (fitted-centroid
+      // literals) filters to the probed cells; the MRL leg is a plain
+      // 1-based inclusive list slice (== Spark's slice(col, 1, 16) ==
+      // the stored prefix column, which is exactly the leading float
+      // elements); prefix-cosine prune to 40, exact full-dim re-rank.
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      "ivfmrl_probe" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+           |dst AS (SELECT vec_id, ev, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst
+           |        WHERE (list_indexof(dl, list_min(dl)) - 1) IN (${cells.mkString(", ")})),
+           |ap AS (SELECT vec_id, cluster, ev, ${cosine("ev[1:16]", "qv[1:16]")} AS approx_sim
+           |       FROM asg, q ORDER BY approx_sim DESC, vec_id LIMIT 40)
+           |SELECT vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim
+           |FROM ap, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val ivfsqResEntries = OracleArtifacts.ivfsqResidual.toSeq.map { case (cents, cells) =>
       // Twin of Queries.ivfsqResidual: IVF assignment (centroid
       // literals) → per-row centroid pick (CASE over cluster) →
@@ -834,8 +901,8 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
-      ivfbqEntries ++ ivfsqEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+      ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }
 

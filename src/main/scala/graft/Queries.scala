@@ -233,6 +233,27 @@ object Queries {
       "q_vec", "vec_id", "embedding", nProbe = 3, k = 10, refine = 40)
   }
 
+  /** IVF+MRL probe: the persisted cluster-partitioned PREFIX sidecar
+    * (first 16 of 64 dims — exact leading coordinates, no quantization),
+    * partition-pruned to the probed cells, prefix-cosine cut, exact
+    * full-dim re-rank from the base table
+    * ([[graft.operators.Matryoshka.probeIvfMrl]]) — IVF pruning
+    * compounded with the 4× prefix byte reduction, and the sidecar
+    * column is itself a vector (any d' ≤ 16 tier is one more slice, no
+    * re-encode).
+    */
+  def ivfmrlProbe(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
+    val q = queryVecDf(s, dir)
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    OracleArtifacts.ivfmrl = Some((index.centroids, cells))
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfmrl:$dir")(p =>
+      Matryoshka.writeIvfMrl(p, corpus, "embedding", "vec_id", index.centroids, dPrefix = 16))
+    Matryoshka.probeIvfMrl(s, path, index.centroids, corpus, q,
+      "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = 3, k = 10, refine = 40)
+  }
+
   def knnPerGroup(s: SparkSession, dir: String): DataFrame =
     Search.knnTopKPerGroup(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
@@ -544,6 +565,75 @@ object Queries {
         when(col("query_id") < 100, lit("self")).otherwise(lit("para")).as("variant"),
         coalesce(col("_sr"), lit(0L)).as("self_rank"),
         coalesce(round(lit(1.0) / col("_sr"), 4), lit(0.0)).as("rr"))
+      .orderBy("query_id")
+  }
+
+  /** Retrieval eval over a DERIVED held-out ground truth — MRR and
+    * recall@10 where the relevant documents are TRUE COMPETITORS, not
+    * the query's own source:
+    *
+    *   1. Near-dup clusters are derived by the proven B2+B6 operators
+    *      (MinHash-LSH pairs → connected components) over the planted
+    *      corpus — no oracle labels are assumed;
+    *   2. each cluster's min-id member becomes the QUERY source: its
+    *      lossy opening (every other token, positions 2/4/6/8, plus
+    *      token 13 — the `para` rewording class) is the query, and it
+    *      is HELD OUT (excluded from the result list), so ranking its
+    *      near-duplicates is the only way to score;
+    *   3. the relevant set is the cluster's OTHER members — documents
+    *      that genuinely compete with the whole corpus under BM25.
+    *
+    * Per query: `hit_rank` (first relevant in the top-10, 0 = miss),
+    * `rr` (its reciprocal — MRR is the mean over rows), and
+    * `recall_at_10` (fraction of the relevant set retrieved). The probe
+    * runs k=11 over the persisted index, drops the held-out source and
+    * re-ranks — identical to ranking the corpus-minus-source, since
+    * dropping ≤1 row from a top-11 preserves the top-10. The derived
+    * (query, relevant) sets are a bounded driver artifact (≤16
+    * clusters) stashed in [[OracleArtifacts]]; the twin replays the
+    * batch probe over the same planted corpus and recomputes both
+    * metrics from the VALUES literals.
+    */
+  def retrievalEvalClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = corpusWithNearDups(s, dir)
+    val idx = Fts.buildCached(s"$dir#neardup", corpus, "text", "doc_id")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashLshPairs(corpus, "text", "doc_id",
+        numHashes = 8, shingleK = 3, threshold = 0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grouped = clusters.groupBy(_._2).toSeq
+      .map { case (c, ms) => (c, ms.map(_._1).distinct.sorted.toSeq) }
+      .filter { case (c, ms) => ms.size >= 2 && ms.head == c }
+      .sortBy(_._1).take(16)
+    val srcIds = grouped.map(_._1)
+    val srcTok = corpus.filter(col("doc_id").isin(srcIds: _*))
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val qs = grouped.map { case (c, ms) =>
+      (c, Seq(1, 3, 5, 7, 12).flatMap(srcTok(c).lift), ms.filter(_ != c))
+    }
+    OracleArtifacts.retrievalEvalClusters = Some(qs)
+    val probes = Fts.probeBatch(s, idx, "doc_id", qs.map(q => (q._1, q._2)), k = 11)
+    val rel = qs.flatMap { case (q, _, rs) => rs.map(r => (q, r)) }
+      .toDF("query_id", "doc_id").withColumn("_rel", lit(1))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))
+    val per = probes.filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rk2", row_number().over(w))
+      .filter(col("rk2") <= 10)
+      .join(broadcast(rel), Seq("query_id", "doc_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(
+        min(when(col("_rel") === 1, col("rk2"))).as("_hr"),
+        sum(when(col("_rel") === 1, 1L).otherwise(0L)).as("_hits"))
+    qs.map { case (q, _, rs) => (q, rs.size.toLong) }.toDF("query_id", "n_rel")
+      .join(per, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("_hr"), lit(0L)).as("hit_rank"),
+        coalesce(round(lit(1.0) / col("_hr"), 4), lit(0.0)).as("rr"),
+        round(coalesce(col("_hits"), lit(0L)).cast("double") / col("n_rel"), 4)
+          .as("recall_at_10"))
       .orderBy("query_id")
   }
 
@@ -1756,6 +1846,29 @@ object Queries {
     Featurize.embedWithModel(
         docs(s, dir).select("doc_id", "text"), "text", Seq("doc_id"), 16,
         Featurize.encoderEmbedder())
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
+      .orderBy("doc_id", "k")
+
+  /** Multi-head encoder embeddings — the PRETRAINED-CLASS topology
+    * through the same seam ([[graft.operators.Featurize.encoderEmbedder]]
+    * over the checked-in `embed_encoder_mh.onnx`,
+    * [[graft.functions.OnnxFixture.encoderMhGraph]]): BPE subword ids →
+    * embedding Gather → 2 pre-LN layers of 4-head/32-dim attention
+    * (packed QKV → Split → per-head softmax → Concat → Wo) with exact
+    * Erf-GELU FFNs → final LayerNorm → mean-pool → L2 normalize — a
+    * MiniLM-class graph shape at 128 dims (embedder.py:38 runs
+    * nomic-embed through exactly this lifecycle). Registered rows-only
+    * (softmax/layernorm/erf are transcendental, no bit-exact SQL twin —
+    * the `embed_encoder` honest class); the forward pass is pinned
+    * against an independent plain-Scala recomputation in EncoderMhSpec.
+    */
+  def embedEncoderMh(s: SparkSession, dir: String): DataFrame =
+    Featurize.embedWithModel(
+        docs(s, dir).select("doc_id", "text"), "text", Seq("doc_id"),
+        graft.functions.OnnxFixture.MhModelDims,
+        Featurize.encoderEmbedder("/graft/embed_encoder_mh.onnx",
+          outDims = graft.functions.OnnxFixture.MhModelDims))
       .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
       .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
       .orderBy("doc_id", "k")

@@ -159,6 +159,127 @@ object OnnxFixture {
     inputName = "ids",
     outputName = "out")
 
+  // ── multi-head 2-layer encoder (graft/embed_encoder_mh.onnx) ───────
+
+  /** The pretrained-CLASS encoder shape (embedder.py:38 runs
+    * nomic-embed; MiniLM-class distillations are 2-6 layers, 4-12
+    * heads, 128-384 dims): 2 pre-LN transformer layers, 4 heads of 32
+    * dims over a 128-dim model width, GELU FFN with the standard 2×
+    * expansion (256), final LayerNorm, mean-pool. Weights are
+    * synthetic closed-form floats (scaled so post-LN activations keep
+    * softmax/GELU in their informative range) — the topology, not the
+    * training, is what the seam demonstrates: an externally-trained
+    * artifact with this graph runs through
+    * [[graft.operators.Featurize.encoderEmbedder]] unchanged.
+    */
+  val MhModelDims = 128
+  val MhHeads = 4
+  val MhHeadDims: Int = MhModelDims / MhHeads // 32
+  val MhFfnDims = 256
+  val MhLayers = 2
+
+  /** Embedding table [256×128], entries in [-0.75, 0.75] on a 1/8 grid. */
+  def mhEmb(v: Int, j: Int): Float = (((v * 37 + j * 11) % 13) - 6) / 8.0f
+
+  /** Projection/FFN weights, entries in [-0.0625, 0.0625] on a 1/96
+    * grid — sized so a 128-term row dot over post-LN (unit-variance)
+    * activations lands O(1). `m` indexes the matrix kind within a
+    * layer: 0=Wq 1=Wk 2=Wv 3=Wo 4=Wf1 5=Wf2.
+    */
+  def mhW(l: Int, m: Int, i: Int, j: Int): Float =
+    (((l * 101 + m * 53 + i * 31 + j * 17) % 13) - 6) / 96.0f
+
+  /** FFN biases, entries in [-0.1875, 0.1875]. `m`: 0=bf1 1=bf2. */
+  def mhB(l: Int, m: Int, j: Int): Float =
+    (((l * 71 + m * 41 + j * 13) % 7) - 3) / 16.0f
+
+  /** LayerNorm scales in [1, 1.5] and biases in [-0.25, 0.25].
+    * `m`: 0=pre-attention 1=pre-FFN (2=final uses l=MhLayers, m=0).
+    */
+  def mhGamma(l: Int, m: Int, j: Int): Float = 1.0f + ((l * 5 + m * 3 + j) % 5) / 8.0f
+  def mhBeta(l: Int, m: Int, j: Int): Float = (((l * 7 + m * 11 + j * 3) % 5) - 2) / 8.0f
+
+  private def mhMat(rows: Int, cols: Int, f: (Int, Int) => Float): OnnxMini.Tensor =
+    OnnxMini.Tensor(Seq(rows, cols), Array.tabulate(rows * cols)(x => f(x / cols, x % cols)))
+  private def mhVec(n: Int, f: Int => Float): OnnxMini.Tensor =
+    OnnxMini.Tensor(Seq(n), Array.tabulate(n)(f))
+  private def scalar(x: Float): OnnxMini.Tensor = OnnxMini.Tensor(Seq(1), Array(x))
+
+  /** The multi-head graph: ids → Gather → 2 × [pre-LN MHA (packed QKV
+    * MatMul → Split into 4 heads → per-head scaled softmax attention →
+    * Concat → Wo projection → residual) + pre-LN GELU FFN (exact-erf
+    * form: x·½·(1+erf(x/√2)) as Mul/Erf/Add/Mul/Mul nodes — how
+    * opset-13 exporters serialize non-approximate GELU) + residual] →
+    * final LayerNorm → ReduceMean pool. Exercises the executor's
+    * multi-output Split path, Concat re-merge and Erf.
+    */
+  def encoderMhGraph: OnnxMini.Graph = {
+    val nodes = Seq.newBuilder[OnnxMini.Node]
+    val inits = Map.newBuilder[String, OnnxMini.Tensor]
+    inits += "emb_table" -> mhMat(VocabSize, MhModelDims, mhEmb)
+    inits += "inv_sqrt_dh" -> scalar((1.0 / math.sqrt(MhHeadDims)).toFloat)
+    inits += "inv_sqrt2" -> scalar((1.0 / math.sqrt(2.0)).toFloat)
+    inits += "one" -> scalar(1.0f)
+    inits += "half" -> scalar(0.5f)
+    nodes += OnnxMini.Node("Gather", Seq("emb_table", "ids"), Seq("x0"),
+      Map("axis" -> OnnxMini.Attr(i = Some(0L))))
+    (0 until MhLayers).foreach { l =>
+      val x = s"x$l"
+      inits += s"ln1_g$l" -> mhVec(MhModelDims, mhGamma(l, 0, _))
+      inits += s"ln1_b$l" -> mhVec(MhModelDims, mhBeta(l, 0, _))
+      inits += s"Wq$l" -> mhMat(MhModelDims, MhModelDims, mhW(l, 0, _, _))
+      inits += s"Wk$l" -> mhMat(MhModelDims, MhModelDims, mhW(l, 1, _, _))
+      inits += s"Wv$l" -> mhMat(MhModelDims, MhModelDims, mhW(l, 2, _, _))
+      inits += s"Wo$l" -> mhMat(MhModelDims, MhModelDims, mhW(l, 3, _, _))
+      inits += s"ln2_g$l" -> mhVec(MhModelDims, mhGamma(l, 1, _))
+      inits += s"ln2_b$l" -> mhVec(MhModelDims, mhBeta(l, 1, _))
+      inits += s"Wf1$l" -> mhMat(MhModelDims, MhFfnDims, mhW(l, 4, _, _))
+      inits += s"bf1$l" -> mhVec(MhFfnDims, mhB(l, 0, _))
+      inits += s"Wf2$l" -> mhMat(MhFfnDims, MhModelDims, mhW(l, 5, _, _))
+      inits += s"bf2$l" -> mhVec(MhModelDims, mhB(l, 1, _))
+      nodes += OnnxMini.Node("LayerNormalization", Seq(x, s"ln1_g$l", s"ln1_b$l"), Seq(s"a$l"),
+        Map("epsilon" -> OnnxMini.Attr(f = Some(1e-5f))))
+      Seq("q", "k", "v").zipWithIndex.foreach { case (p, _) =>
+        nodes += OnnxMini.Node("MatMul", Seq(s"a$l", s"W$p$l"), Seq(s"$p$l"))
+        nodes += OnnxMini.Node("Split", Seq(s"$p$l"),
+          (0 until MhHeads).map(h => s"$p${l}_$h"),
+          Map("axis" -> OnnxMini.Attr(i = Some(1L))))
+      }
+      (0 until MhHeads).foreach { h =>
+        nodes += OnnxMini.Node("Transpose", Seq(s"k${l}_$h"), Seq(s"kt${l}_$h"),
+          Map("perm" -> OnnxMini.Attr(ints = Seq(1L, 0L))))
+        nodes += OnnxMini.Node("MatMul", Seq(s"q${l}_$h", s"kt${l}_$h"), Seq(s"s0_${l}_$h"))
+        nodes += OnnxMini.Node("Mul", Seq(s"s0_${l}_$h", "inv_sqrt_dh"), Seq(s"s1_${l}_$h"))
+        nodes += OnnxMini.Node("Softmax", Seq(s"s1_${l}_$h"), Seq(s"att${l}_$h"),
+          Map("axis" -> OnnxMini.Attr(i = Some(-1L))))
+        nodes += OnnxMini.Node("MatMul", Seq(s"att${l}_$h", s"v${l}_$h"), Seq(s"ctx${l}_$h"))
+      }
+      nodes += OnnxMini.Node("Concat", (0 until MhHeads).map(h => s"ctx${l}_$h"), Seq(s"cc$l"),
+        Map("axis" -> OnnxMini.Attr(i = Some(1L))))
+      nodes += OnnxMini.Node("MatMul", Seq(s"cc$l", s"Wo$l"), Seq(s"proj$l"))
+      nodes += OnnxMini.Node("Add", Seq(x, s"proj$l"), Seq(s"r1_$l"))
+      nodes += OnnxMini.Node("LayerNormalization", Seq(s"r1_$l", s"ln2_g$l", s"ln2_b$l"), Seq(s"n2_$l"),
+        Map("epsilon" -> OnnxMini.Attr(f = Some(1e-5f))))
+      nodes += OnnxMini.Node("MatMul", Seq(s"n2_$l", s"Wf1$l"), Seq(s"f0_$l"))
+      nodes += OnnxMini.Node("Add", Seq(s"f0_$l", s"bf1$l"), Seq(s"f1_$l"))
+      nodes += OnnxMini.Node("Mul", Seq(s"f1_$l", "inv_sqrt2"), Seq(s"g0_$l"))
+      nodes += OnnxMini.Node("Erf", Seq(s"g0_$l"), Seq(s"g1_$l"))
+      nodes += OnnxMini.Node("Add", Seq(s"g1_$l", "one"), Seq(s"g2_$l"))
+      nodes += OnnxMini.Node("Mul", Seq(s"f1_$l", s"g2_$l"), Seq(s"g3_$l"))
+      nodes += OnnxMini.Node("Mul", Seq(s"g3_$l", "half"), Seq(s"g4_$l"))
+      nodes += OnnxMini.Node("MatMul", Seq(s"g4_$l", s"Wf2$l"), Seq(s"f3_$l"))
+      nodes += OnnxMini.Node("Add", Seq(s"f3_$l", s"bf2$l"), Seq(s"f4_$l"))
+      nodes += OnnxMini.Node("Add", Seq(s"r1_$l", s"f4_$l"), Seq(s"x${l + 1}"))
+    }
+    inits += "lnf_g" -> mhVec(MhModelDims, mhGamma(MhLayers, 0, _))
+    inits += "lnf_b" -> mhVec(MhModelDims, mhBeta(MhLayers, 0, _))
+    nodes += OnnxMini.Node("LayerNormalization", Seq(s"x$MhLayers", "lnf_g", "lnf_b"), Seq("nf"),
+      Map("epsilon" -> OnnxMini.Attr(f = Some(1e-5f))))
+    nodes += OnnxMini.Node("ReduceMean", Seq("nf"), Seq("out"),
+      Map("axes" -> OnnxMini.Attr(ints = Seq(0L))))
+    OnnxMini.Graph(nodes.result(), inits.result(), inputName = "ids", outputName = "out")
+  }
+
   /** Score head [16×1] for the cross-encoder, entries in [-2, 2]. */
   def wScore(j: Int): Int = ((j * 23) % 5) - 2
 

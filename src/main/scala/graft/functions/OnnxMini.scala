@@ -14,17 +14,22 @@ import java.nio.{ByteBuffer, ByteOrder}
   * inputs/outputs/op_type; TensorProto 1/2/8/9 =
   * dims/data_type/name/raw_data; NodeProto 5 = AttributeProto with
   * name=1/f=2/i=3/ints=8). Supported ops: MatMul (activation ×
-  * weight AND activation × activation), Add (same-shape residual or
-  * row-broadcast bias), Mul (same-shape or scalar), Relu, Transpose,
-  * Softmax (rows, the opset-13 axis=-1 default), LayerNormalization
-  * (opset-17 form: X/scale/bias, epsilon attribute), Reshape (INT64
-  * shape tensor, one -1 wildcard), Gather (axis-0 embedding-table
-  * lookup by a rank-1 id list) and ReduceMean (axes attribute) —
-  * enough for an MLP, a single-head TRANSFORMER BLOCK (QKV
-  * projections → scaled scores → softmax → context → residual +
-  * layernorm → FFN), or a token-sequence ENCODER (id list → Gather
-  * embeddings → attention block → mean-pool); anything else fails
-  * loudly.
+  * weight AND activation × activation), Add (same-shape residual,
+  * row-broadcast bias, or scalar), Mul (same-shape or scalar), Relu,
+  * Erf (the exact-GELU primitive: GELU(x) = x·½·(1+erf(x/√2)) is
+  * expressed as Mul/Erf/Add nodes, exactly how exporters serialize
+  * non-approximate GELU in opset 13), Transpose, Softmax (rows, the
+  * opset-13 axis=-1 default), LayerNormalization (opset-17 form:
+  * X/scale/bias, epsilon attribute), Reshape (INT64 shape tensor, one
+  * -1 wildcard), Gather (axis-0 embedding-table lookup by a rank-1 id
+  * list), ReduceMean (axes attribute), Split (axis 1 into equal
+  * column blocks — the MULTI-HEAD slicing path; the executor's one
+  * multi-output op) and Concat (axis 1 — head re-merge) — enough for
+  * an MLP, a MULTI-HEAD multi-layer pre-LN TRANSFORMER encoder (QKV
+  * projections → per-head scaled scores → softmax → context → concat
+  * → output projection → residual, GELU FFN), or a token-sequence
+  * ENCODER (id list → Gather embeddings → attention blocks →
+  * mean-pool); anything else fails loudly.
   *
   * This is NOT a general ONNX runtime and does not pretend to be one:
   * it exists so the embedding seam exercises a genuine model FILE
@@ -246,11 +251,33 @@ object OnnxMini {
       Mat(a.rows, b.cols, o)
     }
     g.nodes.foreach { n =>
+      // Split is the one multi-output op: equal column blocks along
+      // axis 1 — the multi-head slicing path (head h reads columns
+      // [h·dh, (h+1)·dh) of the packed QKV projection).
+      if (n.opType == "Split") {
+        require(n.attrInt("axis", 1L) == 1L, "onnx-mini: Split supports only axis 1")
+        val a = mat(n.inputs(0))
+        val h = n.outputs.length
+        require(h > 0 && a.cols % h == 0,
+          s"onnx-mini: Split ${a.cols} cols into $h equal parts")
+        val dh = a.cols / h
+        n.outputs.zipWithIndex.foreach { case (name, part) =>
+          val o = new Array[Double](a.rows * dh)
+          var r = 0
+          while (r < a.rows) {
+            System.arraycopy(a.data, r * a.cols + part * dh, o, r * dh, dh)
+            r += 1
+          }
+          env(name) = Mat(a.rows, dh, o)
+        }
+      } else {
       val out = n.opType match {
         case "MatMul" => matmul(mat(n.inputs(0)), mat(n.inputs(1)))
         case "Add" =>
           val a = mat(n.inputs(0)); val b = mat(n.inputs(1))
-          if (a.rows == b.rows && a.cols == b.cols)
+          if (b.data.length == 1) // scalar broadcast (the GELU "+1")
+            Mat(a.rows, a.cols, a.data.map(_ + b.data(0)))
+          else if (a.rows == b.rows && a.cols == b.cols)
             Mat(a.rows, a.cols, Array.tabulate(a.data.length)(i => a.data(i) + b.data(i)))
           else if (b.rows == 1 && b.cols == a.cols) // bias broadcast over rows
             Mat(a.rows, a.cols,
@@ -267,6 +294,27 @@ object OnnxMini {
         case "Relu" =>
           val a = mat(n.inputs(0))
           Mat(a.rows, a.cols, a.data.map(x => if (x > 0) x else 0.0))
+        case "Erf" => // element-wise; with Mul/Add this is exact GELU
+          val a = mat(n.inputs(0))
+          Mat(a.rows, a.cols,
+            a.data.map(org.apache.commons.math3.special.Erf.erf))
+        case "Concat" => // axis 1: column-wise head re-merge
+          require(n.attrInt("axis", 1L) == 1L, "onnx-mini: Concat supports only axis 1")
+          val parts = n.inputs.map(mat)
+          val rows = parts.head.rows
+          require(parts.forall(_.rows == rows), "onnx-mini: Concat row mismatch")
+          val cols = parts.map(_.cols).sum
+          val o = new Array[Double](rows * cols)
+          var off = 0
+          parts.foreach { p =>
+            var r = 0
+            while (r < rows) {
+              System.arraycopy(p.data, r * p.cols, o, r * cols + off, p.cols)
+              r += 1
+            }
+            off += p.cols
+          }
+          Mat(rows, cols, o)
         case "Transpose" => // 2-D only: perm defaults to reverse
           require(n.attrInts("perm").forall(_ == Seq(1L, 0L)),
             "onnx-mini: Transpose supports only the 2-D swap perm")
@@ -368,6 +416,7 @@ object OnnxMini {
         case other => sys.error(s"onnx-mini: unsupported op $other")
       }
       env(n.outputs.head) = out
+      }
     }
     env.getOrElse(g.outputName, sys.error(s"onnx-mini: output ${g.outputName} never produced"))
   }

@@ -262,7 +262,8 @@ object Featurize {
     */
   def encoderEmbedder(
       resource: String = "/graft/embed_encoder.onnx",
-      maxLen: Int = 64
+      maxLen: Int = 64,
+      outDims: Int = graft.functions.OnnxFixture.HeadDims
   ): () => String => Array[Double] = () => {
     val session = graft.functions.OnnxMini.load(resource) // once per partition
     val merges = Bpe.merges // classpath artifact, loaded once
@@ -292,7 +293,7 @@ object Featurize {
           n += 1; i += 1
         }
       }
-      if (n == 0) new Array[Double](graft.functions.OnnxFixture.HeadDims)
+      if (n == 0) new Array[Double](outDims)
       else {
         val out = graft.functions.OnnxMini.run2d(
           session, graft.functions.OnnxMini.Mat(n, 1, ids.result())).data

@@ -33,7 +33,73 @@ import org.apache.spark.sql.functions._
   * Reference anchor: store.py:313 (vector query leg) — the serving
   * shape this accelerates.
   */
-object Matryoshka {
+object Matryoshka extends IndexMaintenance {
+
+  /** Persisted IVF+MRL layout: (id, cluster, mrl_prefix) partitioned by
+    * cluster — the C20 doc's own scale note made real: the dim-prefix
+    * IS the persisted candidate sidecar at 100 TB (dPrefix/dim of the
+    * bytes, 16/64 = 1/4 here), and unlike PQ/SQ/BQ codes the stored
+    * column is itself a vector, so any d' ≤ dPrefix precision tier is
+    * one further `slice` away with no re-encode. Lifecycle (append /
+    * tombstone delete / compact) comes from [[IndexMaintenance]] —
+    * the write shares [[writeClustered]]'s cluster-hash exchange, a
+    * delta is `writeClustered(assign+slice, path, "append")`, exactly
+    * the [[Ann.appendToIndex]] shape. Full-precision vectors stay in
+    * the base table; the refine re-rank fetches them by id.
+    */
+  def writeIvfMrl(
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      dPrefix: Int = 16): Unit =
+    writeClustered(
+      Ann.assign(df, vecCol, centroids)
+        .select(col(idCol), col("cluster"),
+          slice(col(vecCol), 1, dPrefix).as("mrl_prefix")),
+      path, "overwrite")
+
+  /** Probe the persisted IVF+MRL layout: nProbe-cell partition-pruned
+    * scan of the PREFIX sidecar, prefix-cosine prune to `refine`
+    * candidates, exact full-dim re-rank against the base table joined
+    * back by id — IVF pruning compounded with the prefix's 4× byte
+    * reduction, the same two-lever shape as [[Sq.probeIvfSq]] /
+    * [[Bq.probeIvf]]. The stored prefix elements are bit-identical to
+    * `slice(vec, 1, dPrefix)` of the base vector (no quantization), so
+    * the whole probe stays exactly DuckDB-twinnable given the fitted
+    * IVF centroids.
+    */
+  def probeIvfMrl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queryDf: DataFrame,
+      queryVec: String,
+      idCol: String,
+      vecCol: String,
+      dPrefix: Int = 16,
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40): DataFrame = {
+    val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    val candidates = liveFace(spark, path, pruned, idCol)
+      .crossJoin(broadcast(queryDf))
+      .withColumn("approx_sim",
+        VectorOps.cosineRounded(col("mrl_prefix"), slice(col(queryVec), 1, dPrefix)))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(refine)
+    base
+      .join(broadcast(candidates), idCol)
+      .crossJoin(broadcast(queryDf))
+      .withColumn("cos_sim", VectorOps.cosineRounded(col(vecCol), col(queryVec)))
+      .select(col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Two-stage probe: prefix-cosine prune to `refine` candidates
     * (TakeOrderedAndProject — no full sort), exact full-dim cosine

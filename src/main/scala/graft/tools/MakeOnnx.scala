@@ -54,6 +54,21 @@ object MakeOnnx {
     println(s"[make-onnx] ${encBytes.length} bytes, ${ge.initializers.size} initializers, " +
       s"enc out[0..3] = ${e7.data.take(4).mkString(", ")} -> $encOut")
 
+    // fifth artifact: the multi-head 2-layer pre-LN GELU encoder
+    val mhOut = out.replace("embed_mlp.onnx", "embed_encoder_mh.onnx")
+    val mhBytes = OnnxMini.write(OnnxFixture.encoderMhGraph)
+    java.nio.file.Files.write(java.nio.file.Paths.get(mhOut), mhBytes)
+    val gm = OnnxMini.parse(mhBytes)
+    require(gm.nodes.count(_.opType == "Split") == 3 * OnnxFixture.MhLayers &&
+      gm.nodes.count(_.opType == "Erf") == OnnxFixture.MhLayers &&
+      gm.nodes.count(_.opType == "Concat") == OnnxFixture.MhLayers,
+      "multi-head encoder ops must survive the wire round-trip")
+    val m9 = OnnxMini.run2d(gm, OnnxMini.Mat(9, 1, Array.tabulate(9)(i => (i * 53 % 256).toDouble)))
+    val m1 = OnnxMini.run2d(gm, OnnxMini.Mat(1, 1, Array(17.0)))
+    require(m9.cols == OnnxFixture.MhModelDims && m1.cols == OnnxFixture.MhModelDims)
+    println(s"[make-onnx] ${mhBytes.length} bytes, ${gm.initializers.size} initializers, " +
+      s"mh out[0..3] = ${m9.data.take(4).mkString(", ")} -> $mhOut")
+
     // fourth artifact: the cross-encoder reranker (encoder + score head)
     val ceOut = out.replace("embed_mlp.onnx", "cross_encoder.onnx")
     val ceBytes = OnnxMini.write(OnnxFixture.crossEncoderGraph)

@@ -62,6 +62,60 @@ class MatryoshkaSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("persisted IVF+MRL probe equals a driver recompute over the probed cells; inherited tombstones honored") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(779)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding").filter(col("vec_id") =!= 0)
+    val qv = rows.head._2
+    val q = Seq(Tuple1(qv)).toDF("q_vec")
+    val index = Ann.build(corpus, "embedding", "vec_id", k = 5, seed = 42)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl_spec").toString + "/idx"
+    Matryoshka.writeIvfMrl(dir, corpus, "embedding", "vec_id", index.centroids, dPrefix = 16)
+    val nProbe = 2
+    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe).toSet
+
+    // Driver recompute: NearestCentroid semantics (normalize, sequential
+    // squared euclidean, first-minimum tie-break), cell filter, prefix
+    // rank to refine, exact re-rank to k — the twin's arithmetic.
+    def assignCell(v: Array[Float]): Int = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val u = v.map(_ / n)
+      var best = 0; var bestD = Double.MaxValue
+      index.centroids.zipWithIndex.foreach { case (c, i) =>
+        val d = c.zip(u).map { case (a, b) => (a - b) * (a - b) }.sum
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    def expected(excluded: Set[Long]): Seq[(Long, Double, Double)] =
+      rows.tail
+        .filterNot { case (id, _) => excluded(id) }
+        .filter { case (_, v) => cells(assignCell(v)) }
+        .map { case (id, v) => (id, r5(cos(v, qv, 16)), v) }
+        .sortBy { case (id, a, _) => (-a, id) }.take(20)
+        .map { case (id, a, v) => (id, a, r5(cos(v, qv, dim))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+
+    def got(): Seq[(Long, Double, Double)] =
+      Matryoshka.probeIvfMrl(spark, dir, index.centroids, corpus, q,
+          "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = nProbe, k = 5, refine = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+
+    val before = got()
+    assert(before == expected(Set.empty), s"probe:\n$before\n${expected(Set.empty)}")
+
+    // Delete the top hit via the trait's tombstone verb: the probe must
+    // serve only live rows, equal to the recompute over the live corpus.
+    val topId = before.head._1
+    Matryoshka.appendTombstones(Seq(topId).toDF("vec_id"), dir)
+    val after = got()
+    assert(!after.exists(_._1 == topId), after.toString)
+    assert(after == expected(Set(topId)), s"live probe:\n$after\n${expected(Set(topId))}")
+  }
+
   test("candidate stage plans as TakeOrderedAndProject (no full sort)") {
     val rows = (0 until 50).map(i => (i.toLong, Array.fill(dim)(i.toFloat + 1)))
     val corpus = rows.toDF("vec_id", "embedding")
