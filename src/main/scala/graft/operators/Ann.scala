@@ -69,17 +69,33 @@ object Ann extends IndexMaintenance {
     * non-file inputs it is still one narrow pass against the 14 wide
     * passes the unsampled fit would run).
     */
+  /** The fit-sample row target for a k-centroid quantizer: the
+    * 256/centroid FAISS budget with a 2000-row floor. EVERYTHING the
+    * KMeans fit consumes is bounded by ~this (a Bernoulli sample has
+    * binomial variance around it) — the corpus never passes through
+    * the fit, which is the property that keeps the coarse-quantizer
+    * build viable at 10⁹ vectors (AnnSpec pins it; ScaleCheck/PLANS.md
+    * carry the measured fit-cost-vs-N table).
+    */
+  private[graft] def fitTarget(k: Int): Long =
+    math.max(TrainPointsPerCentroid * k, 2000L)
+
+  /** Deterministic fit sample (fixed seed, fraction from the row
+    * count): ≤ ~[[fitTarget]] rows regardless of corpus size. Sampling
+    * happens BEFORE the per-row featurize — Spark does not push Sample
+    * under a Project, so featurize-then-sample would pay the O(d)
+    * vector math for every discarded row.
+    */
+  private[graft] def fitSample(df: DataFrame, n: Long, k: Int, seed: Long): DataFrame = {
+    val target = fitTarget(k)
+    if (n > 2 * target) df.sample(withReplacement = false, target.toDouble / n, seed)
+    else df
+  }
+
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long,
             rowCount: Option[Long] = None): Index = {
-    // Deterministic fit sample FIRST (fixed seed, fraction from the row
-    // count), so the per-row featurize below runs on sampled rows only
-    // — Spark does not push Sample under a Project, so featurize-then-
-    // sample would pay the O(d) vector math for every discarded row.
     val n = rowCount.getOrElse(df.count())
-    val target = math.max(TrainPointsPerCentroid * k, 2000L)
-    val sampled =
-      if (n > 2 * target) df.sample(withReplacement = false, target.toDouble / n, seed)
-      else df
+    val sampled = fitSample(df, n, k, seed)
     // Cluster on L2-normalized vectors: euclidean cells on the unit
     // sphere are cosine cells, so a cosine probe's neighbors
     // concentrate in few cells. The sample is cached and MATERIALIZED

@@ -270,4 +270,26 @@ class AnnSpec extends SparkSpec {
     // the observable floor is well under the nominal 3x)
     assert(sk.getDouble(6) >= 1.5, s"expected skew, balance=${sk.getDouble(6)}")
   }
+
+  test("coarse-quantizer fit reads <= ~fitTarget rows at any corpus size (5M-row bound)") {
+    import org.apache.spark.sql.functions._
+    // 5M synthetic rows, never materialized wholesale: the fit-sample
+    // contract is what keeps a 10^9-vector quantizer build viable —
+    // the KMeans fit consumes ONLY the bounded Bernoulli sample, the
+    // corpus never passes through it (PLANS.md carries the measured
+    // fit-cost table from ScaleCheck's ivf section).
+    val n = 5000000L
+    val k = 100
+    val df = spark.range(n).select(col("id").as("vec_id"))
+    val target = graft.operators.Ann.fitTarget(k) // 25600
+    val sampleRows = graft.operators.Ann.fitSample(df, n, k, seed = 42L).count()
+    // Binomial(n, target/n): mean = target, sd = sqrt(target) ≈ 160.
+    // 6 sd is a never-flakes bound that still certifies boundedness.
+    val slack = 6 * math.sqrt(target.toDouble).toLong
+    assert(sampleRows <= target + slack && sampleRows >= target - slack,
+      s"fit sample must stay ~$target rows at n=$n, got $sampleRows")
+    // tiny corpora skip sampling entirely (the fit IS the corpus)
+    val small = spark.range(1000).toDF("vec_id")
+    assert(graft.operators.Ann.fitSample(small, 1000L, k, 42L).count() == 1000L)
+  }
 }

@@ -56,7 +56,7 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("every registered query has an oracle twin or is a documented rows-only key") {
-    val rowsOnly = Set("chunk_recursive", "embed_encoder", "rerank_cross")
+    val rowsOnly = Set("chunk_recursive", "embed_encoder", "embed_encoder_mh", "rerank_cross")
     // twinned at RUNTIME via OracleArtifacts fitted-constant literals
     // (OracleSql.dynamic is empty until the query has run) — every new
     // fitted-model query must be consciously added here or to the
@@ -65,9 +65,10 @@ class PlanGuardSpec extends SparkSpec {
       "ann_probe", "ann_recall", "ann_recall_sweep", "ann_stats",
       "ann_incremental", "ann_deleted", "ann_compacted", "ann_filtered",
       "ann_batch_probe", "ann_batch_persisted", "ann_batch_pq", "ann_batch_sq",
-      "ivfpq_probe", "ivfsq_probe", "ivfsq_residual", "ivfbq_probe",
+      "ivfpq_probe", "ivfsq_probe", "ivfsq_residual", "ivfbq_probe", "ivfmrl_probe",
       "pq_probe", "pca_probe", "cluster_topics", "semdedup",
-      "hybrid_indexed", "retrieval_eval", "stream_pipeline", "stream_ann")
+      "hybrid_indexed", "retrieval_eval", "retrieval_eval_clusters",
+      "stream_pipeline", "stream_ann")
     val untwinned =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly -- fittedTwinned
     assert(untwinned.isEmpty,
