@@ -195,7 +195,19 @@ object Featurize {
       dims: Int = 64,
       model: () => String => Array[Double] = () => hashedBowStubModel(64)
   ): DataFrame = {
-    val in = df.select(keep.map(col) :+ col(textCol).as("_text"): _*)
+    val in0 = df.select(keep.map(col) :+ col(textCol).as("_text"): _*)
+    // Fan the model scoring out to the session's full parallelism: a
+    // per-row model forward costs 100-1000x a normal projection, so a
+    // small input landing in fewer partitions than cores (locally: one
+    // parquet file = ONE partition) serializes the whole corpus through
+    // one core — measured 112 s -> ~6 s on the 128-dim multi-head
+    // encoder at local[32]. Inputs already wider than the core count
+    // keep their partitioning (no gratuitous full-corpus shuffle at
+    // scale; the shuffle moves text bytes once and the model math
+    // dwarfs it in every regime where this path matters).
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val in =
+      if (in0.rdd.getNumPartitions < cores) in0.repartition(cores) else in0
     val schema = org.apache.spark.sql.types.StructType(
       in.schema.fields.dropRight(1) :+ org.apache.spark.sql.types.StructField(
         "embedding",

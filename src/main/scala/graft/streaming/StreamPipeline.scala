@@ -595,6 +595,15 @@ object StreamPipeline {
       java.nio.file.Files.createTempDirectory("graft_drift_s_")).toString + "/s"
     val stream = documentStream(spark, dir)
       .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    // Seed both land dirs with empty typed writes (the heavy-hitters
+    // empty-stream guard): an all-empty stream must drain to the
+    // zero-count drift result, not a 'Path does not exist' throw.
+    val emptyDocs = spark.range(0)
+      .select(col("id").as("doc_id"), lit("").as("text"))
+    graft.operators.TextAnalysis.driftTermCounts(emptyDocs, "text", "cb")
+      .write.mode("overwrite").parquet(landTerms)
+    graft.operators.TextAnalysis.driftShapePartials(emptyDocs, "text")
+      .write.mode("overwrite").parquet(landShape)
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -48,7 +48,10 @@ class PlanGuardSpec extends SparkSpec {
       getClass.getResourceAsStream("/graft/baseline_sf01.txt"))(scala.io.Codec.UTF8)
     val rows = try src.getLines().map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(_.split("\\s+")(0)).toSet finally src.close()
+      .map(_.split("\\s+")(0))
+      // __calib_* rows are the box-speed calibration workloads' own
+      // baselines (BASELINE.md), not query rows
+      .filterNot(_.startsWith("__calib_")).toSet finally src.close()
     val missing = SparkEntry.queries.keySet -- rows
     val orphans = rows -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"queries without a baseline row: ${missing.toSeq.sorted.mkString(", ")}")
