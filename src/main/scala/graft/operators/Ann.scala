@@ -121,6 +121,133 @@ object Ann extends IndexMaintenance {
     Index(centroids, assign(df, vecCol, centroids), vecCol, idCol)
   }
 
+  /** Two-level coarse-quantizer artifacts: the flat concatenated
+    * codebook (drop-in for every probe entry point) plus the hierarchy
+    * (super-centroids and per-super sub-codebooks with their offsets
+    * into the flat codebook) for O(√k)-per-row assignment.
+    */
+  final case class TwoLevel(
+      superCents: Array[Array[Double]],
+      subCents: Array[Array[Array[Double]]], // per super: k_s x dim
+      offsets: Array[Int]                    // flat-codebook offset per super
+  ) {
+    def flat: Array[Array[Double]] = subCents.flatten
+  }
+
+  /** TWO-LEVEL (hierarchical) coarse-quantizer fit — the 10⁹-vector
+    * path the flat fit cannot take (measured, PLANS.md: at nlist = √N
+    * and sample = 256·nlist the flat fit's assignment work inside
+    * Lloyd is 256·nlist² = 256·N — LINEAR in the corpus with a large
+    * constant; 35 min single-box at 5M vectors):
+    *
+    *   1. fit ⌈√k⌉ SUPER-cells on the standard bounded sample (a
+    *      √k-sized MLlib fit — cheap);
+    *   2. assign the sample to super-cells with the SQL-replicable
+    *      [[graft.plans.NearestCentroid]] (the same expression the
+    *      corpus assignment uses);
+    *   3. allocate k sub-cells across super-cells ∝ sample mass
+    *      (largest-remainder, every super ≥ 1, Σ = k) and fit each
+    *      super-cell's sub-quantizer with a LOCAL seeded
+    *      k-means++/Lloyd ([[Pq.lloyd]]) inside ONE distributed
+    *      `flatMapGroups` pass — each group is that super-cell's slice
+    *      of the bounded sample, so every local fit sits in one task's
+    *      memory and the super-cells fit in parallel;
+    *   4. the concatenated sub-codebooks ARE a flat k-centroid
+    *      codebook: every probe entry point (nearestCells, persisted
+    *      layouts, batch probes) works unchanged.
+    *
+    * Fit cost drops from 256·k per sample row to ~2·√k·256 per sample
+    * row (≈ 512·N^{3/4} total at k = √N); per-corpus-row ASSIGNMENT
+    * drops from k to √k + k_s distance evals via [[assignTwoLevel]]'s
+    * lazily-evaluated per-super CASE. The trade (standard for IMI-
+    * style hierarchies): a boundary vector may land in a sub-cell of
+    * the "wrong" super, so cells are slightly less tight than the flat
+    * fit's — recall at matched nProbe is spec-pinned (TwoLevelSpec)
+    * and the flat [[build]] stays the default below ~10M vectors.
+    */
+  def buildTwoLevel(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long,
+                    rowCount: Option[Long] = None): (Index, TwoLevel) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = rowCount.getOrElse(df.count())
+    val kSuper = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sampleCache = fitSample(df, n, k, seed)
+      .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
+      .cache()
+    sampleCache.count()
+    val superModel = new KMeans()
+      .setK(kSuper).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_features").setPredictionCol("_super")
+      .fit(sampleCache.coalesce(4))
+    val superCents = superModel.clusterCenters.map(_.toArray)
+    val sampleAssigned = sampleCache
+      .withColumn("_super",
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.NearestCentroid(
+            org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+            superCents, normalizeInput = true)))
+      .select(col("_super"), VectorOps.normalize(col(vecCol)).as("_nv"))
+      .as[(Int, Seq[Double])]
+    // sub-cell allocation ∝ sample mass: floor + largest remainder,
+    // every non-empty super gets ≥ 1; empty supers get 1 degenerate
+    // cell (their own centroid) so offsets stay total and Σ = k.
+    val counts: Map[Int, Long] = sampleAssigned.groupByKey(_._1).count().collect().toMap
+    val total = counts.values.sum.toDouble
+    val raw = (0 until kSuper).map(s => counts.getOrElse(s, 0L) / total * k)
+    val base = raw.map(r => math.max(1, r.toInt))
+    var left = k - base.sum
+    val order = raw.zipWithIndex.sortBy { case (r, _) => -(r - r.toInt) }.map(_._2)
+    val alloc = base.toArray
+    var oi = 0
+    while (left > 0 && oi < kSuper) { alloc(order(oi)) += 1; left -= 1; oi += 1 }
+    while (left < 0) { // floors over-allocated (tiny k): trim the largest
+      val j = alloc.zipWithIndex.maxBy(_._1)._2
+      if (alloc(j) > 1) { alloc(j) -= 1; left += 1 } else left = 0
+    }
+    val allocB = spark.sparkContext.broadcast(alloc)
+    val fitted: Map[Int, Array[Array[Double]]] = sampleAssigned
+      .groupByKey(_._1)
+      .mapGroups { (s, it) =>
+        val pts = it.map(_._2.toArray).toArray
+        val ks = math.min(allocB.value(s), math.max(1, pts.length))
+        (s, Pq.lloyd(pts, ks, iters = 10, new scala.util.Random(seed + s))
+          .map(_.toSeq).toSeq)
+      }
+      .collect()
+      .map { case (s, cs) => s -> cs.map(_.toArray).toArray }
+      .toMap
+    sampleCache.unpersist()
+    // empty/short supers pad with their super-centroid so alloc holds
+    val subCents = Array.tabulate(kSuper) { s =>
+      val got = fitted.getOrElse(s, Array.empty[Array[Double]])
+      if (got.length >= alloc(s)) got.take(alloc(s))
+      else got ++ Array.fill(alloc(s) - got.length)(superCents(s).clone())
+    }
+    val offsets = subCents.scanLeft(0)(_ + _.length).init
+    val two = TwoLevel(superCents, subCents, offsets)
+    (Index(two.flat, assignTwoLevel(df, vecCol, two), vecCol, idCol), two)
+  }
+
+  /** Hierarchical assignment: nearest super-cell, then nearest
+    * sub-cell WITHIN that super — O(√k + k_s) distance evals per row
+    * instead of the flat O(k) — in ONE codegen'd expression
+    * ([[graft.plans.NearestCentroidTwoLevel]]). A CASE over √k
+    * [[graft.plans.NearestCentroid]] branches was measured SLOWER than
+    * the flat assignment (897 s vs 724 s for the 2.5M-row layout
+    * write): the generated CASE blows past janino limits and falls
+    * back to interpreted evaluation — the round-8 ADC-literal lesson
+    * again, plan SIZE is a scale axis. Cluster ids index the FLAT
+    * codebook (offset + sub index), so probes prune the same
+    * partitions either way.
+    */
+  def assignTwoLevel(df: DataFrame, vecCol: String, two: TwoLevel): DataFrame =
+    df.withColumn(
+      "cluster",
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.NearestCentroidTwoLevel(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          two.superCents, two.subCents, two.offsets)))
+
   /** Append `cluster` via the SQL-replicable nearest-centroid codegen
     * expression (input L2-normalized in-loop to match the unit-sphere
     * centroid space).

@@ -91,7 +91,7 @@ object Pq extends IndexMaintenance {
     * under the seed; avoids the duplicate/closely-packed seeds a plain
     * random pick produces, which is worth real recall at the same m.
     */
-  private def kppInit(
+  private[operators] def kppInit(
       pts: Array[Array[Double]],
       k: Int,
       rnd: scala.util.Random
@@ -124,7 +124,7 @@ object Pq extends IndexMaintenance {
   /** Tiny deterministic Lloyd's with k-means++ seeding, fixed
     * iterations, stable tie-breaks.
     */
-  private def lloyd(
+  private[operators] def lloyd(
       pts: Array[Array[Double]],
       k: Int,
       iters: Int,

@@ -18,7 +18,8 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val maxFactor = if (args.length > 1) args(1).toInt else 20
-    val onlyIvf = args.length > 2 && args(2) == "ivf"
+    val section = if (args.length > 2) args(2) else ""
+    val onlyIvf = section == "ivf" || section == "ivf2"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -221,7 +222,8 @@ object ScaleCheck {
     // Recall vs the exact top-10 must hold as N and nlist grow
     // together; factors start at 10 so the query's true top-10 is its
     // own planted ball, not the unstructured base corpus.
-    for (factor <- Seq(maxFactor / 2, maxFactor).distinct.filter(_ >= 10)) {
+    for (factor <- Seq(maxFactor / 2, maxFactor).distinct.filter(_ >= 10)
+         if section != "ivf2") {
       val e = Tables.embeddings(spark, sfDir)
       val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
         .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
@@ -289,6 +291,45 @@ object ScaleCheck {
       time(f"ivf_probe_compacted nlist=$nlist",
         Ann.probePersisted(spark, compDir, ivfIdx.centroids, ivfQuery,
           "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10))
+    }
+    // Two-level fit at the same scales (section `ivf2`): the flat fit's
+    // measured wall (PLANS.md) against the hierarchical one, same
+    // corpus recipe, same nlist, recall at matched nProbe and at 2x.
+    for (factor <- Seq(maxFactor / 2, maxFactor).distinct.filter(_ >= 10)
+         if section == "ivf2") {
+      val e = Tables.embeddings(spark, sfDir)
+      val embCorpus = e.crossJoin(spark.range(factor).select(col("id").as("rep")))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"))
+      val perturbed = embCorpus.select(
+        col("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1).cast("double") +
+            pmod(col("vec_id"), lit(7)).cast("double") * lit(0.002)),
+          graft.functions.VectorOps.toDouble(slice(col("embedding"), 2, 63))
+        ).as("embedding"))
+      val corpusVecs = perturbed.filter(col("vec_id") =!= 0)
+      val nVecs = corpusVecs.count()
+      val nlist = math.max(8, math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+      val ivfQuery = perturbed.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val tb = System.nanoTime()
+      val (idx2, _) = Ann.buildTwoLevel(corpusVecs, "embedding", "vec_id", nlist, seed = 42,
+        rowCount = Some(nVecs))
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivf2_").toString + "/idx"
+      Ann.writeIndex(idx2, dir2)
+      println(f"[scale] ivf2_build nlist=$nlist%-16d ${(System.nanoTime() - tb) / 1e9}%7.2f s  ($nVecs vecs)")
+      time(f"ivf2_probe nlist=$nlist nprobe=4",
+        Ann.probePersisted(spark, dir2, idx2.centroids, ivfQuery,
+          "q_vec", "embedding", "vec_id", nProbe = 4, topK = 10))
+      val want = Ann.exact(corpusVecs, ivfQuery, "embedding", "q_vec", "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+      Seq(4, 8).foreach { np =>
+        val got = Ann.probePersisted(spark, dir2, idx2.centroids, ivfQuery,
+            "q_vec", "embedding", "vec_id", nProbe = np, topK = 10)
+          .collect().map(_.getLong(0)).toSet
+        println(f"[scale] ivf2_recall nlist=$nlist np=$np   ${(got & want).size / want.size.toDouble}%.2f")
+      }
     }
     spark.stop()
   }
