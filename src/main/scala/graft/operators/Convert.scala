@@ -556,54 +556,82 @@ object Convert {
     */
   private val MaxZipExtractBytes: Long = 64L * 1024 * 1024
 
+  /** Nested-archive recursion bound: zip-of-zips shipping is common in
+    * crawl dumps, but unbounded recursion on hostile archives is the
+    * zip-bomb shape — 3 levels covers every real corpus layout seen.
+    */
+  private val MaxZipDepth: Int = 3
+
   /** ZIP archive → text (converter.py:13 routes .zip through
     * MarkItDown, which converts the archive's members): every
     * supported entry runs through the SAME per-format [[convert]]
     * dispatch, each prefixed with a `# <entry name>` heading, and
     * entries are joined with form-feeds — so the ingest pipeline's
     * page-split stage gives every archive member its own page
-    * provenance. Depth 1 by design: a nested archive converts to its
-    * stub line rather than recursing (unbounded recursion on hostile
-    * archives is the zip-bomb shape, and one level covers the
-    * folder-of-documents-shipped-as-a-zip case). Unsupported members
-    * (images, media) are skipped. Returns None unless the payload
-    * opens with a local-file-header signature and yields at least one
-    * entry.
+    * provenance. NESTED archives recurse to [[MaxZipDepth]] levels
+    * (zip-of-zips shipping is common in crawl dumps), with members
+    * named `outer.zip/inner.txt`; past the depth bound a nested
+    * archive is skipped, never unboundedly recursed — and the
+    * EXTRACTION BUDGET is shared across every level (each read at any
+    * depth decrements the same counter), so a hostile zip-bomb
+    * amplifying per level still extracts at most [[MaxZipExtractBytes]]
+    * total. Unsupported members (images, media) are skipped. Returns
+    * None unless the payload opens with a local-file-header signature
+    * and yields at least one entry.
     */
-  def zipToText(bytes: Array[Byte]): Option[String] = {
-    if (bytes == null || bytes.length < 4 ||
-      !(bytes(0) == 'P' && bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4)) return None
+  def zipToText(bytes: Array[Byte], maxDepth: Int = MaxZipDepth): Option[String] = {
+    if (!zipSig(bytes)) None
+    else {
+      val budget = Array(MaxZipExtractBytes) // shared across recursion levels
+      val parts = zipWalk(bytes, "", maxDepth, budget)
+      if (parts.isEmpty) None else Some(parts.mkString("\f"))
+    }
+  }
+
+  private def zipSig(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'P' && bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4
+
+  private def readBounded(zin: java.util.zip.ZipInputStream, budget: Array[Long]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = zin.read(chunk)
+    while (n >= 0 && budget(0) > 0) {
+      val take = math.min(n.toLong, budget(0)).toInt
+      buf.write(chunk, 0, take); budget(0) -= take
+      n = if (budget(0) > 0) zin.read(chunk) else -1
+    }
+    buf.toByteArray
+  }
+
+  private def zipWalk(
+      bytes: Array[Byte],
+      prefix: String,
+      depth: Int,
+      budget: Array[Long]): Seq[String] = {
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     val parts = Seq.newBuilder[String]
-    var nParts = 0
-    var budget = MaxZipExtractBytes
     try {
       var e = zin.getNextEntry
-      while (e != null && budget > 0) {
+      while (e != null && budget(0) > 0) {
         if (!e.isDirectory) {
-          val name = e.getName
-          val ext = name.replaceAll("^.*\\.", "").toLowerCase
-          val inner =
-            if (ext == name.toLowerCase || ext == "zip") None // no extension / nested archive
-            else Some(ext).filter(x => Set("txt", "md", "csv", "json", "xml", "html",
-              "htm", "pdf", "docx", "pptx", "xlsx", "rtf")(x))
-          inner.foreach { x =>
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](64 * 1024)
-            var n = zin.read(chunk)
-            while (n >= 0 && budget > 0) {
-              val take = math.min(n.toLong, budget).toInt
-              buf.write(chunk, 0, take); budget -= take
-              n = if (budget > 0) zin.read(chunk) else -1
-            }
-            val eb = buf.toByteArray
-            parts += s"# $name\n" + convert(name, x, eb, eb.length.toLong)
-            nParts += 1
+          val name = prefix + e.getName
+          val ext = e.getName.replaceAll("^.*\\.", "").toLowerCase
+          if (ext == "zip") {
+            if (depth > 1) {
+              val eb = readBounded(zin, budget)
+              if (zipSig(eb)) parts ++= zipWalk(eb, name + "/", depth - 1, budget)
+            } // depth exhausted: skip, never recurse unboundedly
+          } else if (ext != e.getName.toLowerCase && // has an extension
+            Set("txt", "md", "csv", "json", "xml", "html",
+              "htm", "pdf", "docx", "pptx", "xlsx", "rtf")(ext)) {
+            val eb = readBounded(zin, budget)
+            parts += s"# $name\n" + convert(name, ext, eb, eb.length.toLong)
           }
         }
         e = zin.getNextEntry
       }
     } catch { case _: Exception => () } // truncated/corrupt: keep what converted
-    if (nParts == 0) None else Some(parts.result().mkString("\f"))
+    parts.result()
   }
 }

@@ -190,7 +190,7 @@ class IngestSpec extends SparkSpec {
       s"docx must extract through Ingest.convert: ${out("docx")}")
   }
 
-  test("zip conversion: members convert by extension, one page each; nested zips stay flat") {
+  test("zip conversion: members convert by extension, one page each; nested zips recurse bounded") {
     import graft.operators.Convert
     def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -210,12 +210,28 @@ class IngestSpec extends SparkSpec {
       "notes.html" -> "<p>hello &amp; bye</p>".getBytes("UTF-8"))
     val text = Convert.zipToText(archive).get
     val pages = text.split("\f")
-    assert(pages.length == 3, s"3 supported members -> 3 pages: ${pages.length}")
+    assert(pages.length == 4, s"3 supported members + 1 nested -> 4 pages: ${pages.length}")
     assert(pages(0).startsWith("# docs/readme.md") && pages(0).contains("Body here"))
     assert(pages(1).contains("| a | b |") || pages(1).contains("a | b"), pages(1))
-    assert(pages(2).contains("hello & bye"))
-    assert(!text.contains("nested text"), "depth-1: nested archives must not recurse")
+    // nested archive recurses with provenance-joined member names
+    assert(pages(2).startsWith("# more.zip/inner.txt") && pages(2).contains("nested text"),
+      pages(2))
+    assert(pages(3).contains("hello & bye"))
     assert(!text.contains("photo"), "unsupported members are skipped")
+    // depth bound: MaxZipDepth=3 opens three archive levels; a 4th-
+    // level archive is skipped (its members never surface), while
+    // level-3 members extract with full provenance-joined names
+    val d4 = zipOf("deepest.txt" -> "level four text".getBytes("UTF-8"))
+    val d3 = zipOf("l4.zip" -> d4, "deep.txt" -> "level three text".getBytes("UTF-8"))
+    val d2 = zipOf("l3.zip" -> d3, "mid.txt" -> "level two text".getBytes("UTF-8"))
+    val d1 = zipOf("l2.zip" -> d2)
+    val deepText = Convert.zipToText(d1).get
+    assert(deepText.contains("level two text"), deepText)
+    assert(deepText.contains("# l2.zip/mid.txt"), "nested names carry provenance")
+    assert(deepText.contains("# l2.zip/l3.zip/deep.txt") &&
+      deepText.contains("level three text"), deepText)
+    assert(!deepText.contains("level four text"),
+      "members past MaxZipDepth must be skipped")
     // not a zip -> None
     assert(Convert.zipToText("plain".getBytes("UTF-8")).isEmpty)
     // routed through the ingest path: zip is Convertible, and the
@@ -224,7 +240,7 @@ class IngestSpec extends SparkSpec {
     Files.write(dir.resolve("bundle.zip"), archive)
     val pipe = Ingest.pipeline(spark, dir.toString, library = "ziplib")
     val pageVals = pipe.select("page").as[Long].distinct().collect().sorted
-    assert(pageVals.length == 3, s"3 pages through the pipeline: ${pageVals.toSeq}")
+    assert(pageVals.length == 4, s"4 pages through the pipeline: ${pageVals.toSeq}")
   }
 
   test("json conversion renders a readable outline and survives bad json") {
