@@ -60,6 +60,40 @@ object Matryoshka extends IndexMaintenance {
           slice(col(vecCol), 1, dPrefix).as("mrl_prefix")),
       path, "overwrite")
 
+  /** Incremental maintenance — the [[Ann.appendToIndex]] shape for the
+    * prefix sidecar: assign ONLY the arriving batch to the existing
+    * centroids, slice its prefixes, append into the partitioned layout
+    * through the shared cluster-exchanged write. No rebuild; probes see
+    * the delta at the next read.
+    */
+  def appendToIndex(
+      path: String,
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      dPrefix: Int = 16): Unit =
+    writeClustered(
+      Ann.assign(delta, vecCol, centroids)
+        .select(col(idCol), col("cluster"),
+          slice(col(vecCol), 1, dPrefix).as("mrl_prefix")),
+      path, "append")
+
+  /** Compaction — rewrite the LIVE face (tombstones dropped, delta
+    * files folded back to O(nlist), sidecar cleared) into a fresh
+    * directory, from the index itself. Entirely the inherited
+    * [[IndexMaintenance]] verbs.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      outPath: String,
+      idCol: String): Unit = {
+    requireSeparateDir("Matryoshka", path, outPath)
+    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+      outPath, "overwrite")
+  }
+
   /** Probe the persisted IVF+MRL layout: nProbe-cell partition-pruned
     * scan of the PREFIX sidecar, prefix-cosine prune to `refine`
     * candidates, exact full-dim re-rank against the base table joined

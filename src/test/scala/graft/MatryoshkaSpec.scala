@@ -114,6 +114,31 @@ class MatryoshkaSpec extends SparkSpec {
     val after = got()
     assert(!after.exists(_._1 == topId), after.toString)
     assert(after == expected(Set(topId)), s"live probe:\n$after\n${expected(Set(topId))}")
+
+    // APPEND: a near-query delta lands without rebuild and must win the
+    // probe (its prefix equals the query's, so it tops both stages)
+    val newId = 90001L
+    val delta = Seq((newId, qv)).toDF("vec_id", "embedding")
+    Matryoshka.appendToIndex(dir, delta, "embedding", "vec_id", index.centroids, dPrefix = 16)
+    val corpusPlus = corpus.unionByName(delta)
+    def gotOver(c: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Double)] =
+      Matryoshka.probeIvfMrl(spark, dir, index.centroids, c, q,
+          "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = nProbe, k = 5, refine = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    val withDelta = gotOver(corpusPlus)
+    assert(withDelta.head._1 == newId && withDelta.head._3 == 1.0,
+      s"appended exact-match vector must top the probe: $withDelta")
+
+    // COMPACT: the rewritten layout serves the identical live result
+    // with the tombstone sidecar gone and no anti-join needed
+    val compDir = java.nio.file.Files.createTempDirectory("graft_mrl_comp").toString + "/idx"
+    Matryoshka.compact(spark, dir, compDir, "vec_id")
+    assert(!Matryoshka.hasTombstones(compDir), "compaction must clear the sidecar")
+    val compacted = Matryoshka.probeIvfMrl(spark, compDir, index.centroids, corpusPlus, q,
+        "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = nProbe, k = 5, refine = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(compacted == withDelta, s"compacted:\n$compacted\nlive:\n$withDelta")
+    assert(!compacted.exists(_._1 == topId), "tombstoned row must stay gone after compaction")
   }
 
   test("candidate stage plans as TakeOrderedAndProject (no full sort)") {
