@@ -167,6 +167,11 @@ object Ann extends IndexMaintenance {
     */
   def buildTwoLevel(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long,
                     rowCount: Option[Long] = None): (Index, TwoLevel) = {
+    // k = 1 would force kSuper = 2 and the trim loop can't reduce any
+    // super below one cell, leaving a 2-cell flat codebook for a
+    // requested k of 1 (cluster ids out of range); the flat build is
+    // the right tool there anyway.
+    require(k >= 2, s"buildTwoLevel needs k >= 2 (got $k); use build() for k = 1")
     val spark = df.sparkSession
     import spark.implicits._
     val n = rowCount.getOrElse(df.count())
@@ -174,7 +179,8 @@ object Ann extends IndexMaintenance {
     val sampleCache = fitSample(df, n, k, seed)
       .withColumn("_features", array_to_vector(VectorOps.normalize(col(vecCol))))
       .cache()
-    sampleCache.count()
+    require(sampleCache.count() > 0,
+      "buildTwoLevel: empty fit sample — the proportional sub-cell allocation needs data")
     val superModel = new KMeans()
       .setK(kSuper).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("_features").setPredictionCol("_super")
@@ -340,10 +346,25 @@ object Ann extends IndexMaintenance {
     * the equivalent is delta assignment into the same partitioning).
     * Works identically from a streaming `foreachBatch` sink. Re-cluster
     * (full [[build]]) only when drift degrades recall — see
-    * [[assignmentCost]].
+    * [[assignmentCost]]. Layouts built by [[buildTwoLevel]] must append
+    * through [[appendToIndexTwoLevel]] instead, so delta assignment
+    * matches the base corpus's hierarchical assignment.
     */
   def appendToIndex(path: String, delta: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Unit =
     writeClustered(assign(delta, vecCol, centroids), path, "append")
+
+  /** [[appendToIndex]] for a layout whose base corpus was assigned by
+    * [[buildTwoLevel]]: deltas route through the SAME hierarchical
+    * [[assignTwoLevel]] (nearest super, then nearest sub within it),
+    * not the flat nearest-over-the-concatenated-codebook — the two can
+    * disagree for boundary vectors (a sub-cell of a neighboring super
+    * may be globally nearer), and a delta assigned flat while the base
+    * was assigned hierarchically would make base+delta drift from a
+    * rebuild. With this router, an appended vector identical to a base
+    * vector lands in the base vector's cluster by construction.
+    */
+  def appendToIndexTwoLevel(path: String, delta: DataFrame, vecCol: String, two: TwoLevel): Unit =
+    writeClustered(assignTwoLevel(delta, vecCol, two), path, "append")
 
   /** DELETE maintenance for a persisted layout: the shared tombstone
     * sidecar shape ([[IndexMaintenance]]) — the exact analog of the

@@ -45,14 +45,25 @@ trait IndexMaintenance {
     */
   final val TombstonesSub = "_tombstones"
 
-  final def tombstonePath(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, TombstonesSub)
+  final def tombstonePath(dir: String): String =
+    dir.stripSuffix("/") + "/" + TombstonesSub
 
-  final def hasTombstones(dir: String): Boolean =
-    java.nio.file.Files.exists(tombstonePath(dir))
+  /** Sidecar existence through the Hadoop FileSystem API — the layout
+    * dir decides which filesystem answers (file:/HDFS/S3), so the
+    * live-face anti-join and the idempotent-delete guard hold on
+    * cluster storage, not only on java.io-visible local paths (where a
+    * silent `false` would serve tombstoned rows as live).
+    */
+  final def hasTombstones(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(dir))
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).exists(p)
+  }
 
   final def tombstones(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(tombstonePath(dir).toString)
+    spark.read.parquet(tombstonePath(dir))
 
   /** The layout's LIVE face: `df` (a scan or pruned scan of `dir`)
     * anti-joined against the tombstone sidecar when one exists.
@@ -77,7 +88,7 @@ trait IndexMaintenance {
     * small file per delete batch, O(deletes) bytes.
     */
   final def appendTombstones(ids: DataFrame, dir: String): Unit =
-    ids.coalesce(1).write.mode("append").parquet(tombstonePath(dir).toString)
+    ids.coalesce(1).write.mode("append").parquet(tombstonePath(dir))
 
   /** Cluster-partitioned layout write with the mandatory pre-write
     * cluster-hash exchange (see trait doc). `mode` is `overwrite` for

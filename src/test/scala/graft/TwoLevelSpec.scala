@@ -79,6 +79,38 @@ class TwoLevelSpec extends SparkSpec {
     assert(recallAt(8) >= 0.9, s"recall@nProbe=8 ${recallAt(8)}")
   }
 
+  test("k = 1 and an empty fit input are rejected up front") {
+    val embs = Tables.embeddings(spark, sf)
+    intercept[IllegalArgumentException] {
+      Ann.buildTwoLevel(embs, "embedding", "vec_id", k = 1, seed = 42)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.buildTwoLevel(embs.filter(col("vec_id") < 0), "embedding", "vec_id",
+        k = 4, seed = 42)
+    }
+  }
+
+  test("two-level append assigns deltas exactly as the base corpus (base+delta == rebuild)") {
+    val embs = Tables.embeddings(spark, sf)
+    val (index, two) = Ann.buildTwoLevel(embs, "embedding", "vec_id", k, seed = 42)
+    val dir = java.nio.file.Files.createTempDirectory("twolevelappend").toString + "/idx"
+    Ann.writeIndex(index, dir)
+    // re-append 40 vectors that already exist in the base layout under
+    // shifted ids: with the hierarchical router each copy MUST land in
+    // its original's cluster (the flat appendToIndex can disagree on
+    // boundary vectors — the drift the two-level-aware verb closes)
+    val delta = embs.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Ann.appendToIndexTwoLevel(dir, delta, "embedding", two)
+    val stored = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cluster").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 40L).foreach { id =>
+      assert(stored(id + 100000L) == stored(id),
+        s"appended copy of vec $id landed in ${stored(id + 100000L)}, base is in ${stored(id)}")
+    }
+  }
+
   test("sub-cell allocation: proportional-ish, every super >= 1, sums to k") {
     val (_, two) = Ann.buildTwoLevel(
       Tables.embeddings(spark, sf), "embedding", "vec_id", k, seed = 42)
