@@ -594,19 +594,42 @@ object Queries {
     * batch probe over the same planted corpus and recomputes both
     * metrics from the VALUES literals.
     */
+  /** Bounded eval-cluster selection over a `duplicateClusters` result:
+    * the eligibility filter (≥ 2 distinct members, min member id ==
+    * cluster id) and the first-`maxClusters`-by-id cut both run
+    * DISTRIBUTED (groupBy + limit), and only the CHOSEN clusters'
+    * membership rows are collected — O(maxClusters × cluster size)
+    * driver rows, never the full O(corpus-duplicates) id→cluster
+    * mapping (which scales with the corpus at 100 TB while the eval
+    * set stays 16 clusters). Members come back distinct and sorted per
+    * cluster, identical to the previous driver-side computation.
+    */
+  private[graft] def selectEvalClusters(
+      clusters: DataFrame, maxClusters: Int): Seq[(Long, Seq[Long])] = {
+    val cl = clusters.select(col("id"), col("cluster_id")).distinct()
+    val chosen = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("_n"), min("id").as("_min"))
+      .filter(col("_n") >= 2 && col("_min") === col("cluster_id"))
+      .orderBy("cluster_id").limit(maxClusters)
+      .select("cluster_id")
+    cl.join(broadcast(chosen), Seq("cluster_id"))
+      .select(col("cluster_id"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (c, ms) => (c, ms.map(_._2).distinct.sorted.toSeq) }
+      .sortBy(_._1)
+  }
+
   def retrievalEvalClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val corpus = corpusWithNearDups(s, dir)
     val idx = Fts.buildCached(s"$dir#neardup", corpus, "text", "doc_id")
-    val clusters = Dedup.duplicateClusters(
-      Dedup.minHashLshPairs(corpus, "text", "doc_id",
-        numHashes = 8, shingleK = 3, threshold = 0.3))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val grouped = clusters.groupBy(_._2).toSeq
-      .map { case (c, ms) => (c, ms.map(_._1).distinct.sorted.toSeq) }
-      .filter { case (c, ms) => ms.size >= 2 && ms.head == c }
-      .sortBy(_._1).take(16)
+    val grouped = selectEvalClusters(
+      Dedup.duplicateClusters(
+        Dedup.minHashLshPairs(corpus, "text", "doc_id",
+          numHashes = 8, shingleK = 3, threshold = 0.3)),
+      maxClusters = 16)
     val srcIds = grouped.map(_._1)
     val srcTok = corpus.filter(col("doc_id").isin(srcIds: _*))
       .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
