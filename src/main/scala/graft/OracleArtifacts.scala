@@ -69,6 +69,11 @@ object OracleArtifacts {
     */
   @volatile var annBatchSq: Option[Array[Array[Double]]] = None
 
+  /** IVF centroids from ann_batch_mrl (per-query cells are computed in
+    * SQL by the twin; the MRL leg is a plain list slice).
+    */
+  @volatile var annBatchMrl: Option[Array[Array[Double]]] = None
+
   /** (IVF centroids, PQ model) from ann_batch_pq — per-query cells,
     * codes AND per-query ADC tables are all recomputed in SQL by the
     * twin (batch ADC tables can't be driver literals).
@@ -118,7 +123,7 @@ object OracleArtifacts {
 
   def clear(): Unit = {
     ann = None; annIncremental = None; annDeleted = None; annCompacted = None
-    annBatch = None; annBatchSq = None
+    annBatch = None; annBatchSq = None; annBatchMrl = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
     ivfsq = None; ivfbq = None; ivfmrl = None; pca = None
     ivfsqResidual = None; streamPipeline = None

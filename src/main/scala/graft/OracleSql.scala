@@ -635,6 +635,38 @@ object OracleSql {
            |SELECT query_id, vec_id, cluster, approx_sim, cos_sim, rk FROM sbr WHERE rk <= 5
            |ORDER BY query_id, rk""".stripMargin
     }
+    val annBatchMrlEntries = OracleArtifacts.annBatchMrl.toSeq.map { cents =>
+      // Twin of Queries.annBatchMrl: the batch per-query cell ranking
+      // (as ann_batch_probe) composed with the MRL prefix leg (as
+      // ivfmrl_probe) — the stored prefix is exact leading floats, so
+      // approx_sim is a plain [1:16] slice cosine; per-query refine
+      // prune to 20, exact full-dim re-rank to 5.
+      val qDists = cents.map(c => distChain("mqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("mnv", 0, c)).mkString(", ")
+      "ann_batch_mrl" ->
+        s"""WITH mbq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |mbqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS mqnv FROM mbq),
+           |mbqd AS (SELECT query_id, qv, [$qDists] AS dl FROM mbqn),
+           |mbqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM mbqd),
+           |mbqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM mbqc0) WHERE rn <= 3),
+           |mbc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |mbnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS mnv FROM mbc),
+           |mbdst AS (SELECT vec_id, ev, [$cDists] AS cdl FROM mbnr),
+           |mbasg AS (SELECT vec_id, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM mbdst),
+           |mbap AS (SELECT query_id, vec_id, cluster, ev, qv, ${cosine("ev[1:16]", "qv[1:16]")} AS approx_sim
+           |        FROM mbasg JOIN mbqc USING (cluster)),
+           |mbref AS (SELECT query_id, vec_id, cluster, ev, qv, approx_sim FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS prn
+           |        FROM mbap) WHERE prn <= 20),
+           |mbfin AS (SELECT query_id, vec_id, cluster, approx_sim, ${cosine("ev", "qv")} AS cos_sim FROM mbref),
+           |mbr AS (SELECT query_id, vec_id, cluster, approx_sim, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM mbfin)
+           |SELECT query_id, vec_id, cluster, approx_sim, cos_sim, rk FROM mbr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val annBatchPqEntries = OracleArtifacts.annBatchPq.toSeq.map { case (cents, model) =>
       // Twin of Queries.annBatchPq: per-query cell ranking (as
       // ann_batch_probe) + the PQ encode chain (as ivfpq_probe) + the
@@ -901,7 +933,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }
@@ -1334,6 +1366,29 @@ object OracleSql {
         |            ELSE 'replaced' END AS status,
         |       sha256(inc.text) AS content_hash
         |FROM inc LEFT JOIN ex ON inc.doc_id = ex.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ingest_content_status" ->
+      // Twin of Queries.ingestContentStatus: the hash gate over the
+      // synthetic per-doc upload sources + the fixedSize(512, 64)
+      // chunk count — stride 448 over the tokenized content, so
+      // n_chunks = (n-1) // 448 + 1 for n > 0 (Chunker emits nothing
+      // for token-empty docs), zeroed when the hash says skip.
+      """WITH inc AS (SELECT 'upload/' || CAST(doc_id AS VARCHAR) || '.md' AS source,
+        |                    CASE WHEN doc_id % 3 = 0 THEN text || ' updated-v2' ELSE text END AS content
+        |             FROM documents),
+        |ex AS (SELECT 'upload/' || CAST(doc_id AS VARCHAR) || '.md' AS source, sha256(text) AS old_hash
+        |       FROM documents WHERE doc_id % 10 <> 7),
+        |tk AS (SELECT source, content,
+        |              len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), t -> t <> '')) AS n
+        |       FROM inc),
+        |cc AS (SELECT source, CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE CAST((n - 1) // 448 + 1 AS BIGINT) END AS n_chunks FROM tk),
+        |st AS (SELECT inc.source, CASE WHEN ex.old_hash IS NULL THEN 'indexed'
+        |                               WHEN sha256(inc.content) = ex.old_hash THEN 'skipped'
+        |                               ELSE 'replaced' END AS status
+        |       FROM inc LEFT JOIN ex USING (source))
+        |SELECT st.source, st.status,
+        |       CASE WHEN st.status = 'skipped' THEN CAST(0 AS BIGINT) ELSE cc.n_chunks END AS chunk_count
+        |FROM st JOIN cc USING (source) ORDER BY source""".stripMargin,
 
     "title_extract" ->
       """WITH m AS (SELECT doc_id, source,

@@ -935,6 +935,39 @@ object Queries {
     Catalog.ingestStatus(incoming, existing, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** `ingest_content` end to end ([[graft.operators.Ingest.contentPipeline]];
+    * reference: ingestor.py:293): every corpus document arrives as a
+    * pre-extracted upload (synthetic per-doc source — the reference
+    * keys its store on (source, library)), docs ≡ 0 (mod 3) arrive
+    * with UPDATED text and docs ≡ 7 (mod 10) are new to the store, so
+    * all three IngestResult statuses occur; chunk_count is the real
+    * pipeline's chunks-per-document (512-token windows, 64 overlap),
+    * zeroed for skipped docs exactly as the reference reports
+    * (nothing is written on a hash-unchanged skip).
+    */
+  def ingestContentStatus(s: SparkSession, dir: String): DataFrame = {
+    val lib = "uploads"
+    val srcOf = (d: org.apache.spark.sql.Column) =>
+      concat(lit("upload/"), d.cast("string"), lit(".md"))
+    val incoming = docs(s, dir).select(
+      srcOf(col("doc_id")).as("source"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" updated-v2")))
+        .otherwise(col("text")).as("content"))
+    val inc = Ingest.contentSource(incoming).withColumn("library", lit(lib))
+    val existing = Ingest.contentSource(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .select(srcOf(col("doc_id")).as("source"), col("text").as("content")))
+      .select(col("source"), lit(lib).as("library"), col("content_hash"))
+    val counts = Ingest.contentPipeline(incoming, lib)
+      .groupBy("source").agg(count(lit(1)).as("_n"))
+    Ingest.statuses(inc, existing)
+      .join(counts, Seq("source"), "left_outer")
+      .select(col("source"), col("status"),
+        when(col("status") === "skipped", lit(0L))
+          .otherwise(coalesce(col("_n"), lit(0L))).as("chunk_count"))
+      .orderBy("source")
+  }
+
   def titleExtract(s: SparkSession, dir: String): DataFrame = {
     val md = when(
       pmod(col("doc_id"), lit(3)) === 0,
@@ -2904,6 +2937,29 @@ object Queries {
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
       "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[annBatchProbe]] over the persisted IVF+MRL layout — closes the
+    * batch-probe matrix (plain [[annBatchPersisted]], SQ [[annBatchSq]],
+    * PQ [[annBatchPq]], now the Matryoshka prefix sidecar): per-query
+    * cell ranking in-plan, partition-pruned prefix scan, bounded-heap
+    * prefix-cosine prune to 20 candidates per query, exact full-dim
+    * re-rank to 5 against the base table. The stored prefix is exact
+    * leading floats (no quantization), so the twin is the batch cell
+    * chain + a plain `[1:16]` list slice.
+    */
+  def annBatchMrl(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatchMrl = Some(index.centroids)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfmrl_full:$dir")(p =>
+      Matryoshka.writeIvfMrl(p, e, "embedding", "vec_id", index.centroids, dPrefix = 16))
+    Matryoshka.probeBatchIvfMrl(s, path, index.centroids,
+      e.select("vec_id", "embedding"),
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+      "q_vec", "query_id", "vec_id", "embedding", dPrefix = 16, nProbe = 3, k = 5, refine = 20)
       .orderBy("query_id", "rk")
   }
 

@@ -230,6 +230,41 @@ object Ingest {
   ): DataFrame =
     pipelineFrom(urlSource(urls).filter(col("url_valid")).drop("url_valid"), library, metadata)
 
+  /** `ingest_content` source shaping (reference: ingestor.py:293,
+    * server.py's ingest_content tool): the caller has ALREADY read and
+    * extracted the text (e.g. a user-uploaded attachment not on the
+    * server's filesystem), so rows arrive as (source, content: string)
+    * — no fetch, no conversion. Emits the [[folder]] schema with
+    * file_type `md` ([[Convert]]'s identity branch — markdown/plain
+    * text passes through verbatim, the exact "skip conversion"
+    * semantics), so the standard chunk→featurize pipeline and the
+    * hash-based skip/replace re-ingest gate take over unchanged. A
+    * blank source falls back to "uploaded-content" (ingestor.py:316).
+    */
+  def contentSource(contents: DataFrame): DataFrame = {
+    val bytes = encode(col("content"), "UTF-8")
+    contents.select(
+      when(trim(col("source")) === "", lit("uploaded-content"))
+        .otherwise(trim(col("source"))).as("source"),
+      lit("md").as("file_type"),
+      lit("").as("last_modified"),
+      length(bytes).cast("long").as("n_bytes"),
+      bytes.as("content"),
+      sha2(bytes, 256).as("content_hash")
+    )
+  }
+
+  /** Chunk/featurize a pre-extracted content table — `ingest_content`
+    * end to end: [[contentSource]] into the shared [[pipelineFrom]]
+    * dataflow, same ChunkRecord-shaped output as folder/URL ingest.
+    */
+  def contentPipeline(
+      contents: DataFrame,
+      library: String,
+      metadata: Map[String, String] = Map.empty
+  ): DataFrame =
+    pipelineFrom(contentSource(contents), library, metadata)
+
   /** Re-ingest statuses against an existing store, keyed on
     * (source, library) with hash-skip (ingestor.py:182-205,
     * store.py:206 `find_existing`).

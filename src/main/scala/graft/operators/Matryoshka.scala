@@ -135,6 +135,54 @@ object Matryoshka extends IndexMaintenance {
       .limit(k)
   }
 
+  /** Batch probe over the persisted IVF+MRL layout — the
+    * [[Sq.probeBatchIvfSq]] serving shape with the prefix sidecar in
+    * place of the int8 codes: each query's nProbe nearest cells are
+    * ranked in-plan ([[Ann.queryCells]]), the cells join the
+    * partition-pruned prefix scan, the prefix cosine prunes per query
+    * to `refine` candidates with a bounded heap
+    * ([[graft.plans.TopK.perKey]] — no full sort), and only k·refine
+    * candidates per query touch the full-precision base for the exact
+    * re-rank. Closes the batch-probe matrix (plain/PQ/SQ/MRL): the
+    * prefix is stored floats, so approx_sim is bit-identical to a
+    * `slice`-then-cosine of the base vector and the whole probe keeps
+    * an exact DuckDB twin given the fitted centroids.
+    */
+  def probeBatchIvfMrl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      idCol: String,
+      vecCol: String,
+      dPrefix: Int = 16,
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40): DataFrame = {
+    val qCells = Ann.queryCells(queries, queryVec, queryId, centroids, nProbe)
+    val approx = liveFace(spark, path, spark.read.parquet(path), idCol)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("approx_sim",
+        VectorOps.cosineRounded(col("mrl_prefix"), slice(col(queryVec), 1, dPrefix)))
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
+        col("approx_sim"))
+    val candidates = graft.plans.TopK
+      .perKey(approx, Seq(queryId), Seq(("approx_sim", false), (idCol, true)), refine)
+      .drop("rk")
+    base
+      .join(broadcast(candidates), idCol)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("cos_sim", VectorOps.cosineRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
+      .transform(df => graft.plans.TopK
+        .perKey(df, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), k))
+      .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"),
+        col("cos_sim"), col("rk"))
+  }
+
   /** Two-stage probe: prefix-cosine prune to `refine` candidates
     * (TakeOrderedAndProject — no full sort), exact full-dim cosine
     * re-rank to top `k`. Output carries both scores so the prefix

@@ -345,6 +345,51 @@ class IngestSpec extends SparkSpec {
     assert(st("image.png") == "skipped")
   }
 
+  test("contentSource: blank source falls back, bytes/hash are UTF-8 exact, md identity") {
+    import spark.implicits._
+    val rows = Seq(
+      ("  notes.md ", "# Title\n\nhello world"),
+      ("", "unnamed upload"),
+      ("   ", "ws-only source")
+    ).toDF("source", "content")
+    val got = Ingest.contentSource(rows)
+      .select("source", "file_type", "n_bytes", "content_hash")
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq("notes.md", "uploaded-content", "uploaded-content"))
+    assert(got.forall(_._2 == "md"))
+    assert(got.head._3 == "# Title\n\nhello world".getBytes("UTF-8").length.toLong)
+    val expectHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("# Title\n\nhello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.head._4 == expectHash)
+    // conversion is the identity for content rows: chunks reassemble
+    // the tokenized content verbatim (md passes through Convert)
+    val chunks = Ingest.contentPipeline(rows.limit(1), "uploads")
+    val text = chunks.orderBy("chunk_index").select("chunk").as[String].collect().mkString(" ")
+    assert(text == "title hello world", s"got: $text")
+  }
+
+  test("contentPipeline rows carry library/metadata and the re-ingest gate composes") {
+    import spark.implicits._
+    val v1 = Seq(("a.md", "alpha beta"), ("b.md", "gamma delta")).toDF("source", "content")
+    val store = Ingest.contentSource(v1).withColumn("library", lit("uploads"))
+    val v2 = Seq(
+      ("a.md", "alpha beta"),        // unchanged -> skipped
+      ("b.md", "gamma delta EDITED"), // changed -> replaced
+      ("c.md", "fresh")               // new -> indexed
+    ).toDF("source", "content")
+    val st = Ingest.statuses(
+        Ingest.contentSource(v2).withColumn("library", lit("uploads")),
+        store.select("source", "library", "content_hash"))
+      .select("source", "status").as[(String, String)].collect().toMap
+    assert(st == Map("a.md" -> "skipped", "b.md" -> "replaced", "c.md" -> "indexed"))
+    val rec = Ingest.contentPipeline(v2, "uploads", Map("who" -> "test"))
+    assert(rec.select("library").distinct().as[String].collect().toSeq == Seq("uploads"))
+    assert(rec.select("metadata").distinct().as[String].collect().toSeq ==
+      Seq("""{"who":"test"}"""))
+    assert(rec.columns.contains("embedding") && rec.count() == 3)
+  }
+
   test("multimodal resize + frame-sample stages keep real column contracts") {
     val dir = mkFolder()
     val decoded = Multimodal.decodeStub(Ingest.folder(spark, dir.toString), "content")

@@ -149,4 +149,32 @@ class MatryoshkaSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("batch IVF+MRL probe equals the single-query persisted probe per query") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(781)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val index = Ann.build(corpus, "embedding", "vec_id", k = 5, seed = 42)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl_batch").toString + "/idx"
+    Matryoshka.writeIvfMrl(dir, corpus, "embedding", "vec_id", index.centroids, dPrefix = 16)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val batch = Matryoshka.probeBatchIvfMrl(spark, dir, index.centroids,
+        corpus, queries, "q_vec", "query_id", "vec_id", "embedding",
+        dPrefix = 16, nProbe = 2, k = 5, refine = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1)
+    (0L until 4L).foreach { qid =>
+      val q = Seq(Tuple1(rows(qid.toInt)._2)).toDF("q_vec")
+      val single = Matryoshka.probeIvfMrl(spark, dir, index.centroids, corpus, q,
+          "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = 2, k = 5, refine = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+      val got = batch(qid).sortBy(t => (-t._4, t._2)).map(t => (t._2, t._3, t._4)).toSeq
+      assert(got == single, s"query $qid:\n batch: $got\n single: $single")
+    }
+  }
 }
