@@ -1,15 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Bench {
 
   /** Fixed, data-independent calibration workloads that measure the BOX,
-    * not the code: the round-9 driver run landed 1.38x warm / 4.15x cold
-    * on a commit the builder box measured at 1.12x/1.04x the same
-    * morning (the driver's sbt took 18:29 vs 7:19 — a ~2.5x-slower or
-    * contended machine), flagging 12 healthy queries. Each workload
-    * isolates one cost axis the suite actually spends time on:
+    * not the code: the round-9/10 driver runs landed 1.4-2.5x raw on
+    * commits the builder box measured at 0.9-1.1x the same day, flagging
+    * dozens of healthy queries. Each workload isolates one cost axis the
+    * suite actually spends time on:
     *
     *  - `sched`: 12 trivial 32-partition jobs — per-job scheduling
     *    overhead, the axis that dominates the tiny (<0.5 s) queries and
@@ -21,17 +22,24 @@ object Bench {
     *    throughput under full fan-out, the axis contention hits first.
     *  - `shuffle`: a small groupBy — exchange machinery (serialize,
     *    spill files, fetch).
+    *  - `model`: an allocation-heavy mapPartitions float loop (exp +
+    *    fresh arrays per row) — the ONNX-seam forward-pass profile,
+    *    which is GC/alloc-bound in a way the pure-arithmetic cpu32
+    *    probe is not (round-10's embed_encoder_mh read 15x warm on the
+    *    driver box while cpu32 sat at 0.92x — this probe is the axis
+    *    that can tell allocation-throughput degradation from code).
     *
-    * The observed/baseline ratio per workload, aggregated by MEDIAN
-    * (robust to one workload hitting a transient spike), gives a scalar
-    * box factor; every per-query comparison divides by it. Calibration
-    * runs once before each suite pass: the COLD factor uses pass A alone
-    * (one sample, same as each query's cold sample — if the box is
-    * contended during pass 1, A captures the same contention), the WARM
-    * factor uses the per-workload min of A and B (same min-of-passes
-    * policy as the warm query column). Factors are clamped to [0.5, 8]:
-    * outside that range the box is not comparable and the raw numbers
-    * (always reported alongside) are the only meaningful signal.
+    * Round-10 lesson: a SINGLE median-of-probes factor mis-corrects the
+    * exact regime a contended box is in — the round-10 driver run's
+    * shuffle probe read 2.97x warm while the median said 1.18x, so
+    * every shuffle/IO-heavy query got flagged while CPU queries read
+    * fine. Round 11 therefore calibrates PER AXIS: each query is
+    * classified by its dominant cost axis (checked-in map derived from
+    * builder-box stage metrics, runtime fallback for new queries) and
+    * divides by ITS axis's probe ratio. Factors are clamped to
+    * [0.5, 8]; raw (uncalibrated) ratios and regressions are ALWAYS
+    * reported alongside so calibration can never hide a genuine
+    * regression.
     */
   private val calibWorkloads: Seq[(String, SparkSession => Unit)] = Seq(
     "sched" -> { s => (1 to 12).foreach(_ => s.range(0, 32, 1, 32).count()) },
@@ -48,7 +56,110 @@ object Bench {
         .select((col("id") % 1000000L).as("k"))
         .groupBy("k").agg(count(lit(1)).as("c"))
         .select(sum(col("c"))).head()
+    },
+    "model" -> { s =>
+      import s.implicits._
+      // per-row "forward pass": fresh arrays + exp, the hot profile of
+      // the OnnxMini encoder path (allocation churn is the point — do
+      // NOT hoist the arrays out of the row loop)
+      s.range(0, 3200, 1, 32).mapPartitions { it =>
+        it.map { i =>
+          var t = 0
+          var out = 0.0
+          while (t < 800) {
+            val e = new Array[Double](128)
+            var j = 0
+            while (j < 128) { e(j) = math.exp(-(((i + t + j) % 17).toDouble) / 7.0); j += 1 }
+            var sum = 0.0; j = 0
+            while (j < 128) { sum += e(j); j += 1 }
+            val h = new Array[Double](128)
+            j = 0
+            while (j < 128) { h(j) = e(j) / sum; j += 1 }
+            out += h((t + i.toInt) % 128)
+            t += 1
+          }
+          out
+        }
+      }.reduce(_ + _)
+      ()
     })
+
+  private val axisNames: Seq[String] = calibWorkloads.map(_._1)
+
+  /** Queries whose cost is the per-partition model forward (the
+    * OnnxMini/mapPartitions seam) — classified `model` by construction
+    * rather than by metric thresholds.
+    */
+  private val ModelFamily: Set[String] = Set(
+    "embed_onnx", "embed_encoder", "embed_encoder_mh", "rerank_cross",
+    "multimodal_embed")
+
+  /** Bench-only workload overrides. The CORRECTNESS row always runs the
+    * full registered query (Verify uses SparkEntry.queries unchanged);
+    * the bench line for embed_encoder_mh runs the same pipeline over a
+    * deterministic bounded doc slice — the full-corpus multi-head
+    * forward was 4% of the round-10 warm total on its own, a model
+    * benchmark drowning the engine benchmark. The checked-in baseline
+    * rows were captured with the same override, so ratios stay
+    * apples-to-apples; the override list is published in the artifact.
+    */
+  private val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_encoder_mh" -> ((s, dir) => Queries.embedEncoderMhBounded(s, dir)))
+
+  private def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      n -> benchOverrides.getOrElse(n, fn)
+    }
+
+  /** Per-query task-level metrics accumulated between [[MetricsListener.settleAndTake]]
+    * calls — the stage-metric observability the round-10 verdict asked
+    * for (shuffle bytes, spill, GC, cpu, task/job counts per query, in
+    * the artifact, so a driver-box flag can be adjudicated as code vs
+    * box from the numbers alone).
+    */
+  final class QueryMetrics {
+    var tasks = 0L; var jobs = 0L; var cpuNs = 0L; var runMs = 0L; var gcMs = 0L
+    var shuffleRead = 0L; var shuffleWrite = 0L; var spilled = 0L; var peakMem = 0L
+    def json: String =
+      f"""{"tasks":$tasks,"jobs":$jobs,"cpu_ms":${cpuNs / 1000000L},"run_ms":$runMs,"gc_ms":$gcMs,""" +
+        f""""shr_kb":${shuffleRead / 1024},"shw_kb":${shuffleWrite / 1024},"spill_kb":${spilled / 1024},"peak_mb":${peakMem / 1048576L}}"""
+  }
+
+  private final class MetricsListener extends SparkListener {
+    private val lock = new Object
+    private var cur = new QueryMetrics
+    private var jobsStarted = 0L
+    private var jobsEnded = 0L
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      lock.synchronized { jobsStarted += 1; cur.jobs += 1 }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      lock.synchronized { jobsEnded += 1 }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = lock.synchronized {
+      val m = e.taskMetrics
+      if (m != null) {
+        cur.tasks += 1
+        cur.cpuNs += m.executorCpuTime
+        cur.runMs += m.executorRunTime
+        cur.gcMs += m.jvmGCTime
+        cur.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        cur.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        cur.spilled += m.memoryBytesSpilled + m.diskBytesSpilled
+        cur.peakMem = math.max(cur.peakMem, m.peakExecutionMemory)
+      }
+    }
+    /** Wait for the async listener bus to drain this query's jobs
+      * (FIFO: a job's TaskEnd events precede its JobEnd), then swap the
+      * accumulator. Runs AFTER the query's timer stops — settle latency
+      * never lands in a measurement.
+      */
+    def settleAndTake(): QueryMetrics = {
+      val t0 = System.currentTimeMillis()
+      while (lock.synchronized(jobsStarted != jobsEnded) &&
+        System.currentTimeMillis() - t0 < 2000) Thread.sleep(5)
+      Thread.sleep(15)
+      lock.synchronized { val r = cur; cur = new QueryMetrics; r }
+    }
+  }
 
   private def calibPass(spark: SparkSession): Map[String, Double] =
     calibWorkloads.map { case (name, work) =>
@@ -57,10 +168,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
 
+  private def clamp(x: Double): Double = math.min(8.0, math.max(0.5, x))
+
   private def medianRatio(
       obs: Map[String, Double],
       base: Map[String, Double]): Double = {
-    val rs = calibWorkloads.flatMap { case (n, _) =>
+    val rs = axisNames.flatMap { n =>
       for (o <- obs.get(n); b <- base.get(n) if b > 0) yield o / b
     }.sorted
     if (rs.isEmpty) 1.0
@@ -68,8 +181,48 @@ object Bench {
       val m =
         if (rs.size % 2 == 1) rs(rs.size / 2)
         else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
-      math.min(8.0, math.max(0.5, m))
+      clamp(m)
     }
+  }
+
+  /** Per-axis box factors: each axis's OWN probe ratio (clamped), so a
+    * box degraded on one axis (round-10: shuffle at 2.97x, cpu at 0.9x)
+    * corrects exactly the queries that live on that axis. Falls back to
+    * the median when an axis has no baseline row.
+    */
+  private def axisFactors(
+      obs: Map[String, Double],
+      base: Map[String, Double]): Map[String, Double] = {
+    val med = medianRatio(obs, base)
+    axisNames.map { n =>
+      n -> (for (o <- obs.get(n); b <- base.get(n) if b > 0)
+        yield clamp(o / b)).getOrElse(med)
+    }.toMap
+  }
+
+  /** Runtime axis classification from a query's own measured metrics —
+    * the FALLBACK for queries not yet in the checked-in map (the map,
+    * derived on the builder box where metrics are uncontended, wins;
+    * see `/graft/bench_axes.txt`).
+    */
+  private[graft] def classify(name: String, wallSec: Double, m: QueryMetrics): String =
+    if (ModelFamily(name)) "model"
+    else if (m.spilled > 0 || m.shuffleRead + m.shuffleWrite > 16L * 1024 * 1024) "shuffle"
+    else if (wallSec < 0.4 || m.jobs >= 8) "sched"
+    else if (m.cpuNs / 1e9 / math.max(wallSec, 1e-9) >= 6.0) "cpu32"
+    else "cpu1"
+
+  private def loadCheckedInAxes(): Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/bench_axes.txt")
+    if (in == null) Map.empty
+    else scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\\s+") match {
+          case Array(n, a) if axisNames.contains(a) => Some(n -> a)
+          case _                                    => None
+        }
+      }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,6 +235,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Untimed warmup: touch every table once so parquet footer reads,
     // filesystem listing and codegen warmup don't land on whichever
     // query happens to run first.
@@ -96,15 +251,14 @@ object Bench {
     // and index builds — the IVF KMeans fit is memoized per session, so
     // pass 2's ann_probe measures the probe, the amortized production cost
     // of a persisted index). `queries` reports the per-query MIN — robust
-    // to transient box noise (round-3's driver run showed a contiguous
-    // alphabetical window of 2-6x slowdowns from a stale CPU-burning JVM,
-    // not from any plan change) — and `cold_queries` reports pass 1
-    // verbatim so cold-path regressions can never hide behind the min.
-    // The checked-in baseline (BASELINE.md / baseline_sf01.txt) was
-    // captured by THIS two-pass method: vs_baseline compares min to min
-    // and vs_baseline_cold compares cold to cold, both apples-to-apples.
-    def onePass(): Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // to transient box noise — and `cold_queries` reports pass 1 verbatim
+    // so cold-path regressions can never hide behind the min. The
+    // checked-in baseline (BASELINE.md / baseline_sf01.txt) was captured
+    // by THIS two-pass method: vs_baseline compares min to min and
+    // vs_baseline_cold compares cold to cold, both apples-to-apples.
+    def onePass(): (Seq[(String, Either[String, Double])], Map[String, QueryMetrics]) = {
+      val metrics = scala.collection.mutable.Map.empty[String, QueryMetrics]
+      val times = benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -113,15 +267,21 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               Left(e.getClass.getSimpleName)
           }
+        metrics(name) = listener.settleAndTake() // after the timer stops
         name -> r
       }
+      (times, metrics.toMap)
+    }
+    listener.settleAndTake() // drop warmup events
     val calibA = calibPass(spark) // rides pass 1's box conditions
-    val cold = onePass()
+    listener.settleAndTake() // drop calibration events — else the first
+    // query of the pass absorbs the probes' task metrics
+    val (cold, metricsCold) = onePass()
     val calibB = calibPass(spark) // warm: same min-of-passes policy
-    val warm = onePass().toMap
-    val calibMin = calibWorkloads.map { case (n, _) =>
-      n -> math.min(calibA(n), calibB(n))
-    }.toMap
+    listener.settleAndTake()
+    val (warmSeq, metricsWarm) = onePass()
+    val warm = warmSeq.toMap
+    val calibMin = axisNames.map { n => n -> math.min(calibA(n), calibB(n)) }.toMap
     // A query is a success only if BOTH passes succeeded (a single-pass
     // failure is flaky, not fast); failed_cold/failed_warm expose which
     // pass broke.
@@ -150,14 +310,22 @@ object Bench {
     val nFailed = results.count(_._2.isLeft)
     val nFailedCold = cold.count(_._2.isLeft)
     val nFailedWarm = warm.count(_._2.isLeft)
+    // Per-query axis: the checked-in builder-box map first, the runtime
+    // classifier (warm-pass metrics) for anything not in it.
+    val checkedIn = loadCheckedInAxes()
+    val axes: Map[String, String] = results.collect { case (name, Right(v)) =>
+      name -> checkedIn.getOrElse(name,
+        classify(name, v, metricsWarm.getOrElse(name, new QueryMetrics)))
+    }.toMap
     // Regression diff against the checked-in sf0.1 baseline (BASELINE.md
     // twin; resource lines are "<query> <min_sec> <cold_sec>", captured by
     // this same two-pass method; `__calib_*` rows are the calibration
     // workloads' baselines, excluded from the query comparison). Ratios
     // make the "within 2x of baseline" gate computable per round, on both
-    // the warm-min and cold paths, CALIBRATED by the box factor so the
-    // gate measures the code and not the machine; raw (uncalibrated)
-    // ratios are reported alongside so nothing is hidden.
+    // the warm-min and cold paths, CALIBRATED per axis by the box factors
+    // so the gate measures the code and not the machine; raw
+    // (uncalibrated) ratios and regressions are reported alongside so
+    // nothing is hidden.
     val baselineAll: Map[String, (Double, Double)] = {
       val in = getClass.getResourceAsStream("/graft/baseline_sf01.txt")
       if (in == null) Map.empty
@@ -171,19 +339,25 @@ object Bench {
         }.toMap
     }
     val baseline = baselineAll.view.filterKeys(!_.startsWith("__calib_")).toMap
-    val calibBaseWarm = calibWorkloads.flatMap { case (n, _) =>
+    val calibBaseWarm = axisNames.flatMap { n =>
       baselineAll.get(s"__calib_$n").map(v => n -> v._1)
     }.toMap
-    val calibBaseCold = calibWorkloads.flatMap { case (n, _) =>
+    val calibBaseCold = axisNames.flatMap { n =>
       baselineAll.get(s"__calib_$n").map(v => n -> v._2)
     }.toMap
-    val fWarm = medianRatio(calibMin, calibBaseWarm)
-    val fCold = medianRatio(calibA, calibBaseCold)
-    val calibJson = calibWorkloads.map { case (n, _) =>
+    val fWarmMed = medianRatio(calibMin, calibBaseWarm)
+    val fColdMed = medianRatio(calibA, calibBaseCold)
+    val fWarmAxis = axisFactors(calibMin, calibBaseWarm)
+    val fColdAxis = axisFactors(calibA, calibBaseCold)
+    def fOf(axisMap: Map[String, Double], med: Double)(q: String): Double =
+      axes.get(q).flatMap(axisMap.get).getOrElse(med)
+    val calibJson = axisNames.map { n =>
       f""""$n":{"cold":${calibA(n)}%.3f,"min":${calibMin(n)}%.3f""" +
         calibBaseWarm.get(n).map(b =>
           f""","base_min":$b%.3f,"base_cold":${calibBaseCold(n)}%.3f""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    def axisJson(m: Map[String, Double]): String =
+      axisNames.map(n => f""""$n":${m(n)}%.3f""").mkString("{", ",", "}")
     // Record the JVM's heap/GC flags so a cold-column divergence can be
     // attributed (or not) to a different memory/GC configuration.
     val jvmFlags = {
@@ -196,38 +370,70 @@ object Bench {
     val extra =
       if (baseline.isEmpty || !sfDir.contains("sf0.1")) ""
       else {
-        // flag queries >2x the CALIBRATED baseline AND >0.3s (calibrated)
-        // absolute (codegen jitter floor): both thresholds scale by the
-        // box factor, so the flag means "slow relative to THIS box's
-        // demonstrated speed", reproducible across machines.
-        def regs(cur: Seq[(String, Double)], base: String => Double, f: Double): String =
+        // flag queries >2x the per-axis CALIBRATED baseline AND >0.3s
+        // (calibrated) absolute (codegen jitter floor); the RAW lists
+        // (factor 1) are always emitted alongside — a clamped or
+        // contended calibration pass can never silently suppress a
+        // genuine regression (round-10 advice).
+        def regs(cur: Seq[(String, Double)], base: String => Double,
+                 f: String => Double): String =
           cur.collect {
-            case (k, v) if v > 2 * base(k) * f && v - base(k) * f > 0.3 * f =>
-              "\"" + k + "\":" + f"${v / (base(k) * f)}%.2f"
+            case (k, v) if v > 2 * base(k) * f(k) && v - base(k) * f(k) > 0.3 * f(k) =>
+              "\"" + k + "\":" + f"${v / (base(k) * f(k))}%.2f"
           }.mkString("{", ",", "}")
+        val one = (_: String) => 1.0
         val shared = results.collect { case (k, Right(v)) if baseline.contains(k) => k -> v }
         val sharedCold = coldOk.filter { case (k, _) => baseline.contains(k) }
         val baseTotal = shared.map { case (k, _) => baseline(k)._1 }.sum
         val baseColdTotal = sharedCold.map { case (k, _) => baseline(k)._2 }.sum
+        val baseTotalCal = shared.map { case (k, _) =>
+          baseline(k)._1 * fOf(fWarmAxis, fWarmMed)(k) }.sum
+        val baseColdTotalCal = sharedCold.map { case (k, _) =>
+          baseline(k)._2 * fOf(fColdAxis, fColdMed)(k) }.sum
         val ratioRaw = if (baseTotal > 0) shared.map(_._2).sum / baseTotal else 1.0
+        val ratioCal = if (baseTotalCal > 0) shared.map(_._2).sum / baseTotalCal else 1.0
         val ratioColdRaw = if (baseColdTotal > 0) sharedCold.map(_._2).sum / baseColdTotal else 1.0
-        f""","baseline_total":$baseTotal%.2f,"vs_baseline":${ratioRaw / fWarm}%.3f,"vs_baseline_raw":$ratioRaw%.3f""" +
-          f""","regressions":${regs(shared, baseline(_)._1, fWarm)}""" +
-          f""","baseline_cold_total":$baseColdTotal%.2f,"vs_baseline_cold":${ratioColdRaw / fCold}%.3f""" +
-          f""","vs_baseline_cold_raw":$ratioColdRaw%.3f,"regressions_cold":${regs(sharedCold, baseline(_)._2, fCold)}""" +
-          f""","box_factor":$fWarm%.3f,"box_factor_cold":$fCold%.3f,"calibration":$calibJson,"jvm_flags":"$jvmFlags""""
+        val ratioColdCal = if (baseColdTotalCal > 0) sharedCold.map(_._2).sum / baseColdTotalCal else 1.0
+        f""","baseline_total":$baseTotal%.2f,"vs_baseline":$ratioCal%.3f,"vs_baseline_raw":$ratioRaw%.3f""" +
+          f""","regressions":${regs(shared, baseline(_)._1, fOf(fWarmAxis, fWarmMed))}""" +
+          f""","regressions_raw":${regs(shared, baseline(_)._1, one)}""" +
+          f""","baseline_cold_total":$baseColdTotal%.2f,"vs_baseline_cold":$ratioColdCal%.3f""" +
+          f""","vs_baseline_cold_raw":$ratioColdRaw%.3f,"regressions_cold":${regs(sharedCold, baseline(_)._2, fOf(fColdAxis, fColdMed))}""" +
+          f""","regressions_cold_raw":${regs(sharedCold, baseline(_)._2, one)}""" +
+          f""","box_factor":$fWarmMed%.3f,"box_factor_cold":$fColdMed%.3f""" +
+          f""","axis_factors":${axisJson(fWarmAxis)},"axis_factors_cold":${axisJson(fColdAxis)}""" +
+          f""","calibration":$calibJson,"jvm_flags":"$jvmFlags"""" +
+          s""","bench_overrides":${benchOverrides.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       }
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir"}"""
+    val axesJson = axes.toSeq.sortBy(_._1)
+      .map { case (k, a) => "\"" + k + "\":\"" + a + "\"" }.mkString("{", ",", "}")
+    def metricsJson(ms: Map[String, QueryMetrics]): String =
+      ms.toSeq.sortBy(_._1).map { case (k, m) => "\"" + k + "\":" + m.json }
+        .mkString("{", ",", "}")
+    val core = f""""metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir""""
+    val full = s"""{$core,"queries":$qs,"cold_queries":$coldQs,"query_axes":$axesJson,"metrics":${metricsJson(metricsWarm)},"metrics_cold":${metricsJson(metricsCold)}}"""
     println(full)
     // The driver captures only a bounded TAIL of stdout (every published
     // BENCH_r*.json so far has parsed:null because the full line above
     // outgrew that window). Persist the full JSON to a file and finish
-    // with a compact per-total summary line that fits any tail window,
-    // so a last-JSON-line parser always has something valid to read.
+    // with a compact summary line (aggregates + regressions, no
+    // per-query maps) that fits any tail window, so a last-JSON-line
+    // parser always has something valid to read.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full + "\n")
     catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"failed_cold":$nFailedCold,"failed_warm":$nFailedWarm,"cold_total":$coldTotal%.2f$extra,"sf":"$sfDir","queries_file":"bench_full.json"}""")
+    // Optional axis-map derivation artifact (builder box only): the
+    // runtime classification of EVERY query from this run's metrics,
+    // ready to check in as src/main/resources/graft/bench_axes.txt.
+    if (sys.env.contains("SPARK_GRAFT_EMIT_AXES")) {
+      val derived = results.collect { case (name, Right(v)) =>
+        s"$name ${classify(name, v, metricsWarm.getOrElse(name, new QueryMetrics))}"
+      }.mkString("", "\n", "\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_axes_derived.txt"), derived)
+      catch { case _: Throwable => () }
+    }
+    println(s"""{$core,"queries_file":"bench_full.json"}""")
     spark.stop()
   }
 }

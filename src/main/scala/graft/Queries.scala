@@ -1919,6 +1919,27 @@ object Queries {
     * the `embed_encoder` honest class); the forward pass is pinned
     * against an independent plain-Scala recomputation in EncoderMhSpec.
     */
+  /** [[embedEncoderMh]] over a deterministic bounded doc slice — the
+    * BENCH workload for the multi-head encoder (Bench.benchOverrides).
+    * The full-corpus forward stays the correctness row; benching it at
+    * 10 reps made one model forward 4% of the round-10 warm total. A
+    * fixed 120-doc slice keeps the measured path identical (same
+    * repartition fan-out, same per-partition session load, same
+    * posexplode) at ~1/4 the model math — a fixed-size workload is also
+    * what a bench row should be at 100 TB, where "embed the whole
+    * corpus each rep" is not a benchmark anyone runs.
+    */
+  def embedEncoderMhBounded(s: SparkSession, dir: String): DataFrame =
+    Featurize.embedWithModel(
+        docs(s, dir).filter(col("doc_id") < 120).select("doc_id", "text"),
+        "text", Seq("doc_id"),
+        graft.functions.OnnxFixture.MhModelDims,
+        Featurize.encoderEmbedder("/graft/embed_encoder_mh.onnx",
+          outDims = graft.functions.OnnxFixture.MhModelDims))
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("doc_id"), col("k").cast("long").as("k"), round(col("x"), 5).as("x"))
+      .orderBy("doc_id", "k")
+
   def embedEncoderMh(s: SparkSession, dir: String): DataFrame =
     Featurize.embedWithModel(
         docs(s, dir).select("doc_id", "text"), "text", Seq("doc_id"),
@@ -1944,7 +1965,15 @@ object Queries {
     * doc key — no new shuffle class. The twin composes the same CTE
     * fragments.
     */
-  def curationDisposition(s: SparkSession, dir: String): DataFrame = {
+  /** The curation universe and the four detector legs, factored so
+    * graft.tools.Profile can time each leg in isolation (round-10
+    * verdict #4: the driver box cold-flagged the composed query 51.9x
+    * while the builder box sat at cold = 2.2x warm — per-leg timings
+    * plus the bench stage metrics are the adjudication evidence). Leg
+    * order carries the disposition priority.
+    */
+  private[graft] def curationLegs(
+      s: SparkSession, dir: String): (DataFrame, Seq[(String, DataFrame)]) = {
     val d = docs(s, dir).select("doc_id", "text", "lang")
     val bench = d.filter(col("doc_id") < 10)
     val base = d.filter(col("doc_id") >= 10)
@@ -1983,6 +2012,12 @@ object Queries {
         "lang", "quality", "doc_id", minQuantile = 0.0)
         .filter(col("q_rank") < 0.25).select("doc_id"),
       "_lq")
+    (universe, Seq("_ex" -> exact, "_nd" -> near, "_ct" -> contaminated, "_lq" -> lowQ))
+  }
+
+  def curationDisposition(s: SparkSession, dir: String): DataFrame = {
+    val (universe, legs) = curationLegs(s, dir)
+    val Seq(exact, near, contaminated, lowQ) = legs.map(_._2)
 
     universe.select("doc_id")
       .join(exact, Seq("doc_id"), "left_outer")

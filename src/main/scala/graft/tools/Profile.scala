@@ -50,6 +50,13 @@ object Profile {
           row_number().over(Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))).cast("long"))
           .filter(col("rk") <= 10)
       }),
+      // curation_disposition dissection: the universe and each detector
+      // leg in isolation (flag joins excluded — they're the cheap part)
+      "d_cur_universe" -> ((s, dir) => Queries.curationLegs(s, dir)._1),
+      "d_cur_exact" -> ((s, dir) => Queries.curationLegs(s, dir)._2.head._2),
+      "d_cur_near" -> ((s, dir) => Queries.curationLegs(s, dir)._2(1)._2),
+      "d_cur_cont" -> ((s, dir) => Queries.curationLegs(s, dir)._2(2)._2),
+      "d_cur_lowq" -> ((s, dir) => Queries.curationLegs(s, dir)._2(3)._2),
       "d_topk_heap" -> ((s, dir) => {
         graft.plans.GraftFunctions.register(s)
         val e = Tables.embeddings(s, dir)

@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * has no hidden all-pairs/driver-side bottleneck.
   *
   * runMain graft.tools.ScaleCheck [sfDir] [maxFactor] [section]
-  * (section `ivf` runs only the IVF nlist-scaling block)
+  * (section `ivf` runs only the IVF nlist-scaling block; section
+  * `structured` runs the STRUCTURED-vector recall study — see
+  * [[structuredStudy]] — with maxFactor × 100k vectors)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -28,6 +30,12 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (section == "structured") {
+      structuredStudy(spark, maxFactor * 100000L)
+      spark.stop()
+      return
+    }
 
     def corpus(factor: Int): DataFrame = {
       val d = Tables.documents(spark, sfDir)
@@ -332,5 +340,154 @@ object ScaleCheck {
       }
     }
     spark.stop()
+  }
+
+  /** STRUCTURED-vector recall study (round-10 verdict #6): every recall
+    * number so far rode the near-isotropic synthetic corpus — the
+    * regime MOST favorable to coarse pruning and LEAST like real
+    * encoder output. This generator produces the realistic regime:
+    *
+    *  - a mixture of `kClusters` Gaussians on the unit sphere with
+    *    UNEVEN masses (u² draw — a few dominant topics, a long tail),
+    *  - a SHARED low-rank factor A (dim × rank): all clusters elongate
+    *    along the same `rank` directions — the anisotropy real encoder
+    *    embeddings exhibit (Ethayarajh'19: a narrow cone, variance
+    *    concentrated in few directions),
+    *  - small isotropic residual noise.
+    *
+    * Deterministic per row (seed ⊕ splitmix of vec_id), so reruns and
+    * partitioning changes reproduce the corpus bit-for-bit. On this
+    * corpus the study measures recall@10 vs the exact top-10 for the
+    * whole compressed-index matrix — IVF (nProbe sweep + scanned-rows
+    * fraction), PQ-ADC, IVF+SQ8, residual IVF+SQ8, IVF+BQ, IVF+MRL —
+    * at the registered operating points and one refine notch up, each
+    * family over the SAME persisted layouts and fitted centroids.
+    * Results + re-judged claims are tabled in PLANS.md.
+    */
+  def structuredStudy(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val dim = 64; val kClusters = 32; val rank = 8
+    val zScale = 0.15; val noise = 0.05; val seed = 7L
+    val rnd0 = new java.util.Random(seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
+    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
+    val bc = spark.sparkContext.broadcast((centers, aMat))
+    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
+      val (cents, a) = bc.value
+      it.map { i =>
+        val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+        val u = r.nextDouble()
+        val c = math.min(kClusters - 1, (u * u * kClusters).toInt) // uneven masses
+        val z = Array.fill(rank)(r.nextGaussian())
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var s = cents(c)(j)
+          var t = 0
+          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
+          v(j) = (s + noise * r.nextGaussian()).toFloat
+          j += 1
+        }
+        (i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_structured_").toString
+    val corpusPath = dir + "/vecs"
+    vecs.write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    println(s"[structured] corpus n=$n clusters=$kClusters rank=$rank zScale=$zScale noise=$noise")
+
+    // 8 queries: perturbed copies of corpus members spread across the id
+    // range (so across clusters) — realistic "near but not in corpus"
+    val qids = (0 until 8).map(q => (n / 8) * q + 13L)
+    val qvecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rq = new java.util.Random(seed + 99)
+    val queries = qids.map { id =>
+      id -> qvecs(id).map(x => x + (0.02 * rq.nextGaussian()).toFloat)
+    }
+    def qDf(v: Array[Float]): DataFrame = Seq(Tuple1(v.toSeq)).toDF("q_vec")
+
+    val truth: Map[Long, Set[Long]] = queries.map { case (id, v) =>
+      id -> Ann.exact(corpus, qDf(v), "embedding", "q_vec", "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    println("[structured] exact ground truth done (8 queries)")
+
+    def recall(name: String)(probe: Array[Float] => Set[Long]): Unit = {
+      val t0 = System.nanoTime()
+      val rs = queries.map { case (id, v) => (truth(id) & probe(v)).size / 10.0 }
+      println(f"[structured] recall $name%-32s ${rs.sum / rs.size}%.3f  " +
+        f"(per-q ${rs.map(r => f"$r%.1f").mkString(",")})  ${(System.nanoTime() - t0) / 1e9}%5.1f s")
+    }
+
+    val nlist = math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val tb = System.nanoTime()
+    val (idx, _) = Ann.buildTwoLevel(corpus, "embedding", "vec_id", nlist,
+      seed = 42, rowCount = Some(n))
+    println(f"[structured] ivf two-level fit nlist=$nlist  ${(System.nanoTime() - tb) / 1e9}%.1f s")
+    val ivfDir = dir + "/ivf"
+    Ann.writeIndex(idx, ivfDir)
+    val sizes = spark.read.parquet(ivfDir).groupBy("cluster").count()
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+
+    for (np <- Seq(1, 4, 8, 16)) {
+      var scanned = 0L
+      recall(s"ivf nProbe=$np") { v =>
+        val cells = Ann.nearestCells(idx.centroids, v.map(_.toDouble), np)
+        scanned += cells.map(c => sizes.getOrElse(c, 0L)).sum
+        Ann.probePersisted(spark, ivfDir, idx.centroids, qDf(v),
+            "q_vec", "embedding", "vec_id", nProbe = np, topK = 10)
+          .collect().map(_.getLong(0)).toSet
+      }
+      println(f"[structured]   scanned ${100.0 * scanned / (8.0 * n)}%.3f%% of corpus rows per query")
+    }
+
+    val model = Pq.train(corpus, "embedding", "vec_id", m = 8, codes = 16)
+    val encoded = Pq.encode(corpus, "embedding", model)
+    for (rf <- Seq(10, 25))
+      recall(s"pq m=8x16 adc refine=$rf") { v =>
+        Pq.probe(encoded, qDf(v), model, "embedding", "q_vec", "vec_id",
+            k = 10, refineFactor = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
+    val sqDir = dir + "/sq"
+    Sq.writeIvfSq(sqDir, corpus, "embedding", "vec_id", idx.centroids)
+    for (rf <- Seq(40, 100))
+      recall(s"ivfsq nProbe=4 refine=$rf") { v =>
+        Sq.probeIvfSq(spark, sqDir, idx.centroids, corpus, qDf(v),
+            "q_vec", "vec_id", "embedding", nProbe = 4, k = 10, refine = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
+    for (rf <- Seq(40, 100))
+      recall(s"ivfsq_residual nProbe=4 refine=$rf") { v =>
+        val cells = Ann.nearestCells(idx.centroids, v.map(_.toDouble), 4)
+        Sq.residualProbe(corpus, qDf(v), idx.centroids,
+            "embedding", "q_vec", "vec_id", cells, k = 10, refine = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
+    val bqDir = dir + "/bq"
+    Bq.writeIvfBq(bqDir, corpus, "embedding", "vec_id", idx.centroids)
+    for (rf <- Seq(40, 100))
+      recall(s"ivfbq nProbe=4 refine=$rf") { v =>
+        Bq.probeIvf(spark, bqDir, idx.centroids, corpus, qDf(v),
+            "q_vec", "vec_id", "embedding", nProbe = 4, k = 10, refine = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
+    val mrlDir = dir + "/mrl"
+    Matryoshka.writeIvfMrl(mrlDir, corpus, "embedding", "vec_id", idx.centroids, dPrefix = 16)
+    for (rf <- Seq(40, 100))
+      recall(s"ivfmrl d'=16 nProbe=4 refine=$rf") { v =>
+        Matryoshka.probeIvfMrl(spark, mrlDir, idx.centroids, corpus, qDf(v),
+            "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = 4, k = 10, refine = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
   }
 }
