@@ -38,14 +38,19 @@ object Bq extends IndexMaintenance {
 
   /** Sign bits of dims [word·64, min(dim, word·64+64)) as one long:
     * bit (i mod 64) set iff v[i+1] > 0 (strict — zeros pack as 0,
-    * matching the twin). Flat codegen'd selects, no HOFs on the
-    * corpus side — the [[Pq.batchProbe]] lesson says giant trees
-    * hurt, but ≤64 flat terms per word plan in microseconds.
+    * matching the twin). A NATIVE loop expression
+    * ([[graft.plans.PackSignBits]]), not 64 when/element_at terms: the
+    * flat chain plans fine alone, but fused into the same codegen
+    * stage as the IVF assignment it pushed `processNext` past
+    * HotSpot's JIT bytecode ceiling and the whole write stage ran
+    * interpreted — measured >25 min for `writeIvfBq` at 1M vectors
+    * where the expression form takes seconds (see the expression's
+    * doc for the full account).
     */
   def packWordExpr(v: Column, word: Int, dim: Int): Column =
-    (word * 64 until math.min(dim, word * 64 + 64))
-      .map(i => when(element_at(v, i + 1) > lit(0f), lit(1L << (i % 64))).otherwise(lit(0L)))
-      .reduce(_ + _)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.PackSignBits(
+        org.apache.spark.sql.GraftBridge.expression(v), word, dim))
 
   /** Single-word convenience for dim ≤ 64 (the registered queries'
     * shape).
