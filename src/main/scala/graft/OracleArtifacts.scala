@@ -88,6 +88,11 @@ object OracleArtifacts {
     */
   @volatile var ivfpq: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Array[Array[Double]])] = None
 
+  /** (IVF centroids, probed cells, residual PQ model, per-cell query
+    * ADC tables) from ivfpq_residual.
+    */
+  @volatile var ivfpqResidual: Option[(Array[Array[Double]], Seq[Int], operators.Pq.Model, Map[Int, Array[Array[Double]]])] = None
+
   /** (IVF centroids, probed cells) from ivfsq_probe — the SQ8 leg is
     * pure element-wise arithmetic, so only the IVF side needs literals.
     */
@@ -125,6 +130,7 @@ object OracleArtifacts {
     ann = None; annIncremental = None; annDeleted = None; annCompacted = None
     annBatch = None; annBatchSq = None; annBatchMrl = None
     annBatchPq = None; annFiltered = None; pq = None; ivfpq = None
+    ivfpqResidual = None
     ivfsq = None; ivfbq = None; ivfmrl = None; pca = None
     ivfsqResidual = None; streamPipeline = None
     semdedup = None; clusterTopics = None; annSweep = None

@@ -783,6 +783,49 @@ object OracleSql {
            |SELECT vec_id, cluster, hamming, ${cosine("ev", "qv")} AS cos_sim
            |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val ivfpqResEntries = OracleArtifacts.ivfpqResidual.toSeq.map { case (cents, cells, model, tables) =>
+      // Twin of Queries.ivfpqResidual: IVF assignment (centroid
+      // literals) filtered to the probed cells → per-row centroid pick
+      // (CASE over cluster) → residual rv = nv − cent → PQ encode of
+      // the residual (per-subspace distChains to the codebook literals,
+      // first-min) → per-CELL ADC (CASE over cluster, each cell's
+      // driver-computed residual table inlined) → candidate cut by ADC
+      // asc → exact cosine re-rank. Same left-to-right accumulation as
+      // the Spark expressions throughout, so the doubles match bit for
+      // bit and both cuts fall identically.
+      val dim = cents.head.length
+      val sub = model.dim / model.m
+      val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
+      val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
+        s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
+      }.mkString(" ") + " END"
+      val encCols = (0 until model.m).map { j =>
+        val lists = model.codebooks(j).map(c => distChain("rv", j * sub, c)).mkString(", ")
+        s"list_indexof([$lists], list_min([$lists])) - 1 AS prk$j"
+      }.mkString(",\n        ")
+      val adcCase = "CASE cluster " + cells.map { c =>
+        val terms = (0 until model.m).map { j =>
+          "[" + tables(c)(j).map(dlit).mkString(", ") + s"][prk$j + 1]"
+        }.mkString(" + ")
+        s"WHEN $c THEN $terms"
+      }.mkString(" ") + " END"
+      "ivfpq_residual" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
+           |dst AS (SELECT vec_id, ev, nv, [$distList] AS dl FROM nrm),
+           |asg AS (SELECT vec_id, ev, nv, CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster FROM dst
+           |        WHERE (list_indexof(dl, list_min(dl)) - 1) IN (${cells.mkString(", ")})),
+           |ct AS (SELECT vec_id, ev, nv, cluster, $centCase AS cent FROM asg),
+           |rs AS (SELECT vec_id, ev, cluster,
+           |        list_transform(generate_series(1, $dim), i -> nv[i] - cent[i]) AS rv FROM ct),
+           |enc AS (SELECT vec_id, ev, cluster,
+           |        $encCols FROM rs),
+           |ad AS (SELECT vec_id, ev, $adcCase AS adc FROM enc),
+           |cand AS (SELECT vec_id, ev FROM ad ORDER BY adc ASC, vec_id LIMIT 100)
+           |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val ivfmrlEntries = OracleArtifacts.ivfmrl.toSeq.map { case (cents, cells) =>
       // Twin of Queries.ivfmrlProbe: IVF assignment (fitted-centroid
       // literals) filters to the probed cells; the MRL leg is a plain
@@ -933,7 +976,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

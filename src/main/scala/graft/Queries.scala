@@ -3023,6 +3023,37 @@ object Queries {
       nProbe = 3, k = 10)
   }
 
+  /** RESIDUAL IVF-PQ probe — FAISS's actual IVF,PQ form
+    * ([[graft.operators.Pq.writeIvfPqResidual]]/
+    * [[graft.operators.Pq.probeIvfPqResidual]]; reference:
+    * store.py:274's IVF_PQ index type): codebooks train on
+    * normalize(v) − centroid[cell] residuals, so the 16 codes per
+    * subspace encode WITHIN-cell structure — on anisotropic corpora
+    * (real encoder output) the global-codebook form's ADC collapses
+    * (measured 0.075 recall in the round-11 structured study) while
+    * residual ADC ranks by ||qn − vn||² exactly (the centroid term
+    * cancels). Probe: partition-pruned scan of 3 cells, per-cell
+    * residual ADC tables as driver literals (CASE over cells — tiny
+    * plan), exact re-rank of the top 100.
+    */
+  def ivfpqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.trainResidualCached(dir, e, "embedding", "vec_id", index.centroids,
+      m = 8, codes = 16)
+    val qDf = queryVecDf(s, dir)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfpqres_no_qvec:$dir")(p =>
+      Pq.writeIvfPqResidual(p, e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+        index.centroids, model))
+    val qv = Ann.queryVector(qDf, "q_vec")
+    val cells = Ann.nearestCells(index.centroids, qv, 3)
+    OracleArtifacts.ivfpqResidual = Some(
+      (index.centroids, cells, model,
+        Pq.residualDistanceTables(model, index.centroids, qv, cells)))
+    Pq.probeIvfPqResidual(s, path, index.centroids, model, qDf, "q_vec", "embedding",
+      "vec_id", nProbe = 3, k = 10)
+  }
+
   /** Single-row ANN quality report: probe recall@10 vs exact top-10. */
   /** The nProbe TUNING CURVE over the cached IVF index: recall@10 for
     * nProbe 1..5 against the exact top-10 — the table a team reads to

@@ -266,6 +266,194 @@ object Pq extends IndexMaintenance {
     probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, refineFactor)
   }
 
+  // ── Residual IVF-PQ (FAISS's actual IVF,PQ form) ─────────────────────
+
+  /** Train codebooks on IVF RESIDUALS: normalize(v) − centroid[cell].
+    * Same bounded deterministic sample as [[train]]; the assignment and
+    * residual are computed driver-side with EXACTLY the
+    * [[graft.plans.NearestCentroid]] arithmetic (normalize once,
+    * sequential squared distance, strict-< first-minimum), so training
+    * vectors match the distributed encode bit for bit.
+    *
+    * Why residuals: the round-11 structured study measured
+    * global-codebook PQ-ADC at recall **0.075** on an anisotropic
+    * (mixture + shared-low-rank) 1M-vector corpus — within a narrow
+    * cone the 16 codes per subspace span the cone's OFFSET, not its
+    * interior, and the ADC ranking carries no signal. Subtracting the
+    * cell centroid re-centers every cell at the origin so the code
+    * budget is spent on within-cell structure; ADC on residuals ranks
+    * by ||qn − vn||² exactly (the centroid cancels), recovering the
+    * cosine order.
+    */
+  def trainResidual(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      m: Int = 8,
+      codes: Int = 16,
+      sampleSize: Int = 4096,
+      iters: Int = 15,
+      seed: Long = 42L
+  ): Model = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(idCol)
+      .limit(sampleSize)
+      .select(vecCol)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val norm = math.sqrt(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) / norm - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        Array.tabulate(v.length)(j => v(j) / norm - centroids(best)(j))
+      }
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      lloyd(pts, codes, iters, rnd)
+    }
+    Model(m, dim, codebooks)
+  }
+
+  private val residualModelCache =
+    Caches.lru[(String, String, String, Int, Int, Int, Int, Long), Model](64)
+
+  /** Memoizing [[trainResidual]] — the [[trainCached]] contract for the
+    * residual codebooks (the fitted IVF centroids are part of the
+    * corpus key by construction: same dataKey → same cached fit).
+    */
+  def trainResidualCached(
+      dataKey: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      m: Int = 8,
+      codes: Int = 16,
+      sampleSize: Int = 4096,
+      iters: Int = 15,
+      seed: Long = 42L
+  ): Model =
+    residualModelCache.computeIfAbsent(
+      (dataKey, vecCol, idCol, m, codes, sampleSize, iters, seed),
+      _ => trainResidual(df, vecCol, idCol, centroids, m, codes, sampleSize, iters, seed))
+
+  /** Residual-encode an ALREADY-ASSIGNED frame (must carry `cluster`):
+    * residual via the native [[graft.plans.CentroidResidual]] (the
+    * centroid table rides as a reference object — no nlist×dim literal
+    * blowup at √N cells), codes via the same [[graft.plans.PqEncode]]
+    * loop over the residual. All three expressions in the stage are
+    * compact loops, so the fused write stage stays under the JIT
+    * bytecode ceiling (the `PackSignBits` lesson, applied up front).
+    */
+  def encodeResidual(assigned: DataFrame, vecCol: String, centroids: Array[Array[Double]], model: Model): DataFrame =
+    assigned
+      .withColumn("_res",
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.CentroidResidual(
+            org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+            org.apache.spark.sql.GraftBridge.expression(col("cluster")),
+            centroids)))
+      .withColumn("codes",
+        org.apache.spark.sql.GraftBridge.column(
+          graft.plans.PqEncode(
+            org.apache.spark.sql.GraftBridge.expression(col("_res")),
+            model.codebooks)))
+      .drop("_res")
+
+  /** Persisted residual IVF-PQ layout — [[writeIvfPq]] with the encode
+    * re-centered per cell: (id, vec, codes) partitioned by cluster.
+    */
+  def writeIvfPqResidual(
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model
+  ): Unit =
+    writeClustered(
+      encodeResidual(Ann.assign(df, vecCol, ivfCentroids), vecCol, ivfCentroids, model)
+        .select(col(idCol), col(vecCol), col("codes"), col("cluster")),
+      path, "overwrite")
+
+  /** Per-cell ADC distance tables for a query: for each probed cell c,
+    * table_c(j)(k) = ||(qn − centroid_c)_j − codebook_j(k)||² — the
+    * residual-space analog of [[distanceTable]]. Driver-side constants
+    * (nProbe × m × codes doubles), also what the twin inlines.
+    */
+  def residualDistanceTables(
+      model: Model,
+      centroids: Array[Array[Double]],
+      qRaw: Array[Double],
+      cells: Seq[Int]): Map[Int, Array[Array[Double]]] = {
+    var s = 0.0; var i = 0
+    while (i < qRaw.length) { s += qRaw(i) * qRaw(i); i += 1 }
+    val norm = math.sqrt(s)
+    cells.map { c =>
+      val qr = Array.tabulate(qRaw.length)(j => qRaw(j) / norm - centroids(c)(j))
+      c -> distanceTable(model, qr)
+    }.toMap
+  }
+
+  /** Probe the persisted residual IVF-PQ layout: partition-pruned scan
+    * of the nProbe cells; ADC rank with the per-cell residual tables —
+    * a CASE over the probed cells (nProbe × m element_at lookups, tiny
+    * plan), since the query's residual differs per cell; exact cosine
+    * re-rank of the k·refine candidates. On residuals the ADC
+    * approximates ||qn − vn||² DIRECTLY (the centroid term cancels), so
+    * unlike the global-codebook [[probeIvfPq]] the ranking stays
+    * informative on clustered/anisotropic corpora — recall measured in
+    * the structured study (PLANS.md).
+    */
+  def probeIvfPqResidual(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model,
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      k: Int,
+      refineFactor: Int = 10
+  ): DataFrame = {
+    val qRaw = Ann.queryVector(queryDf, queryVec)
+    val cells = Ann.nearestCells(ivfCentroids, qRaw, nProbe)
+    val tables = residualDistanceTables(model, ivfCentroids, qRaw, cells)
+    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    def adcFor(c: Int): org.apache.spark.sql.Column = {
+      val t = tables(c).map(row => array(row.map(lit): _*))
+      (0 until model.m)
+        .map(j => element_at(t(j), element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)
+    }
+    val adc = cells.tail.foldLeft(when(col("cluster") === cells.head, adcFor(cells.head))) {
+      (acc, c) => acc.when(col("cluster") === c, adcFor(c))
+    }
+    val candidates = pruned
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k * refineFactor)
+    Search
+      .knnTopK(candidates.drop("adc_dist"), queryDf, vecCol, queryVec, idCol, k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
   /** Batch probe over the persisted IVF-PQ layout. The single-query
     * [[probe]] inlines the query's ADC table as driver literals; a
     * BATCH can't (the table is per query), so the tables become array

@@ -455,6 +455,17 @@ object ScaleCheck {
           .collect().map(_.getLong(0)).toSet
       }
 
+    val resModel = Pq.trainResidual(corpus, "embedding", "vec_id", idx.centroids,
+      m = 8, codes = 16)
+    val pqrDir = dir + "/pqres"
+    Pq.writeIvfPqResidual(pqrDir, corpus, "embedding", "vec_id", idx.centroids, resModel)
+    for (rf <- Seq(10, 25))
+      recall(s"ivfpq_residual nProbe=4 refine=$rf") { v =>
+        Pq.probeIvfPqResidual(spark, pqrDir, idx.centroids, resModel, qDf(v),
+            "q_vec", "embedding", "vec_id", nProbe = 4, k = 10, refineFactor = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
     val sqDir = dir + "/sq"
     Sq.writeIvfSq(sqDir, corpus, "embedding", "vec_id", idx.centroids)
     for (rf <- Seq(40, 100))

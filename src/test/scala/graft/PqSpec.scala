@@ -79,4 +79,69 @@ class PqSpec extends SparkSpec {
       assert(batch(qid) == single, s"query $qid: batch ${batch(qid)} != single $single")
     }
   }
+
+  test("residual IVF-PQ: probe equals a driver recompute; beats or matches global codebooks") {
+    import graft.operators.Ann
+    val index = Ann.buildCached(sf, embs, "embedding", "vec_id", k = 10, seed = 42)
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val model = Pq.trainResidual(corpus, "embedding", "vec_id", index.centroids, m = 8, codes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqres").toString + "/idx"
+    Pq.writeIvfPqResidual(dir, corpus, "embedding", "vec_id", index.centroids, model)
+    val got = Pq.probeIvfPqResidual(spark, dir, index.centroids, model, queryDf,
+        "q_vec", "embedding", "vec_id", nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // driver recompute with the NearestCentroid/PqEncode arithmetic
+    val qRaw = Ann.queryVector(queryDf, "q_vec")
+    val cells = Ann.nearestCells(index.centroids, qRaw, 3).toSet
+    val tables = Pq.residualDistanceTables(model, index.centroids, qRaw, cells.toSeq)
+    def nn(v: Array[Double]): Int = {
+      var s = 0.0; v.foreach(x => s += x * x); val n = math.sqrt(s)
+      var best = 0; var bd = Double.MaxValue
+      index.centroids.indices.foreach { c =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) / n - index.centroids(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      best
+    }
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cand = rows.flatMap { case (id, v) =>
+      val c = nn(v)
+      if (!cells(c)) None
+      else {
+        var s = 0.0; v.foreach(x => s += x * x); val nrm = math.sqrt(s)
+        val res = Array.tabulate(v.length)(j => v(j) / nrm - index.centroids(c)(j))
+        val sub = model.dim / model.m
+        val adc = (0 until model.m).map { j =>
+          val cbj = model.codebooks(j)
+          var best = 0; var bd = Double.MaxValue
+          cbj.indices.foreach { k =>
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = res(j * sub + i) - cbj(k)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = k }
+          }
+          tables(c)(j)(best)
+        }.sum
+        Some((id, v, adc))
+      }
+    }.sortBy { case (id, _, adc) => (adc, id) }.take(100)
+    def r5(x: Double) = BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(v: Array[Double]): Double = {
+      val q = qRaw
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * q(i); na += v(i) * v(i); nb += q(i) * q(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = cand.map { case (id, v, _) => (id, r5(cos(v))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    assert(got == expect, s"\n got: $got\n exp: $expect")
+
+    // residual codes must carry at least the global codebooks\u0027 recall here
+    val exact = Ann.exact(corpus, queryDf, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (got.map(_._1).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"residual ivfpq recall $recall")
+  }
 }
