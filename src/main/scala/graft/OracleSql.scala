@@ -1152,6 +1152,30 @@ object OracleSql {
          |SELECT vec_id, hamming, ${cosine("ev", "qv")} AS cos_sim
          |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "bq_rotated" ->
+      // Twin of Bq.probeRotated (k=10, refine=40): the seeded rotation
+      // matrix is a PURE function of (dim=64, seed=7), regenerated here
+      // and inlined as a list-of-lists literal; each rotated element is
+      // one list_dot_product (same sequential accumulation as the
+      // MatVec codegen loop), hamming = rotated-sign disagreements,
+      // exact cosine re-rank on the ORIGINAL vectors.
+      {
+        val rot = graft.operators.Bq.rotationMatrix(64, seed = 7L)
+        val rlit = rot.map(r => "[" + r.map(dlit).mkString(", ") + "]").mkString("[", ",\n          ", "]")
+        s"""WITH rt AS (SELECT $rlit AS rm),
+           |q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |qr AS (SELECT qv, list_transform(generate_series(1, 64), i -> list_dot_product(rm[i], qv)) AS rq FROM q, rt),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
+           |cr AS (SELECT vec_id, ev, list_transform(generate_series(1, 64), i -> list_dot_product(rm[i], ev)) AS re FROM c, rt),
+           |h AS (SELECT vec_id, ev, qv,
+           |       CAST(len(list_filter(generate_series(1, 64),
+           |                            i -> (re[i] > 0) <> (rq[i] > 0))) AS BIGINT) AS hamming
+           |       FROM cr, qr),
+           |cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 40)
+           |SELECT vec_id, hamming, ${cosine("ev", "qv")} AS cos_sim
+           |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      },
+
     "matryoshka_probe" ->
       // Twin of Matryoshka.probe (dPrefix=16, k=10, refine=40): the
       // approximate stage is the same cosine over the 16-element list

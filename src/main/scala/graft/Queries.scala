@@ -202,6 +202,26 @@ object Queries {
       vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
+  /** [[bqProbe]] with the ROTATION pre-step
+    * ([[graft.operators.Bq.probeRotated]]): hamming candidates from
+    * the sign bits of a seeded random orthogonal rotation (pure
+    * function of (dim, seed) — the twin regenerates the same matrix
+    * and recomputes the rotation with `list_dot_product` row by row),
+    * exact cosine re-rank on the ORIGINAL vectors. The production BQ
+    * deployment shape (FAISS OPQ-family pre-transform): measured 0.0
+    * -> 0.9 recall on axis-aligned low-rank vectors where plain sign
+    * bits are coin flips outside the signal dims, at zero angular
+    * distortion; on generic cones it ties plain packing (BqSpec,
+    * PLANS.md).
+    */
+  def bqRotated(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bq.probeRotated(
+      embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      queryVecDf(s, dir),
+      vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
+      rot = graft.operators.Bq.rotationMatrix(64, seed = 7L),
+      k = 10, refine = 40)
+
   /** Matryoshka prefix-dim probe ([[graft.operators.Matryoshka]]):
     * cosine on the leading 16 of 64 dims prunes to 40 candidates,
     * exact full-dim cosine re-ranks to top 10 — the MRL

@@ -158,4 +158,147 @@ object Bq extends IndexMaintenance {
       .limit(k)
       .select(col(idCol), col("hamming"), col("cos_sim"))
   }
+
+  // ── Rotated BQ (isotropization pre-step) ─────────────────────────────
+
+  /** Seeded random orthogonal rotation: Gram-Schmidt on a seeded
+    * Gaussian matrix (Haar-ish, deterministic under the seed). Pure
+    * function of (dim, seed) — no fitting, so twins can regenerate it
+    * and SQL can inline it.
+    *
+    * Why BQ wants one, and what was MEASURED (BqSpec + the round-11
+    * structured study): sign bits discriminate only where the
+    * informative variance is spread across coordinates. On an
+    * AXIS-ALIGNED low-rank corpus (signal in 4 of 64 dims, the rest
+    * near-zero jitter) plain BQ spends 60 bits on coin flips and
+    * scores recall 0.0; the rotation mixes the signal into every bit
+    * and scores 0.9 — the OPQ variance-balancing argument, measured.
+    * On generic cones the rotation DIVERSIFIES sign patterns (276 →
+    * 399/399 distinct words) but recall ties plain, and under IVF
+    * pruning it cannot add within-cell resolution — it preserves
+    * every angle by construction, and 1 bit/dim is the binding
+    * constraint there (use SQ8 or larger refine instead). Zero
+    * angular distortion means composing it is never worse than plain
+    * packing.
+    */
+  def rotationMatrix(dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) { dot += m(i)(k) * m(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { m(i)(k) -= dot * m(j)(k); k += 1 }
+        j += 1
+      }
+      var nrm = 0.0
+      var k = 0
+      while (k < dim) { nrm += m(i)(k) * m(i)(k); k += 1 }
+      nrm = math.sqrt(nrm)
+      k = 0
+      while (k < dim) { m(i)(k) /= nrm; k += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** Rotated vector column via the native [[graft.plans.MatVec]] loop
+    * (matrix as a codegen reference object).
+    */
+  def rotateCol(v: Column, rot: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MatVec(
+        org.apache.spark.sql.GraftBridge.expression(v), rot))
+
+  /** [[probe]] with the rotation pre-step: hamming candidates from the
+    * ROTATED sign bits, exact cosine re-rank on the ORIGINAL vectors
+    * (rotation preserves cosine mathematically; re-ranking on the
+    * untouched originals keeps the score column bit-identical to the
+    * plain probes').
+    */
+  def probeRotated(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      vecCol: String,
+      queryVec: String,
+      idCol: String,
+      rot: Array[Array[Double]],
+      k: Int = 10,
+      refine: Int = 40,
+      dim: Int = 64
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val cand = pack(corpus.withColumn("_rv", rotateCol(col(vecCol), rot)), "_rv", dim = dim)
+      .crossJoin(broadcast(
+        pack(queryDf.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)))
+      .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(refine)
+    cand
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cos_sim"))
+  }
+
+  /** Persisted IVF+BQ layout over ROTATED sign bits: cluster assignment
+    * stays in the ORIGINAL space (same fitted centroids and partition
+    * pruning as [[writeIvfBq]]); only the packed words change.
+    */
+  def writeIvfBqRotated(
+      path: String,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      rot: Array[Array[Double]],
+      dim: Int = 64): Unit =
+    writeClustered(
+      pack(Ann.assign(df, vecCol, centroids).withColumn("_rv", rotateCol(col(vecCol), rot)),
+          "_rv", dim = dim)
+        .select(col(idCol) +: col("cluster") +:
+          (0 until nWords(dim)).map(w => col(s"bq_w$w")): _*),
+      path, "overwrite")
+
+  /** Probe the rotated IVF+BQ layout: pruned cells from the original
+    * query, hamming on rotated words, exact re-rank on the original
+    * base vectors — [[probeIvf]] with the rotation applied to the
+    * query's pack only.
+    */
+  def probeIvfRotated(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queryDf: DataFrame,
+      queryVec: String,
+      idCol: String,
+      vecCol: String,
+      rot: Array[Array[Double]],
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40,
+      dim: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
+    val candidates = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(cells))
+      .crossJoin(broadcast(
+        pack(queryDf.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)))
+      .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(refine)
+    base
+      .join(broadcast(candidates), idCol)
+      .crossJoin(broadcast(queryDf))
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(idCol), col("cluster"), col("hamming"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -492,6 +492,16 @@ object ScaleCheck {
           .collect().map(_.getLong(0)).toSet
       }
 
+    val rot = Bq.rotationMatrix(dim, seed = 7L)
+    val bqrDir = dir + "/bqrot"
+    Bq.writeIvfBqRotated(bqrDir, corpus, "embedding", "vec_id", idx.centroids, rot)
+    for (rf <- Seq(40, 100))
+      recall(s"ivfbq_rotated nProbe=4 refine=$rf") { v =>
+        Bq.probeIvfRotated(spark, bqrDir, idx.centroids, corpus, qDf(v),
+            "q_vec", "vec_id", "embedding", rot, nProbe = 4, k = 10, refine = rf)
+          .collect().map(_.getLong(0)).toSet
+      }
+
     val mrlDir = dir + "/mrl"
     Matryoshka.writeIvfMrl(mrlDir, corpus, "embedding", "vec_id", idx.centroids, dPrefix = 16)
     for (rf <- Seq(40, 100))

@@ -116,4 +116,94 @@ class BqSpec extends SparkSpec {
     assert(plan.contains("bit_count"), "hamming must be bit_count over packed longs")
     assert(!plan.contains("CartesianProduct"), "broadcast, not cartesian")
   }
+
+  test("rotation matrix is orthogonal and deterministic; MatVec matches a driver recompute") {
+    import spark.implicits._
+    val r = Bq.rotationMatrix(64, seed = 7L)
+    assert(r.sameElements(Bq.rotationMatrix(64, seed = 7L).map(_.toSeq).map(_.toArray)) ||
+      r.zip(Bq.rotationMatrix(64, seed = 7L)).forall { case (a, b) => a.sameElements(b) })
+    // R·Rᵀ ≈ I
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dot = (0 until 64).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"R R^T [$i][$j] = $dot")
+    }
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val got = Seq(Tuple1(v.toSeq)).toDF("v")
+      .select(Bq.rotateCol(col("v"), r).as("rv"))
+      .head().getSeq[Double](0)
+    val want = r.map { row =>
+      var acc = 0.0; var j = 0
+      while (j < 64) { acc += row(j) * v(j).toDouble; j += 1 }
+      acc
+    }.toSeq
+    assert(got == want)
+  }
+
+  test("rotated probe: rotation preserves angles (re-rank identical), restores sign diversity on a cone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // anisotropic cone: all vectors = base direction + small noise ->
+    // plain sign bits nearly constant corpus-wide
+    // noise 0.5 on a ~1.3/dim base: ~15-20 degrees of angular spread —
+    // wide enough that 64 sign bits can rank it once rotated, while
+    // plain sign bits stay nearly constant (every dim's mean >> noise)
+    val base = Array.fill(64)(math.abs(rnd.nextGaussian()) + 0.5)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, base.map(b => (b + 0.5 * rnd.nextGaussian()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding").filter(col("vec_id") =!= 0)
+    val qv = rows.head._2
+    val q = Seq(Tuple1(qv.toSeq)).toDF("q_vec")
+    val rot = Bq.rotationMatrix(64, seed = 7L)
+    // plain sign bits: almost every corpus vector packs identically
+    val plainWords = Bq.pack(corpus, "embedding").select("bq_w0").as[Long].collect()
+    val rotWords = Bq.pack(corpus.withColumn("_rv", Bq.rotateCol(col("embedding"), rot)), "_rv")
+      .select("bq_w0").as[Long].collect()
+    assert(rotWords.distinct.length > plainWords.distinct.length,
+      s"rotation must diversify sign patterns: plain ${plainWords.distinct.length} vs rotated ${rotWords.distinct.length}")
+    // recall vs exact: rotated >= plain on this cone
+    val exact = graft.operators.Ann.exact(corpus, q, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val plain = Bq.probe(corpus, q, "embedding", "q_vec", "vec_id", k = 10, refine = 80)
+      .select("vec_id").as[Long].collect().toSet
+    val rotated = Bq.probeRotated(corpus, q, "embedding", "q_vec", "vec_id", rot,
+        k = 10, refine = 80)
+      .select("vec_id").as[Long].collect().toSet
+    val rPlain = (plain & exact).size / 10.0
+    val rRot = (rotated & exact).size / 10.0
+    info(f"cone: plain recall $rPlain%.1f -> rotated $rRot%.1f; distinct sign words " +
+      s"${plainWords.distinct.length} -> ${rotWords.distinct.length} of ${plainWords.length}")
+    assert(rRot >= rPlain, s"rotated recall $rRot < plain $rPlain")
+    assert(rRot >= 0.5, s"rotated recall $rRot on the cone (plain $rPlain)")
+  }
+
+  test("axis-aligned low-rank corpus: rotation spreads 4 informative dims across all 64 bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // signal lives in dims 0..3; dims 4..63 are near-zero jitter whose
+    // signs are coin flips — plain BQ spends 60 of its 64 bits on that
+    // noise and the hamming ranking drowns; a rotation mixes the 4-dim
+    // signal into every bit (the OPQ variance-balancing argument)
+    val rows = (0 until 400).map { i =>
+      val v = new Array[Float](64)
+      (0 until 4).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+      (4 until 64).foreach(j => v(j) = (0.01 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").filter(col("vec_id") =!= 0)
+    val q = Seq(Tuple1(rows.head._2.toSeq)).toDF("q_vec")
+    val rot = Bq.rotationMatrix(64, seed = 7L)
+    val exact = graft.operators.Ann.exact(corpus, q, "embedding", "q_vec", "vec_id", 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallOf(ids: Set[Long]) = (ids & exact).size / 10.0
+    val rPlain = recallOf(Bq.probe(corpus, q, "embedding", "q_vec", "vec_id",
+      k = 10, refine = 40).select("vec_id").as[Long].collect().toSet)
+    val rRot = recallOf(Bq.probeRotated(corpus, q, "embedding", "q_vec", "vec_id", rot,
+      k = 10, refine = 40).select("vec_id").as[Long].collect().toSet)
+    info(f"axis-aligned: plain recall $rPlain%.1f -> rotated $rRot%.1f")
+    assert(rRot > rPlain, s"rotation must win on axis-aligned low-rank data: $rPlain vs $rRot")
+    assert(rRot >= 0.6, s"rotated recall $rRot")
+  }
 }
