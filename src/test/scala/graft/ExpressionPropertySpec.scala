@@ -127,4 +127,74 @@ class ExpressionPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PackSignBits equals a per-bit reference on adversarial vectors (zeros, negatives, short, 2 words)") {
+    import graft.operators.Bq
+    val dim = 100 // spans two words, second word partial
+    val vecs = Seq.fill(200)(Array.fill(dim)((rnd.nextInt(7) - 3).toFloat)) ++
+      Seq(Array.fill(dim)(0.0f), Array.fill(dim)(-1.0f), Array.fill(dim)(1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Bq.pack(df, "v", dim = dim)
+      .select(col("id"), col("bq_w0"), col("bq_w1"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w0, w1) => id -> ((w0, w1)) }.toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      def ref(word: Int): Long =
+        (word * 64 until math.min(dim, word * 64 + 64))
+          .foldLeft(0L)((acc, j) => if (v(j) > 0f) acc | (1L << (j % 64)) else acc)
+      assert(out(i.toLong) == ((ref(0), ref(1))), s"row $i")
+    }
+  }
+
+  test("MatVec equals a driver loop on random matrices/vectors, float and double children") {
+    import graft.operators.Bq
+    val m = Array.fill(12, 20)(rnd.nextGaussian())
+    val vecsF = Seq.fill(100)(Array.fill(20)(rnd.nextGaussian().toFloat))
+    def ref(v: Array[Double]): Seq[Double] =
+      m.map { row =>
+        var acc = 0.0; var j = 0
+        while (j < 20) { acc += row(j) * v(j); j += 1 }
+        acc
+      }.toSeq
+    val gotF = vecsF.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(col("id"), Bq.rotateCol(col("v"), m).as("rv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecsF.zipWithIndex.foreach { case (v, i) =>
+      assert(gotF(i.toLong) == ref(v.map(_.toDouble)), s"float row $i")
+    }
+    val vecsD = vecsF.map(_.map(_.toDouble))
+    val gotD = vecsD.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(col("id"), Bq.rotateCol(col("v"), m).as("rv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecsD.zipWithIndex.foreach { case (v, i) =>
+      assert(gotD(i.toLong) == ref(v), s"double row $i")
+    }
+  }
+
+  test("CentroidResidual equals normalize-then-subtract on random vectors and both cluster types") {
+    val cents = Array.fill(5, 16)(rnd.nextGaussian())
+    val vecs = Seq.fill(150)((Array.fill(16)(rnd.nextGaussian().toFloat), rnd.nextInt(5)))
+    val df = vecs.zipWithIndex.map { case ((v, c), i) => (i.toLong, v, c) }
+      .toDF("id", "v", "cluster")
+    def refRes(v: Array[Float], c: Int): Seq[Double] = {
+      var s = 0.0; v.foreach(x => s += x.toDouble * x.toDouble)
+      val n = math.sqrt(s)
+      v.indices.map(j => v(j).toDouble / n - cents(c)(j))
+    }
+    def run(clusterCol: org.apache.spark.sql.Column): Map[Long, Seq[Double]] =
+      df.select(col("id"),
+          org.apache.spark.sql.GraftBridge.column(
+            graft.plans.CentroidResidual(
+              org.apache.spark.sql.GraftBridge.expression(col("v")),
+              org.apache.spark.sql.GraftBridge.expression(clusterCol),
+              cents)).as("r"))
+        .as[(Long, Seq[Double])].collect().toMap
+    val gotInt = run(col("cluster"))
+    val gotLong = run(col("cluster").cast("long"))
+    vecs.zipWithIndex.foreach { case ((v, c), i) =>
+      val want = refRes(v, c)
+      assert(gotInt(i.toLong) == want, s"int row $i")
+      assert(gotLong(i.toLong) == want, s"long row $i")
+    }
+  }
 }
