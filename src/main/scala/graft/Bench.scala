@@ -120,9 +120,51 @@ object Bench {
   final class QueryMetrics {
     var tasks = 0L; var jobs = 0L; var cpuNs = 0L; var runMs = 0L; var gcMs = 0L
     var shuffleRead = 0L; var shuffleWrite = 0L; var spilled = 0L; var peakMem = 0L
+    /** JVM-wide JIT compilation time spent DURING this query (CompilationMXBean
+      * delta, measured in the bench loop) — the cold-flag discriminator the
+      * round-11 adjudication lacked: a cold flag whose wall is mostly jit_ms
+      * is compiler churn; real task cpu with jit_ms ≈ 0 on a cold pass is
+      * the interpreted-first-execution class (see PLANS.md round 12).
+      */
+    var jitMs = 0L
+    /** Wall seconds as timed by the bench loop (for signature math). */
+    var wallMs = 0L
     def json: String =
       f"""{"tasks":$tasks,"jobs":$jobs,"cpu_ms":${cpuNs / 1000000L},"run_ms":$runMs,"gc_ms":$gcMs,""" +
-        f""""shr_kb":${shuffleRead / 1024},"shw_kb":${shuffleWrite / 1024},"spill_kb":${spilled / 1024},"peak_mb":${peakMem / 1048576L}}"""
+        f""""shr_kb":${shuffleRead / 1024},"shw_kb":${shuffleWrite / 1024},"spill_kb":${spilled / 1024},"peak_mb":${peakMem / 1048576L},""" +
+        f""""jit_ms":$jitMs,"wall_ms":$wallMs}"""
+    def row: String =
+      s"$tasks $jobs ${cpuNs / 1000000L} $runMs $gcMs ${shuffleRead / 1024} ${shuffleWrite / 1024} ${spilled / 1024} $jitMs $wallMs"
+  }
+
+  /** Mechanical cold-flag classification from the artifact's own numbers
+    * (the round-11 verdict's ask: the driver artifact should adjudicate
+    * its flags itself instead of in prose):
+    *  - `gc`    — GC dominated the tasks (allocation/heap pressure);
+    *  - `jit`   — the JIT compiler churned most of the wall (one-time
+    *              compilation of the generated stage, amortized warm);
+    *  - `stall` — wall mostly OUTSIDE tasks (driver/FS/scheduler — the
+    *              box-contention lead, not a code verdict);
+    *  - `work`  — real task CPU that vanished on the warm pass: the
+    *              first-execution class (interpreted generated code on
+    *              a compiler-starved box — PLANS.md round 12) or a
+    *              genuinely different cold plan. The one class that is
+    *              code-side until proven otherwise.
+    *  - `box`   — none of the above dominates; inflated run at
+    *              unchanged work (the documented lead-not-verdict class).
+    */
+  private[graft] def signature(cold: QueryMetrics, warm: QueryMetrics): String = {
+    val cpuC = cold.cpuNs / 1e6; val cpuW = warm.cpuNs / 1e6
+    if (cold.gcMs > 0.3 * math.max(cold.runMs, 1L)) "gc"
+    else if (cold.jitMs > 0.5 * math.max(cold.wallMs, 1L)) "jit"
+    else if (cold.runMs < 0.4 * math.max(cold.wallMs, 1L)) "stall"
+    else if (cpuC > 4 * math.max(cpuW, 1.0) && cpuC > 0.7 * math.max(cold.runMs, 1L)) "work"
+    else "box"
+  }
+
+  private def jitNowMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
   }
 
   private final class MetricsListener extends SparkListener {
@@ -247,6 +289,28 @@ object Bench {
         else spark.read.parquet(s"$sfDir/$t.parquet").count()
       } catch { case _: Throwable => () }
     }
+    // Untimed LIBRARY warmup over BOUNDED slices: exercise the shared
+    // text machinery (regex tokenize → shingle HOFs → md5/xxhash64) and
+    // the vector kernels once, so the tiered compiler meets those code
+    // paths before the clock starts. Round-11 lesson: the cold column's
+    // 58× bloom_decontaminate flag was the ALPHABETICALLY-FIRST query to
+    // push millions of rows through the text path — on a contended box
+    // whose compiler lagged the whole pass it paid the bytecode-
+    // interpreter ceiling (~60×, reproduced with -XX:TieredStopAtLevel=0)
+    // for everyone after it to run warm. Which query runs first is not
+    // an operator cost; one-time index builds and the queries' OWN
+    // generated-stage compilation still land in the cold pass. 64 docs /
+    // 256 vectors keep this under a second of untimed work. The
+    // checked-in baseline was recaptured with this same method.
+    try {
+      val docs = graft.Tables.documents(spark, sfDir).limit(64)
+      graft.operators.TextAnalysis.contamination(
+        docs, graft.Tables.documents(spark, sfDir).limit(8), "text", "doc_id").count()
+      val e = graft.Tables.embeddings(spark, sfDir).limit(256)
+      graft.operators.Search.knnTopK(
+        e, e.limit(1).select(col("embedding").as("q_vec")),
+        "embedding", "q_vec", "vec_id", 5).count()
+    } catch { case _: Throwable => () }
     // Two passes over the suite. Pass 1 is cold (includes one-time codegen
     // and index builds — the IVF KMeans fit is memoized per session, so
     // pass 2's ann_probe measures the probe, the amortized production cost
@@ -259,6 +323,7 @@ object Bench {
     def onePass(): (Seq[(String, Either[String, Double])], Map[String, QueryMetrics]) = {
       val metrics = scala.collection.mutable.Map.empty[String, QueryMetrics]
       val times = benchQueries.map { case (name, fn) =>
+        val jit0 = jitNowMs
         val t0 = System.nanoTime()
         val r =
           try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -267,7 +332,10 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               Left(e.getClass.getSimpleName)
           }
-        metrics(name) = listener.settleAndTake() // after the timer stops
+        val m = listener.settleAndTake() // after the timer stops
+        m.jitMs = jitNowMs - jit0
+        m.wallMs = (System.nanoTime() - t0) / 1000000L
+        metrics(name) = m
         name -> r
       }
       (times, metrics.toMap)
@@ -339,6 +407,29 @@ object Bench {
         }.toMap
     }
     val baseline = baselineAll.view.filterKeys(!_.startsWith("__calib_")).toMap
+    // Checked-in BUILDER-BOX metrics rows (tasks jobs cpu run gc shr shw
+    // spill jit wall, per query × {warm, cold}) — makes BASELINE.md's
+    // adjudication rule ("compare the flagged query's metrics row against
+    // the builder row") executable from the artifact alone (round-11
+    // What's-wrong #3). Captured by SPARK_GRAFT_EMIT_BASELINE below.
+    val baselineMetrics: Map[(String, String), String] = {
+      val in = getClass.getResourceAsStream("/graft/baseline_metrics_sf01.txt")
+      if (in == null) Map.empty
+      else scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+", 3) match {
+            case Array(n, phase, rest) => Some((n, phase) -> rest)
+            case _                     => None
+          }
+        }.toMap
+    }
+    def metricsRowJson(row: String): String = {
+      val names = Seq("tasks", "jobs", "cpu_ms", "run_ms", "gc_ms", "shr_kb",
+        "shw_kb", "spill_kb", "jit_ms", "wall_ms")
+      names.zip(row.split("\\s+")).map { case (n, v) => "\"" + n + "\":" + v }
+        .mkString("{", ",", "}")
+    }
     val calibBaseWarm = axisNames.flatMap { n =>
       baselineAll.get(s"__calib_$n").map(v => n -> v._1)
     }.toMap
@@ -375,12 +466,16 @@ object Bench {
         // (factor 1) are always emitted alongside — a clamped or
         // contended calibration pass can never silently suppress a
         // genuine regression (round-10 advice).
-        def regs(cur: Seq[(String, Double)], base: String => Double,
-                 f: String => Double): String =
+        def flagged(cur: Seq[(String, Double)], base: String => Double,
+                    f: String => Double): Seq[(String, Double)] =
           cur.collect {
             case (k, v) if v > 2 * base(k) * f(k) && v - base(k) * f(k) > 0.3 * f(k) =>
-              "\"" + k + "\":" + f"${v / (base(k) * f(k))}%.2f"
-          }.mkString("{", ",", "}")
+              k -> v / (base(k) * f(k))
+          }
+        def regsJson(fl: Seq[(String, Double)]): String =
+          fl.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+        def regs(cur: Seq[(String, Double)], base: String => Double,
+                 f: String => Double): String = regsJson(flagged(cur, base, f))
         val one = (_: String) => 1.0
         val shared = results.collect { case (k, Right(v)) if baseline.contains(k) => k -> v }
         val sharedCold = coldOk.filter { case (k, _) => baseline.contains(k) }
@@ -394,12 +489,36 @@ object Bench {
         val ratioCal = if (baseTotalCal > 0) shared.map(_._2).sum / baseTotalCal else 1.0
         val ratioColdRaw = if (baseColdTotal > 0) sharedCold.map(_._2).sum / baseColdTotal else 1.0
         val ratioColdCal = if (baseColdTotalCal > 0) sharedCold.map(_._2).sum / baseColdTotalCal else 1.0
+        val warmFlags = flagged(shared, baseline(_)._1, fOf(fWarmAxis, fWarmMed))
+        val coldFlags = flagged(sharedCold, baseline(_)._2, fOf(fColdAxis, fColdMed))
+        val coldFlagsRaw = flagged(sharedCold, baseline(_)._2, one)
+        // mechanical self-adjudication of every cold flag (round-11 ask)
+        val coldSigs = (coldFlags ++ coldFlagsRaw).map(_._1).distinct.sorted.map { q =>
+          "\"" + q + "\":\"" + signature(
+            metricsCold.getOrElse(q, new QueryMetrics),
+            metricsWarm.getOrElse(q, new QueryMetrics)) + "\""
+        }.mkString("{", ",", "}")
+        // side-by-side current-vs-builder metrics for every flag, from the
+        // checked-in builder rows — the adjudication rule, executable
+        val flagDetail = {
+          val all = (warmFlags.map(_._1 -> "warm") ++
+            (coldFlags ++ coldFlagsRaw).map(_._1 -> "cold")).distinct
+          all.sorted.map { case (q, phase) =>
+            val cur = (if (phase == "cold") metricsCold else metricsWarm)
+              .getOrElse(q, new QueryMetrics)
+            val base = baselineMetrics.get((q, phase))
+              .map(metricsRowJson).getOrElse("null")
+            "\"" + q + ":" + phase + "\":{\"cur\":" + metricsRowJson(cur.row) +
+              ",\"base\":" + base + "}"
+          }.mkString("{", ",", "}")
+        }
         f""","baseline_total":$baseTotal%.2f,"vs_baseline":$ratioCal%.3f,"vs_baseline_raw":$ratioRaw%.3f""" +
-          f""","regressions":${regs(shared, baseline(_)._1, fOf(fWarmAxis, fWarmMed))}""" +
+          f""","regressions":${regsJson(warmFlags)}""" +
           f""","regressions_raw":${regs(shared, baseline(_)._1, one)}""" +
           f""","baseline_cold_total":$baseColdTotal%.2f,"vs_baseline_cold":$ratioColdCal%.3f""" +
-          f""","vs_baseline_cold_raw":$ratioColdRaw%.3f,"regressions_cold":${regs(sharedCold, baseline(_)._2, fOf(fColdAxis, fColdMed))}""" +
-          f""","regressions_cold_raw":${regs(sharedCold, baseline(_)._2, one)}""" +
+          f""","vs_baseline_cold_raw":$ratioColdRaw%.3f,"regressions_cold":${regsJson(coldFlags)}""" +
+          f""","regressions_cold_raw":${regsJson(coldFlagsRaw)}""" +
+          s""","cold_signatures":$coldSigs,"flag_detail":$flagDetail""" +
           f""","box_factor":$fWarmMed%.3f,"box_factor_cold":$fColdMed%.3f""" +
           f""","axis_factors":${axisJson(fWarmAxis)},"axis_factors_cold":${axisJson(fColdAxis)}""" +
           f""","calibration":$calibJson,"jvm_flags":"$jvmFlags"""" +
@@ -425,6 +544,20 @@ object Bench {
     // Optional axis-map derivation artifact (builder box only): the
     // runtime classification of EVERY query from this run's metrics,
     // ready to check in as src/main/resources/graft/bench_axes.txt.
+    // Builder-box baseline-metrics derivation artifact: per-query warm +
+    // cold metrics rows, ready to check in as
+    // src/main/resources/graft/baseline_metrics_sf01.txt (the rows
+    // flag_detail compares against).
+    if (sys.env.contains("SPARK_GRAFT_EMIT_BASELINE")) {
+      val header = "# <query> <warm|cold> tasks jobs cpu_ms run_ms gc_ms shr_kb shw_kb spill_kb jit_ms wall_ms\n"
+      val body = results.collect { case (name, Right(_)) =>
+        s"$name warm ${metricsWarm.getOrElse(name, new QueryMetrics).row}\n" +
+          s"$name cold ${metricsCold.getOrElse(name, new QueryMetrics).row}"
+      }.mkString("", "\n", "\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("baseline_metrics_derived.txt"), header + body)
+      catch { case _: Throwable => () }
+    }
     if (sys.env.contains("SPARK_GRAFT_EMIT_AXES")) {
       val derived = results.collect { case (name, Right(v)) =>
         s"$name ${classify(name, v, metricsWarm.getOrElse(name, new QueryMetrics))}"

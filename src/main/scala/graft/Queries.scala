@@ -31,6 +31,43 @@ object Queries {
   private def queryVecDf(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
 
+  // ── Driver-side query artifacts for the persisted-probe serving paths.
+  // The round-11 bench metrics showed every warm persisted probe paying
+  // 7-11 sequential driver jobs with 70-85% of wall OUTSIDE tasks — and
+  // most of those jobs were re-deriving the same bounded query-side
+  // artifacts per call (collect the query vector, rebuild the |Q|-row
+  // cell ranking, re-broadcast a scanned query frame). Queries are the
+  // definition of a probe, not data: collect them ONCE per corpus and
+  // serve them as LOCAL relations — a broadcast over a local relation
+  // builds on the driver without a job, so a warm single-query probe is
+  // the probe action alone (asserted in ProbeJobCountSpec).
+
+  private val localDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  /** Memoized collect-and-relocalize: the same rows and schema as `df`,
+    * as a LocalRelation (exact values — Row copies, no re-encode).
+    */
+  private def localized(s: SparkSession, dir: String, tag: String, df: => DataFrame): DataFrame =
+    localDfCache.computeIfAbsent((System.identityHashCode(s), dir, tag), _ => {
+      val d = df
+      s.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
+    })
+
+  /** [[queryVecDf]] as a memoized local relation — zero jobs per use. */
+  private def queryVecLocal(s: SparkSession, dir: String): DataFrame =
+    localized(s, dir, "qvec", queryVecDf(s, dir))
+
+  /** The collected query vector (doubles) — zero jobs per use. */
+  private def queryVecArr(s: SparkSession, dir: String): Array[Double] =
+    Ann.queryVector(queryVecLocal(s, dir), "q_vec")
+
+  /** The 8-query batch-probe set as a memoized local relation. */
+  private def batchQueriesLocal(s: SparkSession, dir: String): DataFrame =
+    localized(s, dir, "qbatch",
+      embs(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")))
+
   /** (doc_id, lang, source, term) token occurrence table. */
   private def tokenTable(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenTable(docs(s, dir), "text", Seq("doc_id", "lang", "source"))
@@ -160,7 +197,7 @@ object Queries {
   def knnTopK(s: SparkSession, dir: String): DataFrame =
     Search.knnTopK(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id", k = 10
     ).select("vec_id", "label", "cos_sim")
 
@@ -171,7 +208,7 @@ object Queries {
   def sqProbe(s: SparkSession, dir: String): DataFrame =
     Sq.probe(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
@@ -185,7 +222,7 @@ object Queries {
   def mmrSearch(s: SparkSession, dir: String): DataFrame =
     Search.mmrRerank(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 5, poolSize = 20, lambda = 0.7)
 
@@ -198,7 +235,7 @@ object Queries {
   def bqProbe(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bq.probe(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 40)
 
@@ -217,7 +254,7 @@ object Queries {
   def bqRotated(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bq.probeRotated(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       vecCol = "embedding", queryVec = "q_vec", idCol = "vec_id",
       rot = graft.operators.Bq.rotationMatrix(64, seed = 7L),
       k = 10, refine = 40)
@@ -232,7 +269,7 @@ object Queries {
   def matryoshkaProbe(s: SparkSession, dir: String): DataFrame =
     Matryoshka.probe(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       dPrefix = 16, k = 10, refine = 40)
 
@@ -243,8 +280,8 @@ object Queries {
     */
   def ivfbqProbe(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.ivfbq = Some((index.centroids, cells))
     val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfbq:$dir")(p =>
@@ -264,8 +301,8 @@ object Queries {
     */
   def ivfmrlProbe(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.ivfmrl = Some((index.centroids, cells))
     val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfmrl:$dir")(p =>
@@ -277,7 +314,7 @@ object Queries {
   def knnPerGroup(s: SparkSession, dir: String): DataFrame =
     Search.knnTopKPerGroup(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "label", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       groupCol = "label", k = 3
     ).orderBy("label", "rk")
@@ -509,7 +546,7 @@ object Queries {
     val (index, cells) = annIndexAndCells(s, dir)
     val fts = Fts.buildCached(dir, docs(s, dir), "text", "doc_id")
     val bm25Leg = Fts.probe(s, fts, "doc_id", QueryTerms, k = 100)
-    val knnLeg = Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 100)
+    val knnLeg = Ann.probeCells(index, queryVecLocal(s, dir), "q_vec", cells, topK = 100)
       .select(col("vec_id").as("doc_id"), col("cos_sim"))
     Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
   }
@@ -701,7 +738,7 @@ object Queries {
       .bm25TopK(tokenTable(s, dir).select("doc_id", "term"), "doc_id", QueryTerms, 100)
     val knnLeg = Search.knnTopK(
       embs(s, dir).select(col("vec_id").as("doc_id"), col("embedding")),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "doc_id", k = 100
     ).select("doc_id", "cos_sim")
     Search.rrfFuse(bm25Leg, knnLeg, "doc_id", "bm25", "cos_sim", k = 10)
@@ -740,7 +777,7 @@ object Queries {
     Search.knnTopK(
       embs(s, dir).join(filtered, col("vec_id") === col("doc_id")).drop("doc_id")
         .select("vec_id", "label", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id", k = 10
     ).select("vec_id", "label", "cos_sim")
   }
@@ -1191,7 +1228,7 @@ object Queries {
   def lshQuery(s: SparkSession, dir: String): DataFrame =
     Lsh.query(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir),
+      queryVecLocal(s, dir),
       "embedding", "q_vec", "vec_id", dim = 64, nPlanes = 8, k = 10
     ).select("vec_id", "cos_sim")
 
@@ -2698,15 +2735,14 @@ object Queries {
   /** Build (memoized) + stash artifacts + return (index, probed cells). */
   private def annIndexAndCells(s: SparkSession, dir: String): (Ann.Index, Seq[Int]) = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val cells = Ann.nearestCells(
-      index.centroids, Ann.queryVector(queryVecDf(s, dir), "q_vec"), nProbe = 3)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.ann = Some((index.centroids, cells))
     (index, cells)
   }
 
   def annProbe(s: SparkSession, dir: String): DataFrame = {
     val (index, cells) = annIndexAndCells(s, dir)
-    Ann.probeCells(index, queryVecDf(s, dir), "q_vec", cells, topK = 10)
+    Ann.probeCells(index, queryVecLocal(s, dir), "q_vec", cells, topK = 10)
   }
 
   /** IVF index books ([[Ann.stats]]) — the twin re-derives the cell
@@ -2730,7 +2766,7 @@ object Queries {
     OracleArtifacts.pca = Some(model.components)
     Pca.probe(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      queryVecDf(s, dir), model,
+      queryVecLocal(s, dir), model,
       corpusVec = "embedding", queryVec = "q_vec", idCol = "vec_id",
       k = 10, refine = 100)
   }
@@ -2742,8 +2778,8 @@ object Queries {
     */
   def ivfsqResidual(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.ivfsqResidual = Some((index.centroids, cells))
     Sq.residualProbe(
       embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
@@ -2759,8 +2795,8 @@ object Queries {
     */
   def ivfsqProbe(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.ivfsq = Some((index.centroids, cells))
     val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfsq_no_qvec:$dir")(p =>
@@ -2792,11 +2828,10 @@ object Queries {
       Ann.writeIndex(index, p)
       Ann.appendToIndex(p, delta, "embedding", index.centroids)
     }
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.annIncremental = Some((index.centroids, cells))
-    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
-      nProbe = 3, topK = 10)
+    Ann.probePersistedCells(s, path, cells, q, "q_vec", "embedding", "vec_id", topK = 10)
   }
 
   /** [[annIncremental]]'s delta fed from a STREAM (the vector face of
@@ -2818,11 +2853,10 @@ object Queries {
       graft.streaming.StreamPipeline.appendToAnnIndex(s, dir, p, index.centroids,
         deltaFilter = col("vec_id") % 10 === 7)
     }
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.annIncremental = Some((index.centroids, cells))
-    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
-      nProbe = 3, topK = 10)
+    Ann.probePersistedCells(s, path, cells, q, "q_vec", "embedding", "vec_id", topK = 10)
   }
 
   /** DELETE-aware persisted probe — the reference's `delete_document`
@@ -2844,11 +2878,10 @@ object Queries {
       Ann.deleteFromIndex(s, p,
         embs(s, dir).filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
     }
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.annDeleted = Some((index.centroids, cells))
-    Ann.probePersistedLive(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
-      nProbe = 3, topK = 10)
+    Ann.probePersistedLiveCells(s, path, cells, q, "q_vec", "embedding", "vec_id", topK = 10)
   }
 
   /** COMPACTION closes the ANN maintenance triangle (append
@@ -2871,11 +2904,10 @@ object Queries {
         embs(s, dir).filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
       Ann.compact(s, staged, p, "vec_id")
     }
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.annCompacted = Some((index.centroids, cells))
-    Ann.probePersisted(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
-      nProbe = 3, topK = 10)
+    Ann.probePersistedCells(s, path, cells, q, "q_vec", "embedding", "vec_id", topK = 10)
   }
 
   /** PREFILTERED persisted-IVF probe — the reference's filtered vector
@@ -2889,14 +2921,14 @@ object Queries {
   def annFiltered(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
-    val q = queryVecDf(s, dir)
-    val cells = Ann.nearestCells(index.centroids, Ann.queryVector(q, "q_vec"), nProbe = 3)
+    val q = queryVecLocal(s, dir)
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
     OracleArtifacts.annFiltered = Some((index.centroids, cells))
     // same corpus + same fitted index as annBatchPersisted → same layout
     val path = graft.operators.LayoutCache.getOrWrite(s"annidx_full:$dir")(p =>
       Ann.writeIndex(index, p))
-    Ann.probePersistedFiltered(s, path, index.centroids, q, "q_vec", "embedding", "vec_id",
-      prefilter = col("label").isin(2, 5), keep = Seq("label"), nProbe = 3, topK = 10)
+    Ann.probePersistedFilteredCells(s, path, cells, q, "q_vec", "embedding", "vec_id",
+      prefilter = col("label").isin(2, 5), keep = Seq("label"), topK = 10)
   }
 
   /** IVF-PQ-style probe: PQ codes + ADC ranking + exact re-rank at
@@ -2905,7 +2937,7 @@ object Queries {
   def pqProbe(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val model = Pq.trainCached(dir, e, "embedding", "vec_id", m = 8, codes = 16)
-    val qDf = queryVecDf(s, dir)
+    val qDf = queryVecLocal(s, dir)
     OracleArtifacts.pq =
       Some((model, Pq.distanceTable(model, Ann.queryVector(qDf, "q_vec"))))
     Pq.probe(
@@ -2943,10 +2975,12 @@ object Queries {
     OracleArtifacts.annBatch = Some(index.centroids)
     val path = graft.operators.LayoutCache.getOrWrite(s"annidx_full:$dir")(p =>
       Ann.writeIndex(index, p))
-    Ann.probeBatchPersisted(s, path, index.centroids,
-      e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
-      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, topK = 5)
+    // bounded query set: cells ranked on the driver, shipped as a local
+    // relation — the warm probe is the pruned scan + heap alone
+    val qCells = Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+      "q_vec", "query_id", index.centroids, nProbe = 3)
+    Ann.probeBatchPersistedCells(s, path, qCells,
+      "q_vec", "query_id", "embedding", "vec_id", topK = 5)
       .orderBy("query_id", "rk")
   }
 
@@ -2965,9 +2999,10 @@ object Queries {
       Sq.writeIvfSq(p, e, "embedding", "vec_id", index.centroids))
     Sq.probeBatchIvfSq(s, path, index.centroids,
       e.select("vec_id", "embedding"),
-      e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
-      "q_vec", "query_id", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20)
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
       .orderBy("query_id", "rk")
   }
 
@@ -2989,9 +3024,10 @@ object Queries {
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfpq_full:$dir")(p =>
       Pq.writeIvfPq(p, e, "embedding", "vec_id", index.centroids, model))
     Pq.probeBatchIvfPq(s, path, index.centroids, model,
-      e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
-      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10)
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
       .orderBy("query_id", "rk")
   }
 
@@ -3012,9 +3048,10 @@ object Queries {
       Matryoshka.writeIvfMrl(p, e, "embedding", "vec_id", index.centroids, dPrefix = 16))
     Matryoshka.probeBatchIvfMrl(s, path, index.centroids,
       e.select("vec_id", "embedding"),
-      e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
-      "q_vec", "query_id", "vec_id", "embedding", dPrefix = 16, nProbe = 3, k = 5, refine = 20)
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "vec_id", "embedding", dPrefix = 16, nProbe = 3, k = 5, refine = 20,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
       .orderBy("query_id", "rk")
   }
 
@@ -3029,13 +3066,13 @@ object Queries {
     val e = embs(s, dir)
     val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
     val model = Pq.trainCached(dir, e, "embedding", "vec_id", m = 8, codes = 16)
-    val qDf = queryVecDf(s, dir)
+    val qDf = queryVecLocal(s, dir)
     // distinct key from annBatchPq's layout: this corpus excludes the
     // query vector (vec_id != 0)
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfpq_no_qvec:$dir")(p =>
       Pq.writeIvfPq(p, e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         index.centroids, model))
-    val qv = Ann.queryVector(qDf, "q_vec")
+    val qv = queryVecArr(s, dir)
     OracleArtifacts.ivfpq = Some(
       (index.centroids, Ann.nearestCells(index.centroids, qv, 3), model,
         Pq.distanceTable(model, qv)))
@@ -3061,11 +3098,11 @@ object Queries {
     val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
     val model = Pq.trainResidualCached(dir, e, "embedding", "vec_id", index.centroids,
       m = 8, codes = 16)
-    val qDf = queryVecDf(s, dir)
+    val qDf = queryVecLocal(s, dir)
     val path = graft.operators.LayoutCache.getOrWrite(s"ivfpqres_no_qvec:$dir")(p =>
       Pq.writeIvfPqResidual(p, e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         index.centroids, model))
-    val qv = Ann.queryVector(qDf, "q_vec")
+    val qv = queryVecArr(s, dir)
     val cells = Ann.nearestCells(index.centroids, qv, 3)
     OracleArtifacts.ivfpqResidual = Some(
       (index.centroids, cells, model,
@@ -3085,7 +3122,7 @@ object Queries {
     */
   def annRecallSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = queryVecDf(s, dir)
+    val q = queryVecLocal(s, dir)
     val index = Ann.buildCached(dir, embs(s, dir), "embedding", "vec_id", k = 10, seed = 42)
     val qv = Ann.queryVector(q, "q_vec")
     val cells5 = Ann.nearestCells(index.centroids, qv, nProbe = 5)
@@ -3109,7 +3146,7 @@ object Queries {
   def bqRecallSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = embs(s, dir).filter(col("vec_id") =!= 0).select("vec_id", "embedding")
-    val q = queryVecDf(s, dir)
+    val q = queryVecLocal(s, dir)
     val exact = Search.knnTopK(corpus, q, "embedding", "q_vec", "vec_id", 10)
       .select("vec_id")
     Seq(10, 20, 40, 80).map { refine =>
@@ -3124,7 +3161,7 @@ object Queries {
 
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val q = queryVecDf(s, dir)
+    val q = queryVecLocal(s, dir)
     val (index, cells) = annIndexAndCells(s, dir)
     val probe = Ann.probeCells(index, q, "q_vec", cells, topK = 10).select("vec_id")
     val exact = Ann.exact(embs(s, dir), q, "embedding", "q_vec", "vec_id", topK = 10)

@@ -7,12 +7,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every loader is a plain parquet scan — projection and predicate
   * pushdown are left to Catalyst so callers' `.select`/`.filter` reach
   * the scan (`PushedFilters` / `ReadSchema` in explain output).
+  *
+  * Loaders are memoized per (session, dir): `spark.read.parquet` on an
+  * unknown schema fires a footer/schema-inference ACTION, so an
+  * un-memoized loader pays one driver job per CALL — the round-12
+  * probe-latency audit found exactly that job leading every warm
+  * persisted probe (ProbeJobCountSpec pins it away). The tables are
+  * immutable driver-generated inputs, so the memo can never go stale;
+  * mutable layouts go through [[graft.operators.LayoutCache]], which
+  * has invalidation.
   */
 object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, name: String)(
+      load: => DataFrame): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark), s"$dir/$name"), _ => load)
+
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    cached(spark, dir, "documents")(spark.read.parquet(s"$dir/documents.parquet"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    cached(spark, dir, "embeddings")(spark.read.parquet(s"$dir/embeddings.parquet"))
   /** `events.ts` is normalized to a LONG (ns since epoch) whatever the
     * parquet physical type — TIMESTAMP(NANOS) reads as a raw long via
     * the legacy conf; TIMESTAMP(MICROS) (what the driver generates now)
@@ -23,7 +39,7 @@ object Tables {
     * `epoch_ns`/`epoch_ms` on the native timestamp, which agree with
     * the naive (no-tz) reading on both physical types.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = cached(spark, dir, "events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
@@ -38,17 +54,17 @@ object Tables {
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    cached(spark, dir, "lineitem")(spark.read.parquet(s"$dir/lineitem.parquet"))
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    cached(spark, dir, "orders")(spark.read.parquet(s"$dir/orders.parquet"))
   def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
+    cached(spark, dir, "customer")(spark.read.parquet(s"$dir/customer.parquet"))
   def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
+    cached(spark, dir, "part")(spark.read.parquet(s"$dir/part.parquet"))
   def supplier(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
+    cached(spark, dir, "supplier")(spark.read.parquet(s"$dir/supplier.parquet"))
   def nation(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet")
+    cached(spark, dir, "nation")(spark.read.parquet(s"$dir/nation.parquet"))
   def region(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/region.parquet")
+    cached(spark, dir, "region")(spark.read.parquet(s"$dir/region.parquet"))
 }

@@ -272,9 +272,12 @@ object Ann extends IndexMaintenance {
   def nearestCells(centroids: Array[Array[Double]], qRaw: Array[Double], nProbe: Int): Seq[Int] = {
     val qNorm = math.sqrt(qRaw.map(x => x * x).sum)
     val q = qRaw.map(_ / qNorm)
+    // squared distance, ties to the lower cluster id — the SAME total
+    // order as [[queryCells]]'s (_d2 asc, cluster asc) window, so the
+    // driver-side and in-plan rankings are interchangeable
     centroids.zipWithIndex
-      .map { case (c, i) => (i, math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+      .map { case (c, i) => (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy { case (i, d2) => (d2, i) }.take(nProbe).map(_._1).toSeq
   }
 
   /** Collect the one-row query vector as doubles (driver-side; accepts
@@ -404,9 +407,30 @@ object Ann extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       topK: Int
+  ): DataFrame =
+    probePersistedLiveCells(spark, path,
+      nearestCells(centroids, queryVector(queryDf, queryVec), nProbe),
+      queryDf, queryVec, vecCol, idCol, topK)
+
+  /** [[probePersistedLive]] with the cell list precomputed — the warm
+    * serving shape: a caller holding the centroids and a driver-side
+    * query vector pays ZERO extra jobs before the probe action (no
+    * re-collect of the query, no re-listing of the layout — see
+    * [[LayoutCache.readCached]], no tombstone broadcast below the
+    * inline limit).
+    */
+  def probePersistedLiveCells(
+      spark: SparkSession,
+      path: String,
+      cells: Seq[Int],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      topK: Int
   ): DataFrame = {
-    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    val pruned = LayoutCache.readCached(spark, path)
+      .filter(col("cluster").isInCollection(cells))
     val live = liveFace(spark, path, pruned, idCol)
     Search
       .knnTopK(live, queryDf, vecCol, queryVec, idCol, topK)
@@ -454,6 +478,8 @@ object Ann extends IndexMaintenance {
       val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(hPath, true)
       fs.rename(hStaging, hPath)
+      LayoutCache.invalidate(path) // the swap changed every file under it
+      TombstoneState.invalidate(path)
       (fresh.centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = true))
     }
   }
@@ -484,9 +510,27 @@ object Ann extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       topK: Int
+  ): DataFrame =
+    probePersistedCells(spark, path,
+      nearestCells(centroids, queryVector(queryDf, queryVec), nProbe),
+      queryDf, queryVec, vecCol, idCol, topK)
+
+  /** [[probePersisted]] with the cell list precomputed (see
+    * [[probePersistedLiveCells]] for the why — warm probes should be
+    * one action, not a train of listing/collect jobs).
+    */
+  def probePersistedCells(
+      spark: SparkSession,
+      path: String,
+      cells: Seq[Int],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      topK: Int
   ): DataFrame = {
-    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    val pruned = LayoutCache.readCached(spark, path)
+      .filter(col("cluster").isInCollection(cells))
     Search
       .knnTopK(pruned, queryDf, vecCol, queryVec, idCol, topK)
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))
@@ -516,9 +560,25 @@ object Ann extends IndexMaintenance {
       keep: Seq[String],
       nProbe: Int,
       topK: Int
+  ): DataFrame =
+    probePersistedFilteredCells(spark, path,
+      nearestCells(centroids, queryVector(queryDf, queryVec), nProbe),
+      queryDf, queryVec, vecCol, idCol, prefilter, keep, topK)
+
+  /** [[probePersistedFiltered]] with the cell list precomputed. */
+  def probePersistedFilteredCells(
+      spark: SparkSession,
+      path: String,
+      cells: Seq[Int],
+      queryDf: DataFrame,
+      queryVec: String,
+      vecCol: String,
+      idCol: String,
+      prefilter: org.apache.spark.sql.Column,
+      keep: Seq[String],
+      topK: Int
   ): DataFrame = {
-    val cells = nearestCells(centroids, queryVector(queryDf, queryVec), nProbe)
-    val pruned = spark.read.parquet(path)
+    val pruned = LayoutCache.readCached(spark, path)
       .filter(col("cluster").isInCollection(cells))
       .filter(prefilter)
     Search
@@ -566,6 +626,45 @@ object Ann extends IndexMaintenance {
       .select(col(queryId), col(queryVec), col("cluster"))
   }
 
+  /** [[queryCells]] ranked ON THE DRIVER for a BOUNDED query set — the
+    * dashboard/serving regime (tens to thousands of queries, not
+    * millions). The in-plan ranking costs a |Q|-row shuffle (the
+    * window) plus a broadcast-build job on EVERY probe; for a bounded
+    * set the same (d2 asc, cluster asc) ranking is O(|Q|·k·dim) driver
+    * arithmetic — [[nearestCells]] per query, the proven-equivalent
+    * order — and the result ships as a LOCAL relation, which
+    * broadcasts without a job. One collect job when `queries` is a
+    * distributed frame; zero when it is already local. Keep
+    * [[queryCells]] for unbounded query sets (hard-negative mining) —
+    * this variant COLLECTS the query set by design.
+    */
+  def queryCellsLocal(
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      centroids: Array[Array[Double]],
+      nProbe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val slim = queries.select(col(queryId), col(queryVec))
+    val rows = slim.collect()
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length * nProbe)
+    rows.foreach { r =>
+      val vec = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case other => sys.error(s"unsupported vector element: ${other.getClass}")
+      }.toArray
+      nearestCells(centroids, vec, nProbe).foreach { c =>
+        out.add(org.apache.spark.sql.Row(r.get(0), r.get(1), c))
+      }
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(slim.schema.fields :+
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+  }
+
   def probeBatch(
       index: Index,
       queries: DataFrame,
@@ -609,10 +708,29 @@ object Ann extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       topK: Int
+  ): DataFrame =
+    probeBatchPersistedCells(spark, path,
+      queryCells(queries, queryVec, queryId, centroids, nProbe),
+      queryVec, queryId, vecCol, idCol, topK)
+
+  /** [[probeBatchPersisted]] against a PRECOMPUTED per-query cell table
+    * (either ranking — [[queryCells]] in-plan or [[queryCellsLocal]]
+    * driver-side; a local one makes the whole warm probe ≤2 jobs:
+    * the broadcast builds driver-side off the local relation and only
+    * the pruned-scan → heap stages run as jobs).
+    */
+  def probeBatchPersistedCells(
+      spark: SparkSession,
+      path: String,
+      qCells: DataFrame,
+      queryVec: String,
+      queryId: String,
+      vecCol: String,
+      idCol: String,
+      topK: Int
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val qCells = queryCells(queries, queryVec, queryId, centroids, nProbe)
-    val scored = spark.read.parquet(path)
+    val scored = LayoutCache.readCached(spark, path)
       .join(broadcast(qCells), "cluster")
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))

@@ -48,9 +48,15 @@ object Bq extends IndexMaintenance {
     * doc for the full account).
     */
   def packWordExpr(v: Column, word: Int, dim: Int): Column =
-    org.apache.spark.sql.GraftBridge.column(
-      graft.plans.PackSignBits(
-        org.apache.spark.sql.GraftBridge.expression(v), word, dim))
+    // coalesce: a fully-NULL vector packs as the all-zeros word (what
+    // the when/element_at chain this replaced summed to), never a NULL
+    // word — NULL would sort FIRST under the ascending hamming orderBy
+    // and outrank every real vector (round-11 ADVICE)
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.PackSignBits(
+          org.apache.spark.sql.GraftBridge.expression(v), word, dim)),
+      lit(0L))
 
   /** Single-word convenience for dim ≤ 64 (the registered queries'
     * shape).
@@ -114,7 +120,7 @@ object Bq extends IndexMaintenance {
       dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val candidates = spark.read.parquet(path)
+    val candidates = LayoutCache.readCached(spark, path)
       .filter(col("cluster").isInCollection(cells))
       .crossJoin(broadcast(pack(queryDf, queryVec, "_qw", dim)))
       .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
@@ -285,7 +291,7 @@ object Bq extends IndexMaintenance {
       dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val candidates = spark.read.parquet(path)
+    val candidates = LayoutCache.readCached(spark, path)
       .filter(col("cluster").isInCollection(cells))
       .crossJoin(broadcast(
         pack(queryDf.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The shared maintenance contract of every persisted index family —
   * IVF vector layouts ([[Ann]], and the [[Pq]]/[[Sq]]/[[Bq]]/
@@ -25,13 +25,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (re-deleting an id must be a no-op, not silent stat drift).
   *  - '''read''' goes through the LIVE face ([[liveFace]]): the
   *    tombstone set (small next to the corpus — deletes are rare)
-  *    broadcast-ANTI-joins inside the pruned scan, BEFORE any top-k
-  *    heap, so results are all live; delete-free layouts have no
-  *    sidecar and skip the join instead of failing the listing.
+  *    excludes its ids inside the pruned scan, BEFORE any top-k heap,
+  *    so results are all live; delete-free layouts have no sidecar and
+  *    skip the exclusion instead of failing the listing. Below
+  *    [[TombstoneInlineLimit]] ids the exclusion is a codegen'd id-set
+  *    filter from a once-collected (memoized) tombstone set — zero
+  *    per-probe jobs; above it, a broadcast anti-join.
   *  - '''compact''' rewrites the live face into a FRESH directory
   *    ([[requireSeparateDir]] — mode(overwrite) over a directory
   *    concurrently read as input corrupts the index), from the index
   *    itself, never a corpus re-read.
+  *
+  * Every write verb invalidates [[LayoutCache]]'s listing/tombstone
+  * memos for the paths it touches, so warm probes can reuse one
+  * FileStatus listing per layout (the round-11 driver-latency fix)
+  * without ever serving a stale file set after an in-JVM mutation.
   *
   * Reference behavior being re-expressed: store.py:197 rebuilds its
   * whole index on every upsert/delete — at Spark scale the equivalent
@@ -45,6 +53,15 @@ trait IndexMaintenance {
     */
   final val TombstonesSub = "_tombstones"
 
+  /** Tombstone sets at or below this size are collected ONCE (memoized
+    * per layout generation) and excluded by a codegen'd id-set filter —
+    * no per-probe broadcast-build job. Deletes are rare next to the
+    * corpus, so this covers the serving norm; a layout that outgrows it
+    * falls back to the broadcast anti-join, which is the right shape
+    * for a genuinely large delete set anyway.
+    */
+  final val TombstoneInlineLimit = 65536
+
   final def tombstonePath(dir: String): String =
     dir.stripSuffix("/") + "/" + TombstonesSub
 
@@ -52,26 +69,32 @@ trait IndexMaintenance {
     * dir decides which filesystem answers (file:/HDFS/S3), so the
     * live-face anti-join and the idempotent-delete guard hold on
     * cluster storage, not only on java.io-visible local paths (where a
-    * silent `false` would serve tombstoned rows as live).
+    * silent `false` would serve tombstoned rows as live). Memoized per
+    * (session, dir) — one exists() round trip per layout generation,
+    * not per probe — and invalidated by [[appendTombstones]].
     */
-  final def hasTombstones(dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(tombstonePath(dir))
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    p.getFileSystem(conf).exists(p)
-  }
+  final def hasTombstones(dir: String): Boolean =
+    TombstoneState.exists(dir)
 
   final def tombstones(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(tombstonePath(dir))
+    LayoutCache.readCached(spark, tombstonePath(dir))
 
   /** The layout's LIVE face: `df` (a scan or pruned scan of `dir`)
-    * anti-joined against the tombstone sidecar when one exists.
+    * minus the tombstoned ids when a sidecar exists. Small sidecars
+    * (≤ [[TombstoneInlineLimit]]) become a pure-codegen NOT-IN-set
+    * filter from the memoized collected set (keeping anti-join
+    * semantics for null ids: an anti-join never matches a null key, so
+    * null-id rows stay); larger ones broadcast-anti-join.
     */
   final def liveFace(spark: SparkSession, dir: String, df: DataFrame, idCol: String): DataFrame =
-    if (hasTombstones(dir))
-      df.join(broadcast(tombstones(spark, dir)), Seq(idCol), "left_anti")
-    else df
+    if (!hasTombstones(dir)) df
+    else TombstoneState.inlineSet(spark, dir) match {
+      case Some(ids) if ids.isEmpty => df
+      case Some(ids) =>
+        df.filter(col(idCol).isNull || !col(idCol).isInCollection(ids))
+      case None =>
+        df.join(broadcast(tombstones(spark, dir)), Seq(idCol), "left_anti")
+    }
 
   /** Ids from `ids` NOT yet tombstoned — the idempotent-delete filter
     * (repeat calls and overlapping batches must not double-decrement a
@@ -87,19 +110,72 @@ trait IndexMaintenance {
   /** Append a (deduplicated) id batch to the tombstone sidecar — one
     * small file per delete batch, O(deletes) bytes.
     */
-  final def appendTombstones(ids: DataFrame, dir: String): Unit =
+  final def appendTombstones(ids: DataFrame, dir: String): Unit = {
     ids.coalesce(1).write.mode("append").parquet(tombstonePath(dir))
+    TombstoneState.invalidate(dir)
+  }
 
   /** Cluster-partitioned layout write with the mandatory pre-write
     * cluster-hash exchange (see trait doc). `mode` is `overwrite` for
     * build/compact, `append` for delta maintenance.
     */
-  final def writeClustered(df: DataFrame, path: String, mode: String): Unit =
+  final def writeClustered(df: DataFrame, path: String, mode: String): Unit = {
     df.repartition(col("cluster"))
       .write.partitionBy("cluster").mode(mode).parquet(path)
+    LayoutCache.invalidate(path)
+    TombstoneState.invalidate(path) // overwrite may clear a sidecar
+  }
 
   final def requireSeparateDir(family: String, srcDir: String, outDir: String): Unit =
     require(outDir != srcDir,
       s"$family compaction: output dir must differ from the source layout ($srcDir) — " +
         "mode(overwrite) over a directory concurrently read as input corrupts the index")
+}
+
+/** Per-layout tombstone metadata memos (sidecar existence; the
+  * collected id set when small) — the driver-side state that must be
+  * checked on EVERY probe but only changes when a lifecycle verb runs.
+  * Serving cost model: without these memos a persisted probe pays one
+  * FS exists() plus one broadcast-build job per call; with them, both
+  * are one-time per layout generation.
+  */
+private[operators] object TombstoneState {
+  private val existsCache = Caches.lru[String, java.lang.Boolean](512)
+  // Some(ids) = sidecar read and small enough to inline; None sentinel
+  // is encoded by caching an oversized marker so we don't re-collect.
+  private val idsCache = Caches.lru[String, Option[Seq[Any]]](256)
+
+  private def hadoopExists(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "/_tombstones")
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).exists(p)
+  }
+
+  def exists(dir: String): Boolean =
+    existsCache.computeIfAbsent(dir, d => java.lang.Boolean.valueOf(hadoopExists(d)))
+      .booleanValue()
+
+  /** The tombstone id set when ≤ TombstoneInlineLimit (memoized —
+    * collected once per layout generation); None when it outgrew the
+    * inline budget and probes must anti-join instead.
+    */
+  def inlineSet(spark: SparkSession, dir: String): Option[Seq[Any]] =
+    idsCache.computeIfAbsent(System.identityHashCode(spark).toString + " " + dir, _ => {
+      val limit = 65536
+      val rows = LayoutCache.readCached(spark, dir.stripSuffix("/") + "/_tombstones")
+        .limit(limit + 1).collect()
+      if (rows.length > limit) None else Some(rows.toSeq.map(_.get(0)))
+    })
+
+  def invalidate(dir: String): Unit = {
+    existsCache.keySet().remove(dir)
+    val it = idsCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.substring(k.indexOf(' ') + 1) == dir) it.remove()
+    }
+    LayoutCache.invalidate(dir.stripSuffix("/") + "/_tombstones")
+  }
 }

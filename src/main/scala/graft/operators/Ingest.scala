@@ -239,12 +239,14 @@ object Ingest {
     * text passes through verbatim, the exact "skip conversion"
     * semantics), so the standard chunk→featurize pipeline and the
     * hash-based skip/replace re-ingest gate take over unchanged. A
-    * blank source falls back to "uploaded-content" (ingestor.py:316).
+    * blank OR NULL source falls back to "uploaded-content"
+    * (ingestor.py:316 strips then falls back — a NULL passed through
+    * would become a null join/group key in the re-ingest gate).
     */
   def contentSource(contents: DataFrame): DataFrame = {
     val bytes = encode(col("content"), "UTF-8")
     contents.select(
-      when(trim(col("source")) === "", lit("uploaded-content"))
+      when(coalesce(trim(col("source")), lit("")) === "", lit("uploaded-content"))
         .otherwise(trim(col("source"))).as("source"),
       lit("md").as("file_type"),
       lit("").as("last_modified"),

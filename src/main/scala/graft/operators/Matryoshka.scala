@@ -116,9 +116,12 @@ object Matryoshka extends IndexMaintenance {
       dPrefix: Int = 16,
       nProbe: Int = 3,
       k: Int = 10,
-      refine: Int = 40): DataFrame = {
-    val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+      refine: Int = 40,
+      cellsPre: Option[Seq[Int]] = None): DataFrame = {
+    val cells = cellsPre.getOrElse(
+      Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe))
+    val pruned = LayoutCache.readCached(spark, path)
+      .filter(col("cluster").isInCollection(cells))
     val candidates = liveFace(spark, path, pruned, idCol)
       .crossJoin(broadcast(queryDf))
       .withColumn("approx_sim",
@@ -161,9 +164,11 @@ object Matryoshka extends IndexMaintenance {
       dPrefix: Int = 16,
       nProbe: Int = 3,
       k: Int = 10,
-      refine: Int = 40): DataFrame = {
-    val qCells = Ann.queryCells(queries, queryVec, queryId, centroids, nProbe)
-    val approx = liveFace(spark, path, spark.read.parquet(path), idCol)
+      refine: Int = 40,
+      qCellsPre: Option[DataFrame] = None): DataFrame = {
+    val qCells = qCellsPre.getOrElse(
+      Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
+    val approx = liveFace(spark, path, LayoutCache.readCached(spark, path), idCol)
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim",
         VectorOps.cosineRounded(col("mrl_prefix"), slice(col(queryVec), 1, dPrefix)))

@@ -262,7 +262,8 @@ object Pq extends IndexMaintenance {
       refineFactor: Int = 10
   ): DataFrame = {
     val cells = Ann.nearestCells(ivfCentroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    val pruned = LayoutCache.readCached(spark, path)
+      .filter(col("cluster").isInCollection(cells))
     probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, refineFactor)
   }
 
@@ -329,11 +330,14 @@ object Pq extends IndexMaintenance {
   }
 
   private val residualModelCache =
-    Caches.lru[(String, String, String, Int, Int, Int, Int, Long), Model](64)
+    Caches.lru[(String, String, String, Int, Int, Int, Int, Long, Int), Model](64)
 
   /** Memoizing [[trainResidual]] — the [[trainCached]] contract for the
-    * residual codebooks (the fitted IVF centroids are part of the
-    * corpus key by construction: same dataKey → same cached fit).
+    * residual codebooks. The memo key includes a CONTENT digest of the
+    * IVF centroids (round-11 ADVICE: dataKey alone would silently serve
+    * a model trained against a PREVIOUS quantizer's cells when the same
+    * corpus is refit with different k/seed — codes/ADC tables misaligned
+    * with the layout).
     */
   def trainResidualCached(
       dataKey: String,
@@ -346,10 +350,13 @@ object Pq extends IndexMaintenance {
       sampleSize: Int = 4096,
       iters: Int = 15,
       seed: Long = 42L
-  ): Model =
+  ): Model = {
+    val centKey = java.util.Arrays.deepHashCode(
+      centroids.asInstanceOf[Array[AnyRef]])
     residualModelCache.computeIfAbsent(
-      (dataKey, vecCol, idCol, m, codes, sampleSize, iters, seed),
+      (dataKey, vecCol, idCol, m, codes, sampleSize, iters, seed, centKey),
       _ => trainResidual(df, vecCol, idCol, centroids, m, codes, sampleSize, iters, seed))
+  }
 
   /** Residual-encode an ALREADY-ASSIGNED frame (must carry `cluster`):
     * residual via the native [[graft.plans.CentroidResidual]] (the
@@ -435,7 +442,8 @@ object Pq extends IndexMaintenance {
     val qRaw = Ann.queryVector(queryDf, queryVec)
     val cells = Ann.nearestCells(ivfCentroids, qRaw, nProbe)
     val tables = residualDistanceTables(model, ivfCentroids, qRaw, cells)
-    val pruned = spark.read.parquet(path).filter(col("cluster").isInCollection(cells))
+    val pruned = LayoutCache.readCached(spark, path)
+      .filter(col("cluster").isInCollection(cells))
     def adcFor(c: Int): org.apache.spark.sql.Column = {
       val t = tables(c).map(row => array(row.map(lit): _*))
       (0 until model.m)
@@ -478,7 +486,8 @@ object Pq extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       k: Int,
-      refineFactor: Int = 10
+      refineFactor: Int = 10,
+      qCellsPre: Option[DataFrame] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val sub = model.dim / model.m
@@ -504,12 +513,13 @@ object Pq extends IndexMaintenance {
           lit(0.0),
           (acc, x) => acc + x)).as(s"_adc$j")
     }
-    val qCells = Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe)
+    val qCells = qCellsPre
+      .getOrElse(Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe))
       .select(Seq(col(queryId), col(queryVec), col("cluster")) ++ tableCols: _*)
     val adc = (0 until model.m)
       .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = spark.read.parquet(path)
+    val scored = LayoutCache.readCached(spark, path)
       .join(broadcast(qCells), "cluster")
       .withColumn("adc_dist", adc)
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),

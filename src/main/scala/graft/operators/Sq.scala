@@ -82,9 +82,11 @@ object Sq extends IndexMaintenance {
       vecCol: String,
       nProbe: Int = 3,
       k: Int = 10,
-      refine: Int = 40): DataFrame = {
-    val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val candidates = spark.read.parquet(path)
+      refine: Int = 40,
+      cellsPre: Option[Seq[Int]] = None): DataFrame = {
+    val cells = cellsPre.getOrElse(
+      Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe))
+    val candidates = LayoutCache.readCached(spark, path)
       .filter(col("cluster").isInCollection(cells))
       .crossJoin(broadcast(queryDf))
       .withColumn("approx_sim", VectorOps.cosineRounded(col("sq_codes"), col(queryVec)))
@@ -124,10 +126,12 @@ object Sq extends IndexMaintenance {
       vecCol: String,
       nProbe: Int = 3,
       k: Int = 10,
-      refine: Int = 40): DataFrame = {
+      refine: Int = 40,
+      qCellsPre: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val qCells = Ann.queryCells(queries, queryVec, queryId, centroids, nProbe)
-    val approx = spark.read.parquet(path)
+    val qCells = qCellsPre.getOrElse(
+      Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
+    val approx = LayoutCache.readCached(spark, path)
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim", VectorOps.cosineFastRounded(col("sq_codes"), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),

@@ -622,6 +622,18 @@ object TextAnalysis {
     * floor), built by a per-partition OR `treeAggregate` — O(m), never
     * O(benchmark).
     *
+    * The bit test is the native [[graft.plans.BloomMightContain]]
+    * expression (mask as a codegen reference, hash loop in precompiled
+    * Scala). The round-11 form — k `element_at(typedLit(mask))`
+    * conjuncts — was this round's top cold flag (58×, 163 s of real
+    * first-execution CPU on the driver box): pushdown substituted the
+    * `shm = md5(raw)` projection into every conjunct (k md5 + 2k
+    * xxhash64 per shingle row) and the resulting generated stage was
+    * big enough that a first pass executed before the JIT catches up
+    * runs at the bytecode-interpreter ceiling — measured at 107 s on
+    * the builder box with the JIT pinned off, exactly the driver box's
+    * cold burn. See the expression's doc for the full dissection.
+    *
     * Reference: mcpvectordb has no decontamination tooling; this is
     * the scale path for the pipeline's [[contamination]] check
     * (Bloom 1970; same contract as `BloomFilterMightContain` in
@@ -646,25 +658,26 @@ object TextAnalysis {
     val k = math.max(1, math.min(6, math.round(0.6931 * mBits / n).toInt))
     val words = (mBits / 64).toInt
 
-    def positions(shm: org.apache.spark.sql.Column) =
-      (0 until k).map(i => pmod(xxhash64(shm, lit(i)), lit(mBits)))
-
     // Distributed build: per-partition bitmask OR, merged up a tree.
     // The zero value makes an empty benchmark a valid (all-miss) mask.
+    // Positions come from the SAME helper the probe expression uses
+    // (build and probe cannot disagree).
     val mask: Array[Long] = bench
-      .select(explode(array(positions(col("shm")): _*)).as("pos"))
+      .select(encode(col("shm"), "UTF-8").as("b"))
       .rdd.treeAggregate(new Array[Long](words))(
-        (a, r) => { val p = r.getLong(0); a((p >>> 6).toInt) |= 1L << (p & 63); a },
+        (a, r) => {
+          val ps = graft.plans.BloomMightContain.positions(
+            r.getAs[Array[Byte]](0), k, mBits)
+          var i = 0
+          while (i < ps.length) { val p = ps(i); a((p >>> 6).toInt) |= 1L << (p & 63); i += 1 }
+          a
+        },
         (x, y) => { var i = 0; while (i < words) { x(i) |= y(i); i += 1 }; x })
-    val maskCol = typedLit(mask.toSeq)
 
-    // All-k bit test, pure codegen: word = mask[pos >> 6], bit = pos & 63.
     def mightContain(shm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      positions(shm).map { p =>
-        val word = element_at(maskCol, shiftright(p, 6).cast("int") + 1)
-        call_function("shiftright", word, (p % 64).cast("int"))
-          .bitwiseAND(lit(1L)) === lit(1L)
-      }.reduce(_ && _)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.BloomMightContain(
+          org.apache.spark.sql.GraftBridge.expression(shm), mask, mBits, k))
 
     val corpusSh = distinctShingleRows(corpus, textCol, Seq(col(idCol)))
     val totals = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))

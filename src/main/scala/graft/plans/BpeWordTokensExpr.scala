@@ -37,6 +37,13 @@ case class BpeWordTokens(child: Expression, merges: Array[Array[String]])
       s"${ev.value} = graft.plans.BpeWordTokens$$.MODULE$$.count($c, $m);"
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeWordTokens => o.child == child && ExprArrayEq.deq(o.merges, merges) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(merges): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -91,6 +98,13 @@ case class BpeTextTokens(child: Expression, merges: Array[Array[String]])
       val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
       s"${ev.value} = graft.plans.BpeTextTokens$$.MODULE$$.count($c, $m);"
     })
+
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: BpeTextTokens => o.child == child && ExprArrayEq.deq(o.merges, merges) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(merges): Integer)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

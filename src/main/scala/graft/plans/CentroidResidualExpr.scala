@@ -109,6 +109,13 @@ case class CentroidResidual(
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: CentroidResidual => o.vec == vec && o.cluster == cluster && ExprArrayEq.deq(o.centroids, centroids) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(vec, cluster, ExprArrayEq.dhash(centroids): Integer)
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(vec = newLeft, cluster = newRight)

@@ -97,6 +97,13 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Int]])
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: HyperplaneSig => o.child == child && ExprArrayEq.deq(o.planes, planes) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(planes): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -84,6 +84,13 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: MatVec => o.child == child && ExprArrayEq.deq(o.matrix, matrix) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(matrix): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

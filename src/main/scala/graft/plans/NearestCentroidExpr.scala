@@ -110,6 +110,13 @@ case class NearestCentroid(
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid => o.child == child && o.normalizeInput == normalizeInput && ExprArrayEq.deq(o.centroids, centroids) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, normalizeInput, ExprArrayEq.dhash(centroids): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -126,6 +126,13 @@ case class NearestCentroidTwoLevel(
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidTwoLevel => o.child == child && ExprArrayEq.deq(o.superCents, superCents) && ExprArrayEq.deq(o.subCents, subCents) && ExprArrayEq.deq(o.offsets, offsets) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(superCents): Integer, ExprArrayEq.dhash(subCents): Integer, ExprArrayEq.dhash(offsets): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -92,6 +92,13 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
        """.stripMargin
     })
 
+  // structural equality over array contents (see [[ExprArrayEq]])
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode => o.child == child && ExprArrayEq.deq(o.codebooks, codebooks) && o.productArity == productArity
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, ExprArrayEq.dhash(codebooks): Integer)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

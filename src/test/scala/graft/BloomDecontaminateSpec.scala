@@ -68,6 +68,55 @@ class BloomDecontaminateSpec extends SparkSpec {
     assert(exact.exists(_.getLong(2) > 0))
   }
 
+  test("whole pipeline survives CODEGEN_ONLY (no silent interpreted fallback)") {
+    // Round-11 driver cold flag (58x / 163 s first-execution CPU): one
+    // kill-hypothesis was a silent interpreted fallback of the generated
+    // stage. Pinning the factory to CODEGEN_ONLY and disabling the
+    // whole-stage fallback makes any fallback FAIL this test instead of
+    // silently interpreting — so the class regresses loudly.
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val corpus = docsDf.filter(col("doc_id") >= 10)
+      val bench = docsDf.filter(col("doc_id") < 10)
+      val out = TextAnalysis.bloomDecontaminate(corpus, bench, "text", "doc_id").collect()
+      assert(out.nonEmpty)
+    } finally {
+      oldMode.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      oldFb.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("native bit test agrees with a reference scalar reimplementation") {
+    // Pin the mask/probe hash contract independently of the operator:
+    // positions from the shared helper, bits OR'd by hand, tested via
+    // the expression's own eval.
+    val keys = Seq("alpha beta gamma", "one two three", "x y z")
+    val mBits = 1L << 10
+    val k = 4
+    val words = (mBits / 64).toInt
+    val mask = new Array[Long](words)
+    keys.take(2).foreach { s =>
+      graft.plans.BloomMightContain
+        .positions(s.getBytes("UTF-8"), k, mBits)
+        .foreach(p => mask((p >>> 6).toInt) |= 1L << (p & 63))
+    }
+    val expr = graft.plans.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal("ignored"), mask, mBits, k)
+    def hit(s: String): Boolean =
+      expr.test(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(hit(keys(0)) && hit(keys(1)))
+    // no false negatives is structural; the un-inserted key is a miss
+    // under this mask (verified — not guaranteed by Bloom, but fixed by
+    // the deterministic hash family and these constants)
+    assert(!hit(keys(2)))
+  }
+
   test("empty benchmark produces an all-zero mask and an all-zero report") {
     val corpus = Seq((1L, "some words to shingle here now")).toDF("doc_id", "text")
     val bench  = Seq.empty[(Long, String)].toDF("doc_id", "text")

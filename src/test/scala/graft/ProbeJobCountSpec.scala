@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Pins the DRIVER-SIDE cost of warm persisted-index probes — the
+  * round-11 finding the bench metrics exposed twice in a row: warm
+  * probes spent 70-85% of wall OUTSIDE tasks across 7-11 sequential
+  * jobs (query re-collects, |Q|-row cell-ranking shuffles, relistings
+  * of an unchanged layout, tombstone broadcast builds). At 100 TB on
+  * S3 that per-probe driver latency is the real serving bottleneck —
+  * it does not amortize with data.
+  *
+  * After the fix (memoized local query relations, driver-ranked cells
+  * for bounded query sets, [[graft.operators.LayoutCache.readCached]]
+  * listings, inline tombstone sets) a warm single-query probe is the
+  * probe action alone: ≤2 jobs (the top-k's map + single-partition
+  * reduce). Batch probes add their bounded-heap shuffles. These
+  * assertions regress LOUDLY if anyone reintroduces a per-probe
+  * collect/list/broadcast job.
+  */
+class ProbeJobCountSpec extends SparkSpec {
+
+  private val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val listener = new SparkListener {
+    override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+  }
+
+  /** Jobs fired by the SECOND (warm) execution of a registered query. */
+  private def warmJobs(name: String): Int = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, sf).count() // cold: builds, writes, memoizes
+    Thread.sleep(150) // let the async listener bus drain job-start events
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      fn(spark, sf).count()
+      Thread.sleep(150) // let the async listener bus drain job-start events
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("warm single-query persisted probes are <=2 jobs") {
+    for (q <- Seq("ann_incremental", "ann_compacted", "ann_deleted", "ann_filtered")) {
+      val n = warmJobs(q)
+      assert(n <= 2, s"$q fired $n jobs warm — a per-probe collect/list/broadcast crept back in")
+    }
+  }
+
+  test("warm batch persisted probes are bounded (no per-probe ranking jobs)") {
+    // plain layout: pruned scan + one bounded-heap shuffle
+    val plain = warmJobs("ann_batch_persisted")
+    assert(plain <= 4, s"ann_batch_persisted fired $plain jobs warm")
+    // two-stage (approx prune + exact re-rank) layouts pay one more
+    // shuffle + the candidate broadcast build; MRL re-ranks against the
+    // separate full-precision base table (one more scan stage)
+    for ((q, bound) <- Seq("ann_batch_mrl" -> 7, "ann_batch_sq" -> 7, "ann_batch_pq" -> 7)) {
+      val n = warmJobs(q)
+      assert(n <= bound, s"$q fired $n jobs warm (bound $bound)")
+    }
+  }
+}
