@@ -712,6 +712,117 @@ object OracleSql {
            |SELECT query_id, vec_id, cluster, cos_sim, rk FROM pbr WHERE rk <= 5
            |ORDER BY query_id, rk""".stripMargin
     }
+    val annBatchPqrEntries = OracleArtifacts.annBatchPqr.toSeq.map { case (cents, model) =>
+      // Twin of Queries.annBatchPqr: ann_batch_pq's per-query cell
+      // ranking + ivfpq_residual's corpus-side residual encode, with the
+      // per-(query, cell) residual ADC derived IN SQL — the query's
+      // residual qrv = qnv − centroid[cluster] (centroid literals, CASE
+      // over the probed cluster), each subspace's distance list is the
+      // distChain of qrv against the codebook literals, indexed by the
+      // corpus row's code. Same left-to-right accumulation as the Spark
+      // CentroidResidual + HOF-fold chain, so the doubles match bit for
+      // bit and both cuts fall identically.
+      val dim = cents.head.length
+      val sub = model.dim / model.m
+      val qDists = cents.map(c => distChain("prqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("prnv", 0, c)).mkString(", ")
+      val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
+        s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
+      }.mkString(" ") + " END"
+      // at codes=256 the per-subspace distance lists are built by a
+      // list_transform LAMBDA over the codebook literal instead of 256
+      // unrolled distChains (a ~16k-term SQL string otherwise). The
+      // inner 8-term chain is the same left-associated accumulation as
+      // distChain / the Spark HOF fold, applied per element in list
+      // order — bit-identical doubles, compact SQL.
+      def cbLit(j: Int): String =
+        "[" + model.codebooks(j).map(c => "[" + c.map(dlit).mkString(", ") + "]").mkString(", ") + "]"
+      def distLambda(vec: String, j: Int): String = {
+        val terms = (0 until sub).map { i =>
+          s"($vec[${j * sub + i + 1}] - c[${i + 1}])*($vec[${j * sub + i + 1}] - c[${i + 1}])"
+        }.mkString(" + ")
+        s"list_transform(${cbLit(j)}, c -> $terms)"
+      }
+      val encCols = (0 until model.m).map { j =>
+        s"list_indexof(${distLambda("rv", j)}, list_min(${distLambda("rv", j)})) - 1 AS prr$j"
+      }.mkString(",\n        ")
+      val adcExpr = (0 until model.m).map { j =>
+        s"${distLambda("qrv", j)}[prr$j + 1]"
+      }.mkString(" + ")
+      "ann_batch_pqr" ->
+        s"""WITH prq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |prqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS prqnv FROM prq),
+           |prqd AS (SELECT query_id, qv, prqnv, [$qDists] AS dl FROM prqn),
+           |prqc0 AS (SELECT query_id, qv, prqnv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM prqd),
+           |prqc AS (SELECT query_id, qv, prqnv, cluster FROM (
+           |        SELECT query_id, qv, prqnv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM prqc0) WHERE rn <= 3),
+           |prqr AS (SELECT query_id, qv, cluster,
+           |        list_transform(generate_series(1, $dim), i -> prqnv[i] - ($centCase)[i]) AS qrv FROM prqc),
+           |prc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |prnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS prnv FROM prc),
+           |prdst AS (SELECT vec_id, ev, prnv, [$cDists] AS cdl FROM prnr),
+           |prasg AS (SELECT vec_id, ev, prnv, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM prdst),
+           |prct AS (SELECT vec_id, ev, prnv, cluster, $centCase AS cent FROM prasg),
+           |prrs AS (SELECT vec_id, ev, cluster,
+           |        list_transform(generate_series(1, $dim), i -> prnv[i] - cent[i]) AS rv FROM prct),
+           |prenc AS (SELECT vec_id, ev, cluster,
+           |        $encCols FROM prrs),
+           |prj AS (SELECT query_id, vec_id, cluster, ev, qv, $adcExpr AS adc
+           |        FROM prenc JOIN prqr USING (cluster)),
+           |prcand AS (SELECT query_id, vec_id, cluster, ev, qv FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prn
+           |        FROM prj) WHERE prn <= ${5 * 10}),
+           |prfin AS (SELECT query_id, vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM prcand),
+           |prr AS (SELECT query_id, vec_id, cluster, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM prfin)
+           |SELECT query_id, vec_id, cluster, cos_sim, rk FROM prr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
+    val annBatchBqrEntries = OracleArtifacts.annBatchBqr.toSeq.map { cents =>
+      // Twin of Queries.annBatchBqRotated: the batch per-query cell
+      // ranking + bq_rotated's rotated-sign hamming (the seeded rotation
+      // is a pure function of (dim=64, seed=7), regenerated and inlined;
+      // each rotated element is one list_dot_product — the same
+      // sequential accumulation as the MatVec codegen loop), per-query
+      // hamming prune to 20, exact re-rank on the ORIGINAL vectors to 5.
+      val rot = graft.operators.Bq.rotationMatrix(64, seed = 7L)
+      val rlit = rot.map(r => "[" + r.map(dlit).mkString(", ") + "]")
+        .mkString("[", ",\n          ", "]")
+      val qDists = cents.map(c => distChain("brqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("brnv", 0, c)).mkString(", ")
+      "ann_batch_bq_rotated" ->
+        s"""WITH rt AS (SELECT $rlit AS rm),
+           |brq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |brqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS brqnv FROM brq),
+           |brqd AS (SELECT query_id, qv, [$qDists] AS dl FROM brqn),
+           |brqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM brqd),
+           |brqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM brqc0) WHERE rn <= 3),
+           |brqr AS (SELECT query_id, qv, cluster,
+           |        list_transform(generate_series(1, 64), i -> list_dot_product(rm[i], qv)) AS rq FROM brqc, rt),
+           |brc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |brnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS brnv FROM brc),
+           |brdst AS (SELECT vec_id, ev, [$cDists] AS cdl FROM brnr),
+           |brasg AS (SELECT vec_id, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM brdst),
+           |brrot AS (SELECT vec_id, ev, cluster,
+           |        list_transform(generate_series(1, 64), i -> list_dot_product(rm[i], ev)) AS re FROM brasg, rt),
+           |brh AS (SELECT query_id, vec_id, cluster, ev, qv,
+           |       CAST(len(list_filter(generate_series(1, 64),
+           |                            i -> (re[i] > 0) <> (rq[i] > 0))) AS BIGINT) AS hamming
+           |       FROM brrot JOIN brqr USING (cluster)),
+           |brcand AS (SELECT query_id, vec_id, cluster, ev, qv, hamming FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS prn
+           |        FROM brh) WHERE prn <= 20),
+           |brfin AS (SELECT query_id, vec_id, cluster, hamming, ${cosine("ev", "qv")} AS cos_sim FROM brcand),
+           |brr AS (SELECT query_id, vec_id, cluster, hamming, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM brfin)
+           |SELECT query_id, vec_id, cluster, hamming, cos_sim, rk FROM brr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -976,7 +1087,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

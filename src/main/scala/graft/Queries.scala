@@ -3055,6 +3055,66 @@ object Queries {
       .orderBy("query_id", "rk")
   }
 
+  /** [[annBatchPq]] over the persisted RESIDUAL IVF-PQ layout — the
+    * batch probe for the PQ form that survives anisotropic vectors
+    * (round-11 structured study: global ADC 0.075 recall vs residual
+    * 0.70 at 1M), completing the batch matrix for the family that
+    * matters most on realistic embeddings. Per-(query, cell) residual
+    * ADC tables are broadcast-side array columns (the residual via the
+    * same native expression the write path uses); the codes scan and
+    * both heaps are identical to [[annBatchPq]]'s shape. The twin
+    * re-derives the residual encode and per-cell tables in SQL from
+    * the fitted centroid + codebook literals.
+    */
+  def annBatchPqr(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    // m=8 x codes=256 (byte codes) is the REGISTERED default for the
+    // residual family — the round-12 operating-point study at 1M
+    // anisotropic vectors measured it at recall 0.862 (refine 25), the
+    // full-SQ8/IVF-ceiling parity point, vs 0.688 for 8x16 at the SAME
+    // 8-byte code budget (PLANS.md round-12 table). The single-query
+    // ivfpq_residual stays at 8x16 where its per-cell literal-CASE
+    // tables are tiny; at 256 codes the tables ride as broadcast-side
+    // HOF columns (this probe), never plan literals.
+    val model = Pq.trainResidualCached(dir, e, "embedding", "vec_id", index.centroids,
+      m = 8, codes = 256)
+    OracleArtifacts.annBatchPqr = Some((index.centroids, model))
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfpqres_full:$dir")(p =>
+      Pq.writeIvfPqResidual(p, e, "embedding", "vec_id", index.centroids, model))
+    Pq.probeBatchIvfPqResidual(s, path, index.centroids, model,
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
+      .orderBy("query_id", "rk")
+  }
+
+  /** [[annBatchPersisted]] over the ROTATED persisted IVF+BQ layout —
+    * the batch face of [[bqRotated]]'s two levers (IVF pruning × 1/32
+    * sign-bit bytes, rotation spreading axis-aligned variance across
+    * every bit): per-query cells rank on the driver (bounded set),
+    * each query's rotated pack is broadcast-side, hamming + both heaps
+    * are bounded, and only |Q|·refine rows touch the base vectors. The
+    * twin regenerates the seeded rotation and re-derives cells, signs
+    * and hamming in SQL from the centroid literals.
+    */
+  def annBatchBqRotated(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatchBqr = Some(index.centroids)
+    val rot = graft.operators.Bq.rotationMatrix(64, seed = 7L)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfbqrot_full:$dir")(p =>
+      graft.operators.Bq.writeIvfBqRotated(p, e, "embedding", "vec_id", index.centroids, rot))
+    graft.operators.Bq.probeBatchIvfRotated(s, path, index.centroids,
+      e.select("vec_id", "embedding"),
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "vec_id", "embedding", rot, nProbe = 3, k = 5, refine = 20,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
+      .orderBy("query_id", "rk")
+  }
+
   /** Full persisted IVF-PQ probe — the reference's actual index type
     * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
     * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,

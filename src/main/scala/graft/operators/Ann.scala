@@ -665,6 +665,35 @@ object Ann extends IndexMaintenance {
           org.apache.spark.sql.types.IntegerType, nullable = false)))
   }
 
+  /** The DISTINCT probed-cell union of a LOCAL qCells relation, read
+    * driver-side with no job — None for a distributed qCells plan.
+    * Why: Spark's dynamic partition pruning does not fire when the
+    * dimension side of a partition-column join is a LocalRelation (no
+    * selective scan to reuse), so a batch probe fed by
+    * [[queryCellsLocal]] would scan EVERY cluster partition. The union
+    * is already known on the driver, so the probe applies it as a
+    * STATIC partition filter — stronger than DPP (pruned at plan time,
+    * no subquery execution) and visible as `PartitionFilters:
+    * [cluster IN (...)]` in explain.
+    */
+  private[operators] def staticCellsOf(qCells: DataFrame): Option[Seq[Int]] =
+    qCells.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val idx = lr.output.indexWhere(_.name == "cluster")
+        if (idx < 0) None
+        else Some(lr.data.map(_.getInt(idx)).distinct.sorted.toSeq)
+      case _ => None
+    }
+
+  /** Apply [[staticCellsOf]] to a layout scan when the cell union is
+    * driver-known; pass through (DPP regime) otherwise.
+    */
+  private[operators] def pruneToCells(scan: DataFrame, qCells: DataFrame): DataFrame =
+    staticCellsOf(qCells) match {
+      case Some(cells) => scan.filter(col("cluster").isInCollection(cells))
+      case None        => scan
+    }
+
   def probeBatch(
       index: Index,
       queries: DataFrame,
@@ -730,7 +759,7 @@ object Ann extends IndexMaintenance {
       topK: Int
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val scored = LayoutCache.readCached(spark, path)
+    val scored = pruneToCells(LayoutCache.readCached(spark, path), qCells)
       .join(broadcast(qCells), "cluster")
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"), col("cos_sim"))

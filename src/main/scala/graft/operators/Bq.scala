@@ -275,6 +275,59 @@ object Bq extends IndexMaintenance {
     * base vectors — [[probeIvf]] with the rotation applied to the
     * query's pack only.
     */
+  /** Batch probe over the ROTATED persisted IVF+BQ layout — closes the
+    * batch matrix for the rotated-BQ family (plain/SQ/PQ/PQ-residual/
+    * MRL already have batch faces): per-query cell ranking joins the
+    * partition-pruned words scan, hamming runs on each query's ROTATED
+    * pack (computed once per (query, cell) row on the broadcast side
+    * via the same [[rotateCol]]/[[packWordExpr]] chain the write path
+    * used), per-query hamming prune and exact re-rank are bounded
+    * heaps, and only |Q|·refine rows touch the full-precision base.
+    * Rotation preserves cosine, so the re-rank column is bit-identical
+    * to the plain batch probes'.
+    */
+  def probeBatchIvfRotated(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      base: DataFrame,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      idCol: String,
+      vecCol: String,
+      rot: Array[Array[Double]],
+      nProbe: Int = 3,
+      k: Int = 10,
+      refine: Int = 40,
+      dim: Int = 64,
+      qCellsPre: Option[DataFrame] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val qCells = qCellsPre.getOrElse(
+      Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
+    val qPacked = pack(
+      qCells.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)
+      .select(Seq(col(queryId), col(queryVec), col("cluster")) ++
+        (0 until nWords(dim)).map(w => col(s"_qw$w")): _*)
+    val approx = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells)
+      .join(broadcast(qPacked), "cluster")
+      .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
+        col("hamming"))
+    val candidates = graft.plans.TopK
+      .perKey(approx, Seq(queryId), Seq(("hamming", true), (idCol, true)), refine)
+      .drop("rk")
+    base
+      .join(broadcast(candidates), idCol)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster"), col("hamming"), col("cos_sim"))
+      .transform(df => graft.plans.TopK
+        .perKey(df, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), k))
+      .select(col(queryId), col(idCol), col("cluster"), col("hamming"),
+        col("cos_sim"), col("rk"))
+  }
+
   def probeIvfRotated(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -168,7 +168,8 @@ object Matryoshka extends IndexMaintenance {
       qCellsPre: Option[DataFrame] = None): DataFrame = {
     val qCells = qCellsPre.getOrElse(
       Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
-    val approx = liveFace(spark, path, LayoutCache.readCached(spark, path), idCol)
+    val approx = liveFace(spark, path,
+        Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells), idCol)
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim",
         VectorOps.cosineRounded(col("mrl_prefix"), slice(col(queryVec), 1, dPrefix)))

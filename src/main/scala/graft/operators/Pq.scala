@@ -513,13 +513,90 @@ object Pq extends IndexMaintenance {
           lit(0.0),
           (acc, x) => acc + x)).as(s"_adc$j")
     }
-    val qCells = qCellsPre
+    val qCellsRaw = qCellsPre
       .getOrElse(Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe))
+    val qCells = qCellsRaw
       .select(Seq(col(queryId), col(queryVec), col("cluster")) ++ tableCols: _*)
     val adc = (0 until model.m)
       .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = LayoutCache.readCached(spark, path)
+    val scored = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("adc_dist", adc)
+      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
+        col(vecCol), col(queryVec), col("adc_dist"))
+    val candidates = graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * refineFactor)
+    candidates
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"))
+      .transform(df => graft.plans.TopK
+        .perKey(df, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), k))
+      .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"), col("rk"))
+  }
+
+  /** Batch probe over the persisted RESIDUAL IVF-PQ layout — the batch
+    * face of [[probeIvfPqResidual]], completing the batch matrix for
+    * the family the round-11 structured study showed actually works on
+    * anisotropic vectors (global-ADC collapsed to 0.075 recall there;
+    * `ann_batch_pq` keeps covering that global form). The residual ADC
+    * table differs PER (query, probed cell) — table(j)(c) =
+    * ||(qn − centroid_cell)_j − codebook_j(c)||² — so the tables are
+    * computed as array columns on the (tiny) broadcast side: the
+    * query's per-cell residual comes from the same native
+    * [[graft.plans.CentroidResidual]] the write path encodes with, and
+    * the per-center distances are the batch-PQ HOF folds over it.
+    * Corpus-side work stays O(m) lookups per scanned code row; per-query
+    * candidate prune and exact re-rank are bounded heaps. Work scales
+    * with |Q|·nProbe on the broadcast side and codes-bytes on the scan —
+    * the 100 TB batch serving shape for the residual index.
+    */
+  def probeBatchIvfPqResidual(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model,
+      queries: DataFrame,
+      queryVec: String,
+      queryId: String,
+      vecCol: String,
+      idCol: String,
+      nProbe: Int,
+      k: Int,
+      refineFactor: Int = 10,
+      qCellsPre: Option[DataFrame] = None
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val sub = model.dim / model.m
+    // per-(query, cell) residual (normalize(q) − centroid[cell]) via the
+    // same expression the encode path uses — bit-identical spaces
+    val qres = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CentroidResidual(
+        org.apache.spark.sql.GraftBridge.expression(col(queryVec)),
+        org.apache.spark.sql.GraftBridge.expression(col("cluster")),
+        ivfCentroids))
+    // same HOF-fold table shape (and fold order) as [[probeBatchIvfPq]],
+    // over the residual instead of the raw query
+    val tableCols = (0 until model.m).map { j =>
+      val codebook = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
+      transform(codebook, cent =>
+        aggregate(
+          zip_with(slice(col("_qres"), j * sub + 1, sub), cent, (x, c) => {
+            val d = x - c
+            d * d
+          }),
+          lit(0.0),
+          (acc, x) => acc + x)).as(s"_adc$j")
+    }
+    val qCellsRaw = qCellsPre
+      .getOrElse(Ann.queryCells(queries, queryVec, queryId, ivfCentroids, nProbe))
+    val qCells = qCellsRaw
+      .withColumn("_qres", qres)
+      .select(Seq(col(queryId), col(queryVec), col("cluster")) ++ tableCols: _*)
+    val adc = (0 until model.m)
+      .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw)
       .join(broadcast(qCells), "cluster")
       .withColumn("adc_dist", adc)
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),

@@ -131,7 +131,7 @@ object Sq extends IndexMaintenance {
     graft.plans.GraftFunctions.register(spark)
     val qCells = qCellsPre.getOrElse(
       Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
-    val approx = LayoutCache.readCached(spark, path)
+    val approx = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells)
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim", VectorOps.cosineFastRounded(col("sq_codes"), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
