@@ -797,10 +797,11 @@ object Queries {
     */
   def maxsimSearch(s: SparkSession, dir: String): DataFrame = {
     val queryText = "spark filter join stream"
-    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-    val qd = s.range(1)
-      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
-      .select(col("term"), TextOps.hashedBowDim(col("term")).as("dim"))
+    import s.implicits._
+    val terms = TextOps.tokenizeLocal(queryText)
+    // (term, dim) is driver-computable — same rule as semanticSearch
+    val qd = terms.map(t => (t, TextOps.hashedBowDimLocal(t))).distinct
+      .toDF("term", "dim")
     // chunk norms via a WINDOW over the dim-count aggregation — not a
     // second aggregation joined back, which would re-scan the corpus
     // (the curation_report lesson): one scan, then shuffles only on
@@ -1901,20 +1902,23 @@ object Queries {
     * before the 5 dp round.
     */
   def semanticSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val queryText = "spark filter join stream"
-    val qd = s.range(1)
-      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
-      .select(TextOps.hashedBowDim(col("term")).as("dim"))
-      .groupBy("dim").agg(count("*").as("qcnt"))
+    // query featurization is driver work (round-12 probe-latency rule;
+    // bit-identical local forms pinned in FtsSpec)
+    val qDims = TextOps.tokenizeLocal(queryText)
+      .map(TextOps.hashedBowDimLocal(_))
+      .groupBy(identity).map { case (d, ts) => (d, ts.size.toLong) }.toSeq.sortBy(_._1)
+    val qss = qDims.map(c => c._2 * c._2).sum
+    val qd = qDims.toDF("dim", "qcnt")
     val dd = tokenTable(s, dir)
       .select(col("doc_id"), TextOps.hashedBowDim(col("term")).as("dim"))
       .groupBy("doc_id", "dim").agg(count("*").as("cnt"))
     val dn = dd.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("ss"))
-    val qn = qd.agg(sum(col("qcnt") * col("qcnt")).as("qss"))
     dd.join(broadcast(qd), "dim")
       .groupBy("doc_id").agg(sum(col("cnt") * col("qcnt")).as("dot"))
       .join(dn, "doc_id")
-      .crossJoin(broadcast(qn))
+      .withColumn("qss", lit(qss))
       .select(col("doc_id"),
         round(col("dot") / (sqrt(col("ss")) * sqrt(col("qss"))), 5).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id"))

@@ -137,6 +137,25 @@ object TextOps {
   def hashedBowDim(term: Column, dims: Int = 64): Column =
     (conv(substring(md5(term), 1, 2), 16, 10).cast("long") % dims)
 
+  /** [[hashedBowDim]] evaluated ON THE DRIVER — bit-identical by
+    * construction (same md5 over UTF-8 bytes, same first-hex-byte
+    * parse, same modulus), pinned against the in-plan form in
+    * FtsSpec. Lets a serving-path probe featurize its QUERY STRING
+    * without spawning Spark jobs (a query is driver data, not corpus
+    * data — the round-12 probe-latency rule).
+    */
+  def hashedBowDimLocal(term: String, dims: Int = 64): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xff).toLong % dims
+  }
+
+  /** Driver-side [[tokenize]] (same lowercase + `[^a-z0-9]+` split +
+    * non-empty filter as the Column form — both are Java regex).
+    */
+  def tokenizeLocal(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
   /** First-markdown-heading title with source-basename fallback
     * (reference: ingestor.py:482 `_extract_title`).
     */

@@ -282,19 +282,25 @@ object Fts extends IndexMaintenance {
       queryText: String,
       k: Int
   ): DataFrame = {
-    val qd = spark.range(1)
-      .select(explode(TextOps.tokenize(lit(queryText))).as("term"))
-      .select(TextOps.hashedBowDim(col("term")).as("dim"))
-      .groupBy("dim").agg(count(lit(1)).as("qcnt"))
+    import spark.implicits._
+    // query featurization is DRIVER work (the query string is driver
+    // data): dims/counts/norm computed locally with the bit-identical
+    // hashedBowDimLocal and shipped as a local relation + literal — the
+    // round-11 form spent 3 jobs per probe re-deriving this O(query
+    // terms) table in-plan (explode + groupBy + two broadcast builds)
+    val qDims: Seq[(Long, Long)] = TextOps.tokenizeLocal(queryText)
+      .map(TextOps.hashedBowDimLocal(_))
+      .groupBy(identity).map { case (d, ts) => (d, ts.size.toLong) }.toSeq.sortBy(_._1)
+    val qss: Long = qDims.map(c => c._2 * c._2).sum
+    val qd = qDims.toDF("dim", "qcnt")
     // anti-joining docdims alone suffices: docnorms joins back inner on
     // the id, so tombstoned docs can't resurface through the norm table
     val dd = liveSegment(spark, index.dir, "docdims", idCol)
     val dn = segment(spark, index.dir, "docnorms")
-    val qn = qd.agg(sum(col("qcnt") * col("qcnt")).as("qss"))
     dd.join(broadcast(qd), "dim")
       .groupBy(col(idCol)).agg(sum(col("cnt") * col("qcnt")).as("dot"))
       .join(dn, idCol)
-      .crossJoin(broadcast(qn))
+      .withColumn("qss", lit(qss))
       .select(col(idCol),
         round(col("dot") / (sqrt(col("ss")) * sqrt(col("qss"))), 5).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -316,11 +322,16 @@ object Fts extends IndexMaintenance {
       k: Int
   ): DataFrame = {
     import spark.implicits._
-    val qd = queries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(TextOps.tokenize(col("qtext"))).as("term"))
-      .select(col("query_id"), TextOps.hashedBowDim(col("term")).as("dim"))
-      .groupBy("query_id", "dim").agg(count(lit(1)).as("qcnt"))
-    val qn = qd.groupBy("query_id").agg(sum(col("qcnt") * col("qcnt")).as("qss"))
+    // driver-side query featurization (see [[semanticProbe]]) — the
+    // query batch is a driver Seq already
+    val qRows: Seq[(Long, Long, Long)] = queries.flatMap { case (qid, text) =>
+      TextOps.tokenizeLocal(text).map(TextOps.hashedBowDimLocal(_))
+        .groupBy(identity).map { case (d, ts) => (qid, d, ts.size.toLong) }
+    }.sortBy(r => (r._1, r._2))
+    val qd = qRows.toDF("query_id", "dim", "qcnt")
+    val qn = qRows.groupBy(_._1)
+      .map { case (qid, rs) => (qid, rs.map(r => r._3 * r._3).sum) }
+      .toSeq.sortBy(_._1).toDF("query_id", "qss")
     val dd = liveSegment(spark, index.dir, "docdims", idCol)
     val dn = segment(spark, index.dir, "docnorms")
     val scored = dd

@@ -58,4 +58,28 @@ class ProbeJobCountSpec extends SparkSpec {
       assert(n <= bound, s"$q fired $n jobs warm (bound $bound)")
     }
   }
+
+  test("driver-side query featurization is bit-identical to the in-plan form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("spark filter join stream", "JOIN the   Stream!", "filtré çà 123abc",
+      "", "a b c a b a")
+    texts.foreach { t =>
+      val local = graft.functions.TextOps.tokenizeLocal(t)
+        .map(tok => (tok, graft.functions.TextOps.hashedBowDimLocal(tok)))
+      val plan = spark.range(1)
+        .select(explode(graft.functions.TextOps.tokenize(lit(t))).as("term"))
+        .select(col("term"), graft.functions.TextOps.hashedBowDim(col("term")).as("dim"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(local == plan, s"driver featurization diverged for '$t'")
+    }
+  }
+
+  test("warm semantic/bm25 probes are bounded") {
+    for ((q, bound) <- Seq("semantic_indexed" -> 4, "semantic_batch" -> 7,
+                           "bm25_indexed" -> 4, "hybrid_indexed" -> 5)) {
+      val n = warmJobs(q)
+      assert(n <= bound, s"$q fired $n jobs warm (bound $bound)")
+    }
+  }
 }
