@@ -823,6 +823,37 @@ object OracleSql {
            |SELECT query_id, vec_id, cluster, hamming, cos_sim, rk FROM brr WHERE rk <= 5
            |ORDER BY query_id, rk""".stripMargin
     }
+    val annTwoLevelEntries = OracleArtifacts.annTwoLevel.toSeq.map { case (two, cells) =>
+      // Twin of Queries.annTwoLevel: HIERARCHICAL assignment replayed
+      // from the fitted hierarchy — nearest super-cell (first-min over
+      // the super distance list), then nearest sub-cell WITHIN that
+      // super (CASE over supers, each with its own sub distance list),
+      // flat id = offset[super] + sub index. Same normalize / sequential
+      // squared distance / strict-< first-minimum as every assignment
+      // twin (and as the NearestCentroidTwoLevel loop). The probe then
+      // filters to the driver-ranked flat cells and ranks cosine.
+      val supDists = two.superCents.map(c => distChain("tnv", 0, c)).mkString(", ")
+      val subCase = "CASE tsup " + two.subCents.zipWithIndex.map { case (subs, sp) =>
+        val dl = subs.map(c => distChain("tnv", 0, c)).mkString(", ")
+        s"WHEN $sp THEN [$dl]"
+      }.mkString(" ") + " END"
+      val offCase = "CASE tsup " + two.offsets.zipWithIndex.map { case (o, sp) =>
+        s"WHEN $sp THEN $o"
+      }.mkString(" ") + " END"
+      "ann_two_level" ->
+        s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS tnv FROM c),
+           |sup AS (SELECT vec_id, ev, tnv,
+           |        CAST(list_indexof([$supDists], list_min([$supDists])) - 1 AS BIGINT) AS tsup FROM nrm),
+           |sub AS (SELECT vec_id, ev, tsup, $subCase AS sdl FROM sup),
+           |asg AS (SELECT vec_id, ev,
+           |        CAST(($offCase) + list_indexof(sdl, list_min(sdl)) - 1 AS BIGINT) AS cluster FROM sub
+           |        ),
+           |pr AS (SELECT vec_id, ev, cluster FROM asg WHERE cluster IN (${cells.mkString(", ")}))
+           |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM pr, q
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -1087,7 +1118,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

@@ -3119,6 +3119,30 @@ object Queries {
       .orderBy("query_id", "rk")
   }
 
+  /** Persisted probe over a TWO-LEVEL coarse quantizer — the
+    * 10^9-vector fit path ([[graft.operators.Ann.buildTwoLevel]]:
+    * super-cells on the bounded sample, per-super local sub-fits in one
+    * distributed flatMapGroups, concatenated sub-codebooks = a flat
+    * k-cell codebook) registered as a hash-gated query: the corpus is
+    * assigned HIERARCHICALLY (nearest super, then nearest sub within
+    * it — the O(sqrt k) per-row expression), persisted partitioned by
+    * the flat cell id, and probed exactly like every flat layout. The
+    * twin replays the two-stage assignment from the fitted hierarchy
+    * literals (a boundary vector may legally land in a different cell
+    * than a flat argmin would pick — the twin reproduces the
+    * hierarchy's choice, which is the operator's contract).
+    */
+  def annTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val (index, two) = Ann.buildTwoLevelCached(dir + "#2l", embs(s, dir),
+      "embedding", "vec_id", k = 10, seed = 42)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ann2l:$dir")(p =>
+      Ann.writeIndex(index, p))
+    val cells = Ann.nearestCells(index.centroids, queryVecArr(s, dir), nProbe = 3)
+    OracleArtifacts.annTwoLevel = Some((two, cells))
+    Ann.probePersistedCells(s, path, cells, queryVecLocal(s, dir),
+      "q_vec", "embedding", "vec_id", topK = 10)
+  }
+
   /** Full persisted IVF-PQ probe — the reference's actual index type
     * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
     * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,

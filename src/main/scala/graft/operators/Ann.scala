@@ -165,6 +165,23 @@ object Ann extends IndexMaintenance {
     * fit's — recall at matched nProbe is spec-pinned (TwoLevelSpec)
     * and the flat [[build]] stays the default below ~10M vectors.
     */
+  private val twoLevelCache =
+    Caches.lru[(String, String, String, Int, Long), (Index, TwoLevel)](16)
+
+  /** Memoizing [[buildTwoLevel]] — the [[buildCached]] contract for the
+    * hierarchical fit (built once per corpus, probed many times; the
+    * assignment table is cached and materialized like the flat memo's).
+    */
+  def buildTwoLevelCached(dataKey: String, df: DataFrame, vecCol: String, idCol: String,
+                          k: Int, seed: Long): (Index, TwoLevel) =
+    twoLevelCache.computeIfAbsent(
+      (dataKey, vecCol, idCol, k, seed),
+      _ => {
+        val r = buildTwoLevel(df, vecCol, idCol, k, seed)
+        r._1.assigned.cache().count()
+        r
+      })
+
   def buildTwoLevel(df: DataFrame, vecCol: String, idCol: String, k: Int, seed: Long,
                     rowCount: Option[Long] = None): (Index, TwoLevel) = {
     // k = 1 would force kSuper = 2 and the trim loop can't reduce any

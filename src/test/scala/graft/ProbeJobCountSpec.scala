@@ -40,7 +40,8 @@ class ProbeJobCountSpec extends SparkSpec {
   }
 
   test("warm single-query persisted probes are <=2 jobs") {
-    for (q <- Seq("ann_incremental", "ann_compacted", "ann_deleted", "ann_filtered")) {
+    for (q <- Seq("ann_incremental", "ann_compacted", "ann_deleted", "ann_filtered",
+                  "ann_two_level")) {
       val n = warmJobs(q)
       assert(n <= 2, s"$q fired $n jobs warm — a per-probe collect/list/broadcast crept back in")
     }
