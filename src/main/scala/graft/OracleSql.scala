@@ -1196,6 +1196,7 @@ object OracleSql {
     // ONE twin string, two keys — both formats must reproduce the same
     // decorated fingerprint (see SourceRoundTripTwin above the map).
     "jsonl_scan" -> SourceRoundTripTwin,
+    "orc_scan" -> SourceRoundTripTwin,
     "csv_scan" -> SourceRoundTripTwin,
     "xml_scan" -> SourceRoundTripTwin,
 

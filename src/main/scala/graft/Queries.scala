@@ -143,6 +143,24 @@ object Queries {
     * splittable container); the writer here inherits the source
     * parallelism, which is exactly that shape.
     */
+  /** ORC corpus source round-trip — the OTHER first-class columnar
+    * format next to parquet (Hive-lineage lakes ship ORC), same
+    * fingerprint contract as [[jsonlScan]]. Unlike the text formats
+    * ORC is binary, SPLITTABLE and predicate-pushdown-capable, so its
+    * scale story is parquet's (no serial-parse caveat, min/max row-group
+    * pruning); the round trip proves type + full-unicode fidelity
+    * through the writer/reader pair. `_corrupt` has no meaning for a
+    * binary columnar source — the schema column reads as all-null
+    * (schema-evolution semantics), so n_corrupt = 0 like the
+    * well-formed text writes, and the shared twin applies unchanged.
+    */
+  def orcScan(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.operators.LayoutCache.getOrWrite(s"orc:$dir") { p =>
+      decoratedDocs(s, dir).write.mode("overwrite").orc(p)
+    }
+    sourceFingerprint(sourceReader(s).orc(path))
+  }
+
   def jsonlScan(s: SparkSession, dir: String): DataFrame = {
     val path = graft.operators.LayoutCache.getOrWrite(s"jsonl:$dir") { p =>
       decoratedDocs(s, dir)
