@@ -197,4 +197,55 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(gotLong(i.toLong) == want, s"long row $i")
     }
   }
+
+  test("BloomMightContain: no false negatives on random keys; eval == codegen == scalar reference") {
+    val keys = Seq.fill(400)(Seq.fill(1 + rnd.nextInt(6))(
+      "w" + rnd.nextInt(50)).mkString(" "))
+    val inserted = keys.take(200).distinct
+    val mBits = 1L << 12
+    val k = 5
+    val mask = new Array[Long]((mBits / 64).toInt)
+    inserted.foreach { key =>
+      graft.plans.BloomMightContain.positions(key.getBytes("UTF-8"), k, mBits)
+        .foreach(p => mask((p >>> 6).toInt) |= 1L << (p & 63))
+    }
+    val expr = graft.plans.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), mask, mBits, k)
+    // scalar reference: recompute positions independently and test bits
+    def ref(key: String): Boolean =
+      graft.plans.BloomMightContain.positions(key.getBytes("UTF-8"), k, mBits)
+        .forall(p => (mask((p >>> 6).toInt) & (1L << (p & 63))) != 0L)
+    // eval face
+    keys.foreach { key =>
+      val got = expr.test(org.apache.spark.unsafe.types.UTF8String.fromString(key))
+      assert(got == ref(key), s"eval mismatch for '$key'")
+    }
+    // no false negatives is structural
+    inserted.foreach(key => assert(ref(key), s"false negative for inserted '$key'"))
+    // codegen face through a real plan (filter over a column)
+    val df = keys.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "key")
+    val hits = df.filter(org.apache.spark.sql.GraftBridge.column(
+        graft.plans.BloomMightContain(
+          org.apache.spark.sql.GraftBridge.expression(col("key")), mask, mBits, k)))
+      .select("key").collect().map(_.getString(0)).toSet
+    val expected = keys.filter(ref).toSet
+    assert(hits == expected, "codegen face diverged from the scalar reference")
+  }
+
+  test("queryCellsLocal ranks identically to the in-plan queryCells window (random queries/centroids)") {
+    import graft.operators.Ann
+    val dim = 8
+    val cents = Array.fill(7)(Array.fill(dim)(rnd.nextGaussian()))
+    val queries = Seq.tabulate(24)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("query_id", "q_vec")
+    val nProbe = 3
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select("query_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val inPlan = pairs(Ann.queryCells(queries, "q_vec", "query_id", cents, nProbe))
+    val local = pairs(Ann.queryCellsLocal(queries, "q_vec", "query_id", cents, nProbe))
+    assert(local == inPlan,
+      s"driver ranking diverged from the window ranking: ${(local -- inPlan) ++ (inPlan -- local)}")
+  }
 }
