@@ -85,14 +85,12 @@ object TextOps {
     * [[explodeShingles]] / [[posexplodeShingles]].
     */
   def rawShingles(tokens: Column, k: Int = 3): Column =
-    flatten(transform(array(tokens), ts =>
-      when(
-        size(ts) >= k,
-        transform(
-          sequence(lit(1), size(ts) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j)): _*)
-        )
-      ).otherwise(array().cast("array<string>"))))
+    // native compiled loop since round 12 (graft.plans.Shingles) —
+    // bit-identical to the HOF transform/concat_ws form it replaced
+    // (see the expression's doc for the parity + measured-why)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Shingles(
+        org.apache.spark.sql.GraftBridge.expression(tokens), k))
 
   /** Explode an expensive (HOF-built, never-null-element) array WITHOUT
     * tripping `InferFiltersFromGenerate`: the rule wraps a plain

@@ -248,4 +248,23 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(local == inPlan,
       s"driver ranking diverged from the window ranking: ${(local -- inPlan) ++ (inPlan -- local)}")
   }
+
+  test("Shingles equals the HOF transform/concat_ws form it replaced (nulls, empties, short arrays)") {
+    val vocab = Vector("a", "bb", "", "x y", null)
+    val rows: Seq[Seq[String]] = Seq.fill(300)(
+      Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq.empty[String], Seq("only"), Seq("a", "b"))
+    for (k <- Seq(1, 3, 5)) {
+      val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+      val hof = flatten(transform(array(col("toks")), ts =>
+        when(size(ts) >= k,
+          transform(sequence(lit(1), size(ts) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(j => element_at(ts, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))))
+      val cmp = df.select(col("id"),
+          TextOps.rawShingles(col("toks"), k).as("nat"), hof.as("ref"))
+        .filter(not(col("nat") <=> col("ref")))
+      assert(cmp.count() == 0, s"k=$k: native shingles diverged from the HOF reference")
+    }
+  }
 }
