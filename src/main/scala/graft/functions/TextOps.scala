@@ -18,7 +18,12 @@ object TextOps {
     * `list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'), t -> t <> '')`.
     */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    // native compiled scan since round 12 (graft.plans.Tokenize) —
+    // bit-identical to filter(split(lower(text), "[^a-z0-9]+"), _ =!= "")
+    // (equivalence argument + property pin in the expression's doc)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Tokenize(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Number of tokens (the whitespace-proxy for reference token counts). */
   def tokenCount(text: Column): Column = size(tokenize(text))
@@ -152,7 +157,10 @@ object TextOps {
     * non-empty filter as the Column form — both are Java regex).
     */
   def tokenizeLocal(text: String): Seq[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    // Locale.ROOT: the default-locale toLowerCase would break under a
+    // Turkish default locale ('I' -> dotless ı), diverging from the
+    // locale-independent in-plan lowercase
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
   /** First-markdown-heading title with source-basename fallback
     * (reference: ingestor.py:482 `_extract_title`).

@@ -267,4 +267,21 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(cmp.count() == 0, s"k=$k: native shingles diverged from the HOF reference")
     }
   }
+
+  test("Tokenize equals the lower/split/filter chain it replaced (unicode, Kelvin sign, empties)") {
+    val texts = Seq(
+      "Hello, World! x2", "", "   ", "ALL CAPS 123", "a", "tab\there",
+      "unicode: caf\u00e9 \u00dcber stra\u00dfe \u03a3\u03af\u03c3\u03c5\u03c6\u03bf\u03c2",
+      "kelvin \u212aelvin sign", "mixed\u212a123x", "emoji \ud83d\ude00 split",
+      "num0bers 42x7", "\u0130stanbul I dotted") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
+        Vector("Word", "x9", "\u00e9t\u00e9", ",,", "A\u212aB")(rnd.nextInt(5))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cmp = df.select(col("id"),
+        TextOps.tokenize(col("text")).as("nat"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ref"))
+      .filter(not(col("nat") <=> col("ref")))
+    val bad = cmp.collect()
+    assert(bad.isEmpty, s"native tokenize diverged: ${bad.take(3).mkString("; ")}")
+  }
 }
