@@ -42,14 +42,17 @@ object Queries {
   // builds on the driver without a job, so a warm single-query probe is
   // the probe action alone (asserted in ProbeJobCountSpec).
 
+  // bounded + weak-session-keyed (the Caches rationale: an unbounded
+  // map of DataFrames never lets entries die and pins their sessions;
+  // an identity-hash key can collide across live sessions)
   private val localDfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    graft.operators.Caches.lru[(String, String, String), DataFrame](128)
 
   /** Memoized collect-and-relocalize: the same rows and schema as `df`,
     * as a LocalRelation (exact values — Row copies, no re-encode).
     */
   private def localized(s: SparkSession, dir: String, tag: String, df: => DataFrame): DataFrame =
-    localDfCache.computeIfAbsent((System.identityHashCode(s), dir, tag), _ => {
+    localDfCache.computeIfAbsent((graft.operators.Caches.sessionId(s), dir, tag), _ => {
       val d = df
       s.createDataFrame(java.util.Arrays.asList(d.collect(): _*), d.schema)
     })

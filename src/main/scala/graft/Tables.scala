@@ -18,12 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * has invalidation.
   */
 object Tables {
+  // bounded + weak-session-keyed (see graft.operators.Caches)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    graft.operators.Caches.lru[(String, String), DataFrame](64)
 
   private def cached(spark: SparkSession, dir: String, name: String)(
       load: => DataFrame): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), s"$dir/$name"), _ => load)
+    cache.computeIfAbsent((graft.operators.Caches.sessionId(spark), s"$dir/$name"), _ => load)
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "documents")(spark.read.parquet(s"$dir/documents.parquet"))

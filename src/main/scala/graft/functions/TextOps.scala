@@ -157,10 +157,13 @@ object TextOps {
     * non-empty filter as the Column form — both are Java regex).
     */
   def tokenizeLocal(text: String): Seq[String] =
-    // Locale.ROOT: the default-locale toLowerCase would break under a
-    // Turkish default locale ('I' -> dotless ı), diverging from the
-    // locale-independent in-plan lowercase
-    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    // lowercase through UTF8String — the SAME operation the in-plan
+    // tokenizer applies — so driver and plan cannot diverge under any
+    // default locale (UTF8String's non-ASCII path is what decides;
+    // round-12 review finding: a Locale.ROOT String.toLowerCase here
+    // could disagree with it on e.g. a Turkish-locale JVM)
+    org.apache.spark.unsafe.types.UTF8String.fromString(text).toLowerCase.toString
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
   /** First-markdown-heading title with source-basename fallback
     * (reference: ingestor.py:482 `_extract_title`).

@@ -56,4 +56,14 @@ private[graft] object Caches {
   }
 
   def lru[K, V](maxEntries: Int): Bounded[K, V] = new Bounded[K, V](maxEntries)
+
+  // session -> random id through a WEAK map (the Fts pattern, shared):
+  // the key vanishes with the session (no pinning), and the UUID cannot
+  // collide across live sessions the way a 32-bit identity hash can.
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 }

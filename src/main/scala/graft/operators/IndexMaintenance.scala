@@ -60,7 +60,7 @@ trait IndexMaintenance {
     * falls back to the broadcast anti-join, which is the right shape
     * for a genuinely large delete set anyway.
     */
-  final val TombstoneInlineLimit = 65536
+  final val TombstoneInlineLimit: Int = TombstoneState.InlineLimit
 
   final def tombstonePath(dir: String): String =
     dir.stripSuffix("/") + "/" + TombstonesSub
@@ -140,10 +140,16 @@ trait IndexMaintenance {
   * are one-time per layout generation.
   */
 private[operators] object TombstoneState {
+  /** One definition of the inline budget — the trait's
+    * TombstoneInlineLimit aliases it (a duplicated literal once let the
+    * documented threshold and the collector silently diverge).
+    */
+  final val InlineLimit = 65536
+
   private val existsCache = Caches.lru[String, java.lang.Boolean](512)
   // Some(ids) = sidecar read and small enough to inline; None sentinel
   // is encoded by caching an oversized marker so we don't re-collect.
-  private val idsCache = Caches.lru[String, Option[Seq[Any]]](256)
+  private val idsCache = Caches.lru[(String, String), Option[Seq[Any]]](256)
 
   private def hadoopExists(dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "/_tombstones")
@@ -162,19 +168,22 @@ private[operators] object TombstoneState {
     * inline budget and probes must anti-join instead.
     */
   def inlineSet(spark: SparkSession, dir: String): Option[Seq[Any]] =
-    idsCache.computeIfAbsent(System.identityHashCode(spark).toString + " " + dir, _ => {
-      val limit = 65536
+    idsCache.computeIfAbsent((Caches.sessionId(spark), dir), _ => {
       val rows = LayoutCache.readCached(spark, dir.stripSuffix("/") + "/_tombstones")
-        .limit(limit + 1).collect()
-      if (rows.length > limit) None else Some(rows.toSeq.map(_.get(0)))
+        .limit(InlineLimit + 1).collect()
+      // drop NULL ids: an anti-join never matches a null build key, so a
+      // null tombstone deletes nothing — but left inside the In-list it
+      // turns the NOT-IN filter three-valued and silently drops EVERY
+      // live row (round-12 review finding; TombstoneStateSpec pins it)
+      if (rows.length > InlineLimit) None
+      else Some(rows.toSeq.map(_.get(0)).filter(_ != null))
     })
 
   def invalidate(dir: String): Unit = {
     existsCache.keySet().remove(dir)
     val it = idsCache.keySet().iterator()
     while (it.hasNext) {
-      val k = it.next()
-      if (k.substring(k.indexOf(' ') + 1) == dir) it.remove()
+      if (it.next()._2 == dir) it.remove()
     }
     LayoutCache.invalidate(dir.stripSuffix("/") + "/_tombstones")
   }

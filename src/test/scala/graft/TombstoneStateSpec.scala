@@ -60,4 +60,18 @@ class TombstoneStateSpec extends SparkSpec {
       s"expected the anti-join fallback past the inline limit, got:\n$plan")
     assert(live.count() == 0) // every id 0..9 tombstoned
   }
+
+  test("a NULL id in the tombstone set cannot poison the NOT-IN filter") {
+    // round-12 review finding: a null inside the inlined In-list makes
+    // the NOT-IN three-valued and silently drops EVERY live row; the
+    // anti-join path a null build key deletes nothing. The inline set
+    // must drop nulls.
+    val dir = freshDir()
+    layout(dir, 20)
+    M.appendTombstones(
+      Seq(Some(5L), None).map(o => Tuple1(o.map(Long.box).orNull))
+        .toDF("id").select(col("id").cast("long").as("id")), dir)
+    val live = M.liveFace(spark, dir, spark.read.parquet(dir), "id")
+    assert(live.count() == 19, "null tombstone must delete nothing and poison nothing")
+  }
 }
