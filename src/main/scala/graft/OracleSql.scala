@@ -1197,6 +1197,7 @@ object OracleSql {
     // decorated fingerprint (see SourceRoundTripTwin above the map).
     "jsonl_scan" -> SourceRoundTripTwin,
     "orc_scan" -> SourceRoundTripTwin,
+    "avro_scan" -> SourceRoundTripTwin,
     "csv_scan" -> SourceRoundTripTwin,
     "xml_scan" -> SourceRoundTripTwin,
 

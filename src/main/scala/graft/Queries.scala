@@ -164,6 +164,22 @@ object Queries {
     sourceFingerprint(sourceReader(s).orc(path))
   }
 
+  /** Avro corpus source round-trip — the row-oriented container next
+    * to ORC/parquet's columnar pair, same fingerprint contract as
+    * [[jsonlScan]]. Goes through `avro-mapred`'s Hadoop input/output
+    * formats (this distribution ships no spark-avro connector — see
+    * [[graft.operators.Avro]]); the container is block-compressed and
+    * sync-marked, so unlike gzip JSONL a single big Avro file still
+    * splits across tasks. Binary-container semantics: `_corrupt` reads
+    * all-null, n_corrupt = 0, shared twin unchanged (like [[orcScan]]).
+    */
+  def avroScan(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.operators.LayoutCache.getOrWrite(s"avro:$dir") { p =>
+      graft.operators.Avro.write(decoratedDocs(s, dir), p)
+    }
+    sourceFingerprint(graft.operators.Avro.read(s, path, SourceReadSchema))
+  }
+
   def jsonlScan(s: SparkSession, dir: String): DataFrame = {
     val path = graft.operators.LayoutCache.getOrWrite(s"jsonl:$dir") { p =>
       decoratedDocs(s, dir)

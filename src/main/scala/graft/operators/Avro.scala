@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Avro container-file source/sink for the corpus round-trip family
+  * (G6). The cluster's Spark distribution does not ship the
+  * `spark-avro` connector module, so this goes through the Hadoop
+  * `AvroKey{Input,Output}Format` pair from `avro-mapred` — the same
+  * splittable container read the connector wraps. Two scale
+  * properties make Avro a first-class corpus container next to
+  * ORC/parquet:
+  *
+  *  - the object-container format is block-structured with sync
+  *    markers, so a single large file splits across tasks EVEN WHEN
+  *    COMPRESSED (deflate/snappy compress per-block) — unlike
+  *    gzip JSONL (one task per file) or multiLine CSV (serial parse);
+  *  - the writer schema travels in the file header, so the reader
+  *    needs no inference pass, and schema evolution is resolved by
+  *    Avro's reader/writer schema matching, not by Spark column
+  *    re-projection.
+  *
+  * `_corrupt` has no meaning for a binary container (a framing error
+  * is fatal to the block, not a row-level parse miss), so like ORC
+  * the corrupt-record column reads all-null and the shared DuckDB
+  * twin applies unchanged.
+  *
+  * Reference scope: mcpvectordb ingests documents from files
+  * (ingestor.py); corpus containers are our scale-path superset.
+  */
+object Avro {
+
+  /** Writer/reader schema for the decorated corpus projection. Kept as
+    * a JSON literal so executors can re-parse it locally — avro
+    * `Schema` is not serializable, shipping the string is the
+    * standard pattern.
+    */
+  private val SchemaJson: String =
+    """{"type":"record","name":"Doc","namespace":"graft","fields":[
+      |  {"name":"doc_id","type":"long"},
+      |  {"name":"lang","type":["null","string"],"default":null},
+      |  {"name":"source","type":["null","string"],"default":null},
+      |  {"name":"text","type":["null","string"],"default":null}
+      |]}""".stripMargin
+
+  /** Write `df` (doc_id, lang, source, text) as deflate-compressed
+    * Avro container files, one per input partition. Per-block
+    * compression keeps the output splittable — the property that makes
+    * this the recommended container for text corpora that need
+    * compression AND parallel re-reads.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(SchemaJson))
+    FileOutputFormat.setCompressOutput(job, true)
+    job.getConfiguration.set("avro.output.codec", "deflate")
+    val schemaJson = SchemaJson
+    df.select("doc_id", "lang", "source", "text").rdd
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        rows.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("doc_id", r.getLong(0))
+          rec.put("lang", if (r.isNullAt(1)) null else r.getString(1))
+          rec.put("source", if (r.isNullAt(2)) null else r.getString(2))
+          rec.put("text", if (r.isNullAt(3)) null else r.getString(3))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(
+        path,
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+  }
+
+  /** Read Avro container files back as a DataFrame with `readSchema`
+    * (the shared `SourceReadSchema`, whose trailing `_corrupt` column
+    * is all-null here — binary-container semantics, like ORC). Field
+    * values are copied out of the Hadoop record inside the same map
+    * (the record reader reuses its datum buffer; Utf8 → String is the
+    * copy).
+    */
+  def read(spark: SparkSession, path: String, readSchema: StructType): DataFrame = {
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setDataModelClass(job, classOf[GenericData])
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(SchemaJson))
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        job.getConfiguration)
+      .map { case (k, _) =>
+        val r = k.datum()
+        def str(f: String): String = {
+          val v = r.get(f); if (v == null) null else v.toString
+        }
+        Row(r.get("doc_id").asInstanceOf[Long], str("lang"), str("source"), str("text"), null)
+      }
+    spark.createDataFrame(rdd, readSchema)
+  }
+}

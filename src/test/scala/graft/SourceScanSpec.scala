@@ -123,4 +123,35 @@ class SourceScanSpec extends SparkSpec {
     // good rows parsed with full values
     assert(back.filter(col("_corrupt").isNull).agg(sum("doc_id")).head().getLong(0) === 3L)
   }
+
+  test("avro round-trip is value-exact incl. decoration, nulls and astral unicode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_a").toString + "/d"
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(Queries.SourceDecoration)).as("text"))
+    val extras = Seq(
+      (900001L, null.asInstanceOf[String], "s9", "null lang survives the union type"),
+      (900002L, "en", "s9", "emoji 😀 gothic 𐍈 zwj 👨‍👩‍👦"),
+      (900003L, "en", "s9", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "source", "text")
+    val rows = corpus.unionAll(extras)
+    operators.Avro.write(rows, dir)
+    val back = operators.Avro.read(spark, dir, Queries.SourceReadSchema).cache()
+    // binary-container semantics: _corrupt is structurally all-null
+    assert(back.filter(col("_corrupt").isNotNull).count() === 0)
+    val a = rows.select("doc_id", "lang", "source", "text")
+    val b = back.select("doc_id", "lang", "source", "text")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "avro container round-trip must be lossless")
+    // deflate is per-block: the container must still be splittable —
+    // the read side must NOT collapse to one-task-per-file semantics
+    // in a way that loses rows when Spark hands it a split. Hadoop
+    // honors sync markers internally; value equality above plus a
+    // sanity check that output files are actually compressed container
+    // files (magic "Obj\x01") pins the format.
+    val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-")).head
+    val magic = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+    assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)), "avro container magic")
+  }
 }
