@@ -854,6 +854,80 @@ object OracleSql {
            |SELECT vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM pr, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
+    val annTwoLevelPqrEntries = OracleArtifacts.annTwoLevelPqr.toSeq.map { case (two, model) =>
+      // Twin of Queries.annTwoLevelPqr — the flagship composition,
+      // assembled from the two proven chains: the CORPUS side assigns
+      // HIERARCHICALLY (ann_two_level's sup/sub/offset replay), then
+      // residual-encodes against the FLAT codebook entry of that cell
+      // and ranks with per-(query, cell) residual ADC tables
+      // (ann_batch_pqr's lambda-built distance lists at codes=256);
+      // the QUERY side ranks cells FLAT over the concatenated codebook
+      // (what Ann.queryCellsLocal does) and residual-shifts per probed
+      // cell. Same left-associated accumulation everywhere, so doubles
+      // match bit for bit and both cuts fall identically.
+      val cents = two.flat
+      val dim = cents.head.length
+      val sub = model.dim / model.m
+      val qDists = cents.map(c => distChain("tpqnv", 0, c)).mkString(", ")
+      val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
+        s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
+      }.mkString(" ") + " END"
+      val supDists = two.superCents.map(c => distChain("tpnv", 0, c)).mkString(", ")
+      val subCase = "CASE tpsup " + two.subCents.zipWithIndex.map { case (subs, sp) =>
+        val dl = subs.map(c => distChain("tpnv", 0, c)).mkString(", ")
+        s"WHEN $sp THEN [$dl]"
+      }.mkString(" ") + " END"
+      val offCase = "CASE tpsup " + two.offsets.zipWithIndex.map { case (o, sp) =>
+        s"WHEN $sp THEN $o"
+      }.mkString(" ") + " END"
+      def cbLit(j: Int): String =
+        "[" + model.codebooks(j).map(c => "[" + c.map(dlit).mkString(", ") + "]").mkString(", ") + "]"
+      def distLambda(vec: String, j: Int): String = {
+        val terms = (0 until sub).map { i =>
+          s"($vec[${j * sub + i + 1}] - c[${i + 1}])*($vec[${j * sub + i + 1}] - c[${i + 1}])"
+        }.mkString(" + ")
+        s"list_transform(${cbLit(j)}, c -> $terms)"
+      }
+      val encCols = (0 until model.m).map { j =>
+        s"list_indexof(${distLambda("rv", j)}, list_min(${distLambda("rv", j)})) - 1 AS tpr$j"
+      }.mkString(",\n        ")
+      val adcExpr = (0 until model.m).map { j =>
+        s"${distLambda("qrv", j)}[tpr$j + 1]"
+      }.mkString(" + ")
+      "ann_two_level_pqr" ->
+        s"""WITH tpq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |tpqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS tpqnv FROM tpq),
+           |tpqd AS (SELECT query_id, qv, tpqnv, [$qDists] AS dl FROM tpqn),
+           |tpqc0 AS (SELECT query_id, qv, tpqnv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM tpqd),
+           |tpqc AS (SELECT query_id, qv, tpqnv, cluster FROM (
+           |        SELECT query_id, qv, tpqnv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM tpqc0) WHERE rn <= 3),
+           |tpqr AS (SELECT query_id, qv, cluster,
+           |        list_transform(generate_series(1, $dim), i -> tpqnv[i] - ($centCase)[i]) AS qrv FROM tpqc),
+           |tpc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
+           |tpnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS tpnv FROM tpc),
+           |tpsupq AS (SELECT vec_id, ev, tpnv,
+           |        CAST(list_indexof([$supDists], list_min([$supDists])) - 1 AS BIGINT) AS tpsup FROM tpnr),
+           |tpsubq AS (SELECT vec_id, ev, tpnv, tpsup, $subCase AS sdl FROM tpsupq),
+           |tpasg AS (SELECT vec_id, ev, tpnv,
+           |        CAST(($offCase) + list_indexof(sdl, list_min(sdl)) - 1 AS BIGINT) AS cluster FROM tpsubq),
+           |tpct AS (SELECT vec_id, ev, tpnv, cluster, $centCase AS cent FROM tpasg),
+           |tprs AS (SELECT vec_id, ev, cluster,
+           |        list_transform(generate_series(1, $dim), i -> tpnv[i] - cent[i]) AS rv FROM tpct),
+           |tpenc AS (SELECT vec_id, ev, cluster,
+           |        $encCols FROM tprs),
+           |tpj AS (SELECT query_id, vec_id, cluster, ev, qv, $adcExpr AS adc
+           |        FROM tpenc JOIN tpqr USING (cluster)),
+           |tpcand AS (SELECT query_id, vec_id, cluster, ev, qv FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prn
+           |        FROM tpj) WHERE prn <= ${5 * 10}),
+           |tpfin AS (SELECT query_id, vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM tpcand),
+           |tprk AS (SELECT query_id, vec_id, cluster, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM tpfin)
+           |SELECT query_id, vec_id, cluster, cos_sim, rk FROM tprk WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -925,34 +999,46 @@ object OracleSql {
            |SELECT vec_id, cluster, hamming, ${cosine("ev", "qv")} AS cos_sim
            |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
-    val ivfpqResEntries = OracleArtifacts.ivfpqResidual.toSeq.map { case (cents, cells, model, tables) =>
-      // Twin of Queries.ivfpqResidual: IVF assignment (centroid
-      // literals) filtered to the probed cells → per-row centroid pick
-      // (CASE over cluster) → residual rv = nv − cent → PQ encode of
-      // the residual (per-subspace distChains to the codebook literals,
-      // first-min) → per-CELL ADC (CASE over cluster, each cell's
-      // driver-computed residual table inlined) → candidate cut by ADC
-      // asc → exact cosine re-rank. Same left-to-right accumulation as
-      // the Spark expressions throughout, so the doubles match bit for
-      // bit and both cuts fall identically.
+    val ivfpqResEntries = OracleArtifacts.ivfpqResidual.toSeq.map { case (cents, cells, model) =>
+      // Twin of Queries.ivfpqResidual at the 8×256 production point
+      // (round 13 — the probe routes through the batch machinery at
+      // |Q| = 1, so the per-cell query ADC tables are no longer driver
+      // literals and the twin derives them IN SQL like ann_batch_pqr's):
+      // IVF assignment (centroid literals) filtered to the probed cells
+      // → per-row centroid pick (CASE over cluster) → residual
+      // rv = nv − cent → PQ encode via lambda-built distance lists over
+      // the codebook literals (256 codes would be a ~16k-term unrolled
+      // string otherwise) → join the query's per-cell residual qrv on
+      // cluster → ADC = Σ_j distLambda(qrv, j)[code_j + 1] → candidate
+      // cut by ADC asc → exact cosine re-rank. Same left-to-right
+      // accumulation as the Spark HOF fold throughout, so the doubles
+      // match bit for bit and both cuts fall identically.
       val dim = cents.head.length
       val sub = model.dim / model.m
       val distList = cents.map(c => distChain("nv", 0, c)).mkString(", ")
       val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
         s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
       }.mkString(" ") + " END"
-      val encCols = (0 until model.m).map { j =>
-        val lists = model.codebooks(j).map(c => distChain("rv", j * sub, c)).mkString(", ")
-        s"list_indexof([$lists], list_min([$lists])) - 1 AS prk$j"
-      }.mkString(",\n        ")
-      val adcCase = "CASE cluster " + cells.map { c =>
-        val terms = (0 until model.m).map { j =>
-          "[" + tables(c)(j).map(dlit).mkString(", ") + s"][prk$j + 1]"
+      def cbLit(j: Int): String =
+        "[" + model.codebooks(j).map(c => "[" + c.map(dlit).mkString(", ") + "]").mkString(", ") + "]"
+      def distLambda(vec: String, j: Int): String = {
+        val terms = (0 until sub).map { i =>
+          s"($vec[${j * sub + i + 1}] - c[${i + 1}])*($vec[${j * sub + i + 1}] - c[${i + 1}])"
         }.mkString(" + ")
-        s"WHEN $c THEN $terms"
-      }.mkString(" ") + " END"
+        s"list_transform(${cbLit(j)}, c -> $terms)"
+      }
+      val encCols = (0 until model.m).map { j =>
+        s"list_indexof(${distLambda("rv", j)}, list_min(${distLambda("rv", j)})) - 1 AS prk$j"
+      }.mkString(",\n        ")
+      val adcExpr = (0 until model.m).map { j =>
+        s"${distLambda("qrv", j)}[prk$j + 1]"
+      }.mkString(" + ")
       "ivfpq_residual" ->
         s"""WITH q AS (SELECT ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |qn AS (SELECT qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS qnv FROM q),
+           |qc AS (SELECT qv, qnv, unnest([${cells.mkString(", ")}]) AS cluster FROM qn),
+           |qr AS (SELECT qv, cluster,
+           |        list_transform(generate_series(1, $dim), i -> qnv[i] - ($centCase)[i]) AS qrv FROM qc),
            |c AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings WHERE vec_id <> 0),
            |nrm AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS nv FROM c),
            |dst AS (SELECT vec_id, ev, nv, [$distList] AS dl FROM nrm),
@@ -963,7 +1049,7 @@ object OracleSql {
            |        list_transform(generate_series(1, $dim), i -> nv[i] - cent[i]) AS rv FROM ct),
            |enc AS (SELECT vec_id, ev, cluster,
            |        $encCols FROM rs),
-           |ad AS (SELECT vec_id, ev, $adcCase AS adc FROM enc),
+           |ad AS (SELECT vec_id, ev, $adcExpr AS adc FROM enc JOIN qr USING (cluster)),
            |cand AS (SELECT vec_id, ev FROM ad ORDER BY adc ASC, vec_id LIMIT 100)
            |SELECT vec_id, ${cosine("ev", "qv")} AS cos_sim FROM cand, q
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
@@ -1118,7 +1204,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

@@ -3190,6 +3190,41 @@ object Queries {
       "q_vec", "embedding", "vec_id", topK = 10)
   }
 
+  /** THE FLAGSHIP COMPOSITION — the full 10^9-vector serving path as
+    * one hash-gated query: TWO-LEVEL coarse quantizer
+    * ([[graft.operators.Ann.buildTwoLevel]] — fit cost 256·N → ~512·N^0.75,
+    * the only k-means that fits at 10⁹ vectors) → RESIDUAL PQ codebooks
+    * at the round-12 operating point (m=8 × codes=256: recall 0.862 at
+    * 1/32 bytes on 1M anisotropic vectors, PLANS.md) → persisted layout
+    * partitioned by the flat cell id with the corpus assigned
+    * HIERARCHICALLY (nearest super, then nearest sub — O(√k) per row)
+    * → batch residual-ADC probe (per-(query, cell) tables as
+    * broadcast-side HOF columns, partition-pruned codes scan, bounded
+    * heaps, |Q|·refine exact re-ranks). Individually green pieces
+    * (`ann_two_level`, `ann_batch_pqr`) compose here so the scale path
+    * cannot silently regress. The twin replays the hierarchy's
+    * assignment (its choice at boundary vectors IS the contract), the
+    * residual encode against the flat codebook, and the ADC fold — all
+    * from fitted literals, bit-for-bit.
+    */
+  def annTwoLevelPqr(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (index, two) = Ann.buildTwoLevelCached(dir + "#2l", e,
+      "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.trainResidualCached(dir + "#2l", e, "embedding", "vec_id",
+      index.centroids, m = 8, codes = 256)
+    OracleArtifacts.annTwoLevelPqr = Some((two, model))
+    val path = graft.operators.LayoutCache.getOrWrite(s"ann2lpqr:$dir")(p =>
+      Pq.writeIvfPqResidualAssigned(p, Ann.assignTwoLevel(e, "embedding", two),
+        "embedding", "vec_id", index.centroids, model))
+    Pq.probeBatchIvfPqResidual(s, path, index.centroids, model,
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", index.centroids, nProbe = 3)))
+      .orderBy("query_id", "rk")
+  }
+
   /** Full persisted IVF-PQ probe — the reference's actual index type
     * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
     * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,
@@ -3231,19 +3266,28 @@ object Queries {
   def ivfpqResidual(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    // registered at the PRODUCTION operating point m=8 × codes=256
+    // (round-12 study: recall 0.862 vs 0.688 for 8×16 at the same
+    // 8-byte budget, PLANS.md) — possible since round 13 because the
+    // single query routes through the BATCH machinery at |Q| = 1: the
+    // per-cell ADC tables ride as broadcast-side HOF columns instead
+    // of plan-literal CASE tables, so code count no longer inflates
+    // the plan (the round-8 janino lesson, retired for this probe).
     val model = Pq.trainResidualCached(dir, e, "embedding", "vec_id", index.centroids,
-      m = 8, codes = 16)
-    val qDf = queryVecLocal(s, dir)
-    val path = graft.operators.LayoutCache.getOrWrite(s"ivfpqres_no_qvec:$dir")(p =>
+      m = 8, codes = 256)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ivfpqres256_no_qvec:$dir")(p =>
       Pq.writeIvfPqResidual(p, e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
         index.centroids, model))
     val qv = queryVecArr(s, dir)
     val cells = Ann.nearestCells(index.centroids, qv, 3)
-    OracleArtifacts.ivfpqResidual = Some(
-      (index.centroids, cells, model,
-        Pq.residualDistanceTables(model, index.centroids, qv, cells)))
-    Pq.probeIvfPqResidual(s, path, index.centroids, model, qDf, "q_vec", "embedding",
-      "vec_id", nProbe = 3, k = 10)
+    OracleArtifacts.ivfpqResidual = Some((index.centroids, cells, model))
+    val q = queryVecLocal(s, dir).withColumn("query_id", lit(0L))
+    Pq.probeBatchIvfPqResidual(s, path, index.centroids, model, q,
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 10, refineFactor = 10,
+      qCellsPre = Some(Ann.queryCellsLocal(q, "q_vec", "query_id",
+        index.centroids, nProbe = 3)))
+      .select(col("vec_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
   }
 
   /** Single-row ANN quality report: probe recall@10 vs exact top-10. */

@@ -392,8 +392,25 @@ object Pq extends IndexMaintenance {
       ivfCentroids: Array[Array[Double]],
       model: Model
   ): Unit =
+    writeIvfPqResidualAssigned(
+      path, Ann.assign(df, vecCol, ivfCentroids), vecCol, idCol, ivfCentroids, model)
+
+  /** [[writeIvfPqResidual]] for a frame that ALREADY carries `cluster`
+    * — the seam the two-level composition needs: the coarse quantizer
+    * assigns HIERARCHICALLY ([[Ann.assignTwoLevel]], O(√k) per row),
+    * while the residual/encode/partitioned-write below is identical.
+    * `ivfCentroids` must be the flat codebook the cluster ids index.
+    */
+  def writeIvfPqResidualAssigned(
+      path: String,
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model
+  ): Unit =
     writeClustered(
-      encodeResidual(Ann.assign(df, vecCol, ivfCentroids), vecCol, ivfCentroids, model)
+      encodeResidual(assigned, vecCol, ivfCentroids, model)
         .select(col(idCol), col(vecCol), col("codes"), col("cluster")),
       path, "overwrite")
 
