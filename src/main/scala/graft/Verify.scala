@@ -81,6 +81,51 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Determinism self-hash for the rows-only class (queries with no
+    // SQL-expressible twin — softmax/layernorm/recursive-merge): the
+    // DuckDB gate can only count their rows, so Verify itself pins
+    // run-to-run stability — hash #1 over the parquet the driver will
+    // check, hash #2 over a FRESH run in an independent session with a
+    // different shuffle width and scan-split size. A match proves the
+    // result is a pure function of the input, not of partitioning or
+    // session state; written beside the outputs as stability.json.
+    val rowsOnly = (names.toSet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    if (rowsOnly.nonEmpty) {
+      val sess2 = spark.newSession()
+      sess2.conf.set("spark.sql.shuffle.partitions", "7")
+      sess2.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      def fmt(x: Any): String = x match {
+        case null => "\u0000"
+        case s: Seq[_] => s.map(fmt).mkString("[", ",", "]")
+        case r: org.apache.spark.sql.Row => r.toSeq.map(fmt).mkString("(", ",", ")")
+        case m: Map[_, _] =>
+          m.toSeq.map { case (k, v) => fmt(k) + "=" + fmt(v) }.sorted.mkString("{", ",", "}")
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case v => v.toString
+      }
+      def stableHash(df: org.apache.spark.sql.DataFrame): String = {
+        val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col _)
+        val body = df.select(cols.toSeq: _*).collect()
+          .map(_.toSeq.map(fmt).mkString("\u0001")).sorted.mkString("\n")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val entries = rowsOnly.map { name =>
+        try {
+          val h1 = stableHash(spark.read.parquet(s"$outDir/$name"))
+          val h2 = stableHash(SparkEntry.queries(name)(sess2, sfDir))
+          System.err.println(s"[verify] stability $name ${if (h1 == h2) "MATCH" else s"MISMATCH $h1 != $h2"}")
+          s"${q(name)}: {${q("artifact_hash")}: ${q(h1)}, ${q("rerun_hash")}: ${q(h2)}, ${q("stable")}: ${h1 == h2}}"
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] stability $name failed: ${e.getMessage}")
+            s"${q(name)}: {${q("error")}: ${q(String.valueOf(e.getMessage))}}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/stability.json"),
+        entries.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }
