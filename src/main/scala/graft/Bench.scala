@@ -145,20 +145,37 @@ object Bench {
     *              compilation of the generated stage, amortized warm);
     *  - `stall` — wall mostly OUTSIDE tasks (driver/FS/scheduler — the
     *              box-contention lead, not a code verdict);
-    *  - `work`  — real task CPU that vanished on the warm pass: the
-    *              first-execution class (interpreted generated code on
-    *              a compiler-starved box — PLANS.md round 12) or a
-    *              genuinely different cold plan. The one class that is
-    *              code-side until proven otherwise.
+    *  - `firstexec` — real task CPU that vanished on the warm pass AT
+    *              IDENTICAL work (same tasks/jobs, same shuffle bytes):
+    *              the plan did the same thing both times, so the CPU
+    *              inflation is execution efficiency, i.e. the HotSpot
+    *              interpreter running fresh generated stages before
+    *              tiered compilation catches up (PLANS.md round 12 —
+    *              interpreted execution IS CPU, which is why the old
+    *              classifier mislabeled this class `work`). One-time;
+    *              amortizes at scale like `jit`.
+    *  - `work`  — real task CPU that vanished on the warm pass at
+    *              DIFFERENT work (task/job/byte counts changed): a
+    *              genuinely different cold plan — one-time index
+    *              builds, an AQE re-plan, a cold-only scan. The one
+    *              class that is code-side until proven otherwise.
     *  - `box`   — none of the above dominates; inflated run at
     *              unchanged work (the documented lead-not-verdict class).
     */
   private[graft] def signature(cold: QueryMetrics, warm: QueryMetrics): String = {
     val cpuC = cold.cpuNs / 1e6; val cpuW = warm.cpuNs / 1e6
+    // "same work": counts equal and shuffle volumes within 10% (byte
+    // totals jitter with compression/ordering even on identical plans)
+    def near(a: Long, b: Long): Boolean =
+      math.abs(a - b) <= math.max(4L, (0.1 * math.max(a, b)).toLong)
+    val sameWork = cold.tasks == warm.tasks && cold.jobs == warm.jobs &&
+      near(cold.shuffleRead, warm.shuffleRead) &&
+      near(cold.shuffleWrite, warm.shuffleWrite)
     if (cold.gcMs > 0.3 * math.max(cold.runMs, 1L)) "gc"
     else if (cold.jitMs > 0.5 * math.max(cold.wallMs, 1L)) "jit"
     else if (cold.runMs < 0.4 * math.max(cold.wallMs, 1L)) "stall"
-    else if (cpuC > 4 * math.max(cpuW, 1.0) && cpuC > 0.7 * math.max(cold.runMs, 1L)) "work"
+    else if (cpuC > 4 * math.max(cpuW, 1.0) && cpuC > 0.7 * math.max(cold.runMs, 1L))
+      (if (sameWork) "firstexec" else "work")
     else "box"
   }
 
@@ -289,28 +306,52 @@ object Bench {
         else spark.read.parquet(s"$sfDir/$t.parquet").count()
       } catch { case _: Throwable => () }
     }
-    // Untimed LIBRARY warmup over BOUNDED slices: exercise the shared
-    // text machinery (regex tokenize → shingle HOFs → md5/xxhash64) and
-    // the vector kernels once, so the tiered compiler meets those code
-    // paths before the clock starts. Round-11 lesson: the cold column's
-    // 58× bloom_decontaminate flag was the ALPHABETICALLY-FIRST query to
-    // push millions of rows through the text path — on a contended box
-    // whose compiler lagged the whole pass it paid the bytecode-
-    // interpreter ceiling (~60×, reproduced with -XX:TieredStopAtLevel=0)
-    // for everyone after it to run warm. Which query runs first is not
-    // an operator cost; one-time index builds and the queries' OWN
-    // generated-stage compilation still land in the cold pass. 64 docs /
-    // 256 vectors keep this under a second of untimed work. The
-    // checked-in baseline was recaptured with this same method.
-    try {
-      val docs = graft.Tables.documents(spark, sfDir).limit(64)
-      graft.operators.TextAnalysis.contamination(
-        docs, graft.Tables.documents(spark, sfDir).limit(8), "text", "doc_id").count()
-      val e = graft.Tables.embeddings(spark, sfDir).limit(256)
-      graft.operators.Search.knnTopK(
-        e, e.limit(1).select(col("embedding").as("q_vec")),
-        "embedding", "q_vec", "vec_id", 5).count()
-    } catch { case _: Throwable => () }
+    // Untimed DRY RUN of the whole suite at the smallest sibling SF
+    // (sf0.001 — 500 docs/vectors): every query's OWN generated stages
+    // get janino-compiled AND executed past the HotSpot interpreter
+    // before the clock starts. This retires the whole first-execution
+    // class from the published cold column (round-12 residue:
+    // curation_report 9.1× / decontaminate_spans 11.4× raw cold at
+    // identical tasks/bytes — interpreter exposure of THEIR stages,
+    // which the previous bounded library warmup — contamination +
+    // knnTopK slices — did not reach). Generated classes are cached by
+    // source text with literals passed as references, so the sf0.001
+    // compile is reused verbatim at sf0.1. What the timed cold pass
+    // still measures, by design: one-time index builds, layout writes,
+    // fitted-model training and sf0.1-sized scans — operator cost, not
+    // JVM state. The firstexec regression gate lives in
+    // `ScaleCheck firstexec` (first-vs-second-pass per family), where
+    // it measures the class directly instead of polluting the
+    // cross-round cold comparison. The checked-in baseline was
+    // recaptured with this same warmup method (round 13).
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      Option(p.getParent).map(_.resolve("sf0.001").toString)
+        .filter(d => d != p.toString && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    }
+    warmupDir match {
+      case Some(d) =>
+        val w0 = System.nanoTime()
+        benchQueries.foreach { case (name, fn) =>
+          try fn(spark, d).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed (ignored): ${e.getMessage}")
+          }
+        }
+        System.err.println(f"[bench] untimed dry-run warmup at $d: ${(System.nanoTime() - w0) / 1e9}%.1f s")
+      case None =>
+        // no smaller sibling SF: fall back to the round-12 bounded
+        // library warmup (shared text + vector kernels only)
+        try {
+          val docs = graft.Tables.documents(spark, sfDir).limit(64)
+          graft.operators.TextAnalysis.contamination(
+            docs, graft.Tables.documents(spark, sfDir).limit(8), "text", "doc_id").count()
+          val e = graft.Tables.embeddings(spark, sfDir).limit(256)
+          graft.operators.Search.knnTopK(
+            e, e.limit(1).select(col("embedding").as("q_vec")),
+            "embedding", "q_vec", "vec_id", 5).count()
+        } catch { case _: Throwable => () }
+    }
     // Two passes over the suite. Pass 1 is cold (includes one-time codegen
     // and index builds — the IVF KMeans fit is memoized per session, so
     // pass 2's ann_probe measures the probe, the amortized production cost
@@ -325,16 +366,27 @@ object Bench {
       val times = benchQueries.map { case (name, fn) =>
         val jit0 = jitNowMs
         val t0 = System.nanoTime()
+        // wall/JIT deltas are captured the moment the action returns —
+        // BEFORE settleAndTake() — so listener-settle wait never lands
+        // in wall_ms (it inflated sub-second wall vs run and could push
+        // signature() toward a spurious 'stall'; round-12 advice).
+        var wallMs = 0L; var jitMs = 0L
         val r =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch {
+          try {
+            fn(spark, sfDir).count()
+            wallMs = (System.nanoTime() - t0) / 1000000L
+            jitMs = jitNowMs - jit0
+            Right(wallMs / 1e3)
+          } catch {
             case e: Throwable =>
+              wallMs = (System.nanoTime() - t0) / 1000000L
+              jitMs = jitNowMs - jit0
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               Left(e.getClass.getSimpleName)
           }
         val m = listener.settleAndTake() // after the timer stops
-        m.jitMs = jitNowMs - jit0
-        m.wallMs = (System.nanoTime() - t0) / 1000000L
+        m.jitMs = jitMs
+        m.wallMs = wallMs
         metrics(name) = m
         name -> r
       }

@@ -72,6 +72,17 @@ trait IndexMaintenance {
     * silent `false` would serve tombstoned rows as live). Memoized per
     * (session, dir) — one exists() round trip per layout generation,
     * not per probe — and invalidated by [[appendTombstones]].
+    *
+    * SAFETY CONTRACT (multi-writer deployments): like every
+    * [[LayoutCache]] listing, this memo is invalidated only by the
+    * IN-JVM lifecycle verbs. A tombstone sidecar written by ANOTHER
+    * driver to the same layout is invisible to warm probes here until
+    * [[TombstoneState.invalidate]] (or `LayoutCache.invalidate` on the
+    * layout dir) is called — and because this path gates DELETES, the
+    * staleness failure mode is serving tombstoned rows as live, not
+    * just a stale listing. Same contract as Spark's catalog cache +
+    * REFRESH TABLE: single-writer layouts need nothing; external
+    * writers must pair their write with an explicit invalidate.
     */
   final def hasTombstones(dir: String): Boolean =
     TombstoneState.exists(dir)

@@ -54,9 +54,13 @@ object LayoutCache {
   /** Memoized `spark.read.parquet(path)` — one footer+listing
     * resolution per (session, layout), reused by every probe until a
     * lifecycle verb invalidates it. Keyed by the weak session UUID
-    * ([[Caches.sessionId]]: an identity hash can collide across live
-    * sessions — one session would be served another's resolved
-    * DataFrame — and a strong session key would pin stopped sessions).
+    * ([[Caches.sessionId]]) because an identity hash can collide across
+    * live sessions — one session would be served another's resolved
+    * DataFrame. Note the key's weakness does NOT bound retention: the
+    * cached DataFrame VALUE strongly references its SparkSession, so a
+    * stopped session's entries stay reachable until the LRU capacity
+    * evicts them — the capacity bound (256), not the key, is the
+    * retention limit (round-12 advice).
     */
   def readCached(spark: SparkSession, path: String): DataFrame =
     readCache.computeIfAbsent((Caches.sessionId(spark), path),

@@ -40,19 +40,36 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Physical top-k-per-key heap pass. Planned as a PARTIAL/FINAL pair
+  * (the aggregate pattern): the partial runs map-side on whatever
+  * partitioning the child has and keeps ≤ k rows per key per
+  * partition, so the exchange the final demands ships
+  * O(partitions × keys × k) rows instead of EVERY scored row — at
+  * batch-probe shape (every scanned candidate scored against every
+  * query) the shuffle volume drops from the pruned-scan size to a
+  * constant. With a total ordering (callers break ties) partial+final
+  * is exactly the single global pass. The partial emits no rank (ranks
+  * are only meaningful after the merge); the final appends `rankAttr`.
+  */
 case class TopKPerKeyExec(
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: AttributeReference,
+    partial: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  // the partial doesn't OUTPUT rankAttr, but it must still declare it
+  // produced: the attribute rides in this node's constructor args, so
+  // without the declaration missingInput flags the node invalid ("!")
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partitionExprs.isEmpty) AllTuples :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else if (partitionExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -61,6 +78,7 @@ case class TopKPerKeyExec(
     val partExprsLocal = partitionExprs
     val orderLocal = order
     val outputAttrs = output
+    val partialLocal = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprsLocal, childOutput)
       // downstream operators (whole-stage codegen) require UnsafeRow
@@ -86,19 +104,24 @@ case class TopKPerKeyExec(
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       heaps.values().forEach { heap =>
-        val arr = new Array[UnsafeRow](heap.size)
-        var i = arr.length - 1
-        while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 } // best-first
-        var rk = 1
-        arr.foreach { r =>
-          val joined = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(childOutput.length + 1)
-          var c = 0
-          while (c < childOutput.length) {
-            joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+        if (partialLocal) {
+          // map-side: emit the surviving rows unranked, any order
+          heap.forEach(r => out += outputProj(r).copy())
+        } else {
+          val arr = new Array[UnsafeRow](heap.size)
+          var i = arr.length - 1
+          while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 } // best-first
+          var rk = 1
+          arr.foreach { r =>
+            val joined = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(childOutput.length + 1)
+            var c = 0
+            while (c < childOutput.length) {
+              joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+            }
+            joined.update(childOutput.length, rk.toLong)
+            out += outputProj(joined).copy()
+            rk += 1
           }
-          joined.update(childOutput.length, rk.toLong)
-          out += outputProj(joined).copy()
-          rk += 1
         }
       }
       out.iterator
@@ -112,7 +135,9 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(part, order, k, rank, child) =>
-      TopKPerKeyExec(part, order, k, rank, planLater(child)) :: Nil
+      val planned = planLater(child)
+      TopKPerKeyExec(part, order, k, rank, partial = false,
+        TopKPerKeyExec(part, order, k, rank, partial = true, planned)) :: Nil
     case _ => Nil
   }
 }

@@ -398,7 +398,21 @@ object ScaleCheck {
       Tables.documents(spark, sfDir).limit(64),
       Tables.documents(spark, sfDir).limit(8), "text", "doc_id").count()
     var bad = List.empty[String]
-    for (name <- Seq("bloom_decontaminate", "decontaminate_spans", "contamination_check")) {
+    // One representative per family whose per-row work lives in big
+    // generated stages. Round-13 note: Bench's untimed dry-run warmup
+    // now pre-compiles EVERY query's stages, so the published cold
+    // column can no longer surface a first-execution regression — this
+    // list is the regression net for the class and must cover each
+    // family the warmup covers. Extend via SPARK_GRAFT_FIRSTEXEC_QUERIES
+    // (comma-separated) without a rebuild.
+    val defaultList = Seq(
+      "bloom_decontaminate", "decontaminate_spans", "contamination_check",
+      "curation_report", "decontaminate_xlingual", "dup_ngrams",
+      "dedup_minhash_incremental")
+    val queryList = sys.env.get("SPARK_GRAFT_FIRSTEXEC_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(defaultList)
+    for (name <- queryList) {
       val fn = SparkEntry.queries(name)
       val j0 = jit; val t0 = System.nanoTime()
       fn(spark, sfDir).count()

@@ -25,16 +25,20 @@ class ProbeJobCountSpec extends SparkSpec {
     override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
   }
 
-  /** Jobs fired by the SECOND (warm) execution of a registered query. */
+  /** Jobs fired by the SECOND (warm) execution of a registered query.
+    * The bus is drained via waitUntilEmpty (not fixed sleeps) so late
+    * job-start events can't be attributed to the wrong window on a
+    * loaded box (round-12 advice).
+    */
   private def warmJobs(name: String): Int = {
     val fn = SparkEntry.queries(name)
     fn(spark, sf).count() // cold: builds, writes, memoizes
-    Thread.sleep(150) // let the async listener bus drain job-start events
+    org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
     spark.sparkContext.addSparkListener(listener)
     try {
       jobs.set(0)
       fn(spark, sf).count()
-      Thread.sleep(150) // let the async listener bus drain job-start events
+      org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
       jobs.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }

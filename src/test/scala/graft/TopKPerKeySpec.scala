@@ -34,6 +34,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"bounded-heap operator must not sort partitions:\n$plan")
   }
 
+  test("partial heap runs map-side: two TopKPerKey nodes, exchange between them") {
+    // the partial/final split (round 13) bounds shuffle volume to
+    // O(partitions x keys x k) — the exchange must sit ABOVE a partial
+    // TopKPerKey, not above the raw scored rows
+    val df = TopK.perKey(fixture.repartition(16), Seq("grp"),
+      Seq(("score", false), ("id", true)), 7)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllMatchIn(plan).size >= 2,
+      s"expected partial+final TopKPerKey pair:\n$plan")
+  }
+
+  test("partial+final equals the window idiom when keys span many partitions") {
+    val skewed = fixture.repartition(16) // every key spread across partitions
+    val viaWindow = skewed
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rk") <= 7)
+      .select("grp", "id", "score", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaTopK = TopK.perKey(skewed, Seq("grp"), Seq(("score", false), ("id", true)), 7)
+      .select("grp", "id", "score", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaTopK == viaWindow)
+  }
+
   test("empty partition list means global top-k") {
     val out = TopK.perKey(fixture, Seq.empty, Seq(("score", false), ("id", true)), 5)
     val rows = out.orderBy("rk").collect()
