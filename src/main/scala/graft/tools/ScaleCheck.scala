@@ -37,6 +37,12 @@ object ScaleCheck {
       return
     }
 
+    if (section == "structured2l") {
+      structuredTwoLevelStudy(spark, maxFactor * 100000L)
+      spark.stop()
+      return
+    }
+
     if (section == "firstexec") {
       firstExecution(spark, sfDir)
       spark.stop()
@@ -597,5 +603,103 @@ object ScaleCheck {
             "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = 4, k = 10, refine = rf)
           .collect().map(_.getLong(0)).toSet
       }
+  }
+
+  /** FLAGSHIP deep-scale row (`section=structured2l`, round-13 verdict
+    * #8): the two-level coarse quantizer → residual 8×256 codebooks →
+    * hierarchically-assigned persisted layout → residual-ADC probe,
+    * measured END TO END at n = maxFactor × 100k on the same
+    * anisotropic generator as [[structuredStudy]] (whose 1M row chose
+    * the 8×256 operating point). Run at 5–10M to confirm the fit-cost
+    * curve (two-level ≈ 512·N^0.75 sample work vs flat 256·N) and the
+    * recall hold past the studied point. Prints fit/write wall,
+    * scan fraction, and recall@10 at nProbe ∈ {4, 8} × refine ∈
+    * {10, 25}.
+    */
+  def structuredTwoLevelStudy(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val dim = 64; val kClusters = 32; val rank = 8
+    val zScale = 0.15; val noise = 0.05; val seed = 7L
+    val rnd0 = new java.util.Random(seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
+    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
+    val bc = spark.sparkContext.broadcast((centers, aMat))
+    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
+      val (cents, a) = bc.value
+      it.map { i =>
+        val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+        val u = r.nextDouble()
+        val c = math.min(kClusters - 1, (u * u * kClusters).toInt)
+        val z = Array.fill(rank)(r.nextGaussian())
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var s = cents(c)(j)
+          var t = 0
+          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
+          v(j) = (s + noise * r.nextGaussian()).toFloat
+          j += 1
+        }
+        (i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_structured2l_").toString
+    val corpusPath = dir + "/vecs"
+    vecs.write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    println(s"[structured2l] corpus n=$n (same generator as the 1M study)")
+
+    val qids = (0 until 8).map(q => (n / 8) * q + 13L)
+    val qvecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rq = new java.util.Random(seed + 99)
+    val queries = qids.map { id =>
+      id -> qvecs(id).map(x => x + (0.02 * rq.nextGaussian()).toFloat)
+    }
+    def qDf(v: Array[Float]): DataFrame = Seq(Tuple1(v.toSeq)).toDF("q_vec")
+    val truth: Map[Long, Set[Long]] = queries.map { case (id, v) =>
+      id -> Ann.exact(corpus, qDf(v), "embedding", "q_vec", "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    println("[structured2l] exact ground truth done (8 queries)")
+
+    val nlist = math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val tFit = System.nanoTime()
+    val (idx, two) = Ann.buildTwoLevel(corpus, "embedding", "vec_id", nlist,
+      seed = 42, rowCount = Some(n))
+    println(f"[structured2l] two-level fit nlist=$nlist  ${(System.nanoTime() - tFit) / 1e9}%.1f s")
+
+    val tModel = System.nanoTime()
+    val resModel = Pq.trainResidual(corpus, "embedding", "vec_id", idx.centroids,
+      m = 8, codes = 256)
+    println(f"[structured2l] residual 8x256 train  ${(System.nanoTime() - tModel) / 1e9}%.1f s")
+
+    val layout = dir + "/pqres2l_8x256"
+    val tWrite = System.nanoTime()
+    Pq.writeIvfPqResidualAssigned(layout,
+      Ann.assignTwoLevel(corpus, "embedding", two),
+      "embedding", "vec_id", idx.centroids, resModel)
+    println(f"[structured2l] hierarchical-assign + encode + partitioned write  ${(System.nanoTime() - tWrite) / 1e9}%.1f s")
+    val sizes = spark.read.parquet(layout).groupBy("cluster").count()
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+
+    for (np <- Seq(4, 8, 16); rf <- Seq(10, 25)) {
+      var scanned = 0L
+      val t0 = System.nanoTime()
+      val rs = queries.map { case (id, v) =>
+        val cells = Ann.nearestCells(idx.centroids, v.map(_.toDouble), np)
+        scanned += cells.map(c => sizes.getOrElse(c, 0L)).sum
+        val got = Pq.probeIvfPqResidual(spark, layout, idx.centroids, resModel, qDf(v),
+            "q_vec", "embedding", "vec_id", nProbe = np, k = 10, refineFactor = rf)
+          .collect().map(_.getLong(0)).toSet
+        (truth(id) & got).size / 10.0
+      }
+      println(f"[structured2l] recall 2l+pqr 8x256 nP=$np%-2d refine=$rf%-3d " +
+        f"${rs.sum / rs.size}%.3f  (per-q ${rs.map(r => f"$r%.1f").mkString(",")})  " +
+        f"scan ${100.0 * scanned / (8.0 * n)}%.3f%%  ${(System.nanoTime() - t0) / 1e9}%5.1f s")
+    }
   }
 }
