@@ -232,6 +232,24 @@ object Ann extends IndexMaintenance {
       .groupByKey(_._1)
       .mapGroups { (s, it) =>
         val pts = it.map(_._2.toArray).toArray
+        // rows arrive in SHUFFLE-FETCH order, which varies run to run
+        // (thread/network timing) — without a sort the Lloyd fit is a
+        // different function each run even at a fixed seed (observed as
+        // ±0.1 recall between identical-seed 5M runs, PLANS.md round
+        // 13). Lexicographic sort makes the fitted codebook a pure
+        // function of (data, seed); cost is O(s log s) on the bounded
+        // per-super sample.
+        java.util.Arrays.sort(pts, new java.util.Comparator[Array[Double]] {
+          def compare(a: Array[Double], b: Array[Double]): Int = {
+            var i = 0
+            while (i < a.length && i < b.length) {
+              val c = java.lang.Double.compare(a(i), b(i))
+              if (c != 0) return c
+              i += 1
+            }
+            java.lang.Integer.compare(a.length, b.length)
+          }
+        })
         val ks = math.min(allocB.value(s), math.max(1, pts.length))
         (s, Pq.lloyd(pts, ks, iters = 10, new scala.util.Random(seed + s))
           .map(_.toSeq).toSeq)
