@@ -46,6 +46,34 @@ class TopKPerKeySpec extends SparkSpec {
       s"expected partial+final TopKPerKey pair:\n$plan")
   }
 
+  test("partial heap bounds shuffle volume to partitions x keys x k records") {
+    // the scale claim, measured: without the partial, every scored row
+    // shuffles (5000 here); with it, each of the 16 map partitions
+    // ships <= 5 keys x 7 rows. Listener-sum of task shuffle-write
+    // records across the action.
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { written.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+      }
+    }
+    val big = (for { g <- 0 until 5; i <- 0 until 1000 }
+      yield (g.toLong, (g * 1000 + i).toLong, math.sin(g * 7 + i * 3) * 100))
+      .toDF("grp", "id", "score").repartition(16).cache()
+    big.count() // materialize outside the measured window
+    spark.sparkContext.addSparkListener(l)
+    try {
+      TopK.perKey(big, Seq("grp"), Seq(("score", false), ("id", true)), 7).collect()
+      org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val bound = 16L * 5 * 7 // partitions x keys x k = 560 << 5000 rows
+    assert(written.get() <= bound,
+      s"partial heap must bound the shuffle: wrote ${written.get()} records (bound $bound)")
+    assert(written.get() > 0, "expected the per-key exchange to actually shuffle")
+    big.unpersist()
+  }
+
   test("partial+final equals the window idiom when keys span many partitions") {
     val skewed = fixture.repartition(16) // every key spread across partitions
     val viaWindow = skewed
