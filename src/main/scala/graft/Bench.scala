@@ -248,14 +248,27 @@ object Bench {
     * box degraded on one axis (round-10: shuffle at 2.97x, cpu at 0.9x)
     * corrects exactly the queries that live on that axis. Falls back to
     * the median when an axis has no baseline row.
+    *
+    * The `sched` axis gets an asymmetric LOWER clamp of 0.8 (round-13
+    * closing-run lesson): the probe measures pure per-job scheduling
+    * overhead, which on an idle box can read 0.5-0.67x of a
+    * loaded-capture baseline, while the sub-second queries classified
+    * `sched` are scheduling PLUS fixed latencies (stream triggers,
+    * driver round trips, file opens) that do not speed up with it —
+    * dividing their bars by 0.5 manufactured 15 flags at ~2.0-2.2x
+    * calibrated on a run whose RAW columns were clean (BASELINE.md
+    * round-13 closing note). Factors above 1 (the slow-box direction,
+    * the gate's real purpose) are untouched; the raw lists are always
+    * published beside the calibrated ones either way.
     */
   private def axisFactors(
       obs: Map[String, Double],
       base: Map[String, Double]): Map[String, Double] = {
     val med = medianRatio(obs, base)
     axisNames.map { n =>
-      n -> (for (o <- obs.get(n); b <- base.get(n) if b > 0)
+      val f = (for (o <- obs.get(n); b <- base.get(n) if b > 0)
         yield clamp(o / b)).getOrElse(med)
+      n -> (if (n == "sched") math.max(0.8, f) else f)
     }.toMap
   }
 
