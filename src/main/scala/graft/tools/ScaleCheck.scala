@@ -701,5 +701,44 @@ object ScaleCheck {
         f"${rs.sum / rs.size}%.3f  (per-q ${rs.map(r => f"$r%.1f").mkString(",")})  " +
         f"scan ${100.0 * scanned / (8.0 * n)}%.3f%%  ${(System.nanoTime() - t0) / 1e9}%5.1f s")
     }
+
+    // BATCH face at the same scale — the registered serving shape
+    // (probeBatchIvfPqResidual = ann_two_level_pqr's probe), which is
+    // also the TopKPerKey partial-heap path: all 8 queries in ONE
+    // pruned scan, per-(query, cell) ADC tables broadcast, map-side
+    // heaps bounding the shuffle. Recall must match the corresponding
+    // single-query points; wall amortizes the scan across the batch.
+    {
+      val qRows = queries.map { case (id, v) => (id, v.toSeq) }
+      val queriesDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(qRows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("q_vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false))))
+        .cache()
+      queriesDf.count()
+      val qLocal = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(qRows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*)),
+        queriesDf.schema)
+      for (np <- Seq(8); rf <- Seq(25)) {
+        val t0 = System.nanoTime()
+        val got = Pq.probeBatchIvfPqResidual(spark, layout, idx.centroids, resModel,
+            qLocal, "q_vec", "query_id", "embedding", "vec_id",
+            nProbe = np, k = 10, refineFactor = rf,
+            qCellsPre = Some(Ann.queryCellsLocal(qLocal, "q_vec", "query_id",
+              idx.centroids, nProbe = np)))
+          .collect().groupBy(_.getLong(0)).map { case (q, rows) =>
+            q -> rows.map(_.getLong(1)).toSet
+          }
+        val rs = queries.map { case (id, _) => (truth(id) & got.getOrElse(id, Set.empty)).size / 10.0 }
+        println(f"[structured2l] BATCH recall 2l+pqr 8x256 nP=$np refine=$rf " +
+          f"${rs.sum / rs.size}%.3f  (per-q ${rs.map(r => f"$r%.1f").mkString(",")})  " +
+          f"all 8 queries in ${(System.nanoTime() - t0) / 1e9}%5.1f s (one pruned scan)")
+      }
+    }
   }
 }
