@@ -104,7 +104,7 @@ object ScaleCheck {
         forced(Sampling.temperatureMix(c.select("doc_id", "lang"), "lang", "doc_id")))
       time(s"fts_build+probe", {
         val idx = Fts.build(c, "text", "doc_id",
-          java.nio.file.Files.createTempDirectory("graft_scale_fts_").toString)
+          graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_scale_fts_")).toString)
         Fts.probe(spark, idx, "doc_id", Queries.QueryTerms, 10)
       })
       time(s"phrase_search", c
@@ -118,7 +118,7 @@ object ScaleCheck {
         c, Tables.documents(spark, sfDir).filter(col("doc_id") < 10), "text", "doc_id")))
       time(s"fts_bm25_batch", {
         val idx = Fts.build(c, "text", "doc_id",
-          java.nio.file.Files.createTempDirectory("graft_scale_ftsb_").toString)
+          graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_scale_ftsb_")).toString)
         Fts.probeBatch(spark, idx, "doc_id", Queries.BatchTextQueries, 5)
       })
       time(s"pack_sequences", forced(
@@ -153,7 +153,7 @@ object ScaleCheck {
       time(s"jsonl_roundtrip", {
         // gzip JSONL write + explicit-schema PERMISSIVE read at corpus
         // scale — the format-codec path, not just the fingerprint agg
-        val p = java.nio.file.Files.createTempDirectory("graft_scale_jsonl_").toString + "/d"
+        val p = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_scale_jsonl_")).toString + "/d"
         c.select("doc_id", "lang", "source", "text")
           .write.option("compression", "gzip").mode("overwrite").json(p)
         import org.apache.spark.sql.types._
@@ -467,7 +467,7 @@ object ScaleCheck {
         (i, v.toSeq)
       }
     }.toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_structured_").toString
+    val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_structured_")).toString
     val corpusPath = dir + "/vecs"
     vecs.write.parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
@@ -646,7 +646,7 @@ object ScaleCheck {
         (i, v.toSeq)
       }
     }.toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft_structured2l_").toString
+    val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_structured2l_")).toString
     val corpusPath = dir + "/vecs"
     vecs.write.parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
