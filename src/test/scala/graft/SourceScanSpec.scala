@@ -154,4 +154,29 @@ class SourceScanSpec extends SparkSpec {
     val magic = java.nio.file.Files.readAllBytes(f.toPath).take(4)
     assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)), "avro container magic")
   }
+
+  test("avro: empty corpus round-trips to zero rows, not an error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_ae").toString + "/d"
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    operators.Avro.write(empty, dir)
+    val back = operators.Avro.read(spark, dir, Queries.SourceReadSchema)
+    assert(back.count() === 0)
+    assert(back.schema === Queries.SourceReadSchema)
+  }
+
+  test("avro: a multi-MB document survives block-compressed round-trip intact") {
+    import spark.implicits._
+    // a single record larger than the default avro sync interval forces
+    // multi-block framing inside one container file
+    val big = ("x" * 1000 + "é日😀\n") * 3000 // ~3 MB with multibyte + newline
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_ab").toString + "/d"
+    val rows = Seq((1L, "en", "s", big)).toDF("doc_id", "lang", "source", "text")
+    operators.Avro.write(rows, dir)
+    val back = operators.Avro.read(spark, dir, Queries.SourceReadSchema)
+      .select("doc_id", "text").collect()
+    assert(back.length === 1)
+    assert(back(0).getString(1) === big, "large-record fidelity through deflate blocks")
+  }
 }
