@@ -88,6 +88,16 @@ object Avro {
     * values are copied out of the Hadoop record inside the same map
     * (the record reader reuses its datum buffer; Utf8 → String is the
     * copy).
+    *
+    * Honest scale limitation of the RDD-backed read: Catalyst cannot
+    * push column pruning or filters through the `newAPIHadoopFile`
+    * boundary, so every scan decodes all fields of every record
+    * (row-oriented Avro would decode whole records under a connector
+    * too — the loss vs spark-avro's DSv2 source is predicate pushdown
+    * and the vectorized row conversion, not I/O skipping). On a
+    * distribution that ships the connector, swap this method for
+    * `spark.read.format("avro")`; the container files written above
+    * are standard and splittable either way.
     */
   def read(spark: SparkSession, path: String, readSchema: StructType): DataFrame = {
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
