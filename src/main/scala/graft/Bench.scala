@@ -337,7 +337,19 @@ object Bench {
     // it measures the class directly instead of polluting the
     // cross-round cold comparison. The checked-in baseline was
     // recaptured with this same warmup method (round 13).
-    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
+    // The env override gets the SAME validity gate as the sibling-sf
+    // fallback: a typo'd path would otherwise fail every per-query
+    // warmup "(ignored)" and silently publish an UNWARMED cold column
+    // against a warmed-capture baseline. Loud failure beats a skewed
+    // artifact here — the operator meant to warm and didn't.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").map { d =>
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)),
+        s"SPARK_GRAFT_WARMUP_DIR=$d is not a directory")
+      require(java.nio.file.Paths.get(d).toAbsolutePath.toString != p.toString,
+        s"SPARK_GRAFT_WARMUP_DIR=$d equals the timed SF dir — warmup would pre-run the timed workload itself")
+      d
+    }.orElse {
       val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
       Option(p.getParent).map(_.resolve("sf0.001").toString)
         .filter(d => d != p.toString && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))

@@ -172,12 +172,20 @@ object Queries {
     * sync-marked, so unlike gzip JSONL a single big Avro file still
     * splits across tasks. Binary-container semantics: `_corrupt` reads
     * all-null, n_corrupt = 0, shared twin unchanged (like [[orcScan]]).
+    * The read passes only the fingerprint's columns, so the Avro
+    * reader/writer resolution SKIPS decoding doc_id/lang — the manual
+    * column pruning of the connector-less path
+    * ([[graft.operators.Avro.readerSchemaJson]]; SourceScanSpec pins
+    * the projection).
     */
   def avroScan(s: SparkSession, dir: String): DataFrame = {
     val path = graft.operators.LayoutCache.getOrWrite(s"avro:$dir") { p =>
       graft.operators.Avro.write(decoratedDocs(s, dir), p)
     }
-    sourceFingerprint(graft.operators.Avro.read(s, path, SourceReadSchema))
+    val needed = Set("source", "text", "_corrupt")
+    val pruned = org.apache.spark.sql.types.StructType(
+      SourceReadSchema.fields.filter(f => needed(f.name)))
+    sourceFingerprint(graft.operators.Avro.read(s, path, pruned))
   }
 
   def jsonlScan(s: SparkSession, dir: String): DataFrame = {
@@ -3124,10 +3132,12 @@ object Queries {
     // residual family — the round-12 operating-point study at 1M
     // anisotropic vectors measured it at recall 0.862 (refine 25), the
     // full-SQ8/IVF-ceiling parity point, vs 0.688 for 8x16 at the SAME
-    // 8-byte code budget (PLANS.md round-12 table). The single-query
-    // ivfpq_residual stays at 8x16 where its per-cell literal-CASE
-    // tables are tiny; at 256 codes the tables ride as broadcast-side
-    // HOF columns (this probe), never plan literals.
+    // 8-byte code budget (PLANS.md round-12 table). Since round 13 the
+    // single-query ivfpq_residual runs at this same 8x256 point by
+    // routing through probeBatchIvfPqResidual at |Q| = 1 — for both,
+    // the per-(query, cell) ADC tables ride as broadcast-side HOF
+    // columns, never plan literals, so code count doesn't inflate the
+    // plan (the round-8 janino lesson).
     val model = Pq.trainResidualCached(dir, e, "embedding", "vec_id", index.centroids,
       m = 8, codes = 256)
     OracleArtifacts.annBatchPqr = Some((index.centroids, model))

@@ -86,10 +86,14 @@ object Verify {
     // SQL-expressible twin — softmax/layernorm/recursive-merge): the
     // DuckDB gate can only count their rows, so Verify itself pins
     // run-to-run stability — hash #1 over the parquet the driver will
-    // check, hash #2 over a FRESH run in an independent session with a
-    // different shuffle width and scan-split size. A match proves the
-    // result is a pure function of the input, not of partitioning or
-    // session state; written beside the outputs as stability.json.
+    // check, hash #2 over a rerun in a second session with a different
+    // shuffle width and scan-split size. A match proves the COMPUTE
+    // path is a pure function of the input, not of partitioning.
+    // Scope caveat: the rerun shares this JVM's process-global
+    // LayoutCache.getOrWrite memos, so persisted layouts/fitted
+    // artifacts from the first run are REUSED, not rebuilt — write-path
+    // determinism is pinned separately (TwoLevelSpec's sorted-sample
+    // fit, ChunkStore/Layout specs), not by this hash.
     val rowsOnly = (names.toSet -- SparkEntry.oracleSql.keySet).toSeq.sorted
     if (rowsOnly.nonEmpty) {
       val sess2 = spark.newSession()

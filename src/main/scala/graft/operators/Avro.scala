@@ -37,10 +37,9 @@ import org.apache.spark.sql.types.StructType
   */
 object Avro {
 
-  /** Writer/reader schema for the decorated corpus projection. Kept as
-    * a JSON literal so executors can re-parse it locally — avro
-    * `Schema` is not serializable, shipping the string is the
-    * standard pattern.
+  /** Writer schema for the decorated corpus projection. Kept as a JSON
+    * literal so executors can re-parse it locally — avro `Schema` is
+    * not serializable, shipping the string is the standard pattern.
     */
   private val SchemaJson: String =
     """{"type":"record","name":"Doc","namespace":"graft","fields":[
@@ -49,6 +48,30 @@ object Avro {
       |  {"name":"source","type":["null","string"],"default":null},
       |  {"name":"text","type":["null","string"],"default":null}
       |]}""".stripMargin
+
+  private val FieldDefs: Seq[(String, String)] = Seq(
+    "doc_id" -> """{"name":"doc_id","type":"long"}""",
+    "lang"   -> """{"name":"lang","type":["null","string"],"default":null}""",
+    "source" -> """{"name":"source","type":["null","string"],"default":null}""",
+    "text"   -> """{"name":"text","type":["null","string"],"default":null}""")
+
+  /** READER schema projected to `dataFields` — the column-pruning seam
+    * of the connector-less read path: Avro's reader/writer resolution
+    * (ResolvingDecoder) SKIPS writer fields absent from the reader
+    * schema, so a pruned read never UTF-8-decodes or allocates the
+    * dropped string fields (for corpus docs, `text` is ~all the bytes —
+    * a metadata-only scan skips nearly all decode work). The bytes are
+    * still read off the container blocks (row-oriented format), so the
+    * saving is decode CPU + allocation, not I/O — the remaining honest
+    * gap vs a columnar source is filter pushdown (see [[read]]).
+    */
+  private[graft] def readerSchemaJson(dataFields: Seq[String]): String = {
+    val known = FieldDefs.map(_._1).toSet
+    val unknown = dataFields.filterNot(known)
+    require(unknown.isEmpty, s"unknown avro corpus fields: ${unknown.mkString(", ")}")
+    val fields = FieldDefs.collect { case (n, d) if dataFields.contains(n) => d }
+    s"""{"type":"record","name":"Doc","namespace":"graft","fields":[${fields.mkString(",")}]}"""
+  }
 
   /** Write `df` (doc_id, lang, source, text) as deflate-compressed
     * Avro container files, one per input partition. Per-block
@@ -82,27 +105,32 @@ object Avro {
         job.getConfiguration)
   }
 
-  /** Read Avro container files back as a DataFrame with `readSchema`
-    * (the shared `SourceReadSchema`, whose trailing `_corrupt` column
-    * is all-null here — binary-container semantics, like ORC). Field
-    * values are copied out of the Hadoop record inside the same map
-    * (the record reader reuses its datum buffer; Utf8 → String is the
-    * copy).
+  /** Read Avro container files back as a DataFrame with `readSchema` —
+    * which is also the PROJECTION: the reader schema installed on the
+    * input format carries only `readSchema`'s data fields (everything
+    * but the `_corrupt` pseudo-column, all-null here — binary-container
+    * semantics, like ORC), so Avro's reader/writer resolution skips
+    * decoding every other field ([[readerSchemaJson]]). Callers prune
+    * by passing a subset schema — the manual analog of the column
+    * pruning Catalyst cannot push through the `newAPIHadoopFile`
+    * boundary. Field values are copied out of the Hadoop record inside
+    * the same map (the record reader reuses its datum buffer; Utf8 →
+    * String is the copy).
     *
-    * Honest scale limitation of the RDD-backed read: Catalyst cannot
-    * push column pruning or filters through the `newAPIHadoopFile`
-    * boundary, so every scan decodes all fields of every record
-    * (row-oriented Avro would decode whole records under a connector
-    * too — the loss vs spark-avro's DSv2 source is predicate pushdown
-    * and the vectorized row conversion, not I/O skipping). On a
-    * distribution that ships the connector, swap this method for
+    * Remaining honest scale limitation of the RDD-backed read: filter
+    * PUSHDOWN still cannot cross the RDD boundary (and row-oriented
+    * Avro has no row-group min/max stats to prune with anyway), so a
+    * selective scan reads all container bytes. On a distribution that
+    * ships the spark-avro connector, swap this method for
     * `spark.read.format("avro")`; the container files written above
     * are standard and splittable either way.
     */
   def read(spark: SparkSession, path: String, readSchema: StructType): DataFrame = {
+    val dataFields = readSchema.fields.map(_.name).filter(_ != "_corrupt").toSeq
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setDataModelClass(job, classOf[GenericData])
-    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(SchemaJson))
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(readerSchemaJson(dataFields)))
+    val outFields = readSchema.fields.map(_.name)
     val rdd = spark.sparkContext
       .newAPIHadoopFile(
         path,
@@ -112,10 +140,11 @@ object Avro {
         job.getConfiguration)
       .map { case (k, _) =>
         val r = k.datum()
-        def str(f: String): String = {
-          val v = r.get(f); if (v == null) null else v.toString
-        }
-        Row(r.get("doc_id").asInstanceOf[Long], str("lang"), str("source"), str("text"), null)
+        Row.fromSeq(outFields.toSeq.map {
+          case "_corrupt" => null
+          case "doc_id"   => r.get("doc_id").asInstanceOf[Long]
+          case f          => val v = r.get(f); if (v == null) null else v.toString
+        })
       }
     spark.createDataFrame(rdd, readSchema)
   }

@@ -145,6 +145,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Public API: append a `rankName` column holding 1..k per key.
   * `orderBy` entries are (columnName, ascending) — keep the composite
   * ordering total (add an id tie-break) for deterministic ranks.
+  *
+  * Cardinality caveat: the map-side partial keeps one k-row heap per
+  * DISTINCT KEY seen in the partition, with no spill path — its memory
+  * and shuffle bound is O(keys-per-partition × k) copied UnsafeRows.
+  * That is the win when keys ≪ rows (the batch-probe shape: tens of
+  * query ids against millions of candidates); when rows-per-key → 1
+  * the partial buffers essentially the whole partition and combines
+  * nothing — at that cardinality use a window row_number ≤ k (sort
+  * based, spills) instead. Every current call site keys on a bounded
+  * query/group set, which is the operator's contract.
   */
 object TopK {
   def perKey(

@@ -166,6 +166,47 @@ class SourceScanSpec extends SparkSpec {
     assert(back.schema === Queries.SourceReadSchema)
   }
 
+  test("avro: projected reader schema prunes decode to the requested fields") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcspec_ap").toString + "/d"
+    val rows = Seq(
+      (1L, "en", "s1", "alpha body"),
+      (2L, null.asInstanceOf[String], "s2", "beta body"),
+      (3L, "fr", "s1", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "source", "text")
+    operators.Avro.write(rows, dir)
+    // the projected reader schema names ONLY the requested fields —
+    // this string is what read() installs as avro.schema.input.key
+    val projJson = operators.Avro.readerSchemaJson(Seq("source", "text"))
+    assert(!projJson.contains("doc_id") && !projJson.contains("lang"))
+    assert(projJson.contains("\"source\"") && projJson.contains("\"text\""))
+    // decoder-level proof the projection is RESOLVED (not re-projected
+    // after a full decode): open a container file with that reader
+    // schema through Avro's own DataFileReader — the resolved datum
+    // carries only the reader fields, so the dropped ones were skipped
+    // by the ResolvingDecoder, never materialized
+    val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      .filter(_.length > 0).head
+    val reader = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+    reader.setExpected(new org.apache.avro.Schema.Parser().parse(projJson))
+    val dfr = new org.apache.avro.file.DataFileReader(f, reader)
+    try {
+      assert(dfr.hasNext)
+      val rec = dfr.next()
+      import scala.jdk.CollectionConverters._
+      assert(rec.getSchema.getFields.asScala.map(_.name()).toSet === Set("source", "text"))
+    } finally dfr.close()
+    // and the pruned DataFrame read agrees with the full read on the
+    // surviving columns (same rows, same values, _corrupt all-null)
+    val prunedSchema = StructType(schema.fields.filter(f2 => Set("source", "text", "_corrupt")(f2.name)))
+    val pruned = operators.Avro.read(spark, dir, prunedSchema).cache()
+    assert(pruned.schema === prunedSchema)
+    assert(pruned.filter(col("_corrupt").isNotNull).count() === 0)
+    val full = operators.Avro.read(spark, dir, schema).select("source", "text")
+    val got = pruned.select("source", "text")
+    assert(full.exceptAll(got).count() === 0 && got.exceptAll(full).count() === 0)
+  }
+
   test("avro: a multi-MB document survives block-compressed round-trip intact") {
     import spark.implicits._
     // a single record larger than the default avro sync interval forces
