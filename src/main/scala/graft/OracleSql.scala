@@ -361,6 +361,87 @@ object OracleSql {
       s"($e) * ($e)"
     }.mkString(" + ")
 
+  /** Twin builder for the two-level + residual-PQ batch probe chain —
+    * shared by the flagship `ann_two_level_pqr` (corpus = all
+    * embeddings) and the lifecycle pair `ann_two_level_live` /
+    * `ann_two_level_compacted` (corpus excludes the tombstoned ids via
+    * `corpusWhere`; hierarchy + model fitted on the base subset arrive
+    * through the artifacts, so one builder replays every scenario).
+    * Chain: the QUERY side ranks cells FLAT over the concatenated
+    * codebook (what Ann.queryCellsLocal does) and residual-shifts per
+    * probed cell; the CORPUS side assigns HIERARCHICALLY (nearest
+    * super, then nearest sub within it, flat id = offset + sub index),
+    * residual-encodes against the flat codebook entry of its cell
+    * (lambda-built distance lists at codes=256), and ADC-ranks. Same
+    * left-associated accumulation as the Spark CentroidResidual + HOF
+    * folds, so doubles match bit for bit and both cuts fall
+    * identically.
+    */
+  private def twoLevelPqrTwinSql(two: operators.Ann.TwoLevel, model: operators.Pq.Model,
+                                 corpusWhere: String): String = {
+    val cents = two.flat
+    val dim = cents.head.length
+    val sub = model.dim / model.m
+    val qDists = cents.map(c => distChain("tpqnv", 0, c)).mkString(", ")
+    val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
+      s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
+    }.mkString(" ") + " END"
+    val supDists = two.superCents.map(c => distChain("tpnv", 0, c)).mkString(", ")
+    val subCase = "CASE tpsup " + two.subCents.zipWithIndex.map { case (subs, sp) =>
+      val dl = subs.map(c => distChain("tpnv", 0, c)).mkString(", ")
+      s"WHEN $sp THEN [$dl]"
+    }.mkString(" ") + " END"
+    val offCase = "CASE tpsup " + two.offsets.zipWithIndex.map { case (o, sp) =>
+      s"WHEN $sp THEN $o"
+    }.mkString(" ") + " END"
+    def cbLit(j: Int): String =
+      "[" + model.codebooks(j).map(c => "[" + c.map(dlit).mkString(", ") + "]").mkString(", ") + "]"
+    def distLambda(vec: String, j: Int): String = {
+      val terms = (0 until sub).map { i =>
+        s"($vec[${j * sub + i + 1}] - c[${i + 1}])*($vec[${j * sub + i + 1}] - c[${i + 1}])"
+      }.mkString(" + ")
+      s"list_transform(${cbLit(j)}, c -> $terms)"
+    }
+    val encCols = (0 until model.m).map { j =>
+      s"list_indexof(${distLambda("rv", j)}, list_min(${distLambda("rv", j)})) - 1 AS tpr$j"
+    }.mkString(",\n        ")
+    val adcExpr = (0 until model.m).map { j =>
+      s"${distLambda("qrv", j)}[tpr$j + 1]"
+    }.mkString(" + ")
+    s"""WITH tpq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+       |tpqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS tpqnv FROM tpq),
+       |tpqd AS (SELECT query_id, qv, tpqnv, [$qDists] AS dl FROM tpqn),
+       |tpqc0 AS (SELECT query_id, qv, tpqnv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM tpqd),
+       |tpqc AS (SELECT query_id, qv, tpqnv, cluster FROM (
+       |        SELECT query_id, qv, tpqnv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+       |        FROM tpqc0) WHERE rn <= 3),
+       |tpqr AS (SELECT query_id, qv, cluster,
+       |        list_transform(generate_series(1, $dim), i -> tpqnv[i] - ($centCase)[i]) AS qrv FROM tpqc),
+       |tpc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings$corpusWhere),
+       |tpnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS tpnv FROM tpc),
+       |tpsupq AS (SELECT vec_id, ev, tpnv,
+       |        CAST(list_indexof([$supDists], list_min([$supDists])) - 1 AS BIGINT) AS tpsup FROM tpnr),
+       |tpsubq AS (SELECT vec_id, ev, tpnv, tpsup, $subCase AS sdl FROM tpsupq),
+       |tpasg AS (SELECT vec_id, ev, tpnv,
+       |        CAST(($offCase) + list_indexof(sdl, list_min(sdl)) - 1 AS BIGINT) AS cluster FROM tpsubq),
+       |tpct AS (SELECT vec_id, ev, tpnv, cluster, $centCase AS cent FROM tpasg),
+       |tprs AS (SELECT vec_id, ev, cluster,
+       |        list_transform(generate_series(1, $dim), i -> tpnv[i] - cent[i]) AS rv FROM tpct),
+       |tpenc AS (SELECT vec_id, ev, cluster,
+       |        $encCols FROM tprs),
+       |tpj AS (SELECT query_id, vec_id, cluster, ev, qv, $adcExpr AS adc
+       |        FROM tpenc JOIN tpqr USING (cluster)),
+       |tpcand AS (SELECT query_id, vec_id, cluster, ev, qv FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prn
+       |        FROM tpj) WHERE prn <= ${5 * 10}),
+       |tpfin AS (SELECT query_id, vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM tpcand),
+       |tprk AS (SELECT query_id, vec_id, cluster, cos_sim,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+       |      FROM tpfin)
+       |SELECT query_id, vec_id, cluster, cos_sim, rk FROM tprk WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** IVF assignment CTE chain over `embeddings` with the fitted
     * unit-sphere centroids inlined; yields asg(vec_id, ev, cluster).
     * Twin of Ann.assign: normalize, per-centroid sequential squared
@@ -855,78 +936,19 @@ object OracleSql {
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     }
     val annTwoLevelPqrEntries = OracleArtifacts.annTwoLevelPqr.toSeq.map { case (two, model) =>
-      // Twin of Queries.annTwoLevelPqr — the flagship composition,
-      // assembled from the two proven chains: the CORPUS side assigns
-      // HIERARCHICALLY (ann_two_level's sup/sub/offset replay), then
-      // residual-encodes against the FLAT codebook entry of that cell
-      // and ranks with per-(query, cell) residual ADC tables
-      // (ann_batch_pqr's lambda-built distance lists at codes=256);
-      // the QUERY side ranks cells FLAT over the concatenated codebook
-      // (what Ann.queryCellsLocal does) and residual-shifts per probed
-      // cell. Same left-associated accumulation everywhere, so doubles
-      // match bit for bit and both cuts fall identically.
-      val cents = two.flat
-      val dim = cents.head.length
-      val sub = model.dim / model.m
-      val qDists = cents.map(c => distChain("tpqnv", 0, c)).mkString(", ")
-      val centCase = "CASE cluster " + cents.zipWithIndex.map { case (c, j) =>
-        s"WHEN $j THEN [${c.map(dlit).mkString(", ")}]"
-      }.mkString(" ") + " END"
-      val supDists = two.superCents.map(c => distChain("tpnv", 0, c)).mkString(", ")
-      val subCase = "CASE tpsup " + two.subCents.zipWithIndex.map { case (subs, sp) =>
-        val dl = subs.map(c => distChain("tpnv", 0, c)).mkString(", ")
-        s"WHEN $sp THEN [$dl]"
-      }.mkString(" ") + " END"
-      val offCase = "CASE tpsup " + two.offsets.zipWithIndex.map { case (o, sp) =>
-        s"WHEN $sp THEN $o"
-      }.mkString(" ") + " END"
-      def cbLit(j: Int): String =
-        "[" + model.codebooks(j).map(c => "[" + c.map(dlit).mkString(", ") + "]").mkString(", ") + "]"
-      def distLambda(vec: String, j: Int): String = {
-        val terms = (0 until sub).map { i =>
-          s"($vec[${j * sub + i + 1}] - c[${i + 1}])*($vec[${j * sub + i + 1}] - c[${i + 1}])"
-        }.mkString(" + ")
-        s"list_transform(${cbLit(j)}, c -> $terms)"
-      }
-      val encCols = (0 until model.m).map { j =>
-        s"list_indexof(${distLambda("rv", j)}, list_min(${distLambda("rv", j)})) - 1 AS tpr$j"
-      }.mkString(",\n        ")
-      val adcExpr = (0 until model.m).map { j =>
-        s"${distLambda("qrv", j)}[tpr$j + 1]"
-      }.mkString(" + ")
-      "ann_two_level_pqr" ->
-        s"""WITH tpq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
-           |tpqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS tpqnv FROM tpq),
-           |tpqd AS (SELECT query_id, qv, tpqnv, [$qDists] AS dl FROM tpqn),
-           |tpqc0 AS (SELECT query_id, qv, tpqnv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM tpqd),
-           |tpqc AS (SELECT query_id, qv, tpqnv, cluster FROM (
-           |        SELECT query_id, qv, tpqnv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
-           |        FROM tpqc0) WHERE rn <= 3),
-           |tpqr AS (SELECT query_id, qv, cluster,
-           |        list_transform(generate_series(1, $dim), i -> tpqnv[i] - ($centCase)[i]) AS qrv FROM tpqc),
-           |tpc AS (SELECT vec_id, ${dvec("embedding")} AS ev FROM embeddings),
-           |tpnr AS (SELECT vec_id, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS tpnv FROM tpc),
-           |tpsupq AS (SELECT vec_id, ev, tpnv,
-           |        CAST(list_indexof([$supDists], list_min([$supDists])) - 1 AS BIGINT) AS tpsup FROM tpnr),
-           |tpsubq AS (SELECT vec_id, ev, tpnv, tpsup, $subCase AS sdl FROM tpsupq),
-           |tpasg AS (SELECT vec_id, ev, tpnv,
-           |        CAST(($offCase) + list_indexof(sdl, list_min(sdl)) - 1 AS BIGINT) AS cluster FROM tpsubq),
-           |tpct AS (SELECT vec_id, ev, tpnv, cluster, $centCase AS cent FROM tpasg),
-           |tprs AS (SELECT vec_id, ev, cluster,
-           |        list_transform(generate_series(1, $dim), i -> tpnv[i] - cent[i]) AS rv FROM tpct),
-           |tpenc AS (SELECT vec_id, ev, cluster,
-           |        $encCols FROM tprs),
-           |tpj AS (SELECT query_id, vec_id, cluster, ev, qv, $adcExpr AS adc
-           |        FROM tpenc JOIN tpqr USING (cluster)),
-           |tpcand AS (SELECT query_id, vec_id, cluster, ev, qv FROM (
-           |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS prn
-           |        FROM tpj) WHERE prn <= ${5 * 10}),
-           |tpfin AS (SELECT query_id, vec_id, cluster, ${cosine("ev", "qv")} AS cos_sim FROM tpcand),
-           |tprk AS (SELECT query_id, vec_id, cluster, cos_sim,
-           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
-           |      FROM tpfin)
-           |SELECT query_id, vec_id, cluster, cos_sim, rk FROM tprk WHERE rk <= 5
-           |ORDER BY query_id, rk""".stripMargin
+      // Twin of Queries.annTwoLevelPqr — the flagship composition over
+      // the full corpus (see [[twoLevelPqrTwinSql]]).
+      "ann_two_level_pqr" -> twoLevelPqrTwinSql(two, model, "")
+    }
+    val annTwoLevelLifeEntries = OracleArtifacts.annTwoLevelLife.toSeq.flatMap { case (two, model) =>
+      // The flagship LIFECYCLE pair shares ONE twin: hierarchy + model
+      // are the base-subset fits (from the artifacts), appended rows
+      // route through the same hierarchical assignment as a from-
+      // scratch write, and the tombstoned ids are excluded from the
+      // corpus — which is exactly what both the merge-on-read live
+      // probe and the compacted rewrite must serve.
+      val sql = twoLevelPqrTwinSql(two, model, " WHERE vec_id % 10 <> 3")
+      Seq("ann_two_level_live" -> sql, "ann_two_level_compacted" -> sql)
     }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
@@ -1204,7 +1226,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ annTwoLevelLifeEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

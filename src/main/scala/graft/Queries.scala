@@ -3235,6 +3235,84 @@ object Queries {
       .orderBy("query_id", "rk")
   }
 
+  /** Shared scenario builder for the flagship LIFECYCLE pair
+    * ([[annTwoLevelLive]] / [[annTwoLevelCompacted]]) — the round-13
+    * verdict's top task: at 10⁹ vectors a layout you can't append to
+    * or delete from IS a rebuild, so the two-level residual layout
+    * gets the same driver-gated maintenance faces the flat families
+    * have (ann_incremental / ann_deleted / ann_compacted). Scenario:
+    * the hierarchy AND the residual codebooks fit on a 90% BASE subset
+    * (the build-time artifacts — deltas must reuse them, that is the
+    * point of incremental maintenance); the base layout lands via
+    * [[graft.operators.Pq.writeIvfPqResidualAssigned]]; the 10% delta
+    * appends through the SAME hierarchical router + fitted codebooks
+    * ([[graft.operators.Ann.assignTwoLevel]] →
+    * [[graft.operators.Pq.appendIvfPqResidualAssigned]] — so
+    * base + delta ≡ a from-scratch write bit for bit); deletes land as
+    * the tombstone sidecar. Build + append + delete are the one-time
+    * maintenance events (memoized); each registered query pays only
+    * its probe.
+    */
+  private def twoLevelLifecycleLayout(s: SparkSession, dir: String)
+      : (Ann.TwoLevel, Pq.Model, Array[Array[Double]], String) = {
+    val all = embs(s, dir)
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val (index, two) = Ann.buildTwoLevelCached(dir + "#2l-base", base,
+      "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.trainResidualCached(dir + "#2l-base", base, "embedding", "vec_id",
+      index.centroids, m = 8, codes = 256)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ann2lpqr_life:$dir") { p =>
+      Pq.writeIvfPqResidualAssigned(p, Ann.assignTwoLevel(base, "embedding", two),
+        "embedding", "vec_id", index.centroids, model)
+      Pq.appendIvfPqResidualAssigned(p,
+        Ann.assignTwoLevel(all.filter(col("vec_id") % 10 === 7), "embedding", two),
+        "embedding", "vec_id", index.centroids, model)
+      Pq.deleteFromIndex(s, p,
+        all.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+    }
+    OracleArtifacts.annTwoLevelLife = Some((two, model))
+    (two, model, index.centroids, path)
+  }
+
+  private def twoLevelLifecycleProbe(s: SparkSession, dir: String,
+      cents: Array[Array[Double]], model: Pq.Model, path: String): DataFrame =
+    Pq.probeBatchIvfPqResidual(s, path, cents, model,
+      batchQueriesLocal(s, dir),
+      "q_vec", "query_id", "embedding", "vec_id", nProbe = 3, k = 5, refineFactor = 10,
+      qCellsPre = Some(Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+        "q_vec", "query_id", cents, nProbe = 3)))
+      .orderBy("query_id", "rk")
+
+  /** LIVE probe of the maintained two-level residual layout: base +
+    * appended delta are both visible, the tombstoned 10% is excluded
+    * by the merge-on-read anti-join INSIDE the partition-pruned codes
+    * scan — before the ADC shortlist heap, so deleted rows can never
+    * occupy candidate slots. The twin replays ann_two_level_pqr's
+    * chain (hierarchical assignment, residual encode, per-(query,cell)
+    * ADC) over the base-fitted literals with the deleted ids excluded
+    * from the corpus — hash-green proves append routing AND delete
+    * visibility through the serving path at once.
+    */
+  def annTwoLevelLive(s: SparkSession, dir: String): DataFrame = {
+    val (_, model, cents, path) = twoLevelLifecycleLayout(s, dir)
+    twoLevelLifecycleProbe(s, dir, cents, model, path)
+  }
+
+  /** COMPACTION closes the flagship lifecycle triangle: the tombstoned
+    * delta-carrying layout from [[annTwoLevelLive]]'s scenario is
+    * rewritten live-only into a fresh clustered layout
+    * ([[graft.operators.Pq.compact]] — delta files folded to one file
+    * set per cluster, sidecar cleared, codes ride the rewrite so
+    * nothing re-encodes), and the PLAIN probe over it (no anti-join
+    * left to pay) must equal the live probe — both share one twin.
+    */
+  def annTwoLevelCompacted(s: SparkSession, dir: String): DataFrame = {
+    val (_, model, cents, path) = twoLevelLifecycleLayout(s, dir)
+    val compacted = graft.operators.LayoutCache.getOrWrite(s"ann2lpqr_life_compact:$dir")(
+      p => Pq.compact(s, path, p, "vec_id"))
+    twoLevelLifecycleProbe(s, dir, cents, model, compacted)
+  }
+
   /** Full persisted IVF-PQ probe — the reference's actual index type
     * (store.py:274 `IVF_PQ`, config.py:62 refine factor): partition-
     * pruned scan of the 3 nearest cells, ADC rank on the m-byte codes,

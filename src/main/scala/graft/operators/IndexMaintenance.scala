@@ -77,8 +77,8 @@ trait IndexMaintenance {
     * [[LayoutCache]] listing, this memo is invalidated only by the
     * IN-JVM lifecycle verbs. A tombstone sidecar written by ANOTHER
     * driver to the same layout is invisible to warm probes here until
-    * [[TombstoneState.invalidate]] (or `LayoutCache.invalidate` on the
-    * layout dir) is called — and because this path gates DELETES, the
+    * [[refresh]] is called on the layout dir — and because this path
+    * gates DELETES, the
     * staleness failure mode is serving tombstoned rows as live, not
     * just a stale listing. Same contract as Spark's catalog cache +
     * REFRESH TABLE: single-writer layouts need nothing; external
@@ -135,6 +135,22 @@ trait IndexMaintenance {
       .write.partitionBy("cluster").mode(mode).parquet(path)
     LayoutCache.invalidate(path)
     TombstoneState.invalidate(path) // overwrite may clear a sidecar
+  }
+
+  /** MULTI-WRITER hook — the executable face of the safety contract on
+    * [[hasTombstones]]: all layout memos (file listing, tombstone
+    * existence, inlined tombstone id set) are invalidated only by this
+    * JVM's lifecycle verbs, so a sidecar or delta written by ANOTHER
+    * driver to the same layout is invisible to warm probes here until
+    * the external writer's commit is paired with a `refresh(dir)` —
+    * exactly Spark's catalog-cache + REFRESH TABLE contract. Dropping
+    * the memos costs one FS exists() + one listing on the NEXT probe of
+    * that layout, nothing on any other layout. Single-writer
+    * deployments never need to call this.
+    */
+  final def refresh(dir: String): Unit = {
+    TombstoneState.invalidate(dir)
+    LayoutCache.invalidate(dir)
   }
 
   final def requireSeparateDir(family: String, srcDir: String, outDir: String): Unit =

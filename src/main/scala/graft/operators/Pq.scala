@@ -259,12 +259,16 @@ object Pq extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       k: Int,
-      refineFactor: Int = 10
+      refineFactor: Int = 0
   ): DataFrame = {
     val cells = Ann.nearestCells(ivfCentroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val pruned = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
-    probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, refineFactor)
+    // LIVE face: tombstoned ids excluded inside the pruned scan, before
+    // the ADC cut (zero cost on delete-free layouts — memoized exists)
+    val pruned = liveFace(spark, path,
+      LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
+      idCol)
+    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
+    probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, rf)
   }
 
   // ── Residual IVF-PQ (FAISS's actual IVF,PQ form) ─────────────────────
@@ -414,6 +418,70 @@ object Pq extends IndexMaintenance {
         .select(col(idCol), col(vecCol), col("codes"), col("cluster")),
       path, "overwrite")
 
+  /** Delta maintenance for a persisted residual IVF-PQ layout — the
+    * missing lifecycle face the round-13 verdict named: at 10⁹ vectors
+    * an index you can't append to IS a rebuild. The delta frame must
+    * arrive ALREADY ASSIGNED by the same coarse quantizer as the base
+    * corpus (flat [[graft.operators.Ann.assign]] or hierarchical
+    * [[graft.operators.Ann.assignTwoLevel]] — the caller owns that
+    * routing, exactly like [[graft.operators.Ann.appendToIndexTwoLevel]]),
+    * and is residual-encoded with the SAME fitted codebooks, so
+    * base + delta equals a from-scratch write bit for bit. Lands as
+    * O(k) delta files via the clustered append; probes see the rows
+    * immediately ([[writeClustered]] invalidates the listing memo).
+    */
+  def appendIvfPqResidualAssigned(
+      path: String,
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      ivfCentroids: Array[Array[Double]],
+      model: Model
+  ): Unit =
+    writeClustered(
+      encodeResidual(assigned, vecCol, ivfCentroids, model)
+        .select(col(idCol), col(vecCol), col("codes"), col("cluster")),
+      path, "append")
+
+  /** DELETE maintenance for a persisted PQ layout: the shared tombstone
+    * sidecar ([[IndexMaintenance]]) — every probe in this file serves
+    * the LIVE face, so deleted ids vanish from results immediately
+    * without touching the code files.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String): Unit =
+    appendTombstones(ids.select(idCol).distinct(), path)
+
+  /** COMPACTION for a persisted PQ layout: rewrite the live rows
+    * (tombstones dropped, delta files folded to one file set per
+    * cluster, sidecar cleared) into a FRESH clustered layout, from the
+    * layout itself — codes and vectors ride the rewrite, so no corpus
+    * re-read and no re-encode. The layout-shape-agnostic twin of
+    * [[graft.operators.Ann.compact]].
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              outPath: String, idCol: String): Unit = {
+    requireSeparateDir("Pq", path, outPath)
+    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+      outPath, "overwrite")
+  }
+
+  /** Refine shortlist sized ∝ nProbe — the round-13 10M observation
+    * made this a contract, not a tuning nicety: at FIXED k·refine,
+    * probing MORE cells reads recall DOWN (nP=16/rf=25 measured 0.800
+    * BELOW nP=8's 0.825 at 10M — the shortlist dilutes as more
+    * candidates compete for the same slots, so the marginal cells only
+    * displace true neighbors from the ADC cut). Scaling refine with
+    * nProbe keeps the kept-fraction of scanned candidates constant.
+    * perProbe = 3 reproduces both measured operating points: nP=3 → 10
+    * (the registered sf-scale default), nP=8 → 25 (recall 0.825 at
+    * 10M, PLANS.md). Passed as the default (refineFactor ≤ 0) of every
+    * IVF probe in this file; recall monotonicity in nProbe under this
+    * rule is spec-pinned (PqSpec) on the anisotropic corpus.
+    */
+  def autoRefineFactor(nProbe: Int, perProbe: Int = 3): Int =
+    math.max(10, perProbe * nProbe + 1)
+
   /** Per-cell ADC distance tables for a query: for each probed cell c,
     * table_c(j)(k) = ||(qn − centroid_c)_j − codebook_j(k)||² — the
     * residual-space analog of [[distanceTable]]. Driver-side constants
@@ -454,13 +522,14 @@ object Pq extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       k: Int,
-      refineFactor: Int = 10
+      refineFactor: Int = 0
   ): DataFrame = {
     val qRaw = Ann.queryVector(queryDf, queryVec)
     val cells = Ann.nearestCells(ivfCentroids, qRaw, nProbe)
     val tables = residualDistanceTables(model, ivfCentroids, qRaw, cells)
-    val pruned = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
+    val pruned = liveFace(spark, path,
+      LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
+      idCol)
     def adcFor(c: Int): org.apache.spark.sql.Column = {
       val t = tables(c).map(row => array(row.map(lit): _*))
       (0 until model.m)
@@ -473,7 +542,7 @@ object Pq extends IndexMaintenance {
     val candidates = pruned
       .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist").asc, col(idCol))
-      .limit(k * refineFactor)
+      .limit(k * (if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)))
     Search
       .knnTopK(candidates.drop("adc_dist"), queryDf, vecCol, queryVec, idCol, k)
       .select(col(idCol), col("cos_sim"))
@@ -503,10 +572,11 @@ object Pq extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       k: Int,
-      refineFactor: Int = 10,
+      refineFactor: Int = 0,
       qCellsPre: Option[DataFrame] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
     val sub = model.dim / model.m
     // ||q_j − center||² via HOF folds over ONE typedLit literal per
     // subspace. The earlier formulation unrolled m×codes×sub scalar
@@ -537,13 +607,14 @@ object Pq extends IndexMaintenance {
     val adc = (0 until model.m)
       .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw)
+    val scored = liveFace(spark, path,
+        Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw), idCol)
       .join(broadcast(qCells), "cluster")
       .withColumn("adc_dist", adc)
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
         col(vecCol), col(queryVec), col("adc_dist"))
     val candidates = graft.plans.TopK
-      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * refineFactor)
+      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * rf)
     candidates
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"))
@@ -580,10 +651,11 @@ object Pq extends IndexMaintenance {
       idCol: String,
       nProbe: Int,
       k: Int,
-      refineFactor: Int = 10,
+      refineFactor: Int = 0,
       qCellsPre: Option[DataFrame] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
     val sub = model.dim / model.m
     // per-(query, cell) residual (normalize(q) − centroid[cell]) via the
     // same expression the encode path uses — bit-identical spaces
@@ -613,13 +685,17 @@ object Pq extends IndexMaintenance {
     val adc = (0 until model.m)
       .map(j => element_at(col(s"_adc$j"), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw)
+    // LIVE face inside the pruned scan, before the candidate heap —
+    // tombstoned ids can never occupy shortlist slots (no-op with zero
+    // jobs on delete-free layouts: the sidecar check is memoized)
+    val scored = liveFace(spark, path,
+        Ann.pruneToCells(LayoutCache.readCached(spark, path), qCellsRaw), idCol)
       .join(broadcast(qCells), "cluster")
       .withColumn("adc_dist", adc)
       .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
         col(vecCol), col(queryVec), col("adc_dist"))
     val candidates = graft.plans.TopK
-      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * refineFactor)
+      .perKey(scored, Seq(queryId), Seq(("adc_dist", true), (idCol, true)), k * rf)
     candidates
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"))

@@ -414,7 +414,12 @@ object ScaleCheck {
     val defaultList = Seq(
       "bloom_decontaminate", "decontaminate_spans", "contamination_check",
       "curation_report", "decontaminate_xlingual", "dup_ngrams",
-      "dedup_minhash_incremental")
+      "dedup_minhash_incremental",
+      // round-13 watch flags (docsim_incremental warm-list,
+      // dedup_canonical cold) — gated HERE, where the JIT class is
+      // measured directly, instead of riding the cross-round cold
+      // comparison (round-13 verdict #8)
+      "docsim_incremental", "dedup_canonical")
     val queryList = sys.env.get("SPARK_GRAFT_FIRSTEXEC_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(defaultList)

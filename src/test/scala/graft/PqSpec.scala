@@ -144,4 +144,71 @@ class PqSpec extends SparkSpec {
     val recall = (got.map(_._1).toSet & exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"residual ivfpq recall $recall")
   }
+
+  test("auto-refine keeps recall monotone in nProbe on the anisotropic corpus") {
+    import graft.operators.Ann
+    // the contract the round-13 10M study demanded: at FIXED k·refine,
+    // probing MORE cells dilutes the ADC shortlist and recall can go
+    // DOWN (nP=16/rf=25 measured 0.800 below nP=8's 0.825); with
+    // refineFactor ∝ nProbe (the ≤0 default) scanning more cells must
+    // never cost recall. Pinned on a small anisotropic corpus (the
+    // ScaleCheck structured generator's shape: mixture + shared low
+    // rank + noise), where ADC ranking error is realistic — the
+    // uniform test embeddings would mask the dilution.
+    assert(Pq.autoRefineFactor(3) == 10 && Pq.autoRefineFactor(8) == 25,
+      "auto refine must reproduce both measured operating points")
+    val dim = 32; val kClusters = 12; val rank = 4; val n = 6000L
+    val rnd0 = new java.util.Random(7L)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
+    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
+    val bc = spark.sparkContext.broadcast((centers, aMat))
+    val corpus = spark.range(0, n, 1, 8).mapPartitions { it =>
+      val (cents, am) = bc.value
+      it.map { i =>
+        val r = new java.util.Random(7L ^ (i * 0x9E3779B97F4A7C15L))
+        val c = math.min(kClusters - 1, (r.nextDouble() * kClusters).toInt)
+        val z = Array.fill(rank)(r.nextGaussian())
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var s = cents(c)(j)
+          var t = 0
+          while (t < rank) { s += am(j)(t) * z(t) * 0.15; t += 1 }
+          v(j) = (s + 0.05 * r.nextGaussian()).toFloat
+          j += 1
+        }
+        (i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding").cache()
+    corpus.count()
+    val index = Ann.build(corpus, "embedding", "vec_id", k = 24, seed = 42)
+    val model = Pq.trainResidual(corpus, "embedding", "vec_id", index.centroids, m = 8, codes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqrefine").toString + "/idx"
+    Pq.writeIvfPqResidual(dir, corpus, "embedding", "vec_id", index.centroids, model)
+    val qids = Seq(11L, 1003L, 2077L, 4999L)
+    def qDfOf(id: Long) =
+      corpus.filter(col("vec_id") === id).select(col("embedding").as("q_vec"))
+    val truth = qids.map { id =>
+      id -> Ann.exact(corpus, qDfOf(id), "embedding", "q_vec", "vec_id", 10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    val recalls = Seq(2, 4, 8, 16).map { np =>
+      val r = qids.map { id =>
+        val got = Pq.probeIvfPqResidual(spark, dir, index.centroids, model, qDfOf(id),
+            "q_vec", "embedding", "vec_id", nProbe = np, k = 10) // refine: auto
+          .select("vec_id").as[Long].collect().toSet
+        (truth(id) & got).size / 10.0
+      }.sum / qids.size
+      np -> r
+    }
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1,
+        s"recall must be monotone in nProbe under auto-refine: nP=$np1 → $r1, nP=$np2 → $r2 ($recalls)")
+    }
+    assert(recalls.last._2 >= 0.9, s"deep probe under auto-refine should approach exact: $recalls")
+    corpus.unpersist()
+  }
 }

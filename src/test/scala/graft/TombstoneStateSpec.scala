@@ -61,6 +61,23 @@ class TombstoneStateSpec extends SparkSpec {
     assert(live.count() == 0) // every id 0..9 tombstoned
   }
 
+  test("refresh makes an EXTERNAL writer's tombstones visible (multi-writer hook)") {
+    val dir = freshDir()
+    layout(dir, 30)
+    // warm the memos on the delete-free layout: the sidecar existence
+    // check memoizes FALSE here — the exact staleness window the
+    // SAFETY CONTRACT on hasTombstones documents
+    assert(M.liveFace(spark, dir, spark.read.parquet(dir), "id").count() == 30)
+    // another driver lands a tombstone sidecar directly (no in-JVM
+    // lifecycle verb, so no automatic invalidation)
+    Seq(4L, 9L).toDF("id").coalesce(1).write.mode("append").parquet(M.tombstonePath(dir))
+    assert(M.liveFace(spark, dir, spark.read.parquet(dir), "id").count() == 30,
+      "warm probes serve the memoized face until refresh — the documented contract")
+    M.refresh(dir)
+    assert(M.liveFace(spark, dir, spark.read.parquet(dir), "id").count() == 28,
+      "refresh must surface the external writer's deletes on the next probe")
+  }
+
   test("a NULL id in the tombstone set cannot poison the NOT-IN filter") {
     // round-12 review finding: a null inside the inlined In-list makes
     // the NOT-IN three-valued and silently drops EVERY live row; the

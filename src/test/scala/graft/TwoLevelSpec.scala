@@ -121,6 +121,54 @@ class TwoLevelSpec extends SparkSpec {
     }
   }
 
+  test("residual-PQ lifecycle: live face after append+delete equals the compacted rewrite") {
+    import graft.operators.Pq
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") % 10 =!= 7)
+    val (index, two) = Ann.buildTwoLevel(base, "embedding", "vec_id", k, seed = 42)
+    val model = Pq.trainResidual(base, "embedding", "vec_id", index.centroids, m = 8, codes = 16)
+    val root = java.nio.file.Files.createTempDirectory("twolevellife").toString
+    val dir = root + "/idx"
+    Pq.writeIvfPqResidualAssigned(dir, Ann.assignTwoLevel(base, "embedding", two),
+      "embedding", "vec_id", index.centroids, model)
+    Pq.appendIvfPqResidualAssigned(dir,
+      Ann.assignTwoLevel(embs.filter(col("vec_id") % 10 === 7), "embedding", two),
+      "embedding", "vec_id", index.centroids, model)
+    // base + delta must equal a from-scratch write of the full corpus:
+    // same rows, same hierarchical cells, same codes
+    val rebuilt = root + "/rebuilt"
+    Pq.writeIvfPqResidualAssigned(rebuilt, Ann.assignTwoLevel(embs, "embedding", two),
+      "embedding", "vec_id", index.centroids, model)
+    val a = spark.read.parquet(dir).select("vec_id", "cluster", "codes")
+    val b = spark.read.parquet(rebuilt).select("vec_id", "cluster", "codes")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "append through the hierarchical router must equal the from-scratch write")
+    Pq.deleteFromIndex(spark, dir, embs.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id")
+    val queries = embs.filter(col("vec_id").isin(1L, 7L, 13L, 250L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    def probe(d: String): Seq[(Long, Long, Double, Long)] =
+      Pq.probeBatchIvfPqResidual(spark, d, index.centroids, model, queries,
+          "q_vec", "query_id", "embedding", "vec_id", nProbe = 4, k = 10)
+        .orderBy("query_id", "rk")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val live = probe(dir)
+    assert(live.nonEmpty && live.forall(_._2 % 10 != 3),
+      "tombstoned ids must never reach the live probe's results")
+    // an appended (delta) vector queried against the layout finds itself
+    // first — append visibility through the serving path
+    assert(live.filter(_._1 == 7L).minBy(_._4)._2 == 7L,
+      "delta vector 7 must be its own top-1 (append visible to probes)")
+    val compacted = root + "/compacted"
+    Pq.compact(spark, dir, compacted, "vec_id")
+    assert(!Pq.hasTombstones(compacted), "compaction must clear the sidecar")
+    val expectedLive = embs.filter(col("vec_id") % 10 =!= 3).count()
+    assert(spark.read.parquet(compacted).count() == expectedLive,
+      "compacted layout = exactly the live rows")
+    assert(probe(compacted) == live,
+      "plain probe over the compacted layout must equal the merge-on-read live probe")
+  }
+
   test("sub-cell allocation: proportional-ish, every super >= 1, sums to k") {
     val (_, two) = Ann.buildTwoLevel(
       Tables.embeddings(spark, sf), "embedding", "vec_id", k, seed = 42)
