@@ -255,6 +255,12 @@ object Bq extends IndexMaintenance {
     * stays in the ORIGINAL space (same fitted centroids and partition
     * pruning as [[writeIvfBq]]); only the packed words change.
     */
+  /** `inlineVectors = true` stores the full vector next to the packed
+    * words — the bytes-vs-jobs dial (see [[Sq.writeIvfSq]]): the layout
+    * grows from 1/32 to ~1.03× the vector bytes; the batch probe drops
+    * the base-table refine join (single scan, ≤4 warm jobs —
+    * ProbeJobCountSpec).
+    */
   def writeIvfBqRotated(
       path: String,
       df: DataFrame,
@@ -262,12 +268,14 @@ object Bq extends IndexMaintenance {
       idCol: String,
       centroids: Array[Array[Double]],
       rot: Array[Array[Double]],
-      dim: Int = 64): Unit =
+      dim: Int = 64,
+      inlineVectors: Boolean = false): Unit =
     writeClustered(
       pack(Ann.assign(df, vecCol, centroids).withColumn("_rv", rotateCol(col(vecCol), rot)),
           "_rv", dim = dim)
         .select(col(idCol) +: col("cluster") +:
-          (0 until nWords(dim)).map(w => col(s"bq_w$w")): _*),
+          ((0 until nWords(dim)).map(w => col(s"bq_w$w")) ++
+            (if (inlineVectors) Seq(col(vecCol)) else Nil)): _*),
       path, "overwrite")
 
   /** Probe the rotated IVF+BQ layout: pruned cells from the original
@@ -301,7 +309,8 @@ object Bq extends IndexMaintenance {
       k: Int = 10,
       refine: Int = 40,
       dim: Int = 64,
-      qCellsPre: Option[DataFrame] = None): DataFrame = {
+      qCellsPre: Option[DataFrame] = None,
+      vecInLayout: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val qCells = qCellsPre.getOrElse(
       Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
@@ -309,17 +318,22 @@ object Bq extends IndexMaintenance {
       qCells.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)
       .select(Seq(col(queryId), col(queryVec), col("cluster")) ++
         (0 until nWords(dim)).map(w => col(s"_qw$w")): _*)
-    val approx = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells)
+    val carry = if (vecInLayout) Seq(col(vecCol), col(queryVec)) else Nil
+    val approx = liveFace(spark, path,
+        Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells), idCol)
       .join(broadcast(qPacked), "cluster")
       .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
-      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
-        col("hamming"))
+      .select(Seq(col(queryId), col(idCol), col("cluster").cast("long").as("cluster")) ++
+        carry :+ col("hamming"): _*)
     val candidates = graft.plans.TopK
       .perKey(approx, Seq(queryId), Seq(("hamming", true), (idCol, true)), refine)
       .drop("rk")
-    base
-      .join(broadcast(candidates), idCol)
-      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    val refined =
+      if (vecInLayout) candidates // vector rode the scan (inlineVectors layout)
+      else base
+        .join(broadcast(candidates), idCol)
+        .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    refined
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster"), col("hamming"), col("cos_sim"))
       .transform(df => graft.plans.TopK

@@ -47,17 +47,25 @@ object Matryoshka extends IndexMaintenance {
     * the [[Ann.appendToIndex]] shape. Full-precision vectors stay in
     * the base table; the refine re-rank fetches them by id.
     */
+  /** `inlineVectors = true` stores the full vector next to the prefix —
+    * the bytes-vs-jobs dial (see [[Sq.writeIvfSq]]): layout grows from
+    * dPrefix/dim to 1 + dPrefix/dim of the vector bytes; the batch
+    * probe drops the base-table refine join (single scan, ≤4 warm
+    * jobs — ProbeJobCountSpec).
+    */
   def writeIvfMrl(
       path: String,
       df: DataFrame,
       vecCol: String,
       idCol: String,
       centroids: Array[Array[Double]],
-      dPrefix: Int = 16): Unit =
+      dPrefix: Int = 16,
+      inlineVectors: Boolean = false): Unit =
     writeClustered(
       Ann.assign(df, vecCol, centroids)
-        .select(col(idCol), col("cluster"),
-          slice(col(vecCol), 1, dPrefix).as("mrl_prefix")),
+        .select(Seq(col(idCol), col("cluster"),
+          slice(col(vecCol), 1, dPrefix).as("mrl_prefix")) ++
+          (if (inlineVectors) Seq(col(vecCol)) else Nil): _*),
       path, "overwrite")
 
   /** Incremental maintenance — the [[Ann.appendToIndex]] shape for the
@@ -165,22 +173,27 @@ object Matryoshka extends IndexMaintenance {
       nProbe: Int = 3,
       k: Int = 10,
       refine: Int = 40,
-      qCellsPre: Option[DataFrame] = None): DataFrame = {
+      qCellsPre: Option[DataFrame] = None,
+      vecInLayout: Boolean = false): DataFrame = {
     val qCells = qCellsPre.getOrElse(
       Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
+    val carry = if (vecInLayout) Seq(col(vecCol), col(queryVec)) else Nil
     val approx = liveFace(spark, path,
         Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells), idCol)
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim",
         VectorOps.cosineRounded(col("mrl_prefix"), slice(col(queryVec), 1, dPrefix)))
-      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
-        col("approx_sim"))
+      .select(Seq(col(queryId), col(idCol), col("cluster").cast("long").as("cluster")) ++
+        carry :+ col("approx_sim"): _*)
     val candidates = graft.plans.TopK
       .perKey(approx, Seq(queryId), Seq(("approx_sim", false), (idCol, true)), refine)
       .drop("rk")
-    base
-      .join(broadcast(candidates), idCol)
-      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    val refined =
+      if (vecInLayout) candidates // vector rode the scan (inlineVectors layout)
+      else base
+        .join(broadcast(candidates), idCol)
+        .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    refined
       .withColumn("cos_sim", VectorOps.cosineRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
       .transform(df => graft.plans.TopK

@@ -53,15 +53,26 @@ object Sq extends IndexMaintenance {
     * quarter of the bytes). Full-precision vectors stay in the BASE
     * table; the refine re-rank fetches them by id.
     */
+  /** `inlineVectors = true` writes the full-precision vector INTO the
+    * sidecar next to the codes — the bytes-vs-jobs storage dial: the
+    * layout grows from 0.25× to 1.25× the vector bytes, but the batch
+    * probe becomes a SINGLE SCAN (no base-table join for the refine),
+    * dropping from 7 to ≤4 warm driver jobs — the PQ layouts' shape
+    * (ProbeJobCountSpec pins both points; PLANS.md documents the
+    * trade). Default stays the small sidecar: at 100 TB the 4× smaller
+    * index is usually worth 3 bounded driver stages.
+    */
   def writeIvfSq(
       path: String,
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      centroids: Array[Array[Double]]): Unit =
+      centroids: Array[Array[Double]],
+      inlineVectors: Boolean = false): Unit =
     writeClustered(
       quantize(Ann.assign(df, vecCol, centroids), vecCol)
-        .select(col(idCol), col("cluster"), col("sq_scale"), col("sq_codes")),
+        .select(Seq(col(idCol), col("cluster"), col("sq_scale"), col("sq_codes")) ++
+          (if (inlineVectors) Seq(col(vecCol)) else Nil): _*),
       path, "overwrite")
 
   /** Probe the persisted IVF+SQ8 layout: nProbe-cell partition-pruned
@@ -114,6 +125,12 @@ object Sq extends IndexMaintenance {
     * the corpus-sized scan reads codes, never vectors; the vector
     * reads are |Q|×refine point lookups against a bucketed-by-id base.
     */
+  /** `vecInLayout = true` serves a layout written with
+    * `inlineVectors = true`: the refine re-rank reads the vector column
+    * riding the sidecar scan instead of joining `base` back by id —
+    * one pruned scan, ≤4 warm jobs, identical results (same scores,
+    * same heaps, same tie-breaks; pinned in ProbeJobCountSpec).
+    */
   def probeBatchIvfSq(
       spark: SparkSession,
       path: String,
@@ -127,21 +144,28 @@ object Sq extends IndexMaintenance {
       nProbe: Int = 3,
       k: Int = 10,
       refine: Int = 40,
-      qCellsPre: Option[DataFrame] = None): DataFrame = {
+      qCellsPre: Option[DataFrame] = None,
+      vecInLayout: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val qCells = qCellsPre.getOrElse(
       Ann.queryCells(queries, queryVec, queryId, centroids, nProbe))
-    val approx = Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells)
+    val scan = liveFace(spark, path,
+      Ann.pruneToCells(LayoutCache.readCached(spark, path), qCells), idCol)
+    val carry = if (vecInLayout) Seq(col(vecCol), col(queryVec)) else Nil
+    val approx = scan
       .join(broadcast(qCells), "cluster")
       .withColumn("approx_sim", VectorOps.cosineFastRounded(col("sq_codes"), col(queryVec)))
-      .select(col(queryId), col(idCol), col("cluster").cast("long").as("cluster"),
-        col("approx_sim"))
+      .select(Seq(col(queryId), col(idCol), col("cluster").cast("long").as("cluster")) ++
+        carry :+ col("approx_sim"): _*)
     val candidates = graft.plans.TopK
       .perKey(approx, Seq(queryId), Seq(("approx_sim", false), (idCol, true)), refine)
       .drop("rk")
-    base
-      .join(broadcast(candidates), idCol)
-      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    val refined =
+      if (vecInLayout) candidates // vector rode the scan — no base join
+      else base // corpus-sized: stays the probe side, candidates broadcast
+        .join(broadcast(candidates), idCol)
+        .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
+    refined
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
       .select(col(queryId), col(idCol), col("cluster"), col("approx_sim"), col("cos_sim"))
       .transform(df => graft.plans.TopK

@@ -79,6 +79,62 @@ class ProbeJobCountSpec extends SparkSpec {
     }
   }
 
+  test("vec-in-sidecar variants of the two-table families probe in <=4 jobs, same results") {
+    // the bytes-vs-jobs dial (round-13 verdict #7): writing the full
+    // vector INTO the sq/mrl/bq sidecar buys the PQ families' single-
+    // scan probe shape — the base-side exchange and candidate broadcast
+    // materialization (the 3 extra jobs the 7-bounds above carry) are
+    // gone, and the results must be bit-identical to the two-table
+    // form (same scores, heaps, tie-breaks).
+    import graft.operators.{Ann, Bq, Matryoshka, Sq}
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val index = Ann.buildCached(sf, e, "embedding", "vec_id", k = 10, seed = 42)
+    val base = e.select("vec_id", "embedding")
+    val qRows = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val qLocal = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(qRows.collect(): _*)), qRows.schema)
+    val qCells = Ann.queryCellsLocal(qLocal, "q_vec", "query_id", index.centroids, nProbe = 3)
+    val rot = Bq.rotationMatrix(64, seed = 7L)
+    val root = java.nio.file.Files.createTempDirectory("graft_inline_probe_").toString
+    Sq.writeIvfSq(root + "/sq", e, "embedding", "vec_id", index.centroids,
+      inlineVectors = true)
+    Matryoshka.writeIvfMrl(root + "/mrl", e, "embedding", "vec_id", index.centroids,
+      dPrefix = 16, inlineVectors = true)
+    Bq.writeIvfBqRotated(root + "/bq", e, "embedding", "vec_id", index.centroids, rot,
+      inlineVectors = true)
+    val variants: Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("sq_inline", () => Sq.probeBatchIvfSq(spark, root + "/sq", index.centroids, base,
+        qLocal, "q_vec", "query_id", "vec_id", "embedding", nProbe = 3, k = 5, refine = 20,
+        qCellsPre = Some(qCells), vecInLayout = true), "ann_batch_sq"),
+      ("mrl_inline", () => Matryoshka.probeBatchIvfMrl(spark, root + "/mrl", index.centroids,
+        base, qLocal, "q_vec", "query_id", "vec_id", "embedding", dPrefix = 16,
+        nProbe = 3, k = 5, refine = 20, qCellsPre = Some(qCells), vecInLayout = true),
+        "ann_batch_mrl"),
+      ("bq_inline", () => Bq.probeBatchIvfRotated(spark, root + "/bq", index.centroids,
+        base, qLocal, "q_vec", "query_id", "vec_id", "embedding", rot,
+        nProbe = 3, k = 5, refine = 20, qCellsPre = Some(qCells), vecInLayout = true),
+        "ann_batch_bq_rotated"))
+    for ((name, probe, registered) <- variants) {
+      probe().count() // cold: codegen + listing memos
+      org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+      spark.sparkContext.addSparkListener(listener)
+      val n = try {
+        jobs.set(0)
+        probe().count()
+        org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(n <= 4, s"$name fired $n jobs warm (bound 4 — the single-scan contract)")
+      val got = probe().orderBy("query_id", "rk").collect().toSeq
+      val twoTable = SparkEntry.queries(registered)(spark, sf)
+        .orderBy("query_id", "rk").collect().toSeq
+      assert(got == twoTable, s"$name must equal the two-table $registered result")
+    }
+  }
+
   test("driver-side query featurization is bit-identical to the in-plan form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
