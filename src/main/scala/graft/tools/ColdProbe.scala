@@ -61,6 +61,19 @@ object ColdProbe {
     val names = if (args.nonEmpty) args.toSeq else Seq("bloom_decontaminate", "decontaminate_spans")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      // Optional: replicate Bench's sf0.001 dry-run warmup before the
+      // timed passes — the probe for "does the small-SF dry run actually
+      // pre-compile this query's large-SF stages?" (AQE can re-plan at
+      // the larger SF into stages the small run never generated; their
+      // first execution then pays the interpreter/JIT on the timed
+      // cold pass despite the warmup).
+      sys.env.get("SPARK_GRAFT_COLDPROBE_WARMUP_DIR").foreach { wd =>
+        val jit0 = jitMs
+        val t0 = System.nanoTime()
+        try fn(spark, wd).count()
+        catch { case e: Throwable => println(s"[coldprobe] $name warmup failed: ${e.getMessage}") }
+        println(f"[coldprobe] $name warmup@$wd wall=${(System.nanoTime() - t0) / 1e9}%.3f s jit_delta=${jitMs - jit0} ms")
+      }
       (1 to 3).foreach { pass =>
         val jit0 = jitMs; val ch0 = codeHeapUsedKb
         val t0 = System.nanoTime()
