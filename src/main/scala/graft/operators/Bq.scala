@@ -120,8 +120,9 @@ object Bq extends IndexMaintenance {
       dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val candidates = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
+    val candidates = liveFace(spark, path,
+        LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
+        idCol)
       .crossJoin(broadcast(pack(queryDf, queryVec, "_qw", dim)))
       .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("hamming"))
@@ -358,8 +359,9 @@ object Bq extends IndexMaintenance {
       dim: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val cells = Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe)
-    val candidates = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
+    val candidates = liveFace(spark, path,
+        LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
+        idCol)
       .crossJoin(broadcast(
         pack(queryDf.withColumn("_rq", rotateCol(col(queryVec), rot)), "_rq", "_qw", dim)))
       .withColumn("hamming", hammingExpr("bq_w", "_qw", dim))

@@ -97,8 +97,9 @@ object Sq extends IndexMaintenance {
       cellsPre: Option[Seq[Int]] = None): DataFrame = {
     val cells = cellsPre.getOrElse(
       Ann.nearestCells(centroids, Ann.queryVector(queryDf, queryVec), nProbe))
-    val candidates = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
+    val candidates = liveFace(spark, path,
+        LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
+        idCol)
       .crossJoin(broadcast(queryDf))
       .withColumn("approx_sim", VectorOps.cosineRounded(col("sq_codes"), col(queryVec)))
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("approx_sim"))

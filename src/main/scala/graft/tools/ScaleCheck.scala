@@ -623,7 +623,19 @@ object ScaleCheck {
     */
   def structuredTwoLevelStudy(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
-    val dim = 64; val kClusters = 32; val rank = 8
+    // SPARK_GRAFT_2L_DIM widens the corpus off the 64-dim test point —
+    // production embeddings are 384-1024, and the ADC/encode cost model
+    // (m=8 subspaces of dim/8 each) plus the recall envelope must be
+    // validated at ≥128 (round-13 verdict #5). The generator, fit,
+    // layout and probes are all dim-generic already.
+    val dim = sys.env.get("SPARK_GRAFT_2L_DIM").map(_.toInt).getOrElse(64)
+    // SPARK_GRAFT_2L_M scales the PQ subspace count with the width —
+    // the round-14 dim=128 run measured recall 0.86 → 0.60 at FIXED
+    // m=8 (same 8-byte budget across 2× the dims halves the
+    // dims-per-subspace precision); production sizing holds
+    // dims-per-subspace ~8 constant, i.e. m = dim/8.
+    val pqM = sys.env.get("SPARK_GRAFT_2L_M").map(_.toInt).getOrElse(8)
+    val kClusters = 32; val rank = 8
     val zScale = 0.15; val noise = 0.05; val seed = 7L
     val rnd0 = new java.util.Random(seed)
     def unit(v: Array[Double]): Array[Double] = {
@@ -679,10 +691,10 @@ object ScaleCheck {
 
     val tModel = System.nanoTime()
     val resModel = Pq.trainResidual(corpus, "embedding", "vec_id", idx.centroids,
-      m = 8, codes = 256)
-    println(f"[structured2l] residual 8x256 train  ${(System.nanoTime() - tModel) / 1e9}%.1f s")
+      m = pqM, codes = 256)
+    println(f"[structured2l] residual ${pqM}x256 train  ${(System.nanoTime() - tModel) / 1e9}%.1f s")
 
-    val layout = dir + "/pqres2l_8x256"
+    val layout = dir + s"/pqres2l_${pqM}x256"
     val tWrite = System.nanoTime()
     Pq.writeIvfPqResidualAssigned(layout,
       Ann.assignTwoLevel(corpus, "embedding", two),
@@ -702,7 +714,7 @@ object ScaleCheck {
           .collect().map(_.getLong(0)).toSet
         (truth(id) & got).size / 10.0
       }
-      println(f"[structured2l] recall 2l+pqr 8x256 nP=$np%-2d refine=$rf%-3d " +
+      println(f"[structured2l] recall 2l+pqr ${pqM}x256 nP=$np%-2d refine=$rf%-3d " +
         f"${rs.sum / rs.size}%.3f  (per-q ${rs.map(r => f"$r%.1f").mkString(",")})  " +
         f"scan ${100.0 * scanned / (8.0 * n)}%.3f%%  ${(System.nanoTime() - t0) / 1e9}%5.1f s")
     }
@@ -740,7 +752,7 @@ object ScaleCheck {
             q -> rows.map(_.getLong(1)).toSet
           }
         val rs = queries.map { case (id, _) => (truth(id) & got.getOrElse(id, Set.empty)).size / 10.0 }
-        println(f"[structured2l] BATCH recall 2l+pqr 8x256 nP=$np refine=$rf " +
+        println(f"[structured2l] BATCH recall 2l+pqr ${pqM}x256 nP=$np refine=$rf " +
           f"${rs.sum / rs.size}%.3f  (per-q ${rs.map(r => f"$r%.1f").mkString(",")})  " +
           f"all 8 queries in ${(System.nanoTime() - t0) / 1e9}%5.1f s (one pruned scan)")
       }
