@@ -668,6 +668,33 @@ object OracleSql {
       // disk — one twin, two keys
       Seq("ann_batch_probe" -> batchSql, "ann_batch_persisted" -> batchSql)
     }
+    val annBatchFilteredEntries = OracleArtifacts.annBatchFiltered.toSeq.map { cents =>
+      // Twin of Queries.annBatchFiltered: the ann_batch cell-ranking
+      // chain with ann_filtered's metadata predicate applied BEFORE the
+      // per-query ranking window — prefilter semantics per query (a
+      // postfilter twin would return fewer than k rows per query).
+      val qDists = cents.map(c => distChain("fqnv", 0, c)).mkString(", ")
+      val cDists = cents.map(c => distChain("fnv", 0, c)).mkString(", ")
+      "ann_batch_filtered" ->
+        s"""WITH fbq AS (SELECT vec_id AS query_id, ${dvec("embedding")} AS qv FROM embeddings WHERE vec_id < 8),
+           |fbqn AS (SELECT query_id, qv, list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS fqnv FROM fbq),
+           |fbqd AS (SELECT query_id, qv, [$qDists] AS dl FROM fbqn),
+           |fbqc0 AS (SELECT query_id, qv, unnest(generate_series(0, ${cents.length - 1})) AS cluster, unnest(dl) AS d FROM fbqd),
+           |fbqc AS (SELECT query_id, qv, cluster FROM (
+           |        SELECT query_id, qv, cluster, row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+           |        FROM fbqc0) WHERE rn <= 3),
+           |fbc AS (SELECT vec_id, label, ${dvec("embedding")} AS ev FROM embeddings),
+           |fbnr AS (SELECT vec_id, label, ev, list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS fnv FROM fbc),
+           |fbdst AS (SELECT vec_id, label, ev, [$cDists] AS cdl FROM fbnr),
+           |fbasg AS (SELECT vec_id, label, ev, CAST(list_indexof(cdl, list_min(cdl)) - 1 AS BIGINT) AS cluster FROM fbdst),
+           |fsc AS (SELECT fbqc.query_id, fbasg.vec_id, fbasg.cluster, fbasg.label, ${cosine("ev", "qv")} AS cos_sim
+           |       FROM fbasg JOIN fbqc USING (cluster) WHERE label IN (2, 5)),
+           |fr AS (SELECT query_id, vec_id, cluster, label, cos_sim,
+           |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+           |      FROM fsc)
+           |SELECT query_id, vec_id, cluster, label, cos_sim, rk FROM fr WHERE rk <= 5
+           |ORDER BY query_id, rk""".stripMargin
+    }
     val annFilteredEntries = OracleArtifacts.annFiltered.toSeq.map { case (cents, cells) =>
       // Twin of Queries.annFiltered: same assignment chain as ann_probe,
       // with the metadata prefilter applied alongside the cell filter —
@@ -1226,7 +1253,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ annTwoLevelLifeEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ annTwoLevelLifeEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

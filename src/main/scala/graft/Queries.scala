@@ -3235,6 +3235,30 @@ object Queries {
       .orderBy("query_id", "rk")
   }
 
+  /** [[annBatchPersisted]] with the reference's metadata PREFILTER in
+    * the BATCH serving path ([[annFiltered]]'s semantics × the batch
+    * machinery): `label IN (2, 5)` lands inside the partition-pruned
+    * scan, before every query's bounded heap, so each of the 8 queries
+    * returns k results that ALL satisfy the predicate — the shape a
+    * filtered-retrieval dashboard or hard-negative miner needs at
+    * scale (a postfilter would come back short per query). Same layout
+    * and fitted index as [[annBatchPersisted]]; the twin adds the
+    * label join + filter before the per-query ranking window.
+    */
+  def annBatchFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val index = Ann.buildCached(dir, e, "embedding", "vec_id", k = 10, seed = 42)
+    OracleArtifacts.annBatchFiltered = Some(index.centroids)
+    val path = graft.operators.LayoutCache.getOrWrite(s"annidx_full:$dir")(p =>
+      Ann.writeIndex(index, p))
+    val qCells = Ann.queryCellsLocal(batchQueriesLocal(s, dir),
+      "q_vec", "query_id", index.centroids, nProbe = 3)
+    Ann.probeBatchPersistedFilteredCells(s, path, qCells,
+      "q_vec", "query_id", "embedding", "vec_id",
+      prefilter = col("label").isin(2, 5), keep = Seq("label"), topK = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Shared scenario builder for the flagship LIFECYCLE pair
     * ([[annTwoLevelLive]] / [[annTwoLevelCompacted]]) — the round-13
     * verdict's top task: at 10⁹ vectors a layout you can't append to

@@ -803,6 +803,44 @@ object Ann extends IndexMaintenance {
       .select(col(queryId), col(idCol), col("cluster"), col("cos_sim"), col("rk"))
   }
 
+  /** [[probeBatchPersistedCells]] with a metadata PREFILTER applied
+    * INSIDE the partition-pruned scan — the BATCH face of
+    * [[probePersistedFilteredCells]] (the reference's filtered vector
+    * search, server.py `search` + LanceDB prefilter, at batch serving
+    * scale): the predicate lands before every query's top-k heap, so
+    * all k results per query satisfy it — postfiltering the unfiltered
+    * batch top-k could come back short (or empty) per query whenever
+    * the predicate is selective. At scale the cell union prunes
+    * partition directories, the predicate prunes row groups via
+    * parquet min/max stats (PartitionFilters + PushedFilters in
+    * explain), and only survivors reach the bounded per-query heaps.
+    * `keep` names metadata columns carried into the result.
+    */
+  def probeBatchPersistedFilteredCells(
+      spark: SparkSession,
+      path: String,
+      qCells: DataFrame,
+      queryVec: String,
+      queryId: String,
+      vecCol: String,
+      idCol: String,
+      prefilter: org.apache.spark.sql.Column,
+      keep: Seq[String],
+      topK: Int
+  ): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val scored = pruneToCells(LayoutCache.readCached(spark, path), qCells)
+      .filter(prefilter)
+      .join(broadcast(qCells), "cluster")
+      .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))
+      .select(Seq(col(queryId), col(idCol), col("cluster").cast("long").as("cluster")) ++
+        keep.map(col) :+ col("cos_sim"): _*)
+    graft.plans.TopK
+      .perKey(scored, Seq(queryId), Seq(("cos_sim", false), (idCol, true)), topK)
+      .select(Seq(col(queryId), col(idCol), col("cluster")) ++
+        keep.map(col) ++ Seq(col("cos_sim"), col("rk")): _*)
+  }
+
   /** Exact top-k baseline for recall measurement. */
   def exact(df: DataFrame, queryDf: DataFrame, vecCol: String, queryVec: String, idCol: String, topK: Int): DataFrame =
     Search.knnTopK(df, queryDf, vecCol, queryVec, idCol, topK).select(idCol, "cos_sim")

@@ -67,7 +67,7 @@ class PlanGuardSpec extends SparkSpec {
     val fittedTwinned = Set(
       "ann_probe", "ann_recall", "ann_recall_sweep", "ann_stats",
       "ann_incremental", "ann_deleted", "ann_compacted", "ann_filtered",
-      "ann_batch_probe", "ann_batch_persisted", "ann_batch_pq", "ann_batch_sq",
+      "ann_batch_probe", "ann_batch_persisted", "ann_batch_filtered", "ann_batch_pq", "ann_batch_sq",
       "ann_batch_mrl", "ann_batch_pqr", "ann_batch_bq_rotated", "ann_two_level",
       "ann_two_level_pqr", "ann_two_level_live", "ann_two_level_compacted",
       "ivfpq_probe", "ivfpq_residual", "ivfsq_probe", "ivfsq_residual", "ivfbq_probe", "ivfmrl_probe",

@@ -60,8 +60,12 @@ class ProbeJobCountSpec extends SparkSpec {
     // project over the local qCells is collapsed by
     // ConvertToLocalRelation (LocalTableScan broadcasts without a
     // job), layout listings are memoized.
-    for (q <- Seq("ann_batch_persisted", "ann_batch_pq", "ann_batch_pqr",
-                  "ann_two_level_pqr")) {
+    for (q <- Seq("ann_batch_persisted", "ann_batch_filtered", "ann_batch_pq",
+                  "ann_batch_pqr", "ann_two_level_pqr",
+                  // the lifecycle pair probes the same single-scan
+                  // residual layout (live face = a codegen'd NOT-IN
+                  // filter below the inline limit — no extra job)
+                  "ann_two_level_live", "ann_two_level_compacted")) {
       val n = warmJobs(q)
       assert(n <= 4, s"$q fired $n jobs warm (bound 4)")
     }
