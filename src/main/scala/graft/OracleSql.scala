@@ -977,6 +977,12 @@ object OracleSql {
       val sql = twoLevelPqrTwinSql(two, model, " WHERE vec_id % 10 <> 3")
       Seq("ann_two_level_live" -> sql, "ann_two_level_compacted" -> sql)
     }
+    val annTwoLevelStreamEntries = OracleArtifacts.annTwoLevelStream.toSeq.map { case (two, model) =>
+      // stream_ann_2l: base-subset fits, base + streamed delta = the
+      // FULL corpus hierarchically assigned under those fits, no
+      // deletes — the lifecycle twin builder with no corpus predicate.
+      "stream_ann_2l" -> twoLevelPqrTwinSql(two, model, "")
+    }
     val ivfpqEntries = OracleArtifacts.ivfpq.toSeq.map { case (cents, cells, model, table) =>
       // Composition of the two fitted-constant twins: IVF assignment
       // (annCtes form, distinct names) filters to the probed cells,
@@ -1253,7 +1259,7 @@ object OracleSql {
            |FROM rk JOIN sz ON rk.cluster = sz.cluster
            |WHERE rk.rank <= 5 ORDER BY rk.cluster, rk.rank""".stripMargin
     }
-    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ annTwoLevelLifeEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
+    (retrievalEntries ++ retrievalClusterEntries ++ annSweepEntries ++ annEntries ++ annIncrEntries ++ annDeletedEntries ++ annCompactedEntries ++ annBatchEntries ++ annFilteredEntries ++ annBatchFilteredEntries ++ annBatchSqEntries ++ annBatchMrlEntries ++ annBatchPqEntries ++ annBatchPqrEntries ++ annBatchBqrEntries ++ annTwoLevelEntries ++ annTwoLevelPqrEntries ++ annTwoLevelLifeEntries ++ annTwoLevelStreamEntries ++ pqEntries ++ ivfpqEntries ++ ivfpqResEntries ++
       ivfbqEntries ++ ivfsqEntries ++ ivfmrlEntries ++ ivfsqResEntries ++ pcaEntries ++ streamEntries ++ semdedupEntries ++ clusterTopicsEntries)
       .map { case (k, v) => k -> materializeCtes(v) }.toMap
   }

@@ -3307,6 +3307,34 @@ object Queries {
         "q_vec", "query_id", cents, nProbe = 3)))
       .orderBy("query_id", "rk")
 
+  /** The flagship layout's delta maintenance fed from a STREAM — the
+    * [[streamAnn]] pattern over the two-level RESIDUAL layout (F10 ×
+    * the round-14 lifecycle): base fits land one-shot, then the 10%
+    * delta arrives as micro-batches, each hierarchically assigned and
+    * residual-encoded with the FIXED base artifacts
+    * ([[graft.streaming.StreamPipeline.appendToIvfPqResidualIndex]]).
+    * Per-row-pure assignment + encode make the landed layout
+    * batch-boundary-invariant, so the probe equals a from-scratch
+    * write of base ∪ delta under the base fits — the twin replays
+    * exactly that (no deletes in this scenario).
+    */
+  def streamAnn2l(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val (index, two) = Ann.buildTwoLevelCached(dir + "#2l-base", base,
+      "embedding", "vec_id", k = 10, seed = 42)
+    val model = Pq.trainResidualCached(dir + "#2l-base", base, "embedding", "vec_id",
+      index.centroids, m = 8, codes = 256)
+    val path = graft.operators.LayoutCache.getOrWrite(s"ann2lpqr_stream:$dir") { p =>
+      Pq.writeIvfPqResidualAssigned(p, Ann.assignTwoLevel(base, "embedding", two),
+        "embedding", "vec_id", index.centroids, model)
+      graft.streaming.StreamPipeline.appendToIvfPqResidualIndex(s, dir, p, two,
+        index.centroids, model, deltaFilter = col("vec_id") % 10 === 7)
+    }
+    OracleArtifacts.annTwoLevelStream = Some((two, model))
+    twoLevelLifecycleProbe(s, dir, index.centroids, model, path)
+  }
+
   /** LIVE probe of the maintained two-level residual layout: base +
     * appended delta are both visible, the tombstoned 10% is excluded
     * by the merge-on-read anti-join INSIDE the partition-pruned codes

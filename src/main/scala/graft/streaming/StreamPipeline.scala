@@ -81,6 +81,40 @@ object StreamPipeline {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streamed delta maintenance for the two-level RESIDUAL-PQ layout —
+    * [[appendToAnnIndex]]'s flagship-index sibling (F10 × the round-14
+    * lifecycle): each micro-batch routes through the SAME hierarchical
+    * assigner and fitted residual codebooks as the base corpus
+    * ([[graft.operators.Ann.assignTwoLevel]] →
+    * [[graft.operators.Pq.appendIvfPqResidualAssigned]]), so the landed
+    * layout is batch-boundary-invariant (assignment + encode are
+    * per-row pure) and equals the one-shot append — which equals a
+    * from-scratch write (TwoLevelSpec). Probes see each delta at the
+    * next read via the clustered append's listing invalidation.
+    */
+  def appendToIvfPqResidualIndex(
+      spark: SparkSession,
+      dir: String,
+      path: String,
+      two: graft.operators.Ann.TwoLevel,
+      centroids: Array[Array[Double]],
+      model: graft.operators.Pq.Model,
+      deltaFilter: org.apache.spark.sql.Column = lit(true)
+  ): Unit = {
+    val stream = embeddingStream(spark, dir).select("vec_id", "embedding")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = distributeBatch(batch.filter(deltaFilter))
+        if (!b.isEmpty)
+          graft.operators.Pq.appendIvfPqResidualAssigned(path,
+            graft.operators.Ann.assignTwoLevel(b, "embedding", two),
+            "embedding", "vec_id", centroids, model)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Spread a file-source micro-batch across the cluster before heavy
     * per-row work. The micro-batch arrives as a SINGLE-partition row
     * RDD (one trigger's files), and a bare `repartition` is not enough:

@@ -43,6 +43,12 @@ object ScaleCheck {
       return
     }
 
+    if (section == "lifecycle2l") {
+      lifecycleStudy(spark, maxFactor * 100000L)
+      spark.stop()
+      return
+    }
+
     if (section == "firstexec") {
       firstExecution(spark, sfDir)
       spark.stop()
@@ -608,6 +614,132 @@ object ScaleCheck {
             "q_vec", "vec_id", "embedding", dPrefix = 16, nProbe = 4, k = 10, refine = rf)
           .collect().map(_.getLong(0)).toSet
       }
+  }
+
+  /** LIFECYCLE-at-scale study (`section=lifecycle2l`): the round-14
+    * maintenance verbs of the two-level residual layout, timed at
+    * n = maxFactor × 100k on the structured corpus — the numbers that
+    * justify delta maintenance over the reference's rebuild-per-upsert
+    * (store.py:197). Expected shape, which the printed walls verify:
+    *
+    *  - base build = the one-time cost (fit + encode + clustered write);
+    *  - APPEND of a 10% delta costs ~10% of the base write (assignment
+    *    + encode are per-row; the clustered exchange ships delta rows
+    *    only) — NOT a rebuild;
+    *  - DELETE of 1% is a coalesced kilobyte-scale sidecar append —
+    *    milliseconds, corpus-size-independent;
+    *  - the LIVE batch probe pays the tombstone exclusion INSIDE the
+    *    pruned scan (inline NOT-IN below 65536 ids — no extra job);
+    *  - COMPACT rewrites live rows from the layout itself (no corpus
+    *    re-read, no re-encode) ≈ the base write wall, amortized over
+    *    however many append/delete cycles preceded it;
+    *  - probe(compacted) == probe(live) row for row (asserted).
+    */
+  def lifecycleStudy(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val dim = sys.env.get("SPARK_GRAFT_2L_DIM").map(_.toInt).getOrElse(64)
+    val pqM = sys.env.get("SPARK_GRAFT_2L_M").map(_.toInt).getOrElse(8)
+    val kClusters = 32; val rank = 8
+    val zScale = 0.15; val noise = 0.05; val seed = 7L
+    val rnd0 = new java.util.Random(seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
+    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
+    val bc = spark.sparkContext.broadcast((centers, aMat))
+    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
+      val (cents, a) = bc.value
+      it.map { i =>
+        val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+        val u = r.nextDouble()
+        val c = math.min(kClusters - 1, (u * u * kClusters).toInt)
+        val z = Array.fill(rank)(r.nextGaussian())
+        val v = new Array[Float](dim)
+        var j = 0
+        while (j < dim) {
+          var s = cents(c)(j)
+          var t = 0
+          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
+          v(j) = (s + noise * r.nextGaussian()).toFloat
+          j += 1
+        }
+        (i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_lifecycle2l_")).toString
+    vecs.write.parquet(dir + "/vecs")
+    val corpus = spark.read.parquet(dir + "/vecs")
+    val base = corpus.filter(col("vec_id") % 10 =!= 7)
+    val delta = corpus.filter(col("vec_id") % 10 === 7)
+    val nBase = (n * 9) / 10
+    println(s"[lifecycle2l] corpus n=$n (base ~$nBase, delta ~${n / 10}, dim=$dim, m=$pqM)")
+
+    val nlist = math.max(64, math.ceil(math.sqrt(nBase.toDouble)).toInt)
+    val tFit = System.nanoTime()
+    val (idx, two) = Ann.buildTwoLevel(base, "embedding", "vec_id", nlist,
+      seed = 42, rowCount = Some(nBase))
+    val resModel = Pq.trainResidual(base, "embedding", "vec_id", idx.centroids,
+      m = pqM, codes = 256)
+    println(f"[lifecycle2l] base fit (two-level nlist=$nlist + residual ${pqM}x256)  ${(System.nanoTime() - tFit) / 1e9}%.1f s")
+
+    val layout = dir + "/life"
+    val tWrite = System.nanoTime()
+    Pq.writeIvfPqResidualAssigned(layout, Ann.assignTwoLevel(base, "embedding", two),
+      "embedding", "vec_id", idx.centroids, resModel)
+    val wWrite = (System.nanoTime() - tWrite) / 1e9
+    println(f"[lifecycle2l] base build (assign+encode+clustered write, ~$nBase rows)  $wWrite%.1f s")
+
+    val tApp = System.nanoTime()
+    Pq.appendIvfPqResidualAssigned(layout, Ann.assignTwoLevel(delta, "embedding", two),
+      "embedding", "vec_id", idx.centroids, resModel)
+    val wApp = (System.nanoTime() - tApp) / 1e9
+    println(f"[lifecycle2l] APPEND 10%% delta (~${n / 10} rows)  $wApp%.1f s  (${100 * wApp / wWrite}%.0f%% of base build — O(delta), not a rebuild)")
+
+    val delIds = corpus.filter(col("vec_id") % 100 === 3).select("vec_id")
+    val tDel = System.nanoTime()
+    Pq.deleteFromIndex(spark, layout, delIds, "vec_id")
+    println(f"[lifecycle2l] DELETE 1%% (~${n / 100} ids -> tombstone sidecar)  ${(System.nanoTime() - tDel) / 1e9}%.2f s  (corpus-size-independent)")
+
+    val qids = (0 until 8).map(q => (n / 8) * q + 13L)
+    val qvecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rq = new java.util.Random(seed + 99)
+    val qRows = qids.map { id =>
+      org.apache.spark.sql.Row(id, qvecs(id).map(x => x + (0.02 * rq.nextGaussian()).toFloat).toSeq)
+    }
+    val qLocal = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(qRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("q_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false))))
+    def probe(d: String): Seq[(Long, Long, Double, Long)] = {
+      Pq.probeBatchIvfPqResidual(spark, d, idx.centroids, resModel, qLocal,
+          "q_vec", "query_id", "embedding", "vec_id", nProbe = 8, k = 10,
+          qCellsPre = Some(Ann.queryCellsLocal(qLocal, "q_vec", "query_id",
+            idx.centroids, nProbe = 8)))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._4))
+    }
+    probe(layout) // warm codegen/listing off the clock
+    val tLive = System.nanoTime()
+    val live = probe(layout)
+    println(f"[lifecycle2l] LIVE batch probe (8 queries, tombstones inline-excluded)  ${(System.nanoTime() - tLive) / 1e9}%.1f s")
+    require(live.nonEmpty && live.forall(_._2 % 100 != 3),
+      "a tombstoned id reached the live probe results")
+    val deltaHits = live.count(_._2 % 10 == 7)
+    println(s"[lifecycle2l] appended-delta rows in the 80 results: $deltaHits (~10% of corpus is delta)")
+
+    val tComp = System.nanoTime()
+    Pq.compact(spark, layout, dir + "/compacted", "vec_id")
+    println(f"[lifecycle2l] COMPACT (live rewrite from the layout, no re-encode)  ${(System.nanoTime() - tComp) / 1e9}%.1f s")
+    val comp = probe(dir + "/compacted")
+    require(comp == live, "probe(compacted) != probe(live)")
+    println("[lifecycle2l] probe(compacted) == probe(live): OK (80 rows bit-identical)")
   }
 
   /** FLAGSHIP deep-scale row (`section=structured2l`, round-13 verdict

@@ -69,7 +69,7 @@ class PlanGuardSpec extends SparkSpec {
       "ann_incremental", "ann_deleted", "ann_compacted", "ann_filtered",
       "ann_batch_probe", "ann_batch_persisted", "ann_batch_filtered", "ann_batch_pq", "ann_batch_sq",
       "ann_batch_mrl", "ann_batch_pqr", "ann_batch_bq_rotated", "ann_two_level",
-      "ann_two_level_pqr", "ann_two_level_live", "ann_two_level_compacted",
+      "ann_two_level_pqr", "ann_two_level_live", "ann_two_level_compacted", "stream_ann_2l",
       "ivfpq_probe", "ivfpq_residual", "ivfsq_probe", "ivfsq_residual", "ivfbq_probe", "ivfmrl_probe",
       "pq_probe", "pca_probe", "cluster_topics", "semdedup",
       "hybrid_indexed", "retrieval_eval", "retrieval_eval_clusters",
