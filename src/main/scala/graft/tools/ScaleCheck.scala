@@ -767,6 +767,9 @@ object ScaleCheck {
     // dims-per-subspace precision); production sizing holds
     // dims-per-subspace ~8 constant, i.e. m = dim/8.
     val pqM = sys.env.get("SPARK_GRAFT_2L_M").map(_.toInt).getOrElse(8)
+    val rotM: Array[Array[Double]] =
+      if (sys.env.get("SPARK_GRAFT_2L_ROT").contains("1")) Bq.rotationMatrix(dim, seed = 11L)
+      else null
     val kClusters = 32; val rank = 8
     val zScale = 0.15; val noise = 0.05; val seed = 7L
     val rnd0 = new java.util.Random(seed)
@@ -775,9 +778,9 @@ object ScaleCheck {
     }
     val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
     val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
-    val bc = spark.sparkContext.broadcast((centers, aMat))
+    val bc = spark.sparkContext.broadcast((centers, aMat, rotM))
     val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
-      val (cents, a) = bc.value
+      val (cents, a, rm) = bc.value
       it.map { i =>
         val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
         val u = r.nextDouble()
@@ -792,9 +795,29 @@ object ScaleCheck {
           v(j) = (s + noise * r.nextGaussian()).toFloat
           j += 1
         }
-        (i, v.toSeq)
+        // SPARK_GRAFT_2L_ROT=1: seeded orthogonal rotation at generation
+        // — the OPQ-random baseline (Ge et al.'s free variant). Cosine
+        // and neighbor sets are rotation-invariant, so any recall delta
+        // vs the unrotated run isolates the PQ subspace-energy effect
+        // (rotation spreads correlated/low-rank energy across the m
+        // subspaces so each codebook quantizes comparable variance).
+        val out =
+          if (rm == null) v
+          else {
+            val w = new Array[Float](v.length)
+            var p = 0
+            while (p < v.length) {
+              var s2 = 0.0; var q = 0
+              while (q < v.length) { s2 += rm(p)(q) * v(q); q += 1 }
+              w(p) = s2.toFloat
+              p += 1
+            }
+            w
+          }
+        (i, out.toSeq)
       }
     }.toDF("vec_id", "embedding")
+    if (rotM != null) println(s"[structured2l] ROTATED corpus (seeded orthogonal, dim=$dim) — OPQ-random baseline")
     val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_structured2l_")).toString
     val corpusPath = dir + "/vecs"
     vecs.write.parquet(corpusPath)
