@@ -169,6 +169,32 @@ class TwoLevelSpec extends SparkSpec {
       "plain probe over the compacted layout must equal the merge-on-read live probe")
   }
 
+  test("lifecycle edge cases: empty delta append is a no-op; re-delete is idempotent") {
+    import graft.operators.Pq
+    val embs = Tables.embeddings(spark, sf)
+    val (index, two) = Ann.buildTwoLevel(embs, "embedding", "vec_id", k, seed = 42)
+    val model = Pq.trainResidual(embs, "embedding", "vec_id", index.centroids, m = 8, codes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("twolevellife_edge").toString + "/idx"
+    Pq.writeIvfPqResidualAssigned(dir, Ann.assignTwoLevel(embs, "embedding", two),
+      "embedding", "vec_id", index.centroids, model)
+    val before = spark.read.parquet(dir).count()
+    // an empty micro-batch (the streamed face's quiet trigger) must not
+    // corrupt or grow the layout
+    Pq.appendIvfPqResidualAssigned(dir,
+      Ann.assignTwoLevel(embs.filter(col("vec_id") < 0), "embedding", two),
+      "embedding", "vec_id", index.centroids, model)
+    assert(spark.read.parquet(dir).count() == before, "empty append changed the layout")
+    // deleting the same ids twice (overlapping batches) stays one
+    // tombstone set semantically: the live face count is stable
+    val ids = embs.filter(col("vec_id") % 10 === 1).select("vec_id")
+    Pq.deleteFromIndex(spark, dir, ids, "vec_id")
+    val liveOnce = Pq.liveFace(spark, dir, spark.read.parquet(dir), "vec_id").count()
+    Pq.deleteFromIndex(spark, dir, ids, "vec_id")
+    val liveTwice = Pq.liveFace(spark, dir, spark.read.parquet(dir), "vec_id").count()
+    assert(liveOnce == liveTwice && liveOnce == before - ids.count(),
+      s"re-delete must be a semantic no-op ($liveOnce vs $liveTwice)")
+  }
+
   test("sub-cell allocation: proportional-ish, every super >= 1, sums to k") {
     val (_, two) = Ann.buildTwoLevel(
       Tables.embeddings(spark, sf), "embedding", "vec_id", k, seed = 42)
