@@ -728,7 +728,8 @@ object ScaleCheck {
     probe(layout) // warm codegen/listing off the clock
     val tLive = System.nanoTime()
     val live = probe(layout)
-    println(f"[lifecycle2l] LIVE batch probe (8 queries, tombstones inline-excluded)  ${(System.nanoTime() - tLive) / 1e9}%.1f s")
+    val tombPath = (if (n / 100 <= 65536) "inline NOT-IN set" else "broadcast anti-join (past the 65536 inline limit)")
+    println(f"[lifecycle2l] LIVE batch probe (8 queries, tombstones via $tombPath)  ${(System.nanoTime() - tLive) / 1e9}%.1f s")
     require(live.nonEmpty && live.forall(_._2 % 100 != 3),
       "a tombstoned id reached the live probe results")
     val deltaHits = live.count(_._2 % 10 == 7)
