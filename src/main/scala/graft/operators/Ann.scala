@@ -613,9 +613,15 @@ object Ann extends IndexMaintenance {
       keep: Seq[String],
       topK: Int
   ): DataFrame = {
-    val pruned = LayoutCache.readCached(spark, path)
-      .filter(col("cluster").isInCollection(cells))
-      .filter(prefilter)
+    // LIVE face inside the pruned+prefiltered scan: unlike the flat
+    // probePersisted/probePersistedLive pair, the filtered family has no
+    // separate live variant, so it is delete-aware unconditionally — a
+    // memoized no-op (zero jobs) on delete-free layouts.
+    val pruned = liveFace(spark, path,
+      LayoutCache.readCached(spark, path)
+        .filter(col("cluster").isInCollection(cells))
+        .filter(prefilter),
+      idCol)
     Search
       .knnTopK(pruned, queryDf, vecCol, queryVec, idCol, topK)
       .select(Seq(col(idCol), col("cluster").cast("long").as("cluster")) ++
@@ -829,7 +835,12 @@ object Ann extends IndexMaintenance {
       topK: Int
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val scored = pruneToCells(LayoutCache.readCached(spark, path), qCells)
+    // LIVE face before the per-query heaps (same contract as the
+    // single-query filtered probe above): the filtered family has no
+    // separate live variant, so tombstoned rows must never occupy heap
+    // slots here; memoized no-op on delete-free layouts.
+    val scored = liveFace(spark, path,
+        pruneToCells(LayoutCache.readCached(spark, path), qCells), idCol)
       .filter(prefilter)
       .join(broadcast(qCells), "cluster")
       .withColumn("cos_sim", VectorOps.cosineFastRounded(col(vecCol), col(queryVec)))

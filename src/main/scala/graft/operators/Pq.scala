@@ -267,7 +267,7 @@ object Pq extends IndexMaintenance {
     val pruned = liveFace(spark, path,
       LayoutCache.readCached(spark, path).filter(col("cluster").isInCollection(cells)),
       idCol)
-    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
+    val rf = resolveRefine(refineFactor, nProbe)
     probe(pruned, queryDf, model, vecCol, queryVec, idCol, k, rf)
   }
 
@@ -482,6 +482,23 @@ object Pq extends IndexMaintenance {
   def autoRefineFactor(nProbe: Int, perProbe: Int = 3): Int =
     math.max(10, perProbe * nProbe + 1)
 
+  /** The explicit spelling of the `refineFactor` default accepted by
+    * every IVF probe in this file: [[AutoRefine]] (= 0) derives the
+    * shortlist from nProbe via [[autoRefineFactor]]. Any other
+    * non-positive value is rejected loudly — "0 means auto" is a
+    * deliberate call-site choice, never a silent fallback for a caller
+    * who meant "no refine" (there is no no-refine mode: the exact
+    * re-rank IS the probe's correctness backstop).
+    */
+  final val AutoRefine = 0
+
+  private[operators] def resolveRefine(refineFactor: Int, nProbe: Int): Int = {
+    require(refineFactor >= 0,
+      s"refineFactor must be positive, or Pq.AutoRefine (0) to derive it from " +
+        s"nProbe via autoRefineFactor; got $refineFactor")
+    if (refineFactor == AutoRefine) autoRefineFactor(nProbe) else refineFactor
+  }
+
   /** Per-cell ADC distance tables for a query: for each probed cell c,
     * table_c(j)(k) = ||(qn − centroid_c)_j − codebook_j(k)||² — the
     * residual-space analog of [[distanceTable]]. Driver-side constants
@@ -542,7 +559,7 @@ object Pq extends IndexMaintenance {
     val candidates = pruned
       .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist").asc, col(idCol))
-      .limit(k * (if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)))
+      .limit(k * resolveRefine(refineFactor, nProbe))
     Search
       .knnTopK(candidates.drop("adc_dist"), queryDf, vecCol, queryVec, idCol, k)
       .select(col(idCol), col("cos_sim"))
@@ -576,7 +593,7 @@ object Pq extends IndexMaintenance {
       qCellsPre: Option[DataFrame] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
+    val rf = resolveRefine(refineFactor, nProbe)
     val sub = model.dim / model.m
     // ||q_j − center||² via HOF folds over ONE typedLit literal per
     // subspace. The earlier formulation unrolled m×codes×sub scalar
@@ -655,7 +672,7 @@ object Pq extends IndexMaintenance {
       qCellsPre: Option[DataFrame] = None
   ): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val rf = if (refineFactor > 0) refineFactor else autoRefineFactor(nProbe)
+    val rf = resolveRefine(refineFactor, nProbe)
     val sub = model.dim / model.m
     // per-(query, cell) residual (normalize(q) − centroid[cell]) via the
     // same expression the encode path uses — bit-identical spaces

@@ -448,41 +448,86 @@ object ScaleCheck {
     }
   }
 
-  def structuredStudy(spark: SparkSession, n: Long): Unit = {
+  /** Shared anisotropic corpus generator behind EVERY structured study
+    * (recall envelope, lifecycle, deep-scale flagship) and the sizing
+    * specs: `kClusters` unit centers with uneven masses (u² skew),
+    * rank-`rank` correlated within-cluster structure (the low-rank
+    * energy real embedding models produce — the regime where
+    * global-codebook ADC collapses), Gaussian per-row noise. Every
+    * value is seeded per row id, so any two callers at the same
+    * (n, dim, rotM) generate bit-identical corpora — the lifecycle and
+    * sizing numbers stay coupled to the recall-study corpus by
+    * construction instead of by copy-paste (round-14 advice: the three
+    * inlined copies had already started to drift on the dim/m knobs).
+    * `rotM` applies a seeded orthogonal rotation at generation — the
+    * OPQ-random baseline (cosine and neighbor sets are
+    * rotation-invariant, so recall deltas isolate subspace-energy
+    * effects).
+    */
+  def structuredCorpus(
+      spark: SparkSession,
+      n: Long,
+      dim: Int,
+      rotM: Array[Array[Double]] = null,
+      kClusters: Int = 32,
+      rank: Int = 8,
+      zScale: Double = 0.15,
+      noise: Double = 0.05,
+      seed: Long = 7L): DataFrame = {
     import spark.implicits._
-    val dim = 64; val kClusters = 32; val rank = 8
-    val zScale = 0.15; val noise = 0.05; val seed = 7L
     val rnd0 = new java.util.Random(seed)
     def unit(v: Array[Double]): Array[Double] = {
       val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
     }
     val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
     val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
-    val bc = spark.sparkContext.broadcast((centers, aMat))
-    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
-      val (cents, a) = bc.value
+    val bc = spark.sparkContext.broadcast((centers, aMat, rotM))
+    spark.range(0, n, 1, 64).mapPartitions { it =>
+      val (cents, a, rm) = bc.value
+      val kC = cents.length
+      val rk = a(0).length
+      val d = cents(0).length
       it.map { i =>
         val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
         val u = r.nextDouble()
-        val c = math.min(kClusters - 1, (u * u * kClusters).toInt) // uneven masses
-        val z = Array.fill(rank)(r.nextGaussian())
-        val v = new Array[Float](dim)
+        val c = math.min(kC - 1, (u * u * kC).toInt) // uneven masses
+        val z = Array.fill(rk)(r.nextGaussian())
+        val v = new Array[Float](d)
         var j = 0
-        while (j < dim) {
+        while (j < d) {
           var s = cents(c)(j)
           var t = 0
-          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
+          while (t < rk) { s += a(j)(t) * z(t) * zScale; t += 1 }
           v(j) = (s + noise * r.nextGaussian()).toFloat
           j += 1
         }
-        (i, v.toSeq)
+        val out =
+          if (rm == null) v
+          else {
+            val w = new Array[Float](v.length)
+            var p = 0
+            while (p < v.length) {
+              var s2 = 0.0; var q = 0
+              while (q < v.length) { s2 += rm(p)(q) * v(q); q += 1 }
+              w(p) = s2.toFloat
+              p += 1
+            }
+            w
+          }
+        (i, out.toSeq)
       }
     }.toDF("vec_id", "embedding")
+  }
+
+  def structuredStudy(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val dim = 64; val seed = 7L
+    val vecs = structuredCorpus(spark, n, dim, seed = seed)
     val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_structured_")).toString
     val corpusPath = dir + "/vecs"
     vecs.write.parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
-    println(s"[structured] corpus n=$n clusters=$kClusters rank=$rank zScale=$zScale noise=$noise")
+    println(s"[structured] corpus n=$n (structuredCorpus defaults: 32 clusters, rank 8)")
 
     // 8 queries: perturbed copies of corpus members spread across the id
     // range (so across clusters) — realistic "near but not in corpus"
@@ -639,34 +684,10 @@ object ScaleCheck {
     import spark.implicits._
     val dim = sys.env.get("SPARK_GRAFT_2L_DIM").map(_.toInt).getOrElse(64)
     val pqM = sys.env.get("SPARK_GRAFT_2L_M").map(_.toInt).getOrElse(8)
-    val kClusters = 32; val rank = 8
-    val zScale = 0.15; val noise = 0.05; val seed = 7L
-    val rnd0 = new java.util.Random(seed)
-    def unit(v: Array[Double]): Array[Double] = {
-      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
-    }
-    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
-    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
-    val bc = spark.sparkContext.broadcast((centers, aMat))
-    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
-      val (cents, a) = bc.value
-      it.map { i =>
-        val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
-        val u = r.nextDouble()
-        val c = math.min(kClusters - 1, (u * u * kClusters).toInt)
-        val z = Array.fill(rank)(r.nextGaussian())
-        val v = new Array[Float](dim)
-        var j = 0
-        while (j < dim) {
-          var s = cents(c)(j)
-          var t = 0
-          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
-          v(j) = (s + noise * r.nextGaussian()).toFloat
-          j += 1
-        }
-        (i, v.toSeq)
-      }
-    }.toDF("vec_id", "embedding")
+    val seed = 7L
+    // SAME generator (and seed) as the recall studies — the lifecycle
+    // numbers are measured on the recall-study corpus by construction
+    val vecs = structuredCorpus(spark, n, dim, seed = seed)
     val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
       java.nio.file.Files.createTempDirectory("graft_lifecycle2l_")).toString
     vecs.write.parquet(dir + "/vecs")
@@ -698,9 +719,10 @@ object ScaleCheck {
     println(f"[lifecycle2l] APPEND 10%% delta (~${n / 10} rows)  $wApp%.1f s  (${100 * wApp / wWrite}%.0f%% of base build — O(delta), not a rebuild)")
 
     val delIds = corpus.filter(col("vec_id") % 100 === 3).select("vec_id")
+    val delCount = delIds.distinct().count()
     val tDel = System.nanoTime()
     Pq.deleteFromIndex(spark, layout, delIds, "vec_id")
-    println(f"[lifecycle2l] DELETE 1%% (~${n / 100} ids -> tombstone sidecar)  ${(System.nanoTime() - tDel) / 1e9}%.2f s  (corpus-size-independent)")
+    println(f"[lifecycle2l] DELETE 1%% ($delCount ids -> tombstone sidecar)  ${(System.nanoTime() - tDel) / 1e9}%.2f s  (corpus-size-independent)")
 
     val qids = (0 until 8).map(q => (n / 8) * q + 13L)
     val qvecs = corpus.filter(col("vec_id").isin(qids: _*))
@@ -728,7 +750,14 @@ object ScaleCheck {
     probe(layout) // warm codegen/listing off the clock
     val tLive = System.nanoTime()
     val live = probe(layout)
-    val tombPath = (if (n / 100 <= 65536) "inline NOT-IN set" else "broadcast anti-join (past the 65536 inline limit)")
+    // label derived from the ACTUAL tombstone count vs the ACTUAL inline
+    // limit (Pq.TombstoneInlineLimit), so a limit change can never make
+    // the study log misreport which exclusion path was measured
+    val tombPath =
+      if (delCount <= Pq.TombstoneInlineLimit)
+        s"inline NOT-IN set ($delCount ids <= inline limit ${Pq.TombstoneInlineLimit})"
+      else
+        s"broadcast anti-join ($delCount ids past the inline limit ${Pq.TombstoneInlineLimit})"
     println(f"[lifecycle2l] LIVE batch probe (8 queries, tombstones via $tombPath)  ${(System.nanoTime() - tLive) / 1e9}%.1f s")
     require(live.nonEmpty && live.forall(_._2 % 100 != 3),
       "a tombstoned id reached the live probe results")
@@ -771,53 +800,10 @@ object ScaleCheck {
     val rotM: Array[Array[Double]] =
       if (sys.env.get("SPARK_GRAFT_2L_ROT").contains("1")) Bq.rotationMatrix(dim, seed = 11L)
       else null
-    val kClusters = 32; val rank = 8
-    val zScale = 0.15; val noise = 0.05; val seed = 7L
-    val rnd0 = new java.util.Random(seed)
-    def unit(v: Array[Double]): Array[Double] = {
-      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
-    }
-    val centers = Array.fill(kClusters)(unit(Array.fill(dim)(rnd0.nextGaussian())))
-    val aMat = Array.fill(dim)(Array.fill(rank)(rnd0.nextGaussian() / math.sqrt(dim.toDouble)))
-    val bc = spark.sparkContext.broadcast((centers, aMat, rotM))
-    val vecs = spark.range(0, n, 1, 64).mapPartitions { it =>
-      val (cents, a, rm) = bc.value
-      it.map { i =>
-        val r = new java.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
-        val u = r.nextDouble()
-        val c = math.min(kClusters - 1, (u * u * kClusters).toInt)
-        val z = Array.fill(rank)(r.nextGaussian())
-        val v = new Array[Float](dim)
-        var j = 0
-        while (j < dim) {
-          var s = cents(c)(j)
-          var t = 0
-          while (t < rank) { s += a(j)(t) * z(t) * zScale; t += 1 }
-          v(j) = (s + noise * r.nextGaussian()).toFloat
-          j += 1
-        }
-        // SPARK_GRAFT_2L_ROT=1: seeded orthogonal rotation at generation
-        // — the OPQ-random baseline (Ge et al.'s free variant). Cosine
-        // and neighbor sets are rotation-invariant, so any recall delta
-        // vs the unrotated run isolates the PQ subspace-energy effect
-        // (rotation spreads correlated/low-rank energy across the m
-        // subspaces so each codebook quantizes comparable variance).
-        val out =
-          if (rm == null) v
-          else {
-            val w = new Array[Float](v.length)
-            var p = 0
-            while (p < v.length) {
-              var s2 = 0.0; var q = 0
-              while (q < v.length) { s2 += rm(p)(q) * v(q); q += 1 }
-              w(p) = s2.toFloat
-              p += 1
-            }
-            w
-          }
-        (i, out.toSeq)
-      }
-    }.toDF("vec_id", "embedding")
+    val seed = 7L
+    // SPARK_GRAFT_2L_ROT=1 rotates at generation — the OPQ-random
+    // baseline (Ge et al.'s free variant); see structuredCorpus's doc.
+    val vecs = structuredCorpus(spark, n, dim, rotM = rotM, seed = seed)
     if (rotM != null) println(s"[structured2l] ROTATED corpus (seeded orthogonal, dim=$dim) — OPQ-random baseline")
     val dir = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(java.nio.file.Files.createTempDirectory("graft_structured2l_")).toString
     val corpusPath = dir + "/vecs"
