@@ -421,8 +421,10 @@ object Ann extends IndexMaintenance {
     */
   def compact(spark: SparkSession, path: String, outPath: String, idCol: String): Unit = {
     requireSeparateDir("Ann", path, outPath)
-    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
-      outPath, "overwrite")
+    fencedCompact(spark, "Ann", path) {
+      writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+        outPath, "overwrite")
+    }
   }
 
   /** Probe serving only LIVE rows: the tombstone set (small next to
@@ -499,6 +501,7 @@ object Ann extends IndexMaintenance {
       appendToIndex(path, delta, vecCol, centroids)
       (centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = false))
     } else {
+      val observed = LayoutLog.version(spark, path)
       val existing = spark.read.parquet(path).drop("cluster")
       val all = existing.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
@@ -511,6 +514,14 @@ object Ann extends IndexMaintenance {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val hStaging = new org.apache.hadoop.fs.Path(staging)
       val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // the swap DELETES the live dir — fence it like a compaction: a
+      // verb committed since the snapshot read would be destroyed
+      if (LayoutLog.version(spark, path) != observed) {
+        fs.delete(hStaging, true)
+        throw new java.util.ConcurrentModificationException(
+          s"Ann.maintainIndex rebuild of $path: layout advanced past v$observed " +
+            "during the re-cluster — the swap would destroy a concurrent write; rerun")
+      }
       fs.delete(hPath, true)
       fs.rename(hStaging, hPath)
       LayoutCache.invalidate(path) // the swap changed every file under it

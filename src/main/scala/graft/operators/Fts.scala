@@ -192,16 +192,20 @@ object Fts extends IndexMaintenance {
     */
   def compact(spark: SparkSession, index: Index, idCol: String, outDir: String): Index = {
     requireSeparateDir("Fts", index.dir, outDir)
-    liveSegment(spark, index.dir, "postings", idCol)
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term", idCol)
-      .write.mode("overwrite").parquet(s"$outDir/postings")
-    liveSegment(spark, index.dir, "docdims", idCol)
-      .write.mode("overwrite").parquet(s"$outDir/docdims")
-    liveSegment(spark, index.dir, "docnorms", idCol)
-      .write.mode("overwrite").parquet(s"$outDir/docnorms")
-    invalidateSegments(outDir)
-    Index(outDir, index.nDocs, index.sumDl)
+    fencedCompact(spark, "Fts", index.dir) {
+      liveSegment(spark, index.dir, "postings", idCol)
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term", idCol)
+        .write.mode("overwrite").parquet(s"$outDir/postings")
+      liveSegment(spark, index.dir, "docdims", idCol)
+        .write.mode("overwrite").parquet(s"$outDir/docdims")
+      liveSegment(spark, index.dir, "docnorms", idCol)
+        .write.mode("overwrite").parquet(s"$outDir/docnorms")
+      invalidateSegments(outDir)
+      LayoutLog.commitVerb(spark, outDir, "build",
+        LayoutLog.version(spark, outDir)): Unit
+      Index(outDir, index.nDocs, index.sumDl)
+    }
   }
 
   /** Hardlink-clone a persisted index layout into a fresh directory so
@@ -241,6 +245,15 @@ object Fts extends IndexMaintenance {
       parts: Int = 0 // 0 = session default (full build); >0 bounds output files (delta append)
   ): (Double, Double) = {
     val mode = if (overwrite) "overwrite" else "append"
+    val spark = docs.sparkSession
+    // same write-then-commit protocol as IndexMaintenance.writeClustered:
+    // the three segment subdirs land, then ONE LayoutLog verb covers the
+    // batch (the layout root owns the log; `_log` is invisible to the
+    // per-subdir scans)
+    // overwrite replaces the segment subdirs but not `_log` (the writes
+    // are per-subdir), so a rebuild observes — and steps past — the
+    // dir's current version instead of colliding with its own history
+    val observed = LayoutLog.version(spark, outDir)
     // ONE corpus scan + tokenize + explode; every other aggregate derives
     // from the (doc, term) count table, which is cached for the build's
     // four outputs (at cluster scale: a persisted intermediate instead)
@@ -266,6 +279,8 @@ object Fts extends IndexMaintenance {
       .write.mode(mode).parquet(s"$outDir/docnorms")
     val st = dl.agg(count("*").cast("double"), sum("dl")).head()
     tf.unpersist()
+    LayoutLog.commitVerb(spark, outDir,
+      if (overwrite) "build" else "append", observed): Unit
     // sum over zero rows is NULL: an empty corpus/batch yields (0, 0)
     if (st.isNullAt(1)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
   }

@@ -41,6 +41,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * FileStatus listing per layout (the round-11 driver-latency fix)
   * without ever serving a stale file set after an in-JVM mutation.
   *
+  * Every write verb also COMMITS to the layout's [[LayoutLog]] — the
+  * CAS-renamed version log that makes concurrent WRITERS safe (the
+  * ChunkStore commit protocol applied to layout dirs): commuting
+  * appends both land, a write racing an overwrite fails loudly instead
+  * of reporting success over destroyed files, and compactions are
+  * fenced ([[fencedCompact]]) so a verb landing on the source layout
+  * mid-compaction can never be silently dropped from the output.
+  *
   * Reference behavior being re-expressed: store.py:197 rebuilds its
   * whole index on every upsert/delete — at Spark scale the equivalent
   * is delta segments + tombstones + periodic compaction, and every new
@@ -119,22 +127,69 @@ trait IndexMaintenance {
   }
 
   /** Append a (deduplicated) id batch to the tombstone sidecar — one
-    * small file per delete batch, O(deletes) bytes.
+    * small file per delete batch, O(deletes) bytes. Committed to the
+    * layout's [[LayoutLog]] as verb `delete` (write-then-commit; a CAS
+    * loss to another append-class writer retries — tombstone batches
+    * commute — while a loss to an overwrite-class verb surfaces
+    * loudly: the sidecar this wrote may no longer exist).
     */
   final def appendTombstones(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val observed = LayoutLog.version(spark, dir)
     ids.coalesce(1).write.mode("append").parquet(tombstonePath(dir))
     TombstoneState.invalidate(dir)
+    LayoutLog.commitVerb(spark, dir, "delete", observed): Unit
   }
 
   /** Cluster-partitioned layout write with the mandatory pre-write
     * cluster-hash exchange (see trait doc). `mode` is `overwrite` for
-    * build/compact, `append` for delta maintenance.
+    * build/compact, `append` for delta maintenance. Every write commits
+    * to the layout's [[LayoutLog]]: appends are optimistic (CAS retry
+    * against other commuting appends, loud failure against an
+    * overwrite); an overwrite starts the log fresh at v1 — overwrite IS
+    * layout creation/replacement, and Spark's overwrite mode clears the
+    * directory including any prior log, so a concurrent writer into the
+    * same dir is a coordination error the caller owns (the in-repo
+    * callers never overwrite a shared live dir: compaction requires a
+    * separate out dir, and the drift rebuild stages + swaps).
     */
   final def writeClustered(df: DataFrame, path: String, mode: String): Unit = {
+    val spark = df.sparkSession
+    // both modes observe the pre-write version: an append's token fences
+    // it against concurrent writers; an overwrite DELIBERATELY replaces
+    // the file set (log included), so its token just keeps version
+    // numbers monotone across a rebuild into the same dir
+    val observed = LayoutLog.version(spark, path)
     df.repartition(col("cluster"))
       .write.partitionBy("cluster").mode(mode).parquet(path)
     LayoutCache.invalidate(path)
     TombstoneState.invalidate(path) // overwrite may clear a sidecar
+    LayoutLog.commitVerb(spark, path,
+      if (mode == "append") "append" else "build", observed): Unit
+  }
+
+  /** COMPACTION FENCE: run `body` (a compaction's live-face read +
+    * fresh-dir write) and fail LOUDLY if any verb committed to the
+    * SOURCE layout in between — without this, rows appended to the
+    * source after the snapshot read are silently absent from the
+    * compacted output, the classic lost-update (the CAS log alone
+    * can't catch it: the compaction writes a DIFFERENT directory, so
+    * no commit collides). On conflict the output dir is left as
+    * debris, never swapped in; the caller re-runs the compaction
+    * against the now-current source. Returns `body`'s result so
+    * stat-carrying compactions ([[Fts.compact]]) pass their Index
+    * through.
+    */
+  final def fencedCompact[T](spark: SparkSession, family: String, srcDir: String)(body: => T): T = {
+    val observed = LayoutLog.version(spark, srcDir)
+    val out = body
+    val now = LayoutLog.version(spark, srcDir)
+    if (now != observed)
+      throw new java.util.ConcurrentModificationException(
+        s"$family compaction of $srcDir: source layout advanced v$observed -> v$now " +
+          "during the compaction (a concurrent append/delete would be silently " +
+          "dropped from the compacted output) — discard the output dir and rerun")
+    out
   }
 
   /** MULTI-WRITER hook — the executable face of the safety contract on

@@ -98,8 +98,10 @@ object Matryoshka extends IndexMaintenance {
       outPath: String,
       idCol: String): Unit = {
     requireSeparateDir("Matryoshka", path, outPath)
-    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
-      outPath, "overwrite")
+    fencedCompact(spark, "Matryoshka", path) {
+      writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+        outPath, "overwrite")
+    }
   }
 
   /** Probe the persisted IVF+MRL layout: nProbe-cell partition-pruned

@@ -462,8 +462,10 @@ object Pq extends IndexMaintenance {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, idCol: String): Unit = {
     requireSeparateDir("Pq", path, outPath)
-    writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
-      outPath, "overwrite")
+    fencedCompact(spark, "Pq", path) {
+      writeClustered(liveFace(spark, path, spark.read.parquet(path), idCol),
+        outPath, "overwrite")
+    }
   }
 
   /** Refine shortlist sized ∝ nProbe — the round-13 10M observation
