@@ -208,6 +208,75 @@ trait IndexMaintenance {
     LayoutCache.invalidate(dir)
   }
 
+  final case class LayoutMaintenanceReport(
+      deltaAppends: Int, tombstones: Long, compacted: Boolean)
+
+  /** THRESHOLD-TRIGGERED compaction policy for a persisted layout —
+    * [[ChunkStore.maintain]]'s analog for the index families, closing
+    * the round-14 gap that `compact()` existed only as a manual verb.
+    * Two measured pressures trigger a fold:
+    *
+    *  - `maxDeltaAppends`: each delta append adds an O(nlist) file
+    *    floor (measured in the lifecycle study, PLANS.md) — the
+    *    listing/commit cost a continuously-maintained layout
+    *    accumulates. The count comes straight from the commit log
+    *    ([[LayoutLog.appendsSinceBuild]]), no file listing needed.
+    *  - `maxTombstones`: deletes accumulate probe-side exclusion work;
+    *    the default threshold is [[TombstoneInlineLimit]] — compact
+    *    BEFORE probes fall off the memoized inline-set path onto the
+    *    per-probe broadcast anti-join.
+    *
+    * Below both thresholds ingest pays NOTHING (two driver-side
+    * metadata reads). Above either, the layout is compacted through
+    * the family's own `compactInto(srcDir, outDir)` (e.g.
+    * [[Ann.compact]], [[Pq.compact]] — already fenced) into a staging
+    * dir, then SWAPPED into place the way [[Ann.maintainIndex]]'s
+    * drift rebuild swaps: the layout path is stable for readers, the
+    * swap is re-fenced against any verb that landed after the
+    * compaction finished, and the fresh log (v1 `build`) resets the
+    * delta count so the floor is amortized over every append/delete
+    * cycle since the last fold.
+    */
+  final def maintainLayout(
+      spark: SparkSession,
+      dir: String,
+      compactInto: (String, String) => Unit,
+      maxDeltaAppends: Int = 8,
+      maxTombstones: Long = TombstoneState.InlineLimit.toLong
+  ): LayoutMaintenanceReport = {
+    val deltas = LayoutLog.appendsSinceBuild(spark, dir)
+    val tombs: Long =
+      if (!hasTombstones(dir)) 0L
+      else TombstoneState.inlineSet(spark, dir) match {
+        case Some(ids) => ids.size.toLong
+        case None      => LayoutCache.readCached(spark, tombstonePath(dir)).count()
+      }
+    if (deltas <= maxDeltaAppends && tombs <= maxTombstones)
+      LayoutMaintenanceReport(deltas, tombs, compacted = false)
+    else {
+      val observed = LayoutLog.version(spark, dir)
+      val staging = dir.stripSuffix("/") + "-compacting"
+      compactInto(dir, staging)
+      val hPath = new org.apache.hadoop.fs.Path(dir)
+      val hStaging = new org.apache.hadoop.fs.Path(staging)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // fence the SWAP window too (compactInto fenced only its own
+      // snapshot-to-write span): deleting the live dir under a verb
+      // that landed after the compaction finished would destroy it
+      if (LayoutLog.version(spark, dir) != observed) {
+        fs.delete(hStaging, true)
+        throw new java.util.ConcurrentModificationException(
+          s"maintainLayout($dir): layout advanced past v$observed before the swap — " +
+            "the staged compaction is stale; rerun")
+      }
+      fs.delete(hPath, true)
+      fs.rename(hStaging, hPath)
+      LayoutCache.invalidate(dir)
+      TombstoneState.invalidate(dir)
+      LayoutMaintenanceReport(deltas, tombs, compacted = true)
+    }
+  }
+
   final def requireSeparateDir(family: String, srcDir: String, outDir: String): Unit =
     require(outDir != srcDir,
       s"$family compaction: output dir must differ from the source layout ($srcDir) — " +

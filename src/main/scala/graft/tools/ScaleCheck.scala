@@ -770,6 +770,37 @@ object ScaleCheck {
     val comp = probe(dir + "/compacted")
     require(comp == live, "probe(compacted) != probe(live)")
     println("[lifecycle2l] probe(compacted) == probe(live): OK (80 rows bit-identical)")
+
+    // AUTO-MAINTENANCE POLICY (round-15): amortizing the O(nlist)
+    // per-append file floor. Small delta batches (0.1% each) land on
+    // the compacted layout under maintainLayout(maxDeltaAppends = 8):
+    // files climb by ~nlist per append until the policy folds them
+    // back, so read amplification stays bounded at <= 8 delta file
+    // sets while per-append cost stays O(delta) + the floor.
+    def fileCount(d: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val mnt = dir + "/compacted"
+    println(f"[lifecycle2l] maintain start: ${fileCount(mnt)} parquet files (post-compact floor)")
+    for (b <- 0 until 12) {
+      val slice = corpus.filter(col("vec_id") % 1000 === b)
+      val tA = System.nanoTime()
+      Pq.appendIvfPqResidualAssigned(mnt, Ann.assignTwoLevel(slice, "embedding", two),
+        "embedding", "vec_id", idx.centroids, resModel)
+      val wA = (System.nanoTime() - tA) / 1e9
+      val tM = System.nanoTime()
+      val rep = Pq.maintainLayout(spark, mnt,
+        (s, o) => Pq.compact(spark, s, o, "vec_id"), maxDeltaAppends = 8)
+      val wM = (System.nanoTime() - tM) / 1e9
+      println(f"[lifecycle2l] maintain batch $b%2d: append $wA%5.1f s, " +
+        f"deltas ${rep.deltaAppends}%2d, compacted=${rep.compacted}%-5s " +
+        f"(policy $wM%5.1f s), files ${fileCount(mnt)}")
+    }
+    val maintained = probe(mnt)
+    require(maintained.nonEmpty, "probe over the maintained layout came back empty")
+    println("[lifecycle2l] maintained-layout probe OK — the fold is invisible to readers (same path)")
   }
 
   /** FLAGSHIP deep-scale row (`section=structured2l`, round-13 verdict

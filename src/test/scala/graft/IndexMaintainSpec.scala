@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{Ann, IndexMaintenance, LayoutLog}
+import org.apache.spark.sql.functions._
+
+/** The auto-maintenance policy for index layouts (round-15 verdict #3):
+  * threshold-triggered compaction — delta-append count from the commit
+  * log, tombstone count from the sidecar — with the staged in-place
+  * swap, so a continuously-maintained layout keeps a stable path while
+  * the O(nlist) per-append file floor is amortized.
+  */
+class IndexMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private object M extends IndexMaintenance
+
+  private def vec(i: Int): Seq[Float] =
+    Seq(i.toFloat + 1f, (i % 7).toFloat, ((i * 3) % 5).toFloat, 1f)
+
+  private def corpus(ids: Range) =
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  private def freshLayout(): (String, Ann.Index) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_").toString + "/idx"
+    val idx = Ann.build(corpus(0 until 60), "embedding", "vec_id", k = 4, seed = 1L)
+    Ann.writeIndex(idx, dir)
+    (dir, idx)
+  }
+
+  private def annCompact(src: String, out: String): Unit =
+    Ann.compact(spark, src, out, "vec_id")
+
+  private def liveIds(dir: String): Set[Long] =
+    M.liveFace(spark, dir, spark.read.parquet(dir), "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("below both thresholds the policy is a no-op (ingest pays nothing)") {
+    val (dir, idx) = freshLayout()
+    Ann.appendToIndex(dir, corpus(100 until 110), "embedding", idx.centroids)
+    val r = M.maintainLayout(spark, dir, annCompact, maxDeltaAppends = 8)
+    assert(r == M.LayoutMaintenanceReport(1, 0L, compacted = false))
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 1, "no-op must not touch the log")
+  }
+
+  test("delta-append pressure folds the layout in place and resets the delta count") {
+    val (dir, idx) = freshLayout()
+    for (b <- 0 until 3)
+      Ann.appendToIndex(dir, corpus((100 + 10 * b) until (110 + 10 * b)),
+        "embedding", idx.centroids)
+    val before = liveIds(dir)
+    val r = M.maintainLayout(spark, dir, annCompact, maxDeltaAppends = 2)
+    assert(r.compacted && r.deltaAppends == 3)
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 0, "fresh log after the fold")
+    assert(LayoutLog.history(spark, dir).map(_.verb) == Seq("build"))
+    assert(liveIds(dir) == before, "the fold must preserve every live row at the same path")
+    // the floor actually amortized: one file set per cluster again
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cluster="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(files.nonEmpty && files.forall(_ <= 2),
+      s"delta files must fold back to ~1 per cluster, got $files")
+  }
+
+  test("tombstone pressure compacts and clears the sidecar; probe parity holds") {
+    val (dir, _) = freshLayout()
+    Ann.deleteFromIndex(spark, dir, Seq(3L, 7L, 11L).toDF("vec_id"), "vec_id")
+    val livePre = liveIds(dir)
+    val r = M.maintainLayout(spark, dir, annCompact,
+      maxDeltaAppends = 8, maxTombstones = 2L)
+    assert(r.compacted && r.tombstones == 3L)
+    assert(!M.hasTombstones(dir), "compaction must clear the sidecar")
+    assert(liveIds(dir) == livePre && !liveIds(dir)(3L))
+    // idempotent: pressure relieved, second call is a no-op
+    val r2 = M.maintainLayout(spark, dir, annCompact,
+      maxDeltaAppends = 8, maxTombstones = 2L)
+    assert(r2 == M.LayoutMaintenanceReport(0, 0L, compacted = false))
+  }
+}
