@@ -60,6 +60,12 @@ case class TopKPerKeyExec(
     child: SparkPlan
 ) extends UnaryExecNode {
 
+  override lazy val metrics = Map(
+    "degradedPartitions" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial partitions degraded to pass-through"),
+    "partialKeys" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "distinct keys held in partial heaps"))
+
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
   // the partial doesn't OUTPUT rankAttr, but it must still declare it
@@ -72,6 +78,13 @@ case class TopKPerKeyExec(
     else if (partitionExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
 
+  /** Check the partial's key density every this many rows (power of
+    * two — the cadence test is a mask). 4096 rows is enough signal to
+    * read rows-per-key and small enough that a degenerate partition
+    * buffers at most a few thousand extra keys before degrading.
+    */
+  private val DegradeCheckEvery = 4096L
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
@@ -79,6 +92,9 @@ case class TopKPerKeyExec(
     val orderLocal = order
     val outputAttrs = output
     val partialLocal = partial
+    val checkEvery = DegradeCheckEvery
+    val degradedMetric = longMetric("degradedPartitions")
+    val keysMetric = longMetric("partialKeys")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprsLocal, childOutput)
       // downstream operators (whole-stage codegen) require UnsafeRow
@@ -87,7 +103,7 @@ case class TopKPerKeyExec(
       // heap head = WORST kept row, so `reverse` the sort ordering
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val heapCmp = ordering.reversed() // worst-first
-      iter.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -102,12 +118,44 @@ case class TopKPerKeyExec(
           heap.add(row.copy().asInstanceOf[UnsafeRow])
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { heap =>
-        if (partialLocal) {
+      if (partialLocal) {
+        // ADAPTIVE partial: the heap map holds one k-row heap per
+        // distinct key with no spill path — the win when keys ≪ rows
+        // (the operator's contract). A caller keying on a near-unique
+        // column would make the partial buffer the whole partition, so
+        // the key density is checked every `checkEvery` rows: once
+        // keys > rows/2 (rows-per-key < 2 — no combine win left), STOP
+        // inserting, drain the heaps, and stream the remaining input
+        // through untouched. Correctness is unchanged either way —
+        // rows already evicted from a heap were beaten by k better
+        // rows of the same key, and the FINAL pass still bounds every
+        // key to k; only the shuffle-volume optimization is abandoned,
+        // exactly when it wasn't an optimization.
+        var seen = 0L
+        var degraded = false
+        while (iter.hasNext && !degraded) {
+          insert(iter.next())
+          seen += 1
+          if ((seen & (checkEvery - 1L)) == 0L && heaps.size().toLong * 2L > seen)
+            degraded = true
+        }
+        keysMetric += heaps.size().toLong
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { heap =>
           // map-side: emit the surviving rows unranked, any order
           heap.forEach(r => out += outputProj(r).copy())
-        } else {
+        }
+        if (!degraded) out.iterator
+        else {
+          degradedMetric += 1
+          // pass-through tail: project (no copy — consumed streaming),
+          // bounded state from here on
+          out.iterator ++ iter.map(r => outputProj(r))
+        }
+      } else {
+        iter.foreach(insert)
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { heap =>
           val arr = new Array[UnsafeRow](heap.size)
           var i = arr.length - 1
           while (!heap.isEmpty) { arr(i) = heap.poll(); i -= 1 } // best-first
@@ -123,8 +171,8 @@ case class TopKPerKeyExec(
             rk += 1
           }
         }
+        out.iterator
       }
-      out.iterator
     }
   }
 
@@ -146,15 +194,18 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * `orderBy` entries are (columnName, ascending) — keep the composite
   * ordering total (add an id tie-break) for deterministic ranks.
   *
-  * Cardinality caveat: the map-side partial keeps one k-row heap per
-  * DISTINCT KEY seen in the partition, with no spill path — its memory
-  * and shuffle bound is O(keys-per-partition × k) copied UnsafeRows.
-  * That is the win when keys ≪ rows (the batch-probe shape: tens of
-  * query ids against millions of candidates); when rows-per-key → 1
-  * the partial buffers essentially the whole partition and combines
-  * nothing — at that cardinality use a window row_number ≤ k (sort
-  * based, spills) instead. Every current call site keys on a bounded
-  * query/group set, which is the operator's contract.
+  * Cardinality contract — now MECHANICAL (round 15): the map-side
+  * partial keeps one k-row heap per DISTINCT KEY, the win when
+  * keys ≪ rows (the batch-probe shape: tens of query ids against
+  * millions of candidates). A caller keying on a near-unique column
+  * no longer buffers whole partitions: the partial samples its own
+  * key density and DEGRADES to pass-through once keys exceed half the
+  * rows seen (checked every 4096 rows) — partial state stays bounded
+  * at O(rows-at-degrade × k) copies, output is identical (the final
+  * pass still bounds every key to k), and the
+  * `degradedPartitions`/`partialKeys` SQL metrics expose which regime
+  * ran. Every current call site keys on a bounded query/group set and
+  * never degrades.
   */
 object TopK {
   def perKey(

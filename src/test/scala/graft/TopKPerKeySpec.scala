@@ -104,6 +104,53 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)))
   }
 
+  // walk the executed plan through AQE wrappers/stages to find the
+  // partial execs and read their SQL metrics
+  private def partialExecs(df: org.apache.spark.sql.DataFrame): Seq[graft.plans.TopKPerKeyExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec        => p +: allNodes(q.plan)
+      case _                        => p +: p.children.flatMap(allNodes)
+    }
+    allNodes(df.queryExecution.executedPlan).collect {
+      case t: graft.plans.TopKPerKeyExec if t.partial => t
+    }
+  }
+
+  test("rows-per-key~1 input degrades the partial to pass-through with identical output") {
+    // 50k rows, every key distinct — the anti-contract cardinality the
+    // round-14 verdict wanted mechanical: without the degrade the
+    // partial buffers the whole partition as copied heap rows
+    val n = 50000L
+    val df = spark.range(0, n, 1, 4)
+      .selectExpr("id as grp", "id", "cast(sin(id * 3) * 100 as double) as score")
+    val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+    // execute res ITSELF (a .select would be a new queryExecution and
+    // its metrics would not land on the plan instance inspected below)
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val partials = partialExecs(res)
+    assert(partials.nonEmpty, res.queryExecution.executedPlan.toString)
+    val degraded = partials.map(_.metrics("degradedPartitions").value).sum
+    val heldKeys = partials.map(_.metrics("partialKeys").value).sum
+    assert(degraded > 0, s"unique-key input must trip the degrade (held $heldKeys keys)")
+    assert(heldKeys < n / 2 + 4 * 4096,
+      s"partial state must stay bounded after the degrade, held $heldKeys of $n keys")
+    // correctness unchanged: every key survives with rank 1
+    assert(got.size == n.toInt && got.forall(_._4 == 1L))
+  }
+
+  test("the contract cardinality (keys << rows) never degrades") {
+    val res = TopK.perKey(fixture, Seq("grp"), Seq(("score", false), ("id", true)), 7)
+    res.collect()
+    val partials = partialExecs(res)
+    assert(partials.nonEmpty)
+    assert(partials.map(_.metrics("degradedPartitions").value).sum == 0,
+      "the batch-probe shape must keep the combining partial")
+  }
+
   test("duplicate referenced column names fail loudly instead of binding silently") {
     val e = intercept[IllegalArgumentException] {
       TopK.perKey(fixture.select(col("grp"), col("score"), col("score")),
