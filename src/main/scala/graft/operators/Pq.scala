@@ -289,14 +289,24 @@ object Pq extends IndexMaintenance {
     * budget is spent on within-cell structure; ADC on residuals ranks
     * by ||qn − vn||² exactly (the centroid cancels), recovering the
     * cosine order.
+    *
+    * SIZING (the production rule, round-14 dim=128 study): `m` defaults
+    * to [[AutoM]] (0) = derive **m = dim/8** from the training sample,
+    * and `codes` defaults to 256 — recall does NOT transfer across dim
+    * at fixed m (0.860 at dim=64/m=8 collapsed to 0.600 at dim=128/m=8,
+    * a CODE-BUDGET wall rotation cannot fix; m=16 restored 0.925), so
+    * the default holds dims-per-subspace ≈ 8 constant instead of
+    * silently landing a wider caller on the wall. An explicit `m` that
+    * spends fewer than that is accepted (byte budget is a legitimate
+    * trade) but warned about once per call.
     */
   def trainResidual(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       centroids: Array[Array[Double]],
-      m: Int = 8,
-      codes: Int = 16,
+      m: Int = AutoM,
+      codes: Int = 256,
       sampleSize: Int = 4096,
       iters: Int = 15,
       seed: Long = 42L
@@ -323,14 +333,44 @@ object Pq extends IndexMaintenance {
       }
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val sub = dim / m
+    val mEff = resolveM(m, dim)
+    val sub = dim / mEff
     val rnd = new scala.util.Random(seed)
-    val codebooks = Array.tabulate(m) { j =>
+    val codebooks = Array.tabulate(mEff) { j =>
       val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
       lloyd(pts, codes, iters, rnd)
     }
-    Model(m, dim, codebooks)
+    Model(mEff, dim, codebooks)
+  }
+
+  /** `m` sentinel: derive the subspace count from the training
+    * sample's width via [[sizedM]] — the measured production rule.
+    */
+  final val AutoM = 0
+
+  /** m = dim/8, codes = 256 — the transferable sizing the dim∈{64,128}
+    * studies validated (PLANS.md): dims-per-subspace ≈ 8 holds recall
+    * flat across widths at an 8:1 byte reduction vs float32. At dim
+    * not divisible by 8, the largest divisor of dim that keeps
+    * dims-per-subspace ≤ 8 is used (subspaces must tile the vector).
+    */
+  def sizedM(dim: Int): Int = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    if (dim % 8 == 0) dim / 8
+    else (1 to dim).find(mm => dim % mm == 0 && dim / mm <= 8).getOrElse(dim)
+  }
+
+  private def resolveM(m: Int, dim: Int): Int = {
+    require(m >= 0,
+      s"m must be positive, or Pq.AutoM (0) to derive m = dim/8; got $m")
+    val mEff = if (m == AutoM) sizedM(dim) else m
+    require(dim % mEff == 0, s"dim $dim must divide into $mEff subspaces")
+    if (m != AutoM && dim / mEff > 8)
+      System.err.println(
+        s"[graft] WARN residual-PQ m=$mEff at dim=$dim quantizes ${dim / mEff} dims " +
+          s"per subspace — past the measured recall wall (PLANS.md: 0.600 at 16 " +
+          s"dims/subspace vs 0.925 at 8); consider m = dim/8 = ${sizedM(dim)}")
+    mEff
   }
 
   private val residualModelCache =
@@ -349,8 +389,8 @@ object Pq extends IndexMaintenance {
       vecCol: String,
       idCol: String,
       centroids: Array[Array[Double]],
-      m: Int = 8,
-      codes: Int = 16,
+      m: Int = AutoM,
+      codes: Int = 256,
       sampleSize: Int = 4096,
       iters: Int = 15,
       seed: Long = 42L

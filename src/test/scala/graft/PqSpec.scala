@@ -211,4 +211,40 @@ class PqSpec extends SparkSpec {
     assert(recalls.last._2 >= 0.9, s"deep probe under auto-refine should approach exact: $recalls")
     corpus.unpersist()
   }
+
+  test("sizing default m = dim/8, codes = 256 recovers >= 0.9 recall at dim=128") {
+    import graft.operators.Ann
+    // the round-14 production-width study made m = dim/8 a RULE
+    // (PLANS.md: fixed m=8 collapses 0.860 -> 0.600 at dim 64 -> 128 —
+    // a code-budget wall); this pins the rule as the API DEFAULT on the
+    // same anisotropic generator at spec scale, so the next wide-dim
+    // caller cannot silently land on the wall.
+    assert(Pq.sizedM(64) == 8 && Pq.sizedM(128) == 16 && Pq.sizedM(768) == 96)
+    assert(Pq.sizedM(96) == 12 && Pq.sizedM(100) == 20, // non-multiple-of-8 dims tile too
+      s"${Pq.sizedM(96)} ${Pq.sizedM(100)}")
+    val n = 20000L
+    val corpus = graft.tools.ScaleCheck.structuredCorpus(spark, n, dim = 128).cache()
+    corpus.count()
+    val index = Ann.build(corpus, "embedding", "vec_id", k = 48, seed = 42)
+    val model = Pq.trainResidual(corpus, "embedding", "vec_id", index.centroids) // ALL defaults
+    assert(model.m == 16 && model.dim == 128,
+      s"default sizing must derive m = dim/8, got m=${model.m} at dim=${model.dim}")
+    assert(model.codebooks.head.length == 256, "codes must default to 256")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqsized").toString + "/idx"
+    Pq.writeIvfPqResidual(dir, corpus, "embedding", "vec_id", index.centroids, model)
+    val qids = Seq(13L, 5003L, 11077L, 19999L)
+    def qDfOf(id: Long) =
+      corpus.filter(col("vec_id") === id).select(col("embedding").as("q_vec"))
+    val recall = qids.map { id =>
+      val truth = Ann.exact(corpus, qDfOf(id), "embedding", "q_vec", "vec_id", 10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = Pq.probeIvfPqResidual(spark, dir, index.centroids, model, qDfOf(id),
+          "q_vec", "embedding", "vec_id", nProbe = 8, k = 10) // refine: auto
+        .select("vec_id").as[Long].collect().toSet
+      (truth & got).size / 10.0
+    }.sum / qids.size
+    assert(recall >= 0.9,
+      s"the m = dim/8 default must recover >= 0.9 recall at dim=128, got $recall")
+    corpus.unpersist()
+  }
 }
