@@ -35,6 +35,156 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  // ── chunk_recursive twin ─────────────────────────────────────────────
+  // Twin of Chunker.recursiveChunks (chunker.py:55/:81/:107 semantics):
+  // the bounded 4-level separator recursion ["\n\n","\n"," ",""] where a
+  // piece longer than chunkSize (64 ws-tokens) is replaced by the NEXT
+  // level's merged chunks, and each level runs the greedy merge with
+  // overlap carry (emit when adding would overflow; then drop the
+  // longest prefix leaving a suffix of total length <= overlap (16)).
+  // This was the no-oracle row round 14 flagged as plausibly
+  // expressible — unlike the transformer rows it is pure string/integer
+  // arithmetic. The sequential merge state (buffer texts + their
+  // measured lengths + emitted chunks) rides a recursive CTE per level,
+  // one step per split, keyed per merge group; the overlap drain is the
+  // closed form "maximal suffix with sum <= overlap" computed by an
+  // indexed-lambda scan over the buffered lengths. Four unrolled levels
+  // (the separator list is a fixed constant in both engines), assembled
+  // bottom-up; every split/chunk length is re-measured with the wslen
+  // twin exactly where the Scala re-tokenizes. MATERIALIZED hints stop
+  // DuckDB inlining a lower level's whole pipeline into each iteration
+  // of the level above (exponential blowup without them).
+  private def crWslen(x: String): String =
+    s"len(list_filter(string_split_regex(lower($x), '[^a-z0-9]+'), t -> t <> ''))"
+
+  private val crSeps = Seq("E'\\n\\n'", "E'\\n'", "' '", "''")
+  private val crKeys: Seq[Seq[String]] =
+    Seq(Seq("doc_id"), Seq("doc_id", "i0"), Seq("doc_id", "i0", "i1"),
+      Seq("doc_id", "i0", "i1", "i2"))
+  private val crChunkSize = 64
+  private val crOverlap = 16
+  private val crMinTokens = 8
+
+  /** Split pieces at level k (nonempty, enumerated) from the level-k
+    * sources: the docs at k=0, else level k-1 pieces past the budget.
+    */
+  private def crSplits(k: Int): String = {
+    val keys = crKeys(k).mkString(", ")
+    val src =
+      if (k == 0) "docs0"
+      else s"(SELECT ${crKeys(k - 1).mkString(", ")}, si AS i${k - 1}, txt FROM s${k - 1} WHERE len > $crChunkSize)"
+    val text = if (k == 0) "text" else "txt"
+    s"""s$k AS MATERIALIZED (
+       |  SELECT $keys, u.i AS si, u.p AS txt, ${crWslen("u.p")} AS len
+       |  FROM (
+       |    SELECT $keys, unnest(list_transform(list_filter(string_split($text, ${crSeps(k)}), x -> x <> ''), (p, i) -> {'p': p, 'i': i}), recursive := true)
+       |    FROM $src
+       |  ) u(${crKeys(k).mkString(",")}, p, i)
+       |)""".stripMargin
+  }
+
+  /** Merge input at level k: short pieces in place, long pieces
+    * replaced by the level-(k+1) merged chunks, re-enumerated.
+    */
+  private def crAll(k: Int): String = {
+    val keys = crKeys(k).mkString(", ")
+    if (k == 3)
+      s"""all3 AS MATERIALIZED (
+         |  SELECT $keys, si AS pos, txt, len,
+         |         count(*) OVER (PARTITION BY $keys) AS n
+         |  FROM s3
+         |)""".stripMargin
+    else {
+      val childKeys = crKeys(k + 1).mkString(", ")
+      s"""all$k AS MATERIALIZED (
+         |  SELECT $keys, row_number() OVER (PARTITION BY $keys ORDER BY si, sub) AS pos,
+         |         txt, ${crWslen("txt")} AS len,
+         |         count(*) OVER (PARTITION BY $keys) AS n
+         |  FROM (
+         |    SELECT $keys, si, 0 AS sub, txt FROM s$k WHERE len <= $crChunkSize
+         |    UNION ALL
+         |    SELECT $keys, i$k AS si, u.i AS sub, u.p AS txt
+         |    FROM (
+         |      SELECT $childKeys, unnest(list_transform(chunks, (p, i) -> {'p': p, 'i': i}), recursive := true)
+         |      FROM m${k + 1}
+         |    ) u(${crKeys(k + 1).mkString(",")}, p, i)
+         |  )
+         |)""".stripMargin
+    }
+  }
+
+  /** The sequential greedy merge (chunker.py:55 _merge_splits) as a
+    * recursive walk: one step per split; state = (buffer texts, buffer
+    * lengths, emitted chunks). Drop count d after an emit = minimal
+    * prefix length leaving a suffix of total length <= overlap.
+    */
+  private def crWalk(k: Int): String = {
+    val keys = crKeys(k).mkString(", ")
+    val wk = crKeys(k).map("w." + _).mkString(", ")
+    val on = crKeys(k).map(c => s"a.$c = w.$c").mkString(" AND ")
+    s"""w$k AS (
+       |  SELECT $keys, 0 AS pos, n,
+       |         CAST([] AS VARCHAR[]) AS buf_t, CAST([] AS BIGINT[]) AS buf_l,
+       |         CAST([] AS VARCHAR[]) AS chunks
+       |  FROM (SELECT DISTINCT $keys, n FROM all$k)
+       |  UNION ALL
+       |  SELECT $keys, pos, n,
+       |         list_append(keep_t, txt) AS buf_t,
+       |         list_append(keep_l, len) AS buf_l,
+       |         chunks
+       |  FROM (
+       |    SELECT $keys, pos, n, txt, len,
+       |           CASE WHEN emit THEN list_append(chunks0, array_to_string(buf_t, ${crSeps(k)})) ELSE chunks0 END AS chunks,
+       |           buf_t[d + 1:len(buf_t)] AS keep_t,
+       |           buf_l[d + 1:len(buf_l)] AS keep_l
+       |    FROM (
+       |      SELECT $keys, pos, n, txt, len, buf_t, buf_l, chunks0, emit,
+       |             CASE WHEN NOT emit THEN 0
+       |                  WHEN coalesce(list_sum(buf_l), 0) <= $crOverlap THEN 0
+       |                  ELSE list_min(list_filter(list_transform(buf_l, (x, i) -> CASE WHEN list_sum(buf_l) - list_sum(buf_l[1:i]) <= $crOverlap THEN i END), v -> v IS NOT NULL))
+       |             END AS d
+       |      FROM (
+       |        SELECT $wk, w.pos + 1 AS pos, w.n, a.txt, a.len,
+       |               w.buf_t, w.buf_l, w.chunks AS chunks0,
+       |               (len(w.buf_t) > 0 AND coalesce(list_sum(w.buf_l), 0) + a.len > $crChunkSize) AS emit
+       |        FROM w$k w JOIN all$k a ON $on AND a.pos = w.pos + 1
+       |        WHERE w.pos < w.n
+       |      )
+       |    )
+       |  )
+       |)""".stripMargin
+  }
+
+  private def crM(k: Int): String = {
+    val keys = crKeys(k).mkString(", ")
+    s"""m$k AS MATERIALIZED (
+       |  SELECT $keys,
+       |         CASE WHEN len(buf_t) > 0 THEN list_append(chunks, array_to_string(buf_t, ${crSeps(k)})) ELSE chunks END AS chunks
+       |  FROM w$k WHERE pos = n
+       |)""".stripMargin
+  }
+
+  private lazy val chunkRecursiveSql: String = {
+    val ctes = Seq("docs0 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE trim(text) <> '')") ++
+      (0 to 3).map(crSplits) ++
+      Seq(3, 2, 1, 0).flatMap(k => Seq(crAll(k), crWalk(k), crM(k)))
+    s"""WITH RECURSIVE
+       |${ctes.mkString(",\n")},
+       |sel AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN len(f.filtered) = 0 AND len(m.chunks) > 0 THEN [trim(d.text)] ELSE f.filtered END AS chunks
+       |  FROM docs0 d
+       |  JOIN m0 m ON m.doc_id = d.doc_id
+       |  JOIN (SELECT doc_id, list_filter(chunks, c -> ${crWslen("c")} >= $crMinTokens) AS filtered FROM m0) f ON f.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_index, u.p AS chunk
+       |FROM (
+       |  SELECT doc_id, unnest(list_transform(chunks, (p, i) -> {'p': p, 'i': i}), recursive := true)
+       |  FROM sel
+       |) u(doc_id, p, i)
+       |ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
   /** Twin of Bpe.PretokenRegex (no escaping needed in a SQL literal). */
   private val bpePretokenRegex: String = graft.operators.Bpe.PretokenRegex
 
@@ -2659,6 +2809,8 @@ object OracleSql {
          |GROUP BY pt.doc_id ORDER BY doc_id""".stripMargin,
 
     "chunk_token_budget" -> chunkTokenBudgetSql,
+
+    "chunk_recursive" -> chunkRecursiveSql,
 
     "token_shards_bpe" ->
       // Sequence packing over the REAL-BPE chunk table: the full

@@ -2000,9 +2000,9 @@ object Queries {
     * reference embedder's actual pipeline shape (embedder.py:21-60)
     * with a genuinely dynamic sequence length per document. Registered
     * rows-only: softmax/layernorm are transcendental, so no
-    * bit-exact SQL twin exists (the honest class `chunk_recursive` is
-    * in); the math itself is pinned against an independent functional
-    * recomputation in FeaturizeSpec at two sequence lengths.
+    * bit-exact SQL twin exists; the math itself is pinned against an
+    * independent functional recomputation in FeaturizeSpec at two
+    * sequence lengths.
     */
   def embedEncoder(s: SparkSession, dir: String): DataFrame =
     Featurize.embedWithModel(

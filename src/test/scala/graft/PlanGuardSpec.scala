@@ -59,7 +59,12 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("every registered query has an oracle twin or is a documented rows-only key") {
-    val rowsOnly = Set("chunk_recursive", "embed_encoder", "embed_encoder_mh", "rerank_cross")
+    // round 15: chunk_recursive LEFT this set — its recursive
+    // split-and-merge is pure string/integer arithmetic, now twinned as
+    // a 4-level recursive-CTE fold (OracleSql.chunkRecursiveSql); only
+    // the transformer-transcendental class (softmax/layernorm/erf — no
+    // bit-exact SQL) remains rows-only.
+    val rowsOnly = Set("embed_encoder", "embed_encoder_mh", "rerank_cross")
     // twinned at RUNTIME via OracleArtifacts fitted-constant literals
     // (OracleSql.dynamic is empty until the query has run) — every new
     // fitted-model query must be consciously added here or to the
