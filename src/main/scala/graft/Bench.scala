@@ -643,7 +643,16 @@ object Bench {
         java.nio.file.Paths.get("bench_axes_derived.txt"), derived)
       catch { case _: Throwable => () }
     }
-    println(s"""{$core,"queries_file":"bench_full.json"}""")
+    val summary = s"""{$core,"queries_file":"bench_full.json"}"""
+    // Best-effort against the driver's bounded stdout-tail parse (every
+    // BENCH_r*.json so far is parsed:null): the compact summary is (a)
+    // the LAST stdout line, (b) persisted as bench_summary.json beside
+    // bench_full.json so a file-reading consumer never depends on the
+    // tail window at all.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case _: Throwable => () }
+    println(summary)
     spark.stop()
   }
 }

@@ -101,19 +101,39 @@ object StreamPipeline {
       model: graft.operators.Pq.Model,
       deltaFilter: org.apache.spark.sql.Column = lit(true)
   ): Unit = {
-    val stream = embeddingStream(spark, dir).select("vec_id", "embedding")
-    val q = stream.writeStream
+    val stream = embeddingStream(spark, dir)
+      .select("vec_id", "embedding").filter(deltaFilter)
+    val q = ivfPqResidualAppendQuery(stream, path, two, centroids, model)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The maintenance SINK of [[appendToIvfPqResidualIndex]] started on
+    * an arbitrary vector stream and returned UNSTOPPED — the seam the
+    * streamed-lifecycle composition uses: a caller can interleave the
+    * other maintenance verbs (tombstone delete, threshold-policy
+    * compaction with its in-place swap) BETWEEN micro-batches while the
+    * append query stays live, which is exactly how a continuously-
+    * ingesting deployment runs (ingest never pauses for maintenance;
+    * the swap is fenced against a racing batch by the LayoutLog).
+    * Caller owns `processAllAvailable`/`stop`.
+    */
+  def ivfPqResidualAppendQuery(
+      stream: DataFrame,
+      path: String,
+      two: graft.operators.Ann.TwoLevel,
+      centroids: Array[Array[Double]],
+      model: graft.operators.Pq.Model
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = distributeBatch(batch.filter(deltaFilter))
+        val b = distributeBatch(batch)
         if (!b.isEmpty)
           graft.operators.Pq.appendIvfPqResidualAssigned(path,
             graft.operators.Ann.assignTwoLevel(b, "embedding", two),
             "embedding", "vec_id", centroids, model)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
-  }
 
   /** Spread a file-source micro-batch across the cluster before heavy
     * per-row work. The micro-batch arrives as a SINGLE-partition row

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Ann, IndexMaintenance, LayoutLog, Pq}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** STREAMED-LIFECYCLE COMPOSITION (round-15 verdict #8): the flagship
+  * layout's maintenance verbs interleaved UNDER a live streaming append
+  * query — micro-batch appends, a tombstone delete between batches, a
+  * threshold-policy compaction (with its in-place swap) mid-stream,
+  * more appends after the swap — with probe parity against a
+  * from-scratch layout asserted at EVERY interleaving point. The
+  * round-14 studies ran these verbs sequentially; a continuously-
+  * ingesting deployment runs them concurrently with ingest, and this
+  * pins that composition: batch-boundary invariance of the streamed
+  * appends, delete visibility at the next probe, and the policy swap
+  * being invisible to both the probe path and the STILL-RUNNING append
+  * query (which keeps landing batches at the same path afterwards).
+  */
+class StreamLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private object M extends IndexMaintenance
+
+  private val dim = 16
+  private def vec(i: Long): Seq[Float] = {
+    val r = new java.util.Random(11L ^ (i * 0x9E3779B97F4A7C15L))
+    Seq.fill(dim)((r.nextGaussian() + (if (i % 3 == 0) 1.5 else -0.5)).toFloat)
+  }
+  private def frame(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  test("append stream x delete x policy compaction: probe parity at every interleaving point") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = graft.streaming.StreamPipeline.deleteRecursivelyOnExit(
+      java.nio.file.Files.createTempDirectory("graft_streamlife_")).toString
+    val layout = root + "/live"
+
+    val baseIds = (0L until 400L)
+    val b1 = (400L until 500L)
+    val b2 = (500L until 550L)
+    val b3 = (550L until 600L)
+    val corpus = frame(baseIds ++ b1 ++ b2 ++ b3).cache()
+    corpus.count()
+
+    val base = frame(baseIds)
+    val (idx, two) = Ann.buildTwoLevel(base, "embedding", "vec_id", k = 16,
+      seed = 42, rowCount = Some(baseIds.size.toLong))
+    val model = Pq.trainResidual(base, "embedding", "vec_id", idx.centroids,
+      m = 2, codes = 16)
+    Pq.writeIvfPqResidualAssigned(layout, Ann.assignTwoLevel(base, "embedding", two),
+      "embedding", "vec_id", idx.centroids, model)
+
+    val qDf = frame(Seq(123L)).select(col("embedding").as("q_vec"))
+    def probe(path: String): Seq[(Long, Double)] =
+      Pq.probeIvfPqResidual(spark, path, idx.centroids, model, qDf,
+          "q_vec", "embedding", "vec_id", nProbe = 4, k = 10)
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+
+    // from-scratch twin over an arbitrary live-id set: same assigner,
+    // same fitted codebooks -> bit-identical layout rows by construction
+    var scratchN = 0
+    def scratch(live: Set[Long]): Seq[(Long, Double)] = {
+      scratchN += 1
+      val d = root + s"/scratch$scratchN"
+      Pq.writeIvfPqResidualAssigned(d,
+        Ann.assignTwoLevel(corpus.filter(col("vec_id").isInCollection(live)), "embedding", two),
+        "embedding", "vec_id", idx.centroids, model)
+      probe(d)
+    }
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamPipeline.ivfPqResidualAppendQuery(
+      stream, layout, two, idx.centroids, model)
+    try {
+      // point 1: first streamed delta lands
+      input.addData(b1.map(i => (i, vec(i))))
+      q.processAllAvailable()
+      var live: Set[Long] = (baseIds ++ b1).toSet
+      assert(probe(layout) == scratch(live), "parity after streamed batch 1")
+
+      // point 2: tombstone delete BETWEEN micro-batches (base + delta ids)
+      val dels = Set(3L, 123L, 405L, 444L)
+      Pq.deleteFromIndex(spark, layout, dels.toSeq.toDF("vec_id"), "vec_id")
+      live = live -- dels
+      assert(probe(layout) == scratch(live), "parity after interleaved delete")
+
+      // point 3: second streamed delta while tombstones are live
+      input.addData(b2.map(i => (i, vec(i))))
+      q.processAllAvailable()
+      live = live ++ b2
+      assert(probe(layout) == scratch(live), "parity after streamed batch 2 over tombstones")
+
+      // point 4: POLICY COMPACTION MID-STREAM — the in-place staged swap
+      // runs while the append query is live (idle between triggers);
+      // thresholds forced so the fold fires now
+      val rep = Pq.maintainLayout(spark, layout,
+        (s, o) => Pq.compact(spark, s, o, "vec_id"),
+        maxDeltaAppends = 1, maxTombstones = 1L)
+      assert(rep.compacted && rep.tombstones == dels.size.toLong,
+        s"forced policy fold must fire mid-stream: $rep")
+      assert(!M.hasTombstones(layout), "fold must clear the sidecar")
+      assert(LayoutLog.history(spark, layout).map(_.verb) == Seq("build"))
+      assert(probe(layout) == scratch(live), "parity after the mid-stream fold")
+
+      // point 5: the SAME query keeps appending after the swap
+      input.addData(b3.map(i => (i, vec(i))))
+      q.processAllAvailable()
+      live = live ++ b3
+      assert(probe(layout) == scratch(live), "parity after streamed batch 3 post-swap")
+      assert(LayoutLog.appendsSinceBuild(spark, layout) == 1,
+        "post-swap appends land on the fresh log")
+    } finally q.stop()
+    corpus.unpersist()
+  }
+}
