@@ -502,30 +502,20 @@ object Ann extends IndexMaintenance {
       (centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = false))
     } else {
       val observed = LayoutLog.version(spark, path)
-      val existing = spark.read.parquet(path).drop("cluster")
+      // LIVE face, not the raw layout: the rebuild folds the tombstones
+      // away (the swap drops the sidecar), so re-clustering over raw
+      // rows would RESURRECT every deleted id (round-15 review finding)
+      val existing = liveFace(spark, path, spark.read.parquet(path), idCol)
+        .drop("cluster")
       val all = existing.select(col(idCol), col(vecCol))
         .unionByName(delta.select(col(idCol), col(vecCol)))
       val fresh = build(all, vecCol, idCol, k, seed)
       // never overwrite the layout we are still lazily reading from:
-      // materialize into a staging dir, then swap (Hadoop FS — the same
-      // local/HDFS/S3A seam ChunkStore compaction uses)
+      // materialize into a staging dir, then the shared fenced in-place
+      // swap (history carried, results checked — see fencedSwap)
       val staging = path + "-rebuild"
       writeIndex(fresh, staging)
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val hStaging = new org.apache.hadoop.fs.Path(staging)
-      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-      // the swap DELETES the live dir — fence it like a compaction: a
-      // verb committed since the snapshot read would be destroyed
-      if (LayoutLog.version(spark, path) != observed) {
-        fs.delete(hStaging, true)
-        throw new java.util.ConcurrentModificationException(
-          s"Ann.maintainIndex rebuild of $path: layout advanced past v$observed " +
-            "during the re-cluster — the swap would destroy a concurrent write; rerun")
-      }
-      fs.delete(hPath, true)
-      fs.rename(hStaging, hPath)
-      LayoutCache.invalidate(path) // the swap changed every file under it
-      TombstoneState.invalidate(path)
+      fencedSwap(spark, "Ann.maintainIndex", path, staging, observed, "build")
       (fresh.centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = true))
     }
   }

@@ -96,9 +96,17 @@ class ChunkStore(val root: String, val keyCol: String) {
     new Path(logPath, f"v$version%08d.manifest")
 
   /** Atomic pointer swap: write the segment list to a temp file, rename
-    * to the final version name. A false rename means a concurrent
-    * writer won this version — surface it; the caller retries against
-    * the re-read state.
+    * to the final version name via `FileContext.rename(…, Rename.NONE)`
+    * — the NO-OVERWRITE rename, which throws when the destination
+    * exists; that failure means a concurrent writer won this version —
+    * surface it; the caller retries against the re-read state.
+    * FileContext (not `FileSystem.rename`) is load-bearing: stock
+    * Hadoop `LocalFileSystem.rename` onto an existing file returns true
+    * and silently REPLACES it (verified against this distribution's
+    * Hadoop 3.4.2; the `file:` scheme resolving to Hive's
+    * ProxyLocalFileSystem — which does return false — is a classpath
+    * accident the protocol must not depend on). Same reasoning as
+    * Delta's HDFSLogStore.
     */
   private def commit(spark: SparkSession, version: Long, segments: Seq[Segment]): Unit = {
     val f = fs(spark)
@@ -109,7 +117,18 @@ class ChunkStore(val root: String, val keyCol: String) {
       segments.sortBy(_.seq).map(s => s"${s.seq} ${s.dir}").mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, manifestPath(version))) {
+    val dst = manifestPath(version)
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(dst)             => false
+      }
+    if (!won) {
       f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"manifest v$version already committed by a concurrent writer at $root")

@@ -257,24 +257,67 @@ trait IndexMaintenance {
       val observed = LayoutLog.version(spark, dir)
       val staging = dir.stripSuffix("/") + "-compacting"
       compactInto(dir, staging)
-      val hPath = new org.apache.hadoop.fs.Path(dir)
-      val hStaging = new org.apache.hadoop.fs.Path(staging)
-      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-      // fence the SWAP window too (compactInto fenced only its own
-      // snapshot-to-write span): deleting the live dir under a verb
-      // that landed after the compaction finished would destroy it
-      if (LayoutLog.version(spark, dir) != observed) {
-        fs.delete(hStaging, true)
-        throw new java.util.ConcurrentModificationException(
-          s"maintainLayout($dir): layout advanced past v$observed before the swap — " +
-            "the staged compaction is stale; rerun")
-      }
-      fs.delete(hPath, true)
-      fs.rename(hStaging, hPath)
-      LayoutCache.invalidate(dir)
-      TombstoneState.invalidate(dir)
+      fencedSwap(spark, "maintainLayout", dir, staging, observed, "compact")
       LayoutMaintenanceReport(deltas, tombs, compacted = true)
     }
+  }
+
+  /** STAGED IN-PLACE SWAP shared by [[maintainLayout]] and
+    * [[Ann.maintainIndex]]'s drift rebuild — the one copy of the
+    * fence + delete + rename + log-carry sequence (two hand-inlined
+    * copies drifted once already; any fix must land in both):
+    *
+    *  - FENCE the swap window: a verb committed to `dir` after
+    *    `observed` (the version the staged rewrite snapshotted) would
+    *    be destroyed by the delete — throw and leave the live dir
+    *    untouched (staging is removed; the caller reruns).
+    *  - delete/rename RESULTS ARE CHECKED: a false rename (e.g. a
+    *    racing writer re-created `dir` between the delete and the
+    *    rename) must surface loudly with the staging path named, never
+    *    report success over a missing or mixed layout.
+    *  - the SOURCE LOG IS CARRIED through the swap and the swap verb
+    *    committed at `observed + 1`, so version numbering stays
+    *    monotone: a racer holding ANY pre-swap token collides with a
+    *    real commit and adjudicates (append history commutes; the swap
+    *    verb is overwrite-class and throws) instead of silently winning
+    *    a slot on a fresh v1-only log. Residual window, documented
+    *    honestly: a racer that writes its files AND commits entirely
+    *    inside the delete→commit window can still claim `observed + 1`
+    *    first — then THIS swap's own commit throws, so the conflict is
+    *    still detected loudly, just by the maintainer instead of the
+    *    racer. True lock-free atomicity for in-place replacement needs
+    *    a coordination service (the same boundary Delta draws for S3).
+    */
+  final def fencedSwap(
+      spark: SparkSession,
+      family: String,
+      dir: String,
+      staging: String,
+      observed: Long,
+      verb: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val hStaging = new org.apache.hadoop.fs.Path(staging)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (LayoutLog.version(spark, dir) != observed) {
+      fs.delete(hStaging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$family($dir): layout advanced past v$observed before the swap — " +
+          "the staged rewrite is stale; rerun")
+    }
+    val carried = LayoutLog.rawEntries(spark, dir)
+    if (!fs.delete(hPath, true))
+      throw new java.io.IOException(
+        s"$family($dir): could not delete the live dir for the swap; " +
+          s"the staged rewrite is intact at $staging")
+    if (!fs.rename(hStaging, hPath))
+      throw new java.io.IOException(
+        s"$family($dir): rename of the staged rewrite failed — a concurrent " +
+          s"writer re-created the dir? The staged rewrite is intact at $staging; " +
+          "the layout path needs recovery from it")
+    LayoutLog.restore(spark, dir, carried)
+    LayoutLog.commitVerb(spark, dir, verb, observed): Unit
+    LayoutCache.invalidate(dir)
+    TombstoneState.invalidate(dir)
   }
 
   final def requireSeparateDir(family: String, srcDir: String, outDir: String): Unit =

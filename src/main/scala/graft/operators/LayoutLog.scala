@@ -18,11 +18,18 @@ import org.apache.spark.sql.SparkSession
   * never see it; same convention as `_tombstones`). Each commit file
   * holds one line: `<verb> observed=<version the writer read before
   * writing>`. A verb is committed by writing a temp file inside
-  * `_log/` and RENAMING it to the next version — rename onto an
-  * existing name FAILS instead of overwriting (atomic on HDFS/local;
-  * on S3A multi-writer commits need a coordination layer, exactly as
-  * Delta documents for its own log), and that failure IS the
-  * optimistic-concurrency conflict signal.
+  * `_log/` and renaming it to the next version via
+  * `FileContext.rename(…, Options.Rename.NONE)` — the no-overwrite
+  * rename, which THROWS when the destination exists, and that failure
+  * IS the optimistic-concurrency conflict signal. FileContext (not
+  * `FileSystem.rename`) is load-bearing: stock Hadoop
+  * `LocalFileSystem.rename` onto an existing file returns true and
+  * silently REPLACES it (verified against this distribution's Hadoop
+  * 3.4.2 — the repo's own tests had only passed via Hive's
+  * ProxyLocalFileSystem winning the `file:` scheme by classpath
+  * accident), exactly Delta's HDFSLogStore reasoning. On S3A,
+  * multi-writer commits still need an external coordination layer, as
+  * Delta documents for its own log.
   *
   * CONFLICT RESOLUTION is verb-aware, because the data model differs
   * from ChunkStore's: readers scan the DIRECTORY (partition-pruned),
@@ -130,18 +137,34 @@ object LayoutLog {
     h.drop(lastBuild + 1).count(_.verb == "append")
   }
 
-  /** One rename attempt at exactly `v`; false = that version is taken. */
-  private def tryCommit(
-      fs: FileSystem, dir: String, v: Long, verb: String, observed: Long): Boolean = {
+  /** One commit attempt at exactly `v`; false = that version is taken
+    * (and the winner's file is PRESERVED — see the FileContext note in
+    * the object doc). `private[graft]` so the spec can pin the CAS
+    * semantics of the primitive itself under this classpath.
+    */
+  private[graft] def tryCommit(
+      spark: SparkSession, dir: String, v: Long, verb: String, observed: Long): Boolean = {
+    val fs = fsOf(spark, dir)
     val lp = logPath(dir)
     if (!fs.exists(lp)) fs.mkdirs(lp)
     val tmp = new Path(lp, s"_tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(s"$verb observed=$observed\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val won = fs.rename(tmp, commitPath(dir, v))
-    if (!won) fs.delete(tmp, false)
-    won
+    val dst = commitPath(dir, v)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false); false
+      case e: java.io.IOException if fs.exists(dst) =>
+        // an FS that signals the existing destination with a plain
+        // IOException — still the conflict, not an infrastructure error
+        fs.delete(tmp, false); false
+    }
   }
 
   /** Commit a completed lifecycle verb whose data files were written
@@ -161,7 +184,7 @@ object LayoutLog {
     var attempt = observed + 1
     var retries = 0
     while (retries < 64) {
-      if (tryCommit(fs, dir, attempt, verb, observed)) return attempt
+      if (tryCommit(spark, dir, attempt, verb, observed)) return attempt
       val winner = readCommit(fs, dir, attempt).map(_.verb).getOrElse("?")
       if (AppendClass.contains(verb) && AppendClass.contains(winner)) {
         // commuting verbs: the winner's files and ours are both valid
@@ -172,12 +195,49 @@ object LayoutLog {
         throw new java.util.ConcurrentModificationException(
           s"layout $dir: '$verb' (observed v$observed) lost the commit of " +
             s"v$attempt to a concurrent '$winner' — an overwrite-class verb " +
-            "replaces the file set, so this write cannot assume its files " +
-            "survived; re-read the layout and rerun the verb")
+            "replaces the file set, so this write must not report success. " +
+            "Recovery is NOT an unconditional rerun: UUID-named append files " +
+            "that landed after the overwrite may have survived it, and " +
+            "re-appending them would duplicate rows — audit the layout " +
+            "against the winner's state first")
       }
     }
     throw new java.util.ConcurrentModificationException(
       s"layout $dir: '$verb' exhausted commit retries at v$attempt — " +
         "writer contention is pathological; serialize writers upstream")
+  }
+
+  /** Raw commit files (version -> file body) — the history an in-place
+    * swap carries across the directory replacement so version numbering
+    * stays MONOTONE: without the carry, a swap would install the staging
+    * dir's fresh v1-only log and a racer holding any pre-swap token
+    * could win a commit slot silently instead of colliding with a real
+    * commit and adjudicating loudly.
+    */
+  private[operators] def rawEntries(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val fs = fsOf(spark, dir)
+    listVersions(fs, dir).map { v =>
+      val in = fs.open(commitPath(dir, v))
+      val body =
+        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+        finally in.close()
+      v -> body
+    }
+  }
+
+  /** Replace the layout's log wholesale with `entries` (swap-time
+    * restore — the caller has just renamed a staged dir into place and
+    * owns it; the staged dir's own v1 `build` record is dropped in
+    * favor of the carried source history).
+    */
+  private[operators] def restore(spark: SparkSession, dir: String, entries: Seq[(Long, String)]): Unit = {
+    val fs = fsOf(spark, dir)
+    val lp = logPath(dir)
+    fs.delete(lp, true)
+    fs.mkdirs(lp)
+    entries.foreach { case (v, body) =>
+      val out = fs.create(commitPath(dir, v), false)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
   }
 }

@@ -103,6 +103,7 @@ case class TopKPerKeyExec(
       // heap head = WORST kept row, so `reverse` the sort ordering
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val heapCmp = ordering.reversed() // worst-first
+      var kept = 0L // rows currently resident across all heaps
       def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -112,6 +113,7 @@ case class TopKPerKeyExec(
         }
         if (heap.size < kLocal) {
           heap.add(row.copy().asInstanceOf[UnsafeRow])
+          kept += 1
         } else if (ordering.compare(row, heap.peek()) < 0) {
           // `row` sorts before the current worst → it belongs in the top k
           heap.poll()
@@ -119,24 +121,28 @@ case class TopKPerKeyExec(
         }
       }
       if (partialLocal) {
-        // ADAPTIVE partial: the heap map holds one k-row heap per
-        // distinct key with no spill path — the win when keys ≪ rows
-        // (the operator's contract). A caller keying on a near-unique
-        // column would make the partial buffer the whole partition, so
-        // the key density is checked every `checkEvery` rows: once
-        // keys > rows/2 (rows-per-key < 2 — no combine win left), STOP
-        // inserting, drain the heaps, and stream the remaining input
-        // through untouched. Correctness is unchanged either way —
-        // rows already evicted from a heap were beaten by k better
-        // rows of the same key, and the FINAL pass still bounds every
-        // key to k; only the shuffle-volume optimization is abandoned,
-        // exactly when it wasn't an optimization.
+        // ADAPTIVE partial: the heap map holds bounded per-key heaps
+        // with no spill path — the win when the heaps PRUNE (keys·k ≪
+        // rows, the operator's contract). The trigger is the COMBINE
+        // RATIO, not key count: once the resident heap rows exceed half
+        // the rows seen (checked every `checkEvery` rows), the partial
+        // is buffering, not pruning — whether because keys are
+        // near-unique OR because rows-per-key ≈ k (e.g. exactly-2 rows
+        // per key at k ≥ 2, where a key-count trigger never fires yet
+        // zero rows are pruned). Then STOP inserting, drain the heaps,
+        // and stream the remaining input through untouched. Correctness
+        // is unchanged either way — rows already evicted from a heap
+        // were beaten by k better rows of the same key, and the FINAL
+        // pass still bounds every key to k; only the shuffle-volume
+        // optimization is abandoned, exactly when it wasn't one. (The
+        // k ≥ rows-per-partition/2 corner also degrades — harmlessly:
+        // by definition the heaps were keeping most rows anyway.)
         var seen = 0L
         var degraded = false
         while (iter.hasNext && !degraded) {
           insert(iter.next())
           seen += 1
-          if ((seen & (checkEvery - 1L)) == 0L && heaps.size().toLong * 2L > seen)
+          if ((seen & (checkEvery - 1L)) == 0L && kept * 2L > seen)
             degraded = true
         }
         keysMetric += heaps.size().toLong
@@ -196,13 +202,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
   *
   * Cardinality contract — now MECHANICAL (round 15): the map-side
   * partial keeps one k-row heap per DISTINCT KEY, the win when
-  * keys ≪ rows (the batch-probe shape: tens of query ids against
-  * millions of candidates). A caller keying on a near-unique column
-  * no longer buffers whole partitions: the partial samples its own
-  * key density and DEGRADES to pass-through once keys exceed half the
-  * rows seen (checked every 4096 rows) — partial state stays bounded
-  * at O(rows-at-degrade × k) copies, output is identical (the final
-  * pass still bounds every key to k), and the
+  * keys·k ≪ rows (the batch-probe shape: tens of query ids against
+  * millions of candidates). A caller whose heaps don't prune — keys
+  * near-unique, or rows-per-key ≈ k — no longer buffers whole
+  * partitions: the partial samples its own COMBINE RATIO and DEGRADES
+  * to pass-through once resident heap rows exceed half the rows seen
+  * (checked every 4096 rows) — partial state stays bounded at
+  * O(rows-at-degrade) copies, output is identical (the final pass
+  * still bounds every key to k), and the
   * `degradedPartitions`/`partialKeys` SQL metrics expose which regime
   * ran. Every current call site keys on a bounded query/group set and
   * never degrades.

@@ -144,16 +144,25 @@ class ChunkStoreSpec extends SparkSpec {
   test("a concurrent commit of the same version fails instead of overwriting") {
     val store = freshStore()
     store.upsert(Seq((1L, "a")).toDF("doc_id", "content"))
-    // replay the same version number a racing writer would claim
+    // replay the same version number a racing writer would claim, with
+    // the PRIMITIVE the store actually commits through: FileContext's
+    // no-overwrite rename. (A plain FileSystem.rename assertion here
+    // only held via Hive's ProxyLocalFileSystem winning the `file:`
+    // scheme by classpath accident — stock LocalFileSystem.rename
+    // silently OVERWRITES, which is why commit() uses FileContext.)
     val hfs = new org.apache.hadoop.fs.Path(store.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val losing = new org.apache.hadoop.fs.Path(s"${store.root}/_log/_tmp-racer")
     val out = hfs.create(losing, false)
     out.write("0 seg-racer\n".getBytes("UTF-8")); out.close()
     val taken = new org.apache.hadoop.fs.Path(s"${store.root}/_log/v00000001.manifest")
-    assert(!hfs.rename(losing, taken),
-      "rename onto an existing manifest version must fail — that IS the conflict signal")
-    assert(store.read(spark).collect().map(_.getString(1)).toSeq == Seq("a"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      taken.toUri, spark.sparkContext.hadoopConfiguration)
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fc.rename(losing, taken, org.apache.hadoop.fs.Options.Rename.NONE)
+    }
+    assert(store.read(spark).collect().map(_.getString(1)).toSeq == Seq("a"),
+      "the winner's manifest must be preserved")
   }
 
   test("partial compaction folds only the oldest run; newer segments still win") {

@@ -67,14 +67,37 @@ class IndexMaintainSpec extends SparkSpec {
     val before = liveIds(dir)
     val r = M.maintainLayout(spark, dir, annCompact, maxDeltaAppends = 2)
     assert(r.compacted && r.deltaAppends == 3)
-    assert(LayoutLog.appendsSinceBuild(spark, dir) == 0, "fresh log after the fold")
-    assert(LayoutLog.history(spark, dir).map(_.verb) == Seq("build"))
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 0, "delta count reset after the fold")
+    // the swap CARRIES the source history (monotone versions — a racer's
+    // pre-swap token must collide with a real commit) and appends the
+    // fold as the next version
+    assert(LayoutLog.history(spark, dir).map(_.verb) ==
+      Seq("build", "append", "append", "append", "compact"))
     assert(liveIds(dir) == before, "the fold must preserve every live row at the same path")
     // the floor actually amortized: one file set per cluster again
     val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cluster="))
       .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
     assert(files.nonEmpty && files.forall(_ <= 2),
       s"delta files must fold back to ~1 per cluster, got $files")
+  }
+
+  test("drift rebuild re-clusters the LIVE face — tombstoned ids stay deleted") {
+    // round-15 review finding: maintainIndex's rebuild read the RAW
+    // layout and its swap dropped the sidecar, so a drift-triggered
+    // rebuild RESURRECTED every deleted id
+    val (dir, idx) = freshLayout()
+    Ann.deleteFromIndex(spark, dir, Seq(7L, 21L).toDF("vec_id"), "vec_id")
+    // force the rebuild branch: driftFactor 0 makes any delta "drifted"
+    val delta = corpus(200 until 220)
+    val (_, rep) = Ann.maintainIndex(spark, dir, delta, "embedding", "vec_id",
+      idx.centroids, baseCost = 1e-12, driftFactor = 0.0, k = 4, seed = 1L)
+    assert(rep.rebuilt)
+    val ids = spark.read.parquet(dir).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids(7L) && !ids(21L), "rebuild must not resurrect tombstoned ids")
+    assert(ids(205L) && ids(0L), "delta and surviving base rows present")
+    assert(!M.hasTombstones(dir), "rebuild folds the tombstones away")
+    // history carried through the rebuild swap; the rebuild is the last verb
+    assert(LayoutLog.history(spark, dir).map(_.verb).last == "build")
   }
 
   test("tombstone pressure compacts and clears the sidecar; probe parity holds") {

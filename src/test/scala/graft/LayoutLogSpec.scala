@@ -52,16 +52,49 @@ class LayoutLogSpec extends SparkSpec {
   }
 
   test("a concurrent commit of the same version fails instead of overwriting") {
+    // pins the CAS PRIMITIVE itself (tryCommit = FileContext no-overwrite
+    // rename): the loser must see false AND the winner's file must be
+    // preserved. FileSystem.rename would NOT give this on stock Hadoop
+    // LocalFileSystem — it returns true and silently replaces the
+    // destination (verified against this distribution's Hadoop; the
+    // `file:` scheme resolving to Hive's ProxyLocalFileSystem here is a
+    // classpath accident the protocol must not depend on).
     val dir = freshDir()
-    M.writeClustered(rows(0 until 10), dir, "overwrite") // v1
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val losing = new org.apache.hadoop.fs.Path(s"$dir/_log/_tmp-racer")
-    val out = hfs.create(losing, false)
-    out.write("append observed=0\n".getBytes("UTF-8")); out.close()
-    val taken = new org.apache.hadoop.fs.Path(s"$dir/_log/v00000001.commit")
-    assert(!hfs.rename(losing, taken),
-      "rename onto an existing commit version must fail — that IS the conflict signal")
+    M.writeClustered(rows(0 until 10), dir, "overwrite") // v1 build
+    assert(!LayoutLog.tryCommit(spark, dir, 1L, "append", 0L),
+      "commit onto an existing version must lose — that IS the conflict signal")
+    assert(LayoutLog.history(spark, dir).map(c => (c.version, c.verb)) == Seq((1L, "build")),
+      "the losing commit must not clobber the winner's record")
+  }
+
+  test("after an in-place policy swap, a racer holding a pre-swap token still collides loudly") {
+    // review finding (round 15): the swap must CARRY the source log —
+    // installing the staging dir's fresh v1-only log would let a racer
+    // with any pre-swap token win a commit slot silently over its own
+    // destroyed files. With the carry + the swap verb at observed+1,
+    // every pre-swap token walks into a real commit and the
+    // overwrite-class adjudication throws.
+    val dir = freshDir()
+    M.writeClustered(rows(0 until 40), dir, "overwrite") // v1 build
+    M.writeClustered(rows(40 until 50), dir, "append")   // v2 append
+    M.writeClustered(rows(50 until 60), dir, "append")   // v3 append
+    val rep = M.maintainLayout(spark, dir,
+      (s, o) => { M.fencedCompact(spark, "T", s) {
+        M.writeClustered(M.liveFace(spark, s, spark.read.parquet(s), "id"), o, "overwrite")
+      }},
+      maxDeltaAppends = 1)
+    assert(rep.compacted)
+    // history carried + the fold committed at observed+1 (v4)
+    assert(LayoutLog.history(spark, dir).map(c => (c.version, c.verb)) ==
+      Seq((1L, "build"), (2L, "append"), (3L, "append"), (4L, "compact")))
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 0)
+    // racer wrote files having observed v2 (pre-swap), commits now:
+    // v3 collides with a carried append (commutes, step), v4 collides
+    // with the swap's compact -> loud failure, never silent success
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LayoutLog.commitVerb(spark, dir, "append", observed = 2L)
+    }
+    assert(e.getMessage.contains("'compact'"), e.getMessage)
   }
 
   test("append-class verbs commute: a stale-token append retries past another append and both survive") {

@@ -102,7 +102,10 @@ class StreamLifecycleSpec extends SparkSpec {
       assert(rep.compacted && rep.tombstones == dels.size.toLong,
         s"forced policy fold must fire mid-stream: $rep")
       assert(!M.hasTombstones(layout), "fold must clear the sidecar")
-      assert(LayoutLog.history(spark, layout).map(_.verb) == Seq("build"))
+      // history carried through the swap, fold appended as the next verb
+      assert(LayoutLog.history(spark, layout).map(_.verb) ==
+        Seq("build", "append", "delete", "append", "compact"))
+      assert(LayoutLog.appendsSinceBuild(spark, layout) == 0)
       assert(probe(layout) == scratch(live), "parity after the mid-stream fold")
 
       // point 5: the SAME query keeps appending after the swap

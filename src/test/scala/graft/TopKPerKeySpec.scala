@@ -142,6 +142,24 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.size == n.toInt && got.forall(_._4 == 1L))
   }
 
+  test("rows-per-key = 2 at k >= 2 (zero pruning) also degrades — combine-ratio trigger") {
+    // the regime a key-count trigger misses (keys*2 == rows exactly):
+    // every row is kept, nothing is pruned, the partial is pure
+    // buffering — the combine-ratio trigger must fire
+    val n = 40000L
+    val df = spark.range(0, n, 1, 4)
+      .selectExpr("cast(id / 2 as long) as grp", "id", "cast(id % 7 as double) as score")
+    val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val partials = partialExecs(res)
+    assert(partials.nonEmpty)
+    assert(partials.map(_.metrics("degradedPartitions").value).sum > 0,
+      "rows-per-key=2 buffers everything without pruning — must degrade")
+    // correctness unchanged: both rows of every key survive, ranks 1..2
+    assert(got.length == n.toInt)
+    assert(got.groupBy(_._1).forall { case (_, rows) => rows.map(_._3).sorted.toSeq == Seq(1L, 2L) })
+  }
+
   test("the contract cardinality (keys << rows) never degrades") {
     val res = TopK.perKey(fixture, Seq("grp"), Seq(("score", false), ("id", true)), 7)
     res.collect()
