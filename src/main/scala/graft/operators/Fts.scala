@@ -208,6 +208,30 @@ object Fts extends IndexMaintenance {
     }
   }
 
+  /** AUTO-MAINTENANCE policy for the FTS layout —
+    * [[IndexMaintenance.maintainLayout]] specialized with this family's
+    * compaction and handle invalidation: delta-segment pressure (from
+    * the commit log) or tombstone pressure (from the sidecar) triggers
+    * a fold of the LIVE face back to the global term-range layout, via
+    * the shared fenced in-place swap — the index dir stays stable for
+    * every probe handle. Stats carry unchanged (delete already
+    * decremented them exactly), so the returned Index is the input with
+    * the same books; only the file set folded.
+    */
+  def maintain(
+      spark: SparkSession,
+      index: Index,
+      idCol: String,
+      maxDeltaAppends: Int = 8,
+      maxTombstones: Long = TombstoneState.InlineLimit.toLong
+  ): (Index, LayoutMaintenanceReport) = {
+    val rep = maintainLayout(spark, index.dir,
+      (_, out) => { compact(spark, index, idCol, out); () },
+      maxDeltaAppends, maxTombstones)
+    if (rep.compacted) invalidateSegments(index.dir) // cached handles are stale post-swap
+    (index, rep)
+  }
+
   /** Hardlink-clone a persisted index layout into a fresh directory so
     * a caller can APPEND deltas without mutating the shared base — an
     * O(#files) metadata operation, no data copied (segment files are

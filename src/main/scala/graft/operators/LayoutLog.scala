@@ -129,12 +129,26 @@ object LayoutLog {
 
   /** Append-class verbs committed after the last overwrite-class verb —
     * the read amplification a probe's listing pays beyond the compacted
-    * base, and the trigger metric of the auto-maintenance policy.
+    * base, and the trigger metric of the auto-maintenance policy. Reads
+    * NEWEST-FIRST and stops at the first overwrite-class commit: the
+    * carried-history swap design makes total history unbounded across
+    * folds (deliberately — every pre-swap token must collide with a
+    * real commit), but this check is called per maintenance tick, so
+    * its FS reads are bounded by deltas-since-last-fold + 1, not by the
+    * layout's lifetime verb count.
     */
   def appendsSinceBuild(spark: SparkSession, dir: String): Int = {
-    val h = history(spark, dir)
-    val lastBuild = h.lastIndexWhere(c => !AppendClass.contains(c.verb))
-    h.drop(lastBuild + 1).count(_.verb == "append")
+    val fs = fsOf(spark, dir)
+    val newestFirst = listVersions(fs, dir).reverseIterator
+    var appends = 0
+    while (newestFirst.hasNext) {
+      readCommit(fs, dir, newestFirst.next()) match {
+        case Some(c) if AppendClass.contains(c.verb) =>
+          if (c.verb == "append") appends += 1
+        case _ => return appends
+      }
+    }
+    appends
   }
 
   /** One commit attempt at exactly `v`; false = that version is taken

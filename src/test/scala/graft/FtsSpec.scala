@@ -223,6 +223,28 @@ class FtsSpec extends SparkSpec {
     assert(row(compacted) == r1, "compaction must not move the books")
   }
 
+  test("maintain: the threshold policy folds the FTS layout IN PLACE; probes and stats carry") {
+    val dir = Files.createTempDirectory("graft_fts_maint").toString
+    val base = Fts.build(docsFixture.filter(col("doc_id") <= 2L), "text", "doc_id", dir)
+    val i1 = Fts.appendToIndex(base, docsFixture.filter(col("doc_id") === 3L), "text", "doc_id")
+    val i2 = Fts.appendToIndex(i1, docsFixture.filter(col("doc_id") === 4L), "text", "doc_id")
+    val del = Fts.deleteFromIndex(spark, i2, Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    val terms = Seq("cat", "dog", "fish")
+    val before = Fts.probe(spark, del, "doc_id", terms, k = 10).collect().toSeq
+    val (kept, rep) = Fts.maintain(spark, del, "doc_id", maxDeltaAppends = 1)
+    assert(rep.compacted && rep.deltaAppends == 2 && rep.tombstones == 1L, rep.toString)
+    assert(kept.dir == del.dir && kept.nDocs == del.nDocs && kept.sumDl == del.sumDl,
+      "the index handle is unchanged — same path, same carried stats")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_tombstones")),
+      "the fold clears the sidecar")
+    assert(Fts.probe(spark, kept, "doc_id", terms, k = 10).collect().toSeq == before,
+      "probes over the folded layout score bit-identically (stale handles invalidated)")
+    val semBefore = Fts.semanticProbe(spark, kept, "doc_id", "cat dog", k = 10).collect().toSeq
+    assert(semBefore.nonEmpty, "the semantic sidecar survived the in-place fold")
+    val (_, rep2) = Fts.maintain(spark, kept, "doc_id", maxDeltaAppends = 1)
+    assert(!rep2.compacted, "pressure relieved — the second call is a no-op")
+  }
+
   test("compact: append + delete fold into a clean layout scoring bit-identically") {
     val dir = Files.createTempDirectory("graft_fts_cmp").toString
     val base = Fts.build(docsFixture.filter(col("doc_id") <= 3L), "text", "doc_id", dir)
