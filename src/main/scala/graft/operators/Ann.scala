@@ -516,6 +516,7 @@ object Ann extends IndexMaintenance {
       val staging = path + "-rebuild"
       writeIndex(fresh, staging)
       fencedSwap(spark, "Ann.maintainIndex", path, staging, observed, "build")
+      LayoutLog.vacuum(spark, path): Unit // squash pre-rebuild history behind the build commit
       (fresh.centroids, MaintenanceReport(deltaCost, baseCost, rebuilt = true))
     }
   }

@@ -233,9 +233,13 @@ trait IndexMaintenance {
     * dir, then SWAPPED into place the way [[Ann.maintainIndex]]'s
     * drift rebuild swaps: the layout path is stable for readers, the
     * swap is re-fenced against any verb that landed after the
-    * compaction finished, and the fresh log (v1 `build`) resets the
-    * delta count so the floor is amortized over every append/delete
-    * cycle since the last fold.
+    * compaction finished, and the swap's overwrite-class commit resets
+    * the delta count so the floor is amortized over every append/delete
+    * cycle since the last fold. After a fold the commit log itself is
+    * VACUUMED ([[LayoutLog.vacuum]]): pre-fold history squashes behind
+    * the fold's commit, so the log of a continuously-maintained layout
+    * stays bounded by the fold cadence (one retained suffix per cycle),
+    * never by lifetime verb count.
     */
   final def maintainLayout(
       spark: SparkSession,
@@ -258,35 +262,59 @@ trait IndexMaintenance {
       val staging = dir.stripSuffix("/") + "-compacting"
       compactInto(dir, staging)
       fencedSwap(spark, "maintainLayout", dir, staging, observed, "compact")
+      LayoutLog.vacuum(spark, dir): Unit
       LayoutMaintenanceReport(deltas, tombs, compacted = true)
     }
   }
 
   /** STAGED IN-PLACE SWAP shared by [[maintainLayout]] and
     * [[Ann.maintainIndex]]'s drift rebuild — the one copy of the
-    * fence + delete + rename + log-carry sequence (two hand-inlined
-    * copies drifted once already; any fix must land in both):
+    * fence + retire + rename + log-carry sequence (two hand-inlined
+    * copies drifted once already; any fix must land in both).
     *
-    *  - FENCE the swap window: a verb committed to `dir` after
-    *    `observed` (the version the staged rewrite snapshotted) would
-    *    be destroyed by the delete — throw and leave the live dir
-    *    untouched (staging is removed; the caller reruns).
-    *  - delete/rename RESULTS ARE CHECKED: a false rename (e.g. a
-    *    racing writer re-created `dir` between the delete and the
-    *    rename) must surface loudly with the staging path named, never
-    *    report success over a missing or mixed layout.
-    *  - the SOURCE LOG IS CARRIED through the swap and the swap verb
-    *    committed at `observed + 1`, so version numbering stays
-    *    monotone: a racer holding ANY pre-swap token collides with a
-    *    real commit and adjudicates (append history commutes; the swap
-    *    verb is overwrite-class and throws) instead of silently winning
-    *    a slot on a fresh v1-only log. Residual window, documented
-    *    honestly: a racer that writes its files AND commits entirely
-    *    inside the delete→commit window can still claim `observed + 1`
-    *    first — then THIS swap's own commit throws, so the conflict is
-    *    still detected loudly, just by the maintainer instead of the
-    *    racer. True lock-free atomicity for in-place replacement needs
-    *    a coordination service (the same boundary Delta draws for S3).
+    * Round-16 shape — RENAME-AWAY, never delete-first. The old
+    * sequence (delete live dir, rename staging in, restore log, commit
+    * swap verb) had two windows the round-15 review flagged: a crash
+    * between delete and rename lost the ONLY complete copy of the
+    * layout's live path (data survived solely in staging, needing
+    * manual recovery), and a reader racing the window could observe an
+    * installed dir whose carried log had not landed yet. Now:
+    *
+    *  1. FENCE: a verb committed to `dir` after `observed` (the version
+    *     the staged rewrite snapshotted) means the rewrite is stale —
+    *     throw, live dir untouched, staging removed.
+    *  2. The source log is CARRIED INTO THE STAGING DIR *before any
+    *     rename*, with the swap verb appended at `observed + 1` (we own
+    *     staging — no CAS needed), replacing staging's own fresh v1
+    *     record. One rename therefore installs data + full history +
+    *     swap commit ATOMICALLY: no reader or racer can ever observe
+    *     the new generation without its log.
+    *  3. RETIRE the live dir by renaming it aside — the old generation
+    *     survives, complete, until the new one is installed. A crash at
+    *     any step leaves at least one complete generation on disk
+    *     (before retire: live dir intact; between renames: retired +
+    *     staging both complete — recovery = rename either back).
+    *  4. POST-RETIRE FENCE: a verb that committed between step 1's read
+    *     and the retire landed in the old log (now at the retired
+    *     path). Detected by re-reading the retired log's version — and
+    *     because the old generation still exists, the swap ROLLS BACK
+    *     (rename it home, drop staging, throw CME for a rerun). The
+    *     delete-first design could only detect this racer, never
+    *     recover its files; rename-away closes that residual window.
+    *  5. Install staging at the live path (result checked: a failure —
+    *     e.g. a racing commitVerb's mkdirs re-created `dir` inside the
+    *     window — throws with BOTH intact generations named for
+    *     recovery), then drop the retired dir best-effort.
+    *
+    * Readers hold no pointer indirection — they scan `dir` — so the
+    * isolation contract is SNAPSHOT-OR-FAIL (spec-pinned by
+    * SwapIsolationSpec): a probe racing the swap sees the old
+    * generation, the new generation, or a loud path-does-not-exist
+    * error in the instant between the two renames; never an empty or
+    * mixed layout. Wait-free readers across a swap need a manifest
+    * pointer (the ChunkStore design) — that indirection changes every
+    * family's read path and stays out of scope while probes memoize
+    * listings per generation anyway.
     */
   final def fencedSwap(
       spark: SparkSession,
@@ -298,24 +326,51 @@ trait IndexMaintenance {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val hStaging = new org.apache.hadoop.fs.Path(staging)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (LayoutLog.version(spark, dir) != observed) {
+    // FENCE on the carried history itself (one read serves both): a verb
+    // committed after `observed` — even one landing between a separate
+    // version() check and this read — shows up as a carried entry at
+    // observed+1 and would collide with the swap commit appended below
+    val carried = LayoutLog.rawEntries(spark, dir)
+    if (carried.lastOption.map(_._1).getOrElse(0L) != observed) {
       fs.delete(hStaging, true)
       throw new java.util.ConcurrentModificationException(
         s"$family($dir): layout advanced past v$observed before the swap — " +
           "the staged rewrite is stale; rerun")
     }
-    val carried = LayoutLog.rawEntries(spark, dir)
-    if (!fs.delete(hPath, true))
+    LayoutLog.restore(spark, staging,
+      carried :+ ((observed + 1) -> s"$verb observed=$observed\n"))
+    val retired = new org.apache.hadoop.fs.Path(
+      dir.stripSuffix("/") + "-retired-" + java.util.UUID.randomUUID())
+    if (!fs.rename(hPath, retired))
       throw new java.io.IOException(
-        s"$family($dir): could not delete the live dir for the swap; " +
-          s"the staged rewrite is intact at $staging")
-    if (!fs.rename(hStaging, hPath))
+        s"$family($dir): could not retire the live dir for the swap; " +
+          s"the live layout is untouched and the staged rewrite is intact at $staging")
+    val retiredVersion = LayoutLog.version(spark, retired.toString)
+    if (retiredVersion != observed) {
+      // a racer committed inside the carry->retire window: its files and
+      // commit live in the RETIRED generation — roll it back home intact
+      if (!fs.rename(retired, hPath))
+        throw new java.io.IOException(
+          s"$family($dir): layout advanced v$observed -> v$retiredVersion during " +
+            s"the swap AND the rollback rename failed — the live generation is " +
+            s"intact at $retired, the staged rewrite at $staging; recover by " +
+            "renaming the retired dir back to the layout path")
+      fs.delete(hStaging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$family($dir): layout advanced v$observed -> v$retiredVersion during the " +
+          "swap — rolled back (the racer's write is preserved); rerun against " +
+          "the advanced layout")
+    }
+    if (!fs.rename(hStaging, hPath)) {
+      // do NOT delete the retired dir: it is the only installed-path
+      // generation; surface both intact copies for recovery
       throw new java.io.IOException(
-        s"$family($dir): rename of the staged rewrite failed — a concurrent " +
-          s"writer re-created the dir? The staged rewrite is intact at $staging; " +
-          "the layout path needs recovery from it")
-    LayoutLog.restore(spark, dir, carried)
-    LayoutLog.commitVerb(spark, dir, verb, observed): Unit
+        s"$family($dir): install rename failed — a concurrent writer re-created " +
+          s"the dir inside the swap window? The previous generation is intact at " +
+          s"$retired and the staged rewrite at $staging; recover by removing the " +
+          "conflicting dir and renaming one of them back")
+    }
+    fs.delete(retired, true) // the new generation is live; best-effort reap
     LayoutCache.invalidate(dir)
     TombstoneState.invalidate(dir)
   }

@@ -151,6 +151,59 @@ object LayoutLog {
     appends
   }
 
+  /** RETENTION for the commit log — the layout analog of
+    * [[ChunkStore]]'s manifest vacuum, closing the one unbounded-growth
+    * path left in the lifecycle: without it a continuously-maintained
+    * layout accrues one commit file per verb forever (a 10 s micro-batch
+    * appender is ~8.6k files/day) and every `version()` read pays the
+    * full listing, every swap's history carry rewrites it all.
+    *
+    * Truncates commit files STRICTLY OLDER than both bounds:
+    *  - `keepCommits`: the newest N commits always survive (the audit
+    *    tail a debugging session actually reads);
+    *  - the last OVERWRITE-class commit (`build`/`compact`) and
+    *    everything after it always survive — [[appendsSinceBuild]] scans
+    *    newest-first to that barrier, so truncating an append above it
+    *    would silently undercount the maintenance policy's trigger
+    *    metric, and the barrier commit itself is what a retained-suffix
+    *    scan terminates on. A log with no overwrite-class commit yet
+    *    (pure tombstone history on a pre-log layout) is never truncated:
+    *    there is no barrier to squash behind.
+    *
+    * Monotonicity survives vacuum WITHOUT a placeholder commit: the max
+    * version is always retained, so new commits still walk from above
+    * it, and [[commitVerb]] treats every slot at or below the max as
+    * claimed — a racer whose token predates the horizon hits a vacuumed
+    * hole and fails LOUDLY (spec-pinned) instead of CAS-winning a
+    * historical slot. Vacuum itself needs no CAS and commits no verb:
+    * it only deletes files no live protocol step reads (concurrent
+    * vacuums idempotently race to delete the same names; a fence
+    * comparing versions across a body must not see maintenance-only
+    * activity as a data conflict).
+    *
+    * Reference anchor: store.py:180 — LanceDB compacts its own
+    * transaction log; this is the directory-log analog.
+    *
+    * @return number of commit files removed
+    */
+  def vacuum(spark: SparkSession, dir: String, keepCommits: Int = 8): Int = {
+    require(keepCommits >= 1, s"keepCommits must be >= 1 (got $keepCommits)")
+    val fs = fsOf(spark, dir)
+    val versions = listVersions(fs, dir)
+    if (versions.isEmpty) return 0
+    val maxV = versions.last
+    val lastOverwrite = versions.reverseIterator
+      .find(v => readCommit(fs, dir, v).exists(c => !AppendClass.contains(c.verb)))
+    lastOverwrite match {
+      case None => 0 // no barrier — nothing is safely squashable
+      case Some(barrier) =>
+        val horizon = math.min(maxV - keepCommits + 1, barrier)
+        val deletable = versions.filter(_ < horizon)
+        deletable.foreach(v => fs.delete(commitPath(dir, v), false))
+        deletable.size
+    }
+  }
+
   /** One commit attempt at exactly `v`; false = that version is taken
     * (and the winner's file is PRESERVED — see the FileContext note in
     * the object doc). `private[graft]` so the spec can pin the CAS
@@ -174,10 +227,16 @@ object LayoutLog {
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(tmp, false); false
-      case e: java.io.IOException if fs.exists(dst) =>
+      case _: java.io.IOException if fs.exists(dst) =>
         // an FS that signals the existing destination with a plain
         // IOException — still the conflict, not an infrastructure error
         fs.delete(tmp, false); false
+      case e: Throwable =>
+        // genuine infrastructure failure: still reap the temp file —
+        // leaking one _tmp-* per failed attempt grows _log/ forever
+        // (they are invisible to listVersions but real FS debris)
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
     }
   }
 
@@ -190,16 +249,49 @@ object LayoutLog {
     */
   def commitVerb(spark: SparkSession, dir: String, verb: String, observed: Long): Long = {
     val fs = fsOf(spark, dir)
+    // every verb writes its data files into `dir` BEFORE committing, so
+    // a missing layout dir here means the dir (data files included) was
+    // moved or removed under this writer — most likely an in-flight
+    // [[IndexMaintenance.fencedSwap]] retired it. Committing anyway
+    // would resurrect a ghost dir holding only a _log (poisoning the
+    // swap's install rename) and report success over files that are no
+    // longer at the layout path. Fail loudly instead; the swap's
+    // post-retire fence preserves any racer that beat the retire.
+    if (!fs.exists(new Path(dir.stripSuffix("/"))))
+      throw new java.util.ConcurrentModificationException(
+        s"layout $dir: '$verb' cannot commit — the layout dir no longer exists " +
+          "(an in-place swap may be in flight, or the layout was removed); " +
+          "this writer's data files went with it, so success must not be reported")
     // walk from the writer's own fencing token, NOT a re-read of the
     // current version: every version committed since `observed` is a
     // write this writer did not see, and each one must be adjudicated
     // (commutes -> step over it; overwrite-class -> surface). Re-reading
     // here would silently step over an interleaved build.
+    //
+    // [[vacuum]] interplay: every slot at or below the CURRENT max
+    // version is CLAIMED history even when its commit file was
+    // truncated — CAS-renaming into such a hole would let a writer
+    // whose token predates the retention horizon win a historical slot
+    // silently (exactly the lost-update the carry protocol exists to
+    // make loud). So slots <= the max read here are never attempted:
+    // present files adjudicate by verb class; a vacuumed hole throws,
+    // because the winner's class is unknowable and the token is older
+    // than anything the log still remembers.
+    val claimed = listVersions(fs, dir).lastOption.getOrElse(0L)
     var attempt = observed + 1
     var retries = 0
+    try {
     while (retries < 64) {
-      if (tryCommit(spark, dir, attempt, verb, observed)) return attempt
-      val winner = readCommit(fs, dir, attempt).map(_.verb).getOrElse("?")
+      if (attempt > claimed && tryCommit(spark, dir, attempt, verb, observed)) return attempt
+      val winnerCommit = readCommit(fs, dir, attempt)
+      if (winnerCommit.isEmpty && attempt <= claimed)
+        throw new java.util.ConcurrentModificationException(
+          s"layout $dir: '$verb' (observed v$observed) targets slot v$attempt, " +
+            s"which was vacuumed from the log (current version v$claimed) — the " +
+            "token predates the retention horizon, so the intervening history " +
+            "(and whether it destroyed this writer's files) is unknowable. " +
+            "Audit the layout against its current state before retrying")
+      val winner = winnerCommit.map(_.verb).getOrElse("?")
       if (AppendClass.contains(verb) && AppendClass.contains(winner)) {
         // commuting verbs: the winner's files and ours are both valid
         // directory data — take the next slot
@@ -219,6 +311,22 @@ object LayoutLog {
     throw new java.util.ConcurrentModificationException(
       s"layout $dir: '$verb' exhausted commit retries at v$attempt — " +
         "writer contention is pathological; serialize writers upstream")
+    } catch {
+      // the entry guard checked the dir existed, but a swap can retire
+      // it between that check and the commit's own file operations — the
+      // resulting infrastructure errors (FileNotFound on _log, chmod on a
+      // vanished tmp) ARE the same conflict, surfaced mid-flight. Only
+      // translate when the dir is actually gone; a genuine FS fault on a
+      // live dir still propagates as what it is.
+      case e: java.io.IOException if !fs.exists(new Path(dir.stripSuffix("/"))) =>
+        val cme = new java.util.ConcurrentModificationException(
+          s"layout $dir: '$verb' failed mid-commit because the layout dir " +
+            "vanished under it (an in-place swap retired it); this writer's " +
+            "data files went with the retired generation, so success must " +
+            "not be reported")
+        cme.initCause(e)
+        throw cme
+    }
   }
 
   /** Raw commit files (version -> file body) — the history an in-place

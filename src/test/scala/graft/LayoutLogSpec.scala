@@ -121,6 +121,121 @@ class LayoutLogSpec extends SparkSpec {
     assert(e.getMessage.contains("'build'"), e.getMessage)
   }
 
+  import scala.jdk.CollectionConverters._
+
+  private def logFiles(dir: String): Seq[String] = {
+    val lp = java.nio.file.Paths.get(dir, LayoutLog.LogSub)
+    if (!java.nio.file.Files.isDirectory(lp)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(lp)
+      // drop the local-FS checksum sidecars — only the commit records count
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".commit")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  test("vacuum truncates history behind the last overwrite-class commit; version + policy metric survive") {
+    // direct commits build a long retained history (an overwrite VERB
+    // would wipe the on-disk log itself — compaction folds keep it)
+    val dir2 = freshDir()
+    M.writeClustered(rows(0 until 40), dir2, "overwrite")     // v1 build
+    var obs = 1L
+    (0 until 10).foreach { _ =>                                // v2..v11 delete-verbs (append-class)
+      obs = LayoutLog.commitVerb(spark, dir2, "delete", obs)
+    }
+    obs = LayoutLog.commitVerb(spark, dir2, "compact", obs)   // v12 barrier
+    obs = LayoutLog.commitVerb(spark, dir2, "append", obs)    // v13
+    obs = LayoutLog.commitVerb(spark, dir2, "append", obs)    // v14
+    assert(LayoutLog.version(spark, dir2) == 14L)
+    val removed = LayoutLog.vacuum(spark, dir2, keepCommits = 4)
+    // horizon = min(14-4+1, 12) = 11 -> v1..v10 removed, v11..v14 retained
+    assert(removed == 10, s"expected 10 removed, got $removed")
+    assert(LayoutLog.version(spark, dir2) == 14L, "max version must survive vacuum")
+    assert(LayoutLog.appendsSinceBuild(spark, dir2) == 2,
+      "the policy's trigger metric must be exact across vacuum")
+    assert(LayoutLog.history(spark, dir2).map(_.version) == Seq(11L, 12L, 13L, 14L))
+    // keepCommits floor: the newest N survive even past the barrier
+    val removed2 = LayoutLog.vacuum(spark, dir2, keepCommits = 4)
+    assert(removed2 == 0, "idempotent: a second vacuum at the same bounds removes nothing")
+  }
+
+  test("vacuum never truncates the barrier or the appends above it") {
+    val dir = freshDir()
+    M.writeClustered(rows(0 until 40), dir, "overwrite")      // v1 build (barrier)
+    var obs = 1L
+    (0 until 6).foreach { _ => obs = LayoutLog.commitVerb(spark, dir, "append", obs) } // v2..v7
+    // keepCommits=1 would allow horizon maxV=7, but the barrier bound
+    // (v1) wins: appends since the build are the policy metric
+    assert(LayoutLog.vacuum(spark, dir, keepCommits = 1) == 0)
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 6)
+  }
+
+  test("a log with no overwrite-class commit is never vacuumed") {
+    // pre-log layout whose first verbs are tombstone deletes: no barrier
+    // exists, so nothing is safely squashable
+    val dir = freshDir()
+    rows(0 until 10).write.partitionBy("cluster").parquet(dir)
+    M.appendTombstones(Seq(1L).toDF("id"), dir)               // v1 delete
+    M.appendTombstones(Seq(2L).toDF("id"), dir)               // v2 delete
+    assert(LayoutLog.vacuum(spark, dir, keepCommits = 1) == 0)
+    assert(LayoutLog.history(spark, dir).map(_.verb) == Seq("delete", "delete"))
+  }
+
+  test("a racer whose token predates the vacuum horizon fails loudly instead of CAS-winning a hole") {
+    val dir = freshDir()
+    M.writeClustered(rows(0 until 40), dir, "overwrite")      // v1 build
+    var obs = 1L
+    (0 until 8).foreach { _ => obs = LayoutLog.commitVerb(spark, dir, "append", obs) } // v2..v9
+    obs = LayoutLog.commitVerb(spark, dir, "compact", obs)    // v10 barrier
+    obs = LayoutLog.commitVerb(spark, dir, "append", obs)     // v11
+    assert(LayoutLog.vacuum(spark, dir, keepCommits = 2) > 0) // v1..v9 gone
+    // racer wrote files having observed v3 (now a vacuumed hole) and
+    // commits: slot v4 is claimed history with no file — the winner's
+    // class is unknowable, so the commit must fail loudly, NEVER rename
+    // into the hole and report success
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LayoutLog.commitVerb(spark, dir, "append", observed = 3L)
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(LayoutLog.version(spark, dir) == 11L,
+      "the failed commit must not have altered the log")
+    assert(LayoutLog.history(spark, dir).map(_.version) == Seq(10L, 11L),
+      "no file may appear in a vacuumed slot")
+  }
+
+  test("maintainLayout auto-vacuums: the fold bounds the commit log, not just the file set") {
+    val dir = freshDir()
+    M.writeClustered(rows(0 until 40), dir, "overwrite")      // v1 build
+    // 12 delta appends (over the default keep of 8), then a policy fold
+    (0 until 12).foreach(i =>
+      M.writeClustered(rows(100 + 10 * i until 110 + 10 * i), dir, "append"))
+    assert(LayoutLog.version(spark, dir) == 13L)
+    val rep = M.maintainLayout(spark, dir,
+      (s, o) => { M.fencedCompact(spark, "T", s) {
+        M.writeClustered(M.liveFace(spark, s, spark.read.parquet(s), "id"), o, "overwrite")
+      }},
+      maxDeltaAppends = 4)
+    assert(rep.compacted)
+    assert(LayoutLog.version(spark, dir) == 14L, "swap verb at observed+1")
+    // post-fold vacuum: barrier is the fold's own compact commit (v14);
+    // keep=8 retains v7..v14 only
+    assert(LayoutLog.history(spark, dir).map(_.version) == (7L to 14L),
+      s"got ${LayoutLog.history(spark, dir)}")
+    assert(LayoutLog.appendsSinceBuild(spark, dir) == 0)
+    // and the carried history of the NEXT fold is the bounded suffix:
+    (0 until 5).foreach(i =>
+      M.writeClustered(rows(300 + 10 * i until 310 + 10 * i), dir, "append"))
+    val rep2 = M.maintainLayout(spark, dir,
+      (s, o) => { M.fencedCompact(spark, "T", s) {
+        M.writeClustered(M.liveFace(spark, s, spark.read.parquet(s), "id"), o, "overwrite")
+      }},
+      maxDeltaAppends = 4)
+    assert(rep2.compacted)
+    assert(logFiles(dir).size <= 9,
+      s"the log must stay bounded across folds, got ${logFiles(dir)}")
+  }
+
   test("compaction is fenced: a concurrent append to the source throws; rerun includes it") {
     val dir = freshDir()
     val out1 = dir + "-compact1"
