@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes RAW to stdout/stderr, not through sbt's
+// logger: the logger prefixes every line with "[info] ", which defeats
+// any consumer parsing Bench's final JSON summary line from the stdout
+// tail (every BENCH_r*.json through round 15 recorded parsed:null for
+// exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -370,6 +370,18 @@ object Pq extends IndexMaintenance {
         s"[graft] WARN residual-PQ m=$mEff at dim=$dim quantizes ${dim / mEff} dims " +
           s"per subspace — past the measured recall wall (PLANS.md: 0.600 at 16 " +
           s"dims/subspace vs 0.925 at 8); consider m = dim/8 = ${sizedM(dim)}")
+    if (m == AutoM && mEff != 8)
+      // BREAKING-DEFAULT callout (round-15 change, round-16 advice): the
+      // old defaults were a fixed m=8, codes=16. A caller relying on the
+      // old defaults gets a differently-shaped model now — and a layout
+      // ENCODED under one sizing must never be probed with a model
+      // trained under another (the memo key includes m/codes, so the
+      // cache itself cannot mix them; persisted layouts are on the
+      // caller). Loud so the resolution is visible in driver logs.
+      System.err.println(
+        s"[graft] NOTE residual-PQ default sizing resolved m=$mEff (= dim/8 at " +
+          s"dim=$dim), codes=256 — the pre-round-15 defaults were m=8, codes=16; " +
+          "pass m/codes explicitly when probing a layout encoded under the old sizing")
     mEff
   }
 

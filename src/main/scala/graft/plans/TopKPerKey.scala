@@ -93,6 +93,10 @@ case class TopKPerKeyExec(
     val outputAttrs = output
     val partialLocal = partial
     val checkEvery = DegradeCheckEvery
+    // read on the driver, captured in the task closure (the spec lowers
+    // it to exercise the degrade mechanics at small partition sizes)
+    val softCap = TopKPerKeyExec.DegradeSoftCap
+    val newKeyFloor = (checkEvery / 64L).toInt // sustained-arrival floor per window
     val degradedMetric = longMetric("degradedPartitions")
     val keysMetric = longMetric("partialKeys")
     child.execute().mapPartitions { iter =>
@@ -123,27 +127,50 @@ case class TopKPerKeyExec(
       if (partialLocal) {
         // ADAPTIVE partial: the heap map holds bounded per-key heaps
         // with no spill path — the win when the heaps PRUNE (keys·k ≪
-        // rows, the operator's contract). The trigger is the COMBINE
-        // RATIO, not key count: once the resident heap rows exceed half
-        // the rows seen (checked every `checkEvery` rows), the partial
-        // is buffering, not pruning — whether because keys are
-        // near-unique OR because rows-per-key ≈ k (e.g. exactly-2 rows
-        // per key at k ≥ 2, where a key-count trigger never fires yet
-        // zero rows are pruned). Then STOP inserting, drain the heaps,
-        // and stream the remaining input through untouched. Correctness
-        // is unchanged either way — rows already evicted from a heap
-        // were beaten by k better rows of the same key, and the FINAL
-        // pass still bounds every key to k; only the shuffle-volume
-        // optimization is abandoned, exactly when it wasn't one. (The
-        // k ≥ rows-per-partition/2 corner also degrades — harmlessly:
-        // by definition the heaps were keeping most rows anyway.)
+        // rows, the operator's contract). Degrading to pass-through
+        // requires ALL THREE signals at a check mark (every `checkEvery`
+        // rows, first evaluated at the second mark so the legitimate
+        // heap-FILL phase of a bounded key set is never mistaken for
+        // buffering — the round-15 advice case: hundreds of query ids
+        // against millions of candidates tripped the bare combine-ratio
+        // test at the first mark and abandoned the shuffle-volume win):
+        //  1. resident heap rows exceed the SOFT CAP — below it there is
+        //     no memory pressure and the partial's worst case is
+        //     shipping one small buffered batch, so nothing to abandon;
+        //  2. the COMBINE RATIO is bad (resident rows > half the rows
+        //     seen): the heaps are holding, not pruning — true both for
+        //     near-unique keys and for rows-per-key ≈ k (exactly-2 rows
+        //     per key at k ≥ 2, where a key-count trigger never fires
+        //     yet zero rows are pruned);
+        //  3. NEW KEYS are still arriving above a floor rate: a closed
+        //     key set's arrival decays to zero once every key has been
+        //     seen (then resident state is bounded at keys·k and the
+        //     partial must keep combining no matter the ratio), while
+        //     every unbounded regime — near-unique keys, any constant
+        //     rows-per-key — keeps minting keys at a constant rate.
+        // Then STOP inserting, drain the heaps, and stream the remaining
+        // input through untouched. Correctness is unchanged either way —
+        // rows already evicted were beaten by k better same-key rows,
+        // and the FINAL pass still bounds every key to k; only the
+        // shuffle-volume optimization is abandoned, exactly when it
+        // wasn't one. Envelope, stated honestly: a key set that closes
+        // before resident rows cross the cap is fully protected; one
+        // that is technically bounded but minting keys past the cap
+        // degrades (bounded memory beats a pruning win we cannot yet
+        // distinguish from unbounded growth).
         var seen = 0L
         var degraded = false
+        var heapsPrev = 0
         while (iter.hasNext && !degraded) {
           insert(iter.next())
           seen += 1
-          if ((seen & (checkEvery - 1L)) == 0L && kept * 2L > seen)
-            degraded = true
+          if ((seen & (checkEvery - 1L)) == 0L) {
+            val newKeys = heaps.size() - heapsPrev
+            heapsPrev = heaps.size()
+            if (seen >= checkEvery * 2L && kept > softCap &&
+              kept * 2L > seen && newKeys > newKeyFloor)
+              degraded = true
+          }
         }
         keysMetric += heaps.size().toLong
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -186,6 +213,20 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** Resident heap rows below which a partial NEVER degrades: with at
+    * most this many buffered copies per partition there is no memory
+    * pressure, and the worst case is shipping one bounded batch — while
+    * a bare ratio test below it abandons the shuffle-volume win for any
+    * workload whose keys·k exceeds half a check window (the round-15
+    * advice finding). `private[graft] var` so the degrade mechanics are
+    * spec-testable at small partition sizes; production value is the
+    * default. Read on the driver per execution and captured in the task
+    * closure.
+    */
+  private[graft] var DegradeSoftCap: Int = 65536
+}
+
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(part, order, k, rank, child) =>
@@ -200,19 +241,25 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * `orderBy` entries are (columnName, ascending) — keep the composite
   * ordering total (add an id tie-break) for deterministic ranks.
   *
-  * Cardinality contract — now MECHANICAL (round 15): the map-side
-  * partial keeps one k-row heap per DISTINCT KEY, the win when
-  * keys·k ≪ rows (the batch-probe shape: tens of query ids against
-  * millions of candidates). A caller whose heaps don't prune — keys
-  * near-unique, or rows-per-key ≈ k — no longer buffers whole
-  * partitions: the partial samples its own COMBINE RATIO and DEGRADES
-  * to pass-through once resident heap rows exceed half the rows seen
-  * (checked every 4096 rows) — partial state stays bounded at
-  * O(rows-at-degrade) copies, output is identical (the final pass
-  * still bounds every key to k), and the
-  * `degradedPartitions`/`partialKeys` SQL metrics expose which regime
-  * ran. Every current call site keys on a bounded query/group set and
-  * never degrades.
+  * Cardinality contract — MECHANICAL since round 15, warm-up-aware
+  * since round 16: the map-side partial keeps one k-row heap per
+  * DISTINCT KEY, the win when keys·k ≪ rows (the batch-probe shape:
+  * tens of query ids against millions of candidates). A caller whose
+  * heaps don't prune — keys near-unique, or rows-per-key ≈ k — no
+  * longer buffers whole partitions: the partial DEGRADES to
+  * pass-through when, at a 4096-row check mark past the first, resident
+  * heap rows exceed BOTH the soft cap ([[TopKPerKeyExec.DegradeSoftCap]])
+  * and half the rows seen AND new keys are still arriving above a floor
+  * rate. The last condition is the round-16 fix: a bounded key set
+  * legitimately holds everything while its heaps FILL (keys·k can far
+  * exceed one check window), but its key-arrival rate decays to zero —
+  * whereas every unbounded regime keeps minting keys — so the fill
+  * phase of the operator's own contract shape no longer abandons the
+  * shuffle-volume win. Partial state stays bounded at O(rows-at-degrade)
+  * copies, output is identical (the final pass still bounds every key
+  * to k), and the `degradedPartitions`/`partialKeys` SQL metrics expose
+  * which regime ran. Every current call site keys on a bounded
+  * query/group set and never degrades.
   */
 object TopK {
   def perKey(

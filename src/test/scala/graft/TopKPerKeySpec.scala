@@ -119,6 +119,17 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  /** Run `body` with the degrade soft cap lowered so the mechanics are
+    * exercisable at spec-sized partitions (production cap is 65536
+    * resident rows — a deliberate "no memory pressure, nothing to
+    * abandon" floor).
+    */
+  private def withSoftCap[T](cap: Int)(body: => T): T = {
+    val prev = graft.plans.TopKPerKeyExec.DegradeSoftCap
+    graft.plans.TopKPerKeyExec.DegradeSoftCap = cap
+    try body finally graft.plans.TopKPerKeyExec.DegradeSoftCap = prev
+  }
+
   test("rows-per-key~1 input degrades the partial to pass-through with identical output") {
     // 50k rows, every key distinct — the anti-contract cardinality the
     // round-14 verdict wanted mechanical: without the degrade the
@@ -126,20 +137,22 @@ class TopKPerKeySpec extends SparkSpec {
     val n = 50000L
     val df = spark.range(0, n, 1, 4)
       .selectExpr("id as grp", "id", "cast(sin(id * 3) * 100 as double) as score")
-    val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
-    // execute res ITSELF (a .select would be a new queryExecution and
-    // its metrics would not land on the plan instance inspected below)
-    val got = res.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-    val partials = partialExecs(res)
-    assert(partials.nonEmpty, res.queryExecution.executedPlan.toString)
-    val degraded = partials.map(_.metrics("degradedPartitions").value).sum
-    val heldKeys = partials.map(_.metrics("partialKeys").value).sum
-    assert(degraded > 0, s"unique-key input must trip the degrade (held $heldKeys keys)")
-    assert(heldKeys < n / 2 + 4 * 4096,
-      s"partial state must stay bounded after the degrade, held $heldKeys of $n keys")
-    // correctness unchanged: every key survives with rank 1
-    assert(got.size == n.toInt && got.forall(_._4 == 1L))
+    withSoftCap(1024) {
+      val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+      // execute res ITSELF (a .select would be a new queryExecution and
+      // its metrics would not land on the plan instance inspected below)
+      val got = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val partials = partialExecs(res)
+      assert(partials.nonEmpty, res.queryExecution.executedPlan.toString)
+      val degraded = partials.map(_.metrics("degradedPartitions").value).sum
+      val heldKeys = partials.map(_.metrics("partialKeys").value).sum
+      assert(degraded > 0, s"unique-key input must trip the degrade (held $heldKeys keys)")
+      assert(heldKeys < n / 2 + 4 * 4096,
+        s"partial state must stay bounded after the degrade, held $heldKeys of $n keys")
+      // correctness unchanged: every key survives with rank 1
+      assert(got.size == n.toInt && got.forall(_._4 == 1L))
+    }
   }
 
   test("rows-per-key = 2 at k >= 2 (zero pruning) also degrades — combine-ratio trigger") {
@@ -149,15 +162,62 @@ class TopKPerKeySpec extends SparkSpec {
     val n = 40000L
     val df = spark.range(0, n, 1, 4)
       .selectExpr("cast(id / 2 as long) as grp", "id", "cast(id % 7 as double) as score")
-    val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
-    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    withSoftCap(1024) {
+      val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 3)
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      val partials = partialExecs(res)
+      assert(partials.nonEmpty)
+      assert(partials.map(_.metrics("degradedPartitions").value).sum > 0,
+        "rows-per-key=2 buffers everything without pruning — must degrade")
+      // correctness unchanged: both rows of every key survive, ranks 1..2
+      assert(got.length == n.toInt)
+      assert(got.groupBy(_._1).forall { case (_, rows) => rows.map(_._3).sorted.toSeq == Seq(1L, 2L) })
+    }
+  }
+
+  test("bounded key set whose keys*k exceeds a check window keeps combining (round-15 advice case)") {
+    // 300 keys x k=8 = 2400 resident rows — over HALF a 4096-row check
+    // window, so the round-15 bare-ratio trigger degraded at the first
+    // mark and abandoned the shuffle-volume win for a workload squarely
+    // inside the keys*k << rows contract. With the warm-up-aware
+    // trigger the key set CLOSES (arrival decays to zero after the
+    // first window) and the partial must keep combining: zero degraded
+    // partitions, resident keys exactly the key set per partition.
+    val n = 200000L
+    val keys = 300L
+    val df = spark.range(0, n, 1, 4)
+      .selectExpr(s"id % $keys as grp", "id", "cast(sin(id * 7) * 100 as double) as score")
+    val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 8)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(3)))
     val partials = partialExecs(res)
     assert(partials.nonEmpty)
-    assert(partials.map(_.metrics("degradedPartitions").value).sum > 0,
-      "rows-per-key=2 buffers everything without pruning — must degrade")
-    // correctness unchanged: both rows of every key survive, ranks 1..2
-    assert(got.length == n.toInt)
-    assert(got.groupBy(_._1).forall { case (_, rows) => rows.map(_._3).sorted.toSeq == Seq(1L, 2L) })
+    assert(partials.map(_.metrics("degradedPartitions").value).sum == 0,
+      "a closed key set must never degrade, whatever its keys*k")
+    val heldKeys = partials.map(_.metrics("partialKeys").value).sum
+    assert(heldKeys <= keys * 4,
+      s"partial state must stay at keys-per-partition (held $heldKeys)")
+    // and the partial actually pruned: every key exactly k survivors
+    assert(got.length == (keys * 8).toInt)
+    assert(got.groupBy(_._1).forall { case (_, rows) => rows.map(_._2).sorted.toSeq == (1L to 8L) })
+  }
+
+  test("rows-per-key = 8 (constant key minting, zero pruning at k >= 8) still degrades past the cap") {
+    // a CONSTANT rows-per-key regime mints keys at rate 1/8 forever —
+    // arrival never decays, resident rows track rows seen, and memory
+    // is unbounded without the degrade. The arrival-floor condition
+    // must not mistake this for a closing key set.
+    val n = 80000L
+    val df = spark.range(0, n, 1, 4)
+      .selectExpr("cast(id / 8 as long) as grp", "id", "cast(id % 11 as double) as score")
+    withSoftCap(1024) {
+      val res = TopK.perKey(df, Seq("grp"), Seq(("score", false), ("id", true)), 9)
+      val got = res.collect()
+      val partials = partialExecs(res)
+      assert(partials.nonEmpty)
+      assert(partials.map(_.metrics("degradedPartitions").value).sum > 0,
+        "constant key minting past the cap must degrade")
+      assert(got.length == n.toInt, "correctness unchanged: k >= rows-per-key keeps every row")
+    }
   }
 
   test("the contract cardinality (keys << rows) never degrades") {
