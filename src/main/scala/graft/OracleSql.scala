@@ -221,7 +221,16 @@ object OracleSql {
     * in SQL literals needs no escaping. Chain staged through CTEs of 60
     * (DuckDB binder caps expression recursion at 128).
     */
-  private lazy val bpeEncCtes: String = {
+  /** Number of staged merge CTEs in [[bpeChainCtes]] — `s$bpeStages` is
+    * the fully-merged spaced form each BPE consumer reads.
+    */
+  private lazy val bpeStages: Int = graft.operators.Bpe.merges.grouped(60).size
+
+  /** The raw BPE merge chain (pt, wd, s0..sN) without a consumer CTE —
+    * shared by [[bpeEncCtes]] (which counts tokens) and the quantized
+    * encoder twin (which needs the SYMBOLS, not just their count).
+    */
+  private lazy val bpeChainCtes: String = {
     val stages = graft.operators.Bpe.merges.grouped(60).toSeq
     val chainCtes = stages.zipWithIndex.map { case (st, idx) =>
       val e = st.foldLeft("s") { case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')" }
@@ -230,9 +239,12 @@ object OracleSql {
     s"""pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$bpePretokenRegex')) AS w FROM documents),
        |wd AS (SELECT DISTINCT w FROM pt),
        |s0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM wd),
-       |${chainCtes.mkString(",\n")},
-       |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s${stages.size})""".stripMargin
+       |${chainCtes.mkString(",\n")}""".stripMargin
   }
+
+  private lazy val bpeEncCtes: String =
+    s"""$bpeChainCtes,
+       |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s$bpeStages)""".stripMargin
 
   /** Quality-score CTE (qs: doc_id, lang, n_tokens, stop_ratio,
     * quality) — shared by quality_score and quality_filter.
@@ -2211,6 +2223,23 @@ object OracleSql {
         |'graft.plans.GraftExtensions' AS extensions,
         |TRUE AS docs_readable""".stripMargin,
 
+    "layout_catalog" ->
+      // Twin of the three scripted ANN lifecycles: log version, last
+      // verb and append count are determined by each build script
+      // (build=v1; build+append=v2; build+delete=v2), so they are
+      // literals here — what the oracle genuinely recomputes is the
+      // data-dependent column, the tombstone count of the scripted
+      // `vec_id % 10 = 3` delete batch.
+      """SELECT * FROM (
+        |  SELECT 'ann_deleted' AS family, CAST(2 AS BIGINT) AS log_version,
+        |         'delete' AS last_verb, CAST(0 AS BIGINT) AS appends_since_build,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 10 = 3) AS tombstones
+        |  UNION ALL
+        |  SELECT 'ann_full', CAST(1 AS BIGINT), 'build', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ann_incremental', CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY family""".stripMargin,
+
     "fts_stats" ->
       // Twin of Fts.stats: re-derive the index's books from the raw
       // corpus — distinct (doc, term) pairs ARE the postings, docs
@@ -2735,6 +2764,91 @@ object OracleSql {
          |       ROUND(CASE WHEN n.nrm > 0 THEN o.v / n.nrm ELSE o.v END, 5) AS x
          |FROM o JOIN n USING (doc_id) ORDER BY doc_id, k""".stripMargin
     },
+
+    "embed_encoder_q" ->
+      // Twin of Queries.embedEncoderQ: the FULL QuantEncoder contract
+      // (QuantEncoder.scala doc — Q·2^12 fixed point, truncating BIGINT
+      // division everywhere, integer polynomial softmax, integer layer
+      // norm, floor-isqrt with one-step correction, one IEEE float step
+      // at the end) as relational algebra. Integer sums are
+      // order-independent, so every aggregation below is exact no
+      // matter how DuckDB schedules it — THE property the float
+      // encoder's twin can never have. Subword ids re-derive Java's
+      // String.hashCode as the 31-ary rolling hash masked to unsigned
+      // 32 bits (identical for the ASCII corpus; `& 255` == floorMod
+      // because 256 divides 2^32); weights come from the fixture
+      // closed-form formulas while the Spark side loads the artifact
+      // FILE — the hash gate proves file, formulas and both engines
+      // agree.
+      s"""WITH $bpeChainCtes,
+         |sym AS MATERIALIZED (SELECT w, string_split(trim(s), '  ') AS syms FROM s$bpeStages),
+         |wid AS (SELECT w, unnest(syms) AS sub, unnest(generate_series(1, len(syms))) AS si FROM sym),
+         |sid AS MATERIALIZED (SELECT w, si,
+         |        list_reduce(list_prepend(0::BIGINT, list_transform(split(sub, ''), c -> ascii(c)::BIGINT)),
+         |                    (h, c) -> (h * 31 + c) & 4294967295) & 255 AS id
+         |        FROM wid),
+         |qpt AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '$bpePretokenRegex') AS ws FROM documents)),
+         |sq0 AS MATERIALIZED (SELECT doc_id, id, row_number() OVER (PARTITION BY doc_id ORDER BY pos, si) AS rn
+         |        FROM qpt JOIN sid USING (w)),
+         |tok AS MATERIALIZED (SELECT doc_id, CAST(rn - 1 AS BIGINT) AS i, id FROM sq0 WHERE rn <= 64),
+         |lens AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS l FROM tok GROUP BY doc_id),
+         |dj AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS j),
+         |dd AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS d),
+         |emb AS MATERIALIZED (SELECT v, j, ((v * 37 + j * 11) % 7) - 3 AS e
+         |        FROM (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT) AS v), dj),
+         |x AS MATERIALIZED (SELECT t.doc_id, t.i, emb.j, emb.e * 4096 AS x FROM tok t JOIN emb ON emb.v = t.id),
+         |wq AS MATERIALIZED (SELECT d, j, ((d * 19 + j * 7) % 5) - 2 AS w FROM dd, dj),
+         |wk AS MATERIALIZED (SELECT d, j, ((d * 11 + j * 23) % 5) - 2 AS w FROM dd, dj),
+         |wv AS MATERIALIZED (SELECT d, j, ((d * 29 + j * 13) % 5) - 2 AS w FROM dd, dj),
+         |qq AS MATERIALIZED (SELECT x.doc_id, x.i, wq.j, sum(x.x * wq.w) AS q FROM x JOIN wq ON wq.d = x.j GROUP BY x.doc_id, x.i, wq.j),
+         |kk AS MATERIALIZED (SELECT x.doc_id, x.i, wk.j, sum(x.x * wk.w) AS k FROM x JOIN wk ON wk.d = x.j GROUP BY x.doc_id, x.i, wk.j),
+         |vv AS MATERIALIZED (SELECT x.doc_id, x.i, wv.j, sum(x.x * wv.w) AS v FROM x JOIN wv ON wv.d = x.j GROUP BY x.doc_id, x.i, wv.j),
+         |sc AS MATERIALIZED (SELECT qq.doc_id, qq.i, kk.i AS t, sum(qq.q * kk.k) // 16384 AS s
+         |       FROM qq JOIN kk ON kk.doc_id = qq.doc_id AND kk.j = qq.j GROUP BY qq.doc_id, qq.i, kk.i),
+         |mx AS MATERIALIZED (SELECT doc_id, i, max(s) AS mx FROM sc GROUP BY doc_id, i),
+         |eu AS MATERIALIZED (SELECT s1.doc_id, s1.i, s1.t, (least(m1.mx - s1.s, 65536) * 5909) // 4096 AS u2
+         |       FROM sc s1 JOIN mx m1 ON m1.doc_id = s1.doc_id AND m1.i = s1.i),
+         |ez AS MATERIALIZED (SELECT doc_id, i, t, u2 // 4096 AS z, u2 - (u2 // 4096) * 4096 AS r FROM eu),
+         |ee AS MATERIALIZED (SELECT doc_id, i, t,
+         |       ((4096 - ((r * 2839) // 4096)) + ((((r * r) // 4096) * 791) // 4096)) >> CAST(z AS INTEGER) AS e
+         |       FROM ez),
+         |den AS MATERIALIZED (SELECT doc_id, i, sum(e) AS den FROM ee GROUP BY doc_id, i),
+         |att AS MATERIALIZED (SELECT ee.doc_id, ee.i, ee.t, (ee.e * 4096) // den.den AS a
+         |        FROM ee JOIN den ON den.doc_id = ee.doc_id AND den.i = ee.i),
+         |ctx AS MATERIALIZED (SELECT att.doc_id, att.i, vv.j, sum(att.a * vv.v) // 4096 AS ctx
+         |        FROM att JOIN vv ON vv.doc_id = att.doc_id AND vv.i = att.t GROUP BY att.doc_id, att.i, vv.j),
+         |res AS MATERIALIZED (SELECT x.doc_id, x.i, x.j, ctx.ctx + x.x AS r
+         |        FROM x JOIN ctx ON ctx.doc_id = x.doc_id AND ctx.i = x.i AND ctx.j = x.j),
+         |sm AS MATERIALIZED (SELECT doc_id, i, sum(r) AS sm FROM res GROUP BY doc_id, i),
+         |cc AS MATERIALIZED (SELECT res.doc_id, res.i, res.j, 16 * res.r - sm.sm AS c
+         |       FROM res JOIN sm ON sm.doc_id = res.doc_id AND sm.i = res.i),
+         |ssq AS MATERIALIZED (SELECT doc_id, i, sum(c * c) AS ss FROM cc GROUP BY doc_id, i),
+         |sqv AS MATERIALIZED (SELECT doc_id, i, (CASE WHEN s1 * s1 > ss THEN s1 - 1 ELSE s1 END) + 1 AS sq
+         |        FROM (SELECT doc_id, i, ss,
+         |              CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN s0 + 1 ELSE s0 END AS s1
+         |              FROM (SELECT doc_id, i, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS s0 FROM ssq))),
+         |lnm AS MATERIALIZED (SELECT cc.doc_id, cc.i, cc.j,
+         |        ((cc.j % 3) + 1) * ((4 * cc.c * 4096) // sqv.sq) + ((cc.j % 3) - 1) * 4096 AS ln
+         |        FROM cc JOIN sqv ON sqv.doc_id = cc.doc_id AND sqv.i = cc.i),
+         |wf1 AS MATERIALIZED (SELECT d, j, ((d * 17 + j * 3) % 5) - 2 AS w FROM dd, dj),
+         |wf2 AS MATERIALIZED (SELECT d, j, ((d * 5 + j * 31) % 5) - 2 AS w FROM dd, dj),
+         |f1 AS MATERIALIZED (SELECT lnm.doc_id, lnm.i, wf1.j, sum(lnm.ln * wf1.w) + ((wf1.j % 3) - 1) * 4096 AS f1
+         |       FROM lnm JOIN wf1 ON wf1.d = lnm.j GROUP BY lnm.doc_id, lnm.i, wf1.j),
+         |f2 AS MATERIALIZED (SELECT doc_id, i, j, greatest(0, f1) AS f2 FROM f1),
+         |f3 AS MATERIALIZED (SELECT f2.doc_id, f2.i, wf2.j, sum(f2.f2 * wf2.w) + ((wf2.j % 3) - 1) * 4096 AS f3
+         |       FROM f2 JOIN wf2 ON wf2.d = f2.j GROUP BY f2.doc_id, f2.i, wf2.j),
+         |r2 AS MATERIALIZED (SELECT f3.doc_id, f3.i, f3.j, f3.f3 + lnm.ln AS r2
+         |       FROM f3 JOIN lnm ON lnm.doc_id = f3.doc_id AND lnm.i = f3.i AND lnm.j = f3.j),
+         |pool AS MATERIALIZED (SELECT doc_id, j, sum(r2) AS p0 FROM r2 GROUP BY doc_id, j),
+         |pl AS MATERIALIZED (SELECT pool.doc_id, pool.j, pool.p0 // lens.l AS p FROM pool JOIN lens USING (doc_id)),
+         |nsq AS MATERIALIZED (SELECT doc_id, sum(p * p) AS nsq FROM pl GROUP BY doc_id),
+         |ov AS MATERIALIZED (SELECT pl.doc_id, pl.j, CASE WHEN nsq.nsq = 0 THEN 0.0e0
+         |        ELSE CAST(pl.p AS DOUBLE) / sqrt(CAST(nsq.nsq AS DOUBLE)) END AS x
+         |       FROM pl JOIN nsq USING (doc_id))
+         |SELECT d.doc_id AS doc_id, dj.j AS k, ROUND(COALESCE(ov.x, 0.0e0), 5) AS x
+         |FROM documents d CROSS JOIN dj LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.j = dj.j
+         |ORDER BY d.doc_id, k""".stripMargin,
 
     "maxsim_search" -> {
       // Twin of Queries.maxsimSearch: the sparse MaxSim chain — chunk

@@ -315,6 +315,50 @@ object Featurize {
     }
   }
 
+  /** QUANTIZED (integer-exact) encoder factory over the SAME artifact
+    * as [[encoderEmbedder]]: identical BPE-subword id pipeline, but the
+    * forward pass is [[graft.functions.QuantEncoder]] — Q·2^12
+    * fixed-point activations, integer polynomial softmax, integer
+    * layer norm (the I-BERT pattern). Integer sums are
+    * order-independent, which is what buys this variant the bit-exact
+    * DuckDB twin the float encoder cannot have; the price is ~1%
+    * activation error against the float forward (bounded in
+    * QuantEncoderSpec). The weights come from the artifact FILE with
+    * an integrality check — a retrained non-integer model fails loudly
+    * at session load, not silently at the hash gate.
+    */
+  def quantEncoderEmbedder(
+      resource: String = "/graft/embed_encoder.onnx",
+      maxLen: Int = 64
+  ): () => String => Array[Double] = () => {
+    val weights = graft.functions.QuantEncoder.loadFromOnnx(resource) // once per partition
+    val merges = Bpe.merges
+    val vocab = graft.functions.OnnxFixture.VocabSize
+    val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    val memo = new java.util.HashMap[String, Array[Int]]()
+    val memoCap = 1 << 17
+    text => {
+      val ids = Array.newBuilder[Int]
+      var n = 0
+      val m = pretoken.matcher(text.toLowerCase)
+      while (m.find() && n < maxLen) {
+        val w = m.group()
+        var wids = memo.get(w)
+        if (wids == null) {
+          wids = Bpe.encodeWord(w, merges)
+            .map(s => java.lang.Math.floorMod(s.hashCode, vocab))
+          if (memo.size < memoCap) memo.put(w, wids)
+        }
+        var i = 0
+        while (i < wids.length && n < maxLen) {
+          ids += wids(i)
+          n += 1; i += 1
+        }
+      }
+      graft.functions.QuantEncoder.encode(weights, ids.result())
+    }
+  }
+
   /** CROSS-ENCODER scorer — (query, document) → one scalar relevance,
     * jointly encoded: BPE-subword ids of the query, the reserved
     * [SEP] id, then the document's ids, through the checked-in

@@ -66,6 +66,73 @@ object LayoutCache {
     readCache.computeIfAbsent((Caches.sessionId(spark), path),
       _ => spark.read.parquet(path))
 
+  /** True iff `e` is one of the TRANSIENT visibility shapes a reader
+    * can observe while an in-place [[IndexMaintenance.fencedSwap]]'s
+    * retire→install window (or a listing-cache invalidation race) is in
+    * flight. The swap is two directory renames; a read that resolves or
+    * executes inside that window sees the path absent, a listed
+    * partition dir vanish mid-scan, an empty root (resolved before
+    * retire, listed after), or execution-time file loss against a
+    * pre-swap listing — all LOUD and all RETRIABLE, never a torn or
+    * mixed-generation row set (SwapIsolationSpec pins the dichotomy).
+    * Anything outside this class is a real failure and must propagate.
+    */
+  def isSwapTransient(e: Throwable): Boolean = {
+    var cur: Throwable = e
+    while (cur != null) {
+      // scan toString, not just getMessage: Spark task failures embed
+      // the executor-side exception's description in the driver-side
+      // message even when the Java cause chain is cut at serialization
+      val msg = String.valueOf(cur)
+      val hit = cur.isInstanceOf[java.io.FileNotFoundException] ||
+        cur.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        msg.contains("does not exist") || msg.contains("PATH_NOT_FOUND") ||
+        msg.contains("No such file") || msg.contains("FILE_NOT_EXIST") ||
+        msg.contains("FileNotFoundException") ||
+        msg.contains("UNABLE_TO_INFER_SCHEMA") ||
+        msg.contains("Invalid directory")
+      if (hit) return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+    }
+    false
+  }
+
+  /** SERVING-SIDE reader isolation over in-place swaps: run `body` (a
+    * whole probe — build the DataFrame AND collect it; reads are
+    * idempotent) and, on a [[isSwapTransient]] failure, invalidate this
+    * layout's cached listing and retry with a short backoff. The
+    * retire→install window is two renames (microseconds), so one retry
+    * nearly always lands; the bound keeps a genuinely deleted layout
+    * loud. This is the wait-free-reader answer for rename-capable
+    * filesystems — on object stores without atomic dir rename, the
+    * pointer-indirection design ([[ChunkStore]]'s manifest) is the
+    * right primitive, and layouts needing zero-retry readers there
+    * should version through a manifest instead.
+    *
+    * The attempt budget is sized for a SUSTAINED fold storm, not one
+    * fold: a probe whose resolve→execute span covers a swap boundary
+    * fails that attempt, so under back-to-back swaps each attempt is a
+    * coin flip and the surfaced-failure odds only vanish
+    * exponentially in the budget (24 attempts ≈ 10⁻⁷ even at 50%
+    * per-attempt collision — SwapIsolationSpec hammers exactly this).
+    * A genuinely deleted layout stays loud within
+    * attempts × backoff ≈ 0.4 s.
+    */
+  def probeRetry[T](path: String,
+      attempts: Int = 24, backoffMs: Long = 15)(body: => T): T = {
+    var left = attempts
+    while (left > 1) {
+      try return body
+      catch {
+        case e: Throwable if isSwapTransient(e) =>
+          invalidate(path)
+          left -= 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    body
+  }
+
   /** Drop cached listings for `path` and anything under it (a layout
     * dir invalidates its partition dirs and sidecars too) — called by
     * every IndexMaintenance write verb; call directly after mutating a

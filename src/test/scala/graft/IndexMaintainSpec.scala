@@ -114,4 +114,27 @@ class IndexMaintainSpec extends SparkSpec {
       maxDeltaAppends = 8, maxTombstones = 2L)
     assert(r2 == M.LayoutMaintenanceReport(0, 0L, compacted = false))
   }
+
+  test("layoutCatalog surfaces version / verb / staleness per layout") {
+    // synthetic layout through build → append → delete: the catalog row
+    // must read the commit log (v3, last verb delete), count the append
+    // as staleness, and count the sidecar tombstones
+    val (dir, idx) = freshLayout()
+    Ann.appendToIndex(dir, corpus(100 until 110), "embedding", idx.centroids)
+    Ann.deleteFromIndex(spark, dir, Seq(5L, 9L).toDF("vec_id"), "vec_id")
+    val row = graft.operators.Info.layoutCatalog(spark, Seq("t" -> dir)).collect().head
+    assert(row.getString(0) == "t" && row.getLong(1) == 3L)
+    assert(row.getString(2) == "delete")
+    assert(row.getLong(3) == 1L && row.getLong(4) == 2L)
+    // the registered query over the testdata scripts: facts match the
+    // oracle twin's literals and the data-dependent tombstone count
+    val cat = Queries.layoutCatalog(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val nDel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id % 10 = 3").count()
+    assert(cat.toSeq == Seq(
+      ("ann_deleted", 2L, "delete", 0L, nDel),
+      ("ann_full", 1L, "build", 0L, 0L),
+      ("ann_incremental", 2L, "append", 1L, 0L)))
+  }
 }

@@ -111,18 +111,17 @@ class SwapIsolationSpec extends SparkSpec {
     }
   }
 
-  private def isMissingPathFailure(e: Throwable): Boolean = {
-    var cur: Throwable = e
-    while (cur != null) {
-      val msg = Option(cur.getMessage).getOrElse("")
-      if (cur.isInstanceOf[java.io.FileNotFoundException] ||
-        cur.isInstanceOf[java.nio.file.NoSuchFileException] ||
-        msg.contains("does not exist") || msg.contains("PATH_NOT_FOUND") ||
-        msg.contains("No such file")) return true
-      cur = if (cur.getCause eq cur) null else cur.getCause
-    }
-    false
-  }
+  /** The tolerated TRANSIENT class is the production classifier itself
+    * ([[graft.operators.LayoutCache.isSwapTransient]]): path absent in
+    * the between-renames instant, a listed partition dir vanishing
+    * mid-scan, an empty root resolved across the retire, or
+    * execution-time file loss against a pre-swap listing — loud,
+    * retriable, never torn. Keeping the spec on the SAME predicate the
+    * serving retry uses means a new failure shape fails BOTH the spec
+    * and production, instead of being quietly absorbed by one of them.
+    */
+  private def isMissingPathFailure(e: Throwable): Boolean =
+    graft.operators.LayoutCache.isSwapTransient(e)
 
   test("structural probe racing 300 swaps: never mixed generations, never data without log, versions monotone") {
     val dir = freshDir()
@@ -204,6 +203,49 @@ class SwapIsolationSpec extends SparkSpec {
     assert(wrongs.isEmpty,
       s"a racing reader saw a half-swapped layout: ${wrongs.asScala.take(3).mkString("; ")}")
     assert(successes.get() > 0, "the probe must complete some reads under load")
+  }
+
+  test("serving probe through LayoutCache.probeRetry: zero surfaced failures under racing swaps") {
+    // the raw-reader test above pins the DICHOTOMY (success = exactly
+    // one complete generation, failure = the loud transient class);
+    // this one pins the serving contract built on it — the bounded
+    // retry absorbs the transient class entirely, so a probe layer
+    // never sees the swap window at all
+    val dir = freshDir()
+    buildLayout(dir, 100)
+    val expected = (0L until 100L).toSet
+    val wrongs = new ConcurrentLinkedQueue[String]()
+    val successes = new AtomicInteger(0)
+    @volatile var stop = false
+    val prober = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = graft.operators.LayoutCache.probeRetry(dir) {
+            graft.operators.LayoutCache.readCached(spark, dir)
+              .select("id").collect().map(_.getLong(0)).toSet
+          }
+          if (got == expected) successes.incrementAndGet(): Unit
+          else wrongs.add(s"read returned ${got.size} ids")
+        } catch {
+          case e: Throwable => wrongs.add(s"probeRetry surfaced a failure: $e")
+        }
+      }
+    })
+    prober.start()
+    try {
+      var observed = 1L
+      (1 to 60).foreach { gen =>
+        val staging = dir + s"-stage$gen"
+        stageCopy(dir, staging, gen)
+        M.fencedSwap(spark, "SwapIsolationSpec", dir, staging, observed, "compact")
+        LayoutLog.vacuum(spark, dir): Unit
+        observed += 1
+        Thread.sleep(50)
+      }
+    } finally { stop = true; prober.join() }
+    assert(wrongs.isEmpty,
+      s"serving probe leaked the swap window: ${wrongs.asScala.take(3).mkString("; ")}")
+    assert(successes.get() > 0, "the serving probe must complete reads under load")
   }
 
   test("a lifecycle writer racing the swap loop: conflicts are loud on both sides and the layout survives") {
