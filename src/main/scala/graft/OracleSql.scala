@@ -35,6 +35,11 @@ object OracleSql {
 
   private val queryTermsSql = Queries.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** The cross-encoder's literal query text — the same joined term
+    * string the Spark scorer receives (lowercase by construction).
+    */
+  private val crossQueryText = Queries.QueryTerms.mkString(" ")
+
   // ── chunk_recursive twin ─────────────────────────────────────────────
   // Twin of Chunker.recursiveChunks (chunker.py:55/:81/:107 semantics):
   // the bounded 4-level separator recursion ["\n\n","\n"," ",""] where a
@@ -230,21 +235,111 @@ object OracleSql {
     * shared by [[bpeEncCtes]] (which counts tokens) and the quantized
     * encoder twin (which needs the SYMBOLS, not just their count).
     */
-  private lazy val bpeChainCtes: String = {
+  /** The staged BPE merge chain, parameterized by CTE-name prefix and
+    * the source word table — so a twin can run the SAME merges over a
+    * second word universe (the cross-encoder's literal query text)
+    * without name collisions.
+    */
+  private def bpeMergeChain(prefix: String, srcCte: String): String = {
     val stages = graft.operators.Bpe.merges.grouped(60).toSeq
     val chainCtes = stages.zipWithIndex.map { case (st, idx) =>
       val e = st.foldLeft("s") { case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')" }
-      s"s${idx + 1} AS (SELECT w, $e AS s FROM s$idx)"
+      s"$prefix${idx + 1} AS (SELECT w, $e AS s FROM $prefix$idx)"
     }
-    s"""pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$bpePretokenRegex')) AS w FROM documents),
-       |wd AS (SELECT DISTINCT w FROM pt),
-       |s0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM wd),
+    s"""${prefix}0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM $srcCte),
        |${chainCtes.mkString(",\n")}""".stripMargin
   }
+
+  private lazy val bpeChainCtes: String =
+    s"""pt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$bpePretokenRegex')) AS w FROM documents),
+       |wd AS (SELECT DISTINCT w FROM pt),
+       |${bpeMergeChain("s", "wd")}""".stripMargin
 
   private lazy val bpeEncCtes: String =
     s"""$bpeChainCtes,
        |enc AS (SELECT w, (len(s) - len(replace(s, ' ', ''))) // 2 AS n FROM s$bpeStages)""".stripMargin
+
+  /** Symbol enumeration over the corpus BPE chain: `sym` (word →
+    * ordered symbol list from the fully-merged spaced form) and `wid`
+    * (one row per symbol with its 1-based in-word index). Shared by
+    * the quantized-encoder twins.
+    */
+  private lazy val bpeSymbolCtes: String =
+    s"""sym AS MATERIALIZED (SELECT w, string_split(trim(s), '  ') AS syms FROM s$bpeStages),
+       |wid AS (SELECT w, unnest(syms) AS sub, unnest(generate_series(1, len(syms))) AS si FROM sym)""".stripMargin
+
+  /** Java `String.hashCode` in SQL: the 31-ary rolling hash over the
+    * UTF-16 units (== code points on this ASCII corpus) masked to
+    * unsigned 32 bits; consumers reduce it modulo their vocab
+    * (`& 255` for the encoder's 256-entry table — equal to floorMod
+    * because 256 divides 2^32 — or the explicit signed floorMod for
+    * the cross-encoder's 255-entry [SEP]-reserved vocab).
+    */
+  private val javaHash32: String =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(split(sub, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) & 4294967295)"
+
+  /** The QuantEncoder transformer contract as CTEs over an upstream
+    * `qtok(doc_id, i, id)` (ids into the 256-entry embedding table)
+    * — yields `lens(doc_id, l)` and the pooled `pl(doc_id, j, p)` at
+    * scale F. Every aggregation is an exact BIGINT sum (order-free);
+    * the contract lives in QuantEncoder.scala and any change there
+    * must change this chain too. Shared by embed_encoder_q (which
+    * normalizes pl) and rerank_cross_q (which projects pl through
+    * the integer score head).
+    */
+  private lazy val quantForwardCtes: String =
+    s"""lens AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS l FROM qtok GROUP BY doc_id),
+       |dj AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS j),
+       |dd AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS d),
+       |emb AS MATERIALIZED (SELECT v, j, ((v * 37 + j * 11) % 7) - 3 AS e
+       |        FROM (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT) AS v), dj),
+       |x AS MATERIALIZED (SELECT t.doc_id, t.i, emb.j, emb.e * 4096 AS x FROM qtok t JOIN emb ON emb.v = t.id),
+       |wq AS MATERIALIZED (SELECT d, j, ((d * 19 + j * 7) % 5) - 2 AS w FROM dd, dj),
+       |wk AS MATERIALIZED (SELECT d, j, ((d * 11 + j * 23) % 5) - 2 AS w FROM dd, dj),
+       |wv AS MATERIALIZED (SELECT d, j, ((d * 29 + j * 13) % 5) - 2 AS w FROM dd, dj),
+       |qq AS MATERIALIZED (SELECT x.doc_id, x.i, wq.j, sum(x.x * wq.w) AS q FROM x JOIN wq ON wq.d = x.j GROUP BY x.doc_id, x.i, wq.j),
+       |kk AS MATERIALIZED (SELECT x.doc_id, x.i, wk.j, sum(x.x * wk.w) AS k FROM x JOIN wk ON wk.d = x.j GROUP BY x.doc_id, x.i, wk.j),
+       |vv AS MATERIALIZED (SELECT x.doc_id, x.i, wv.j, sum(x.x * wv.w) AS v FROM x JOIN wv ON wv.d = x.j GROUP BY x.doc_id, x.i, wv.j),
+       |qsc AS MATERIALIZED (SELECT qq.doc_id, qq.i, kk.i AS t, sum(qq.q * kk.k) // 16384 AS s
+       |       FROM qq JOIN kk ON kk.doc_id = qq.doc_id AND kk.j = qq.j GROUP BY qq.doc_id, qq.i, kk.i),
+       |mx AS MATERIALIZED (SELECT doc_id, i, max(s) AS mx FROM qsc GROUP BY doc_id, i),
+       |eu AS MATERIALIZED (SELECT s1.doc_id, s1.i, s1.t, (least(m1.mx - s1.s, 65536) * 5909) // 4096 AS u2
+       |       FROM qsc s1 JOIN mx m1 ON m1.doc_id = s1.doc_id AND m1.i = s1.i),
+       |ez AS MATERIALIZED (SELECT doc_id, i, t, u2 // 4096 AS z, u2 - (u2 // 4096) * 4096 AS r FROM eu),
+       |ee AS MATERIALIZED (SELECT doc_id, i, t,
+       |       ((4096 - ((r * 2839) // 4096)) + ((((r * r) // 4096) * 791) // 4096)) >> CAST(z AS INTEGER) AS e
+       |       FROM ez),
+       |den AS MATERIALIZED (SELECT doc_id, i, sum(e) AS den FROM ee GROUP BY doc_id, i),
+       |att AS MATERIALIZED (SELECT ee.doc_id, ee.i, ee.t, (ee.e * 4096) // den.den AS a
+       |        FROM ee JOIN den ON den.doc_id = ee.doc_id AND den.i = ee.i),
+       |ctx AS MATERIALIZED (SELECT att.doc_id, att.i, vv.j, sum(att.a * vv.v) // 4096 AS ctx
+       |        FROM att JOIN vv ON vv.doc_id = att.doc_id AND vv.i = att.t GROUP BY att.doc_id, att.i, vv.j),
+       |res AS MATERIALIZED (SELECT x.doc_id, x.i, x.j, ctx.ctx + x.x AS r
+       |        FROM x JOIN ctx ON ctx.doc_id = x.doc_id AND ctx.i = x.i AND ctx.j = x.j),
+       |sm AS MATERIALIZED (SELECT doc_id, i, sum(r) AS sm FROM res GROUP BY doc_id, i),
+       |cc AS MATERIALIZED (SELECT res.doc_id, res.i, res.j, 16 * res.r - sm.sm AS c
+       |       FROM res JOIN sm ON sm.doc_id = res.doc_id AND sm.i = res.i),
+       |ssq AS MATERIALIZED (SELECT doc_id, i, sum(c * c) AS ss FROM cc GROUP BY doc_id, i),
+       |sqv AS MATERIALIZED (SELECT doc_id, i, (CASE WHEN s1 * s1 > ss THEN s1 - 1 ELSE s1 END) + 1 AS sq
+       |        FROM (SELECT doc_id, i, ss,
+       |              CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN s0 + 1 ELSE s0 END AS s1
+       |              FROM (SELECT doc_id, i, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS s0 FROM ssq))),
+       |lnm AS MATERIALIZED (SELECT cc.doc_id, cc.i, cc.j,
+       |        ((cc.j % 3) + 1) * ((4 * cc.c * 4096) // sqv.sq) + ((cc.j % 3) - 1) * 4096 AS ln
+       |        FROM cc JOIN sqv ON sqv.doc_id = cc.doc_id AND sqv.i = cc.i),
+       |wf1 AS MATERIALIZED (SELECT d, j, ((d * 17 + j * 3) % 5) - 2 AS w FROM dd, dj),
+       |wf2 AS MATERIALIZED (SELECT d, j, ((d * 5 + j * 31) % 5) - 2 AS w FROM dd, dj),
+       |f1 AS MATERIALIZED (SELECT lnm.doc_id, lnm.i, wf1.j, sum(lnm.ln * wf1.w) + ((wf1.j % 3) - 1) * 4096 AS f1
+       |       FROM lnm JOIN wf1 ON wf1.d = lnm.j GROUP BY lnm.doc_id, lnm.i, wf1.j),
+       |f2 AS MATERIALIZED (SELECT doc_id, i, j, greatest(0, f1) AS f2 FROM f1),
+       |f3 AS MATERIALIZED (SELECT f2.doc_id, f2.i, wf2.j, sum(f2.f2 * wf2.w) + ((wf2.j % 3) - 1) * 4096 AS f3
+       |       FROM f2 JOIN wf2 ON wf2.d = f2.j GROUP BY f2.doc_id, f2.i, wf2.j),
+       |r2 AS MATERIALIZED (SELECT f3.doc_id, f3.i, f3.j, f3.f3 + lnm.ln AS r2
+       |       FROM f3 JOIN lnm ON lnm.doc_id = f3.doc_id AND lnm.i = f3.i AND lnm.j = f3.j),
+       |pool AS MATERIALIZED (SELECT doc_id, j, sum(r2) AS p0 FROM r2 GROUP BY doc_id, j),
+       |pl AS MATERIALIZED (SELECT pool.doc_id, pool.j, pool.p0 // lens.l AS p FROM pool JOIN lens USING (doc_id))""".stripMargin
+
+
 
   /** Quality-score CTE (qs: doc_id, lang, n_tokens, stop_ratio,
     * quality) — shared by quality_score and quality_filter.
@@ -2781,67 +2876,14 @@ object OracleSql {
       // FILE — the hash gate proves file, formulas and both engines
       // agree.
       s"""WITH $bpeChainCtes,
-         |sym AS MATERIALIZED (SELECT w, string_split(trim(s), '  ') AS syms FROM s$bpeStages),
-         |wid AS (SELECT w, unnest(syms) AS sub, unnest(generate_series(1, len(syms))) AS si FROM sym),
-         |sid AS MATERIALIZED (SELECT w, si,
-         |        list_reduce(list_prepend(0::BIGINT, list_transform(split(sub, ''), c -> ascii(c)::BIGINT)),
-         |                    (h, c) -> (h * 31 + c) & 4294967295) & 255 AS id
-         |        FROM wid),
+         |$bpeSymbolCtes,
+         |sid AS MATERIALIZED (SELECT w, si, $javaHash32 & 255 AS id FROM wid),
          |qpt AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
          |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '$bpePretokenRegex') AS ws FROM documents)),
          |sq0 AS MATERIALIZED (SELECT doc_id, id, row_number() OVER (PARTITION BY doc_id ORDER BY pos, si) AS rn
          |        FROM qpt JOIN sid USING (w)),
-         |tok AS MATERIALIZED (SELECT doc_id, CAST(rn - 1 AS BIGINT) AS i, id FROM sq0 WHERE rn <= 64),
-         |lens AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS l FROM tok GROUP BY doc_id),
-         |dj AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS j),
-         |dd AS MATERIALIZED (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS d),
-         |emb AS MATERIALIZED (SELECT v, j, ((v * 37 + j * 11) % 7) - 3 AS e
-         |        FROM (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT) AS v), dj),
-         |x AS MATERIALIZED (SELECT t.doc_id, t.i, emb.j, emb.e * 4096 AS x FROM tok t JOIN emb ON emb.v = t.id),
-         |wq AS MATERIALIZED (SELECT d, j, ((d * 19 + j * 7) % 5) - 2 AS w FROM dd, dj),
-         |wk AS MATERIALIZED (SELECT d, j, ((d * 11 + j * 23) % 5) - 2 AS w FROM dd, dj),
-         |wv AS MATERIALIZED (SELECT d, j, ((d * 29 + j * 13) % 5) - 2 AS w FROM dd, dj),
-         |qq AS MATERIALIZED (SELECT x.doc_id, x.i, wq.j, sum(x.x * wq.w) AS q FROM x JOIN wq ON wq.d = x.j GROUP BY x.doc_id, x.i, wq.j),
-         |kk AS MATERIALIZED (SELECT x.doc_id, x.i, wk.j, sum(x.x * wk.w) AS k FROM x JOIN wk ON wk.d = x.j GROUP BY x.doc_id, x.i, wk.j),
-         |vv AS MATERIALIZED (SELECT x.doc_id, x.i, wv.j, sum(x.x * wv.w) AS v FROM x JOIN wv ON wv.d = x.j GROUP BY x.doc_id, x.i, wv.j),
-         |sc AS MATERIALIZED (SELECT qq.doc_id, qq.i, kk.i AS t, sum(qq.q * kk.k) // 16384 AS s
-         |       FROM qq JOIN kk ON kk.doc_id = qq.doc_id AND kk.j = qq.j GROUP BY qq.doc_id, qq.i, kk.i),
-         |mx AS MATERIALIZED (SELECT doc_id, i, max(s) AS mx FROM sc GROUP BY doc_id, i),
-         |eu AS MATERIALIZED (SELECT s1.doc_id, s1.i, s1.t, (least(m1.mx - s1.s, 65536) * 5909) // 4096 AS u2
-         |       FROM sc s1 JOIN mx m1 ON m1.doc_id = s1.doc_id AND m1.i = s1.i),
-         |ez AS MATERIALIZED (SELECT doc_id, i, t, u2 // 4096 AS z, u2 - (u2 // 4096) * 4096 AS r FROM eu),
-         |ee AS MATERIALIZED (SELECT doc_id, i, t,
-         |       ((4096 - ((r * 2839) // 4096)) + ((((r * r) // 4096) * 791) // 4096)) >> CAST(z AS INTEGER) AS e
-         |       FROM ez),
-         |den AS MATERIALIZED (SELECT doc_id, i, sum(e) AS den FROM ee GROUP BY doc_id, i),
-         |att AS MATERIALIZED (SELECT ee.doc_id, ee.i, ee.t, (ee.e * 4096) // den.den AS a
-         |        FROM ee JOIN den ON den.doc_id = ee.doc_id AND den.i = ee.i),
-         |ctx AS MATERIALIZED (SELECT att.doc_id, att.i, vv.j, sum(att.a * vv.v) // 4096 AS ctx
-         |        FROM att JOIN vv ON vv.doc_id = att.doc_id AND vv.i = att.t GROUP BY att.doc_id, att.i, vv.j),
-         |res AS MATERIALIZED (SELECT x.doc_id, x.i, x.j, ctx.ctx + x.x AS r
-         |        FROM x JOIN ctx ON ctx.doc_id = x.doc_id AND ctx.i = x.i AND ctx.j = x.j),
-         |sm AS MATERIALIZED (SELECT doc_id, i, sum(r) AS sm FROM res GROUP BY doc_id, i),
-         |cc AS MATERIALIZED (SELECT res.doc_id, res.i, res.j, 16 * res.r - sm.sm AS c
-         |       FROM res JOIN sm ON sm.doc_id = res.doc_id AND sm.i = res.i),
-         |ssq AS MATERIALIZED (SELECT doc_id, i, sum(c * c) AS ss FROM cc GROUP BY doc_id, i),
-         |sqv AS MATERIALIZED (SELECT doc_id, i, (CASE WHEN s1 * s1 > ss THEN s1 - 1 ELSE s1 END) + 1 AS sq
-         |        FROM (SELECT doc_id, i, ss,
-         |              CASE WHEN (s0 + 1) * (s0 + 1) <= ss THEN s0 + 1 ELSE s0 END AS s1
-         |              FROM (SELECT doc_id, i, ss, CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS s0 FROM ssq))),
-         |lnm AS MATERIALIZED (SELECT cc.doc_id, cc.i, cc.j,
-         |        ((cc.j % 3) + 1) * ((4 * cc.c * 4096) // sqv.sq) + ((cc.j % 3) - 1) * 4096 AS ln
-         |        FROM cc JOIN sqv ON sqv.doc_id = cc.doc_id AND sqv.i = cc.i),
-         |wf1 AS MATERIALIZED (SELECT d, j, ((d * 17 + j * 3) % 5) - 2 AS w FROM dd, dj),
-         |wf2 AS MATERIALIZED (SELECT d, j, ((d * 5 + j * 31) % 5) - 2 AS w FROM dd, dj),
-         |f1 AS MATERIALIZED (SELECT lnm.doc_id, lnm.i, wf1.j, sum(lnm.ln * wf1.w) + ((wf1.j % 3) - 1) * 4096 AS f1
-         |       FROM lnm JOIN wf1 ON wf1.d = lnm.j GROUP BY lnm.doc_id, lnm.i, wf1.j),
-         |f2 AS MATERIALIZED (SELECT doc_id, i, j, greatest(0, f1) AS f2 FROM f1),
-         |f3 AS MATERIALIZED (SELECT f2.doc_id, f2.i, wf2.j, sum(f2.f2 * wf2.w) + ((wf2.j % 3) - 1) * 4096 AS f3
-         |       FROM f2 JOIN wf2 ON wf2.d = f2.j GROUP BY f2.doc_id, f2.i, wf2.j),
-         |r2 AS MATERIALIZED (SELECT f3.doc_id, f3.i, f3.j, f3.f3 + lnm.ln AS r2
-         |       FROM f3 JOIN lnm ON lnm.doc_id = f3.doc_id AND lnm.i = f3.i AND lnm.j = f3.j),
-         |pool AS MATERIALIZED (SELECT doc_id, j, sum(r2) AS p0 FROM r2 GROUP BY doc_id, j),
-         |pl AS MATERIALIZED (SELECT pool.doc_id, pool.j, pool.p0 // lens.l AS p FROM pool JOIN lens USING (doc_id)),
+         |qtok AS MATERIALIZED (SELECT doc_id, CAST(rn - 1 AS BIGINT) AS i, id FROM sq0 WHERE rn <= 64),
+         |$quantForwardCtes,
          |nsq AS MATERIALIZED (SELECT doc_id, sum(p * p) AS nsq FROM pl GROUP BY doc_id),
          |ov AS MATERIALIZED (SELECT pl.doc_id, pl.j, CASE WHEN nsq.nsq = 0 THEN 0.0e0
          |        ELSE CAST(pl.p AS DOUBLE) / sqrt(CAST(nsq.nsq AS DOUBLE)) END AS x
@@ -2849,6 +2891,60 @@ object OracleSql {
          |SELECT d.doc_id AS doc_id, dj.j AS k, ROUND(COALESCE(ov.x, 0.0e0), 5) AS x
          |FROM documents d CROSS JOIN dj LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.j = dj.j
          |ORDER BY d.doc_id, k""".stripMargin,
+
+    "rerank_cross_q" ->
+      // Twin of Queries.rerankCrossQ — the WHOLE retrieve-then-rerank
+      // pipeline: BM25 retrieval (the bm25_topk CTEs, pool = 20), then
+      // the quantized cross-encoder joint forward over
+      // `query ⊕ [SEP] ⊕ doc`. The query's subword ids derive from a
+      // literal-text run of the SAME SQL merge chain (nothing is
+      // precomputed driver-side beyond the query string itself); the
+      // document's from the corpus chain; both hash with the SIGNED
+      // floorMod-255 (the [SEP]-reserved vocab — the one place the
+      // signed reinterpretation of the 32-bit rolling hash matters,
+      // since 255 does not divide 2^32). The joint score is
+      // Σ p_j·wScore_j / F — an exact dyadic rational, so neither side
+      // rounds, and the (score DESC, id) order is integer-backed.
+      s"""WITH $bm25Cte,
+         |poolc AS MATERIALIZED (SELECT doc_id, ROUND(score, 5) AS bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |$bpeChainCtes,
+         |$bpeSymbolCtes,
+         |sidh AS (SELECT w, si, $javaHash32 AS hu FROM wid),
+         |sid AS MATERIALIZED (SELECT w, si,
+         |        (((hu - CASE WHEN hu >= 2147483648 THEN 4294967296 ELSE 0 END) % 255) + 255) % 255 AS id
+         |        FROM sidh),
+         |qwp AS (SELECT unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
+         |        FROM (SELECT regexp_extract_all('$crossQueryText', '$bpePretokenRegex') AS ws)),
+         |qwd AS (SELECT DISTINCT w FROM qwp),
+         |${bpeMergeChain("qs", "qwd")},
+         |qsym AS (SELECT w, string_split(trim(s), '  ') AS syms FROM qs$bpeStages),
+         |qwid AS (SELECT w, unnest(syms) AS sub, unnest(generate_series(1, len(syms))) AS si FROM qsym),
+         |qsh AS (SELECT w, si, $javaHash32 AS hu FROM qwid),
+         |qsid AS (SELECT w, si,
+         |        (((hu - CASE WHEN hu >= 2147483648 THEN 4294967296 ELSE 0 END) % 255) + 255) % 255 AS id
+         |        FROM qsh),
+         |qseq AS MATERIALIZED (SELECT id, qi FROM (
+         |        SELECT id, CAST(row_number() OVER (ORDER BY pos, si) - 1 AS BIGINT) AS qi
+         |        FROM qwp JOIN qsid USING (w)) WHERE qi < 16),
+         |qn AS (SELECT CAST(count(*) AS BIGINT) AS qn FROM qseq),
+         |dptp AS MATERIALIZED (SELECT dd0.doc_id, unnest(ws) AS w, unnest(generate_series(0, len(ws) - 1)) AS pos
+         |        FROM (SELECT d.doc_id, regexp_extract_all(lower(d.text), '$bpePretokenRegex') AS ws
+         |              FROM documents d JOIN poolc USING (doc_id)) dd0),
+         |dseq AS MATERIALIZED (SELECT doc_id, id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos, si) AS BIGINT) AS rn
+         |        FROM dptp JOIN sid USING (w)),
+         |qtok AS MATERIALIZED (
+         |  SELECT p.doc_id, q.qi AS i, q.id FROM poolc p CROSS JOIN qseq q
+         |  UNION ALL
+         |  SELECT p.doc_id, qn.qn AS i, CAST(255 AS BIGINT) AS id FROM poolc p CROSS JOIN qn
+         |  UNION ALL
+         |  SELECT s.doc_id, qn.qn + s.rn AS i, s.id FROM dseq s CROSS JOIN qn WHERE s.rn <= 63 - qn.qn),
+         |$quantForwardCtes,
+         |wsc AS (SELECT j, ((j * 23) % 5) - 2 AS w FROM dj),
+         |score AS MATERIALIZED (SELECT pl.doc_id, sum(pl.p * wsc.w) AS s
+         |        FROM pl JOIN wsc USING (j) GROUP BY pl.doc_id)
+         |SELECT p.doc_id AS doc_id, p.bm25, CAST(sc2.s AS DOUBLE) / 4096 AS ce_score
+         |FROM poolc p JOIN score sc2 USING (doc_id)
+         |ORDER BY ce_score DESC, doc_id LIMIT 10""".stripMargin,
 
     "maxsim_search" -> {
       // Twin of Queries.maxsimSearch: the sparse MaxSim chain — chunk

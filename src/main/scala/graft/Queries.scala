@@ -774,6 +774,21 @@ object Queries {
     Search.crossEncoderRerank(docs(s, dir).select("doc_id", "text"),
       "text", "doc_id", QueryTerms, k = 10, pool = 20)
 
+  /** QUANTIZED cross-encoder rerank ([[Search.quantCrossRerank]] over
+    * the SAME `cross_encoder.onnx` artifact): the full
+    * retrieve-then-rerank pipeline with the integer-exact joint
+    * forward, which makes this the cross-encoder's hash-gated face —
+    * the DuckDB twin re-runs BM25 retrieval AND the fixed-point
+    * transformer over `query ⊕ [SEP] ⊕ doc` (query ids derived in SQL
+    * from the literal query text through the same BPE chain), landing
+    * bit-identical scores. The float `rerank_cross` stays rows-only
+    * per the §2 A7 impossibility note; this is its constructive exit,
+    * as `embed_encoder_q` is for the bi-encoder.
+    */
+  def rerankCrossQ(s: SparkSession, dir: String): DataFrame =
+    Search.quantCrossRerank(docs(s, dir).select("doc_id", "text"),
+      "text", "doc_id", QueryTerms, k = 10, pool = 20)
+
   def bm25Phrase(s: SparkSession, dir: String): DataFrame =
     Search.bm25PhraseTopK(docs(s, dir), "text", "doc_id",
       QueryTerms, Seq("filter", "join"), k = 10)

@@ -82,6 +82,39 @@ object QuantEncoder {
   def loadFromOnnx(resource: String): Weights =
     fromGraph(OnnxMini.load(resource))
 
+  /** Load the CROSS-ENCODER artifact (`cross_encoder.onnx` =
+    * [[OnnxFixture.crossEncoderGraph]] — the same encoder weights plus
+    * a [16×1] integer score head) for quantized joint scoring.
+    */
+  def loadCrossFromOnnx(resource: String): (Weights, Array[Long]) = {
+    val g = OnnxMini.load(resource)
+    val w = fromGraph(g)
+    val t = g.initializers.getOrElse("w_score", sys.error("quant-encoder: no w_score head"))
+    require(t.dims == Seq(Dims, 1), s"quant-encoder: w_score dims ${t.dims}")
+    val head = t.data.map { f =>
+      require(f == math.rint(f) && math.abs(f) <= 1024,
+        s"quant-encoder: non-integer weight $f in w_score — artifact not quantizable")
+      f.toLong
+    }
+    (w, head)
+  }
+
+  /** Quantized JOINT score: the [[pooled]] vector (scale F, no
+    * normalization — matching the float cross-encoder, which scores
+    * the raw pooled vector) through the integer score head, reported
+    * as the EXACT double `Σ p_j·w_j / F` (an integer divided by a
+    * power of two — no rounding needed, both engines land the same
+    * bits). Empty joint sequence scores 0.0, as the float scorer does.
+    */
+  def scoreJoint(w: Weights, head: Array[Long], ids: Array[Int]): Double = {
+    if (ids.isEmpty) return 0.0
+    val p = pooled(w, ids)
+    var s = 0L
+    var j = 0
+    while (j < Dims) { s += p(j) * head(j); j += 1 }
+    s.toDouble / F
+  }
+
   private[graft] def fromGraph(g: OnnxMini.Graph): Weights = {
     def tensor(name: String, rows: Int, cols: Int): Array[Array[Long]] = {
       val t = g.initializers.getOrElse(name, sys.error(s"quant-encoder: no tensor $name"))
@@ -134,9 +167,27 @@ object QuantEncoder {
     * replaced per the contract.
     */
   def encode(w: Weights, ids: Array[Int]): Array[Double] = {
+    val d = Dims
+    if (ids.isEmpty) return new Array[Double](d)
+    val p = pooled(w, ids)
+    var nsq = 0L
+    var j = 0
+    while (j < d) { nsq += p(j) * p(j); j += 1 }
+    if (nsq == 0L) new Array[Double](d)
+    else {
+      val n = math.sqrt(nsq.toDouble)
+      p.map(_.toDouble / n)
+    }
+  }
+
+  /** The integer forward up to (and including) the mean-pool — the
+    * scale-F pooled vector [[encode]] normalizes and [[scoreJoint]]
+    * projects. Requires a nonempty id sequence.
+    */
+  def pooled(w: Weights, ids: Array[Int]): Array[Long] = {
     val l = ids.length
     val d = Dims
-    if (l == 0) return new Array[Double](d)
+    require(l > 0, "quant-encoder: pooled over an empty sequence")
     val x = Array.tabulate(l, d)((i, j) => w.emb(ids(i))(j) * F)
     def proj(m: Array[Array[Long]]): Array[Array[Long]] =
       Array.tabulate(l, d) { (i, j) =>
@@ -197,18 +248,10 @@ object QuantEncoder {
       while (j < d) { res2(i)(j) = f3(j) + ln(j); j += 1 }
       i += 1
     }
-    val p = Array.tabulate(d) { j =>
+    Array.tabulate(d) { j =>
       var acc = 0L; var r = 0
       while (r < l) { acc += res2(r)(j); r += 1 }
       acc / l
-    }
-    var nsq = 0L
-    var j = 0
-    while (j < d) { nsq += p(j) * p(j); j += 1 }
-    if (nsq == 0L) new Array[Double](d)
-    else {
-      val n = math.sqrt(nsq.toDouble)
-      p.map(_.toDouble / n)
     }
   }
 }

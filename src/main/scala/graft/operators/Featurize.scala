@@ -410,6 +410,53 @@ object Featurize {
     }
   }
 
+  /** QUANTIZED cross-encoder scorer — [[crossEncoderScorer]]'s
+    * integer-exact sibling over the SAME `cross_encoder.onnx`
+    * artifact: identical BPE-subword id pipeline (vocab 255 with the
+    * reserved [SEP], identical query/document budgets), but the joint
+    * forward is [[graft.functions.QuantEncoder.scoreJoint]] — the
+    * fixed-point transformer plus the integer score head, whose
+    * output is an EXACT dyadic rational. That exactness is what lets
+    * `rerank_cross_q` carry a bit-exact DuckDB twin for the whole
+    * retrieve-then-rerank pipeline, which the float cross-encoder
+    * (rows-only, the documented class) cannot.
+    */
+  def quantCrossScorer(
+      resource: String = "/graft/cross_encoder.onnx",
+      maxLen: Int = 64
+  ): () => (String, String) => Double = () => {
+    val (weights, head) = graft.functions.QuantEncoder.loadCrossFromOnnx(resource)
+    val merges = Bpe.merges
+    val vocab = graft.functions.OnnxFixture.VocabSize - 1 // [SEP] reserved
+    val pretoken = java.util.regex.Pattern.compile(Bpe.PretokenRegex)
+    val memo = new java.util.HashMap[String, Array[Int]]()
+    val memoCap = 1 << 17
+    def idsOf(text: String, cap: Int): Array[Int] = {
+      val ids = Array.newBuilder[Int]
+      var n = 0
+      val m = pretoken.matcher(text.toLowerCase)
+      while (m.find() && n < cap) {
+        val w = m.group()
+        var wids = memo.get(w)
+        if (wids == null) {
+          wids = Bpe.encodeWord(w, merges)
+            .map(s => java.lang.Math.floorMod(s.hashCode, vocab))
+          if (memo.size < memoCap) memo.put(w, wids)
+        }
+        var i = 0
+        while (i < wids.length && n < cap) { ids += wids(i); n += 1; i += 1 }
+      }
+      ids.result()
+    }
+    (query, doc) => {
+      val q = idsOf(query, maxLen / 4)
+      val d = idsOf(doc, maxLen - q.length - 1)
+      if (q.isEmpty && d.isEmpty) 0.0
+      else graft.functions.QuantEncoder.scoreJoint(weights, head,
+        q ++ Array(graft.functions.OnnxFixture.SepId) ++ d)
+    }
+  }
+
   /** Deterministic stand-in model: the driver-side twin of
     * [[hashedBow]] (same tokenizer, same md5 bucketing, same L2
     * normalization) — exists so specs can assert the seam preserves

@@ -313,6 +313,38 @@ object Search {
       queryTerms: Seq[String],
       k: Int = 10,
       pool: Int = 20
+  ): DataFrame =
+    rerankWithScorer(docs, textCol, idCol, queryTerms, k, pool,
+      graft.operators.Featurize.crossEncoderScorer(), round5 = true)
+
+  /** QUANTIZED-INTEGER cross-encoder rerank — the same
+    * retrieve-then-rerank pipeline with
+    * [[graft.operators.Featurize.quantCrossScorer]]: the joint score
+    * is an exact dyadic rational (integer / 2^12), so NO rounding is
+    * applied (there is nothing to normalize cross-engine — the twin
+    * lands the identical bits) and the (score DESC, id) ordering is
+    * integer-backed and deterministic on both engines.
+    */
+  def quantCrossRerank(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      pool: Int = 20
+  ): DataFrame =
+    rerankWithScorer(docs, textCol, idCol, queryTerms, k, pool,
+      graft.operators.Featurize.quantCrossScorer(), round5 = false)
+
+  private def rerankWithScorer(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      pool: Int,
+      mkScorer: () => (String, String) => Double,
+      round5: Boolean
   ): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -326,13 +358,13 @@ object Search {
       StructField("bm25", DoubleType, nullable = false),
       StructField("ce_score", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val mkScorer = graft.operators.Featurize.crossEncoderScorer()
     cand.mapPartitions { rows =>
       val scorer = mkScorer()
       rows.map { r =>
         val score = scorer(queryText, r.getString(2))
         Row(r.getLong(0), r.getDouble(1),
-          BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          if (round5) BigDecimal(score).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else score)
       }
     }(enc)
       .orderBy(col("ce_score").desc, col(idCol))

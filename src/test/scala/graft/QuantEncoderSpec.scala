@@ -99,6 +99,33 @@ class QuantEncoderSpec extends SparkSpec {
     }
   }
 
+  test("quantized cross scorer: joint mixing, permutation invariance, exact dyadic scores") {
+    val scorer = graft.operators.Featurize.quantCrossScorer()()
+    val q = "spark filter join stream"
+    val doc = "spark filters a joined stream of rows"
+    val a = scorer(q, doc)
+    // joint mixing: the SAME document scores differently under a
+    // different query — the query tokens participate in attention
+    assert(scorer("cooking recipes", doc) != a, "query must move the joint score")
+    // content sensitivity: a different token multiset moves the score
+    assert(scorer(q, "completely unrelated text about cooking") != a)
+    // permutation INVARIANCE is a property of this topology (no
+    // positional encoding + mean pool: attention is permutation-
+    // equivariant, pooling erases the order) — shared with the float
+    // model, pinned here so a future positional-encoding change is a
+    // conscious contract change on both engines at once
+    assert(scorer(q, "rows of stream joined a filters spark") == a)
+    // exactness: score * 4096 must be an integer (the dyadic contract
+    // the no-rounding twin relies on)
+    Seq(a, scorer(q, "completely unrelated text about cooking")).foreach { s =>
+      assert((s * 4096.0) == math.rint(s * 4096.0), s"score $s is not an exact /4096 dyadic")
+    }
+    assert(scorer("", "") == 0.0)
+    // determinism across a fresh session (fresh weight load + memo)
+    val scorer2 = graft.operators.Featurize.quantCrossScorer()()
+    assert(scorer2(q, doc) == a)
+  }
+
   test("worst-case intermediates stay far inside 64-bit (the DuckDB checked-BIGINT bound)") {
     // adversarial id sequence: the ids whose embedding rows have the
     // largest L1 mass, repeated to the 64-token cap — if this cannot
