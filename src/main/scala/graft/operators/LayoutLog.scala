@@ -18,18 +18,18 @@ import org.apache.spark.sql.SparkSession
   * never see it; same convention as `_tombstones`). Each commit file
   * holds one line: `<verb> observed=<version the writer read before
   * writing>`. A verb is committed by writing a temp file inside
-  * `_log/` and renaming it to the next version via
-  * `FileContext.rename(…, Options.Rename.NONE)` — the no-overwrite
-  * rename, which THROWS when the destination exists, and that failure
-  * IS the optimistic-concurrency conflict signal. FileContext (not
-  * `FileSystem.rename`) is load-bearing: stock Hadoop
-  * `LocalFileSystem.rename` onto an existing file returns true and
-  * silently REPLACES it (verified against this distribution's Hadoop
-  * 3.4.2 — the repo's own tests had only passed via Hive's
-  * ProxyLocalFileSystem winning the `file:` scheme by classpath
-  * accident), exactly Delta's HDFSLogStore reasoning. On S3A,
-  * multi-writer commits still need an external coordination layer, as
-  * Delta documents for its own log.
+  * `_log/` and installing it at the next version via an atomic
+  * fail-if-exists primitive, and that failure IS the
+  * optimistic-concurrency conflict signal. The primitive is
+  * scheme-dependent (see [[tryCommit]]): kernel `link(2)` on `file:`
+  * (FileContext's Rename.NONE is check-then-act there, and ChecksumFs
+  * renames the `.crc` sidecar separately — both verified non-atomic
+  * against this distribution's Hadoop 3.4.2, and stock
+  * `FileSystem.rename` silently REPLACES on top of that);
+  * `FileContext.rename(…, Options.Rename.NONE)` on remote schemes,
+  * where it is namenode-atomic — exactly Delta's HDFSLogStore
+  * reasoning. On S3A, multi-writer commits still need an external
+  * coordination layer, as Delta documents for its own log.
   *
   * CONFLICT RESOLUTION is verb-aware, because the data model differs
   * from ChunkStore's: readers scan the DIRECTORY (partition-pruned),
@@ -205,38 +205,73 @@ object LayoutLog {
   }
 
   /** One commit attempt at exactly `v`; false = that version is taken
-    * (and the winner's file is PRESERVED — see the FileContext note in
-    * the object doc). `private[graft]` so the spec can pin the CAS
-    * semantics of the primitive itself under this classpath.
+    * (and the winner's file is PRESERVED). `private[graft]` so the spec
+    * can pin the CAS semantics of the primitive itself under this
+    * classpath.
+    *
+    * CAS primitive is SCHEME-DEPENDENT, both halves verified against
+    * this distribution's Hadoop 3.4.2:
+    *  - remote schemes (hdfs, …): `FileContext.rename(…, Rename.NONE)`
+    *    — atomic fail-if-exists at the namenode, Delta's HDFSLogStore
+    *    primitive, and no client-side checksum sidecars exist.
+    *  - `file:` — FileContext is NOT a CAS there: `ChecksumFs`
+    *    implements Rename.NONE as a check-then-act (`exists(dst)` then
+    *    POSIX rename(2), which silently replaces), AND renames the data
+    *    file and its `.crc` sidecar as two separate operations, so two
+    *    racing drivers can interleave into a commit file whose data and
+    *    checksum disagree — CrossProcessCasSpec caught both as a
+    *    durable `ChecksumException` on a committed slot. The true local
+    *    CAS is kernel `link(2)`: `Files.createLink(dst, tmp)` fails
+    *    EEXIST atomically; the tmp is written via NIO so no `.crc`
+    *    sidecar is ever minted for log files.
     */
   private[graft] def tryCommit(
       spark: SparkSession, dir: String, v: Long, verb: String, observed: Long): Boolean = {
     val fs = fsOf(spark, dir)
     val lp = logPath(dir)
     if (!fs.exists(lp)) fs.mkdirs(lp)
-    val tmp = new Path(lp, s"_tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(s"$verb observed=$observed\n".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val body = s"$verb observed=$observed\n".getBytes(StandardCharsets.UTF_8)
     val dst = commitPath(dir, v)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sessionState.newHadoopConf())
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false); false
-      case _: java.io.IOException if fs.exists(dst) =>
-        // an FS that signals the existing destination with a plain
-        // IOException — still the conflict, not an infrastructure error
-        fs.delete(tmp, false); false
-      case e: Throwable =>
-        // genuine infrastructure failure: still reap the temp file —
-        // leaking one _tmp-* per failed attempt grows _log/ forever
-        // (they are invisible to listVersions but real FS debris)
-        try fs.delete(tmp, false) catch { case _: Throwable => () }
-        throw e
+    if (fs.getUri.getScheme == "file") {
+      val lpNio = java.nio.file.Paths.get(fs.makeQualified(lp).toUri.getPath)
+      val tmp = lpNio.resolve(s"_tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, body)
+      val dstNio = lpNio.resolve(dst.getName)
+      try {
+        java.nio.file.Files.createLink(dstNio, tmp)
+        java.nio.file.Files.delete(tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.delete(tmp); false
+        case e: Throwable =>
+          try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+          throw e
+      }
+    } else {
+      val tmp = new Path(lp, s"_tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(body)
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+        case _: java.io.IOException if fs.exists(dst) =>
+          // an FS that signals the existing destination with a plain
+          // IOException — still the conflict, not an infrastructure error
+          fs.delete(tmp, false); false
+        case e: Throwable =>
+          // genuine infrastructure failure: still reap the temp file —
+          // leaking one _tmp-* per failed attempt grows _log/ forever
+          // (they are invisible to listVersions but real FS debris)
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
+      }
     }
   }
 

@@ -59,7 +59,15 @@ class CrossProcessCasSpec extends SparkSpec {
     }
   }
 
-  test("two forked drivers racing appends: both land everything, versions contiguous, no silent overwrite") {
+  /** One full forked race; returns the observed switchover count. Every
+    * PROTOCOL property is asserted on every attempt — only the
+    * interleaving meta-check (did the OS actually overlap the loops?)
+    * is returned to the caller, because process scheduling after the
+    * gate opens is not ours to control: occasionally one JVM runs all
+    * its commits before the other gets a core, which proves nothing
+    * either way and is retried.
+    */
+  private def raceOnce(): Int = {
     val dir = Files.createTempDirectory("graft_xproc_").toString + "/idx"
     M.writeClustered(
       (0 until 20).map(i => (i.toLong, i % 4)).toDF("id", "cluster"),
@@ -98,19 +106,24 @@ class CrossProcessCasSpec extends SparkSpec {
       val hist = LayoutLog.history(spark, dir)
       assert(hist.size == 2 * n + 1)
       assert(hist.tail.forall(_.verb == "append"))
-      // and the commit loops genuinely overlapped (both-ran-serially
-      // would prove nothing): each racer must have lost at least one CAS
-      // round, i.e. committed a version above its observed+1 at least
-      // once. observed is re-read fresh each commit, so a serialized
-      // racer's versions would be its own arithmetic progression of
-      // step 2 ONLY under interleaving — check the interleave directly:
-      val interleavings = union.sorted.map(v => if (a.contains(v)) "A" else "B")
+      // the commit loops genuinely overlapped only if ownership switches
+      // along the version line (both-ran-serially proves nothing):
+      union.sorted.map(v => if (a.contains(v)) "A" else "B")
         .sliding(2).count(w => w.size == 2 && w.head != w.last)
-      assert(interleavings >= 3,
-        s"the racers must actually interleave (got $interleavings switchovers) — " +
-          "raise n or remove pacing if this fires on a healthy box")
     } finally {
       pA.destroyForcibly(); pB.destroyForcibly(): Unit
     }
+  }
+
+  test("two forked drivers racing appends: both land everything, versions contiguous, no silent overwrite") {
+    // Protocol assertions run inside EVERY attempt; the interleaving
+    // meta-check needs one attempt where the scheduler actually
+    // overlapped the two loops.
+    val switchovers = Iterator.continually(raceOnce()).take(3).find(_ >= 3)
+    assert(switchovers.isDefined,
+      "the racers never interleaved across 3 attempts (>= 3 switchovers " +
+        "required) — either the box is pathologically serial or the " +
+        "commit loop got so fast one process always drains before the " +
+        "other is scheduled; raise n")
   }
 }
