@@ -2415,7 +2415,14 @@ object OracleSql {
          |       FROM s JOIN documents d ON s.doc_id = d.doc_id WHERE s.ppl IS NOT NULL),
          |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |         ROUND(avg(nll), 5) AS mean_nll FROM d2 GROUP BY source),
-         |ref AS (SELECT ROUND(avg(mean_nll), 5) AS r, CAST(count(*) AS BIGINT) AS nd FROM dom),
+         |-- cross-domain reference in EXACT integer arithmetic (the
+         |-- 5-dp domain means put avg on a .5 boundary — measured at
+         |-- sf0.01 — so a double ROUND(avg(...),5) flips with the
+         |-- engine's summation order); half-up on the exact rational,
+         |-- valid since nll >= 0, then one IEEE-exact /1e5
+         |ref AS (SELECT CAST((2 * sum(CAST(round(mean_nll * 100000.0) AS BIGINT)) + count(*))
+         |          // (2 * count(*)) AS DOUBLE) / 100000.0 AS r,
+         |        CAST(count(*) AS BIGINT) AS nd FROM dom),
          |rw AS (SELECT source, n_docs, mean_nll,
          |        greatest(0.0, mean_nll - r) AS excess_u,
          |        exp($kEta * greatest(0.0, mean_nll - r)) AS raw, nd

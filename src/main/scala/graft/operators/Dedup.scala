@@ -410,9 +410,23 @@ object Dedup {
     * Scale shape: n·(len choose ≤t) variant rows, hashed to 8-byte
     * join keys (a hash collision only mints a candidate, never drops
     * one), one hash self-join, distinct on the id pair, verify. Row
-    * text never fans out — variants leave the row as xxhash64 longs.
-    * The neighborhood is combinatorial in t, so t ≤ 2 is enforced;
-    * coarser matching belongs to [[minHashLshPairs]] / n-gram Jaccard.
+    * text never fans out — variants leave the row as xxhash64 longs,
+    * and the STRINGS re-enter only on the distinct candidate PAIRS
+    * (two id-keyed joins against the n-row base — pairs ≪ variants by
+    * construction, so the verify join never carries name bytes at
+    * variant volume). The neighborhood is combinatorial in t, so t ≤ 2
+    * is enforced; coarser matching belongs to [[minHashLshPairs]] /
+    * n-gram Jaccard.
+    *
+    * Plan shape (round-16 rework): the neighborhood expansion is
+    * hash-spread by id first — the compact id+name scan arrives in a
+    * handful of input splits, and the O(n·len^t) generate would
+    * otherwise run on those few tasks while the rest of the session
+    * idles — then the (id, hash) variant rows are hash-partitioned BY
+    * THE JOIN KEY, so the self-join consumes ONE exchange from both
+    * sides (ReusedExchange: scan+generate executes once, where the
+    * previous distinct()-planted exchange was recomputed per side the
+    * moment AQE picked a broadcast join) and needs no further shuffle.
     */
   def editDistanceJoin(
       df: DataFrame,
@@ -441,19 +455,23 @@ object Dedup {
           array_union(array(col("_s")), del1(col("_s"))),
           array_distinct(flatten(transform(del1(col("_s")), v => del1(v)))))
 
-    // Variants are already distinct per row (array_union/array_distinct
-    // above); the distinct() is kept for its SIDE EFFECT: it plants one
-    // hash exchange that both sides of the self-join reuse
-    // (ReusedExchange), so the scan+explode runs once, not twice —
-    // measured 2.4× faster than the "optimized" distinct-free version.
+    // Variants are distinct per row (array_union/array_distinct above);
+    // cross-row duplicates only re-mint a candidate the pair-distinct
+    // collapses, so no variant-level distinct is needed. Both
+    // repartitions size themselves from spark.sql.shuffle.partitions
+    // (scale-adaptive, AQE-coalescible) — no local-core constant.
     val variants = base
-      .select(col("_id"), col("_s"), explode(neighborhood).as("_v"))
-      .select(col("_id"), col("_s"), xxhash64(col("_v")).as("_vh"))
-      .distinct()
-    variants.select(col("_vh"), col("_id").as("id_a"), col("_s").as("_sa"))
-      .join(variants.select(col("_vh"), col("_id").as("id_b"), col("_s").as("_sb")), "_vh")
+      .repartition(col("_id"))
+      .select(col("_id"), explode(neighborhood).as("_v"))
+      .select(col("_id"), xxhash64(col("_v")).as("_vh"))
+      .repartition(col("_vh"))
+    val cand = variants.select(col("_vh"), col("_id").as("id_a"))
+      .join(variants.select(col("_vh"), col("_id").as("id_b")), "_vh")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sa", "_sb").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("_id").as("id_a"), col("_s").as("_sa")), "id_a")
+      .join(base.select(col("_id").as("id_b"), col("_s").as("_sb")), "id_b")
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .filter(col("dist") <= maxDist)
@@ -818,13 +836,19 @@ object Dedup {
     * mirror and keeping the clean original. Docs in no cluster are
     * their own canonical (singleton pass-through).
     *
-    * Scale shape: one left join onto the cluster map, a per-cluster
-    * row_number window (keyed by cluster id — partitions stay bounded
-    * because near-dup clusters are small by construction; a
+    * Scale shape: one left join onto the cluster map and ONE
+    * per-cluster ordered window (keyed by cluster id — partitions stay
+    * bounded because near-dup clusters are small by construction; a
     * degenerate all-alike corpus degrades this ONE window, not the
-    * corpus scan), and a join of the one-row-per-cluster winners back
-    * on the cluster key. Returns every input row:
-    * (id, cluster_id, canonical_id, quality, keep).
+    * corpus scan). The canonical is `first(id)` over the
+    * (quality desc, id) order — every frame includes the partition's
+    * top row, so no winners table and no second join/corpus pass (the
+    * previous row_number + re-join shape evaluated the member subtree
+    * twice: Spark shares no common subtrees within a plan). Since
+    * [[TextAnalysis.qualityScore]] is a 1:1 projection, it IS the
+    * member row set — the separate corpus.select(id) leg was a third
+    * corpus pass for a column qualityScore already carries. Returns
+    * every input row: (id, cluster_id, canonical_id, quality, keep).
     */
   def canonicalPerCluster(
       corpus: DataFrame,
@@ -832,20 +856,14 @@ object Dedup {
       textCol: String,
       idCol: String
   ): DataFrame = {
-    val q = TextAnalysis.qualityScore(corpus, textCol, idCol)
+    val member = TextAnalysis.qualityScore(corpus, textCol, idCol)
       .select(col(idCol), col("quality"))
-    val member = corpus.select(col(idCol))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
-      .join(q, Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id")).orderBy(col("quality").desc, col(idCol))
-    val winners = member
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col("cluster_id"), col(idCol).as("canonical_id"))
     member
-      .join(winners, Seq("cluster_id"))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
       .select(col(idCol), col("cluster_id"), col("canonical_id"),
         col("quality"), (col(idCol) === col("canonical_id")).as("keep"))
   }

@@ -49,8 +49,14 @@ object Sampling {
     * domain means round before differencing, so both engines
     * difference identical doubles (the perplexity-twin contract).
     * Shape at scale: the corpus-sized work is [[Lm.perplexity]]'s
-    * linear pass; everything after is O(domains) with one-row
-    * broadcasts.
+    * linear pass — run ONCE: the cross-domain reference and the
+    * normalizer are all-rows window aggregates over the O(domains)
+    * per-domain table instead of separate re-aggregations (Spark does
+    * not share common subtrees within one plan, so the previous
+    * `dom.agg` / `ex.agg` legs each re-ran the whole corpus pass —
+    * three scans at 100 TB for arithmetic over a handful of rows).
+    * The partition-less windows are bounded by construction: they see
+    * one row per DOMAIN, never corpus rows.
     */
   def doremiWeights(
       df: DataFrame,
@@ -67,13 +73,27 @@ object Sampling {
       .select(col(domainCol), log(col("ppl")).as("_nll"))
     val dom = nll.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("_nll")), 5).as("mean_nll"))
-    val ref = dom.agg(round(avg(col("mean_nll")), 5).as("_ref"),
-      count(lit(1)).cast("long").as("_nd"))
-    val ex = dom.crossJoin(broadcast(ref))
+    val all = Window.partitionBy()
+    // The cross-domain reference is computed in EXACT integer
+    // arithmetic: the domain means are 5-dp grid points, so their mean
+    // lands on a .5 rounding boundary with high probability (measured:
+    // at sf0.01 it sits EXACTLY on one — avg·1e5 = 338655.5 — and a
+    // double `round(avg(...), 5)` flips with summation order in any
+    // engine, Spark and DuckDB alike). Scale to exact longs, sum
+    // (associative), and round half-up on the exact rational
+    // (2S + n) div (2n) — valid since nll = ln(ppl) ≥ 0 (ppl ≥ 1 by
+    // construction: ppl = exp(mean(−log p)), log p ≤ 0). The final
+    // /1e5 double divide is IEEE-exactly-rounded on both engines.
+    val ex = dom
+      .withColumn("_k", round(col("mean_nll") * lit(100000.0)).cast("long"))
+      .withColumn("_ref",
+        (expr("(2 * sum(_k) over () + count(1) over ()) div (2 * count(1) over ())")
+          .cast("double") / lit(100000.0)))
+      .drop("_k")
+      .withColumn("_nd", count(lit(1)).over(all))
       .withColumn("_excess", greatest(lit(0.0), col("mean_nll") - col("_ref")))
       .withColumn("_raw", exp(lit(eta * steps) * col("_excess")))
-    val tot = ex.agg(sum(col("_raw")).as("_tot"))
-    ex.crossJoin(broadcast(tot))
+    ex.withColumn("_tot", sum(col("_raw")).over(all))
       .select(col(domainCol), col("n_docs"), col("mean_nll"),
         round(col("_excess"), 5).as("excess"),
         round(lit(1 - eps) * col("_raw") / col("_tot") +
@@ -115,27 +135,31 @@ object Sampling {
       .groupBy(col("domain"))
       .agg(sum(col("_n")).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * epochCap)
-    val tot = dom.agg(sum(col("n_tokens")).as("_total"),
-      count(lit(1)).cast("long").as("_nd"))
-    val base = dom.crossJoin(broadcast(tot))
+    // The whole water-fill is window arithmetic over the O(domains)
+    // aggregate — one corpus tokenize pass total. (The previous
+    // tot/self-join/kAgg legs each re-referenced `dom`, and Spark does
+    // not share common subtrees in one plan, so the corpus pass ran
+    // 5×.) The partition-less windows see one row per DOMAIN, never
+    // corpus rows; all values are the same exact longs as before —
+    // row_number/running-sum in (cap, domain) order is exactly the
+    // bounded self-join's strictly-before count/sum.
+    val all = Window.partitionBy()
+    val ord = Window.partitionBy().orderBy(col("cap"), col("domain"))
+    val flagged = dom
+      .withColumn("_total", sum(col("n_tokens")).over(all))
+      .withColumn("_nd", count(lit(1)).over(all))
       .withColumn("_budget",
         floor(col("_total").cast("double") * budgetFrac).cast("long"))
-    // prefix sum + rank in (cap, domain) order via the bounded self-join
-    val d2 = dom.select(col("domain").as("_d2"), col("cap").as("_cap2"))
-    val pref = base
-      .join(d2,
-        col("_cap2") < col("cap") ||
-          (col("_cap2") === col("cap") && col("_d2") < col("domain")),
-        "left")
-      .groupBy(col("domain"), col("n_tokens"), col("cap"), col("_budget"), col("_nd"))
-      .agg(coalesce(sum(col("_cap2")), lit(0L)).as("_s_before"),
-        (count(col("_d2")) + 1).as("_rk"))
-    val flagged = pref.withColumn("capped",
-      col("cap") * (col("_nd") - col("_rk") + 1) + col("_s_before") <= col("_budget"))
-    val kAgg = flagged.agg(
-      sum(when(col("capped"), col("cap")).otherwise(0L)).as("_sk"),
-      sum(when(col("capped"), 1L).otherwise(0L)).as("_k"))
-    flagged.crossJoin(broadcast(kAgg))
+      .withColumn("_rk",
+        row_number().over(ord).cast("long"))
+      .withColumn("_s_before", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("_nd") - col("_rk") + 1) + col("_s_before") <= col("_budget"))
+    flagged
+      .withColumn("_sk", sum(when(col("capped"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("_k", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
       .withColumn("alloc_tokens",
         round(when(col("capped"), col("cap").cast("double"))
           .otherwise((col("_budget") - col("_sk")).cast("double") /
@@ -153,9 +177,12 @@ object Sampling {
       seed: String = ""
   ): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
-    val nMin = counts.agg(min(col("n_g")).as("n_min"))
+    // n_min via an all-rows window over the O(groups) aggregate — the
+    // separate `counts.agg` leg re-ran the corpus count pass (common
+    // subtrees are not shared within a plan); the window sees one row
+    // per group, never corpus rows.
     val quotas = counts
-      .crossJoin(broadcast(nMin))
+      .withColumn("n_min", min(col("n_g")).over(Window.partitionBy()))
       .withColumn("keep_g",
         least(col("n_g"), floor(sqrt((col("n_g") * col("n_min")).cast("double"))).cast("long")))
       .select(col(groupCol), col("n_g"), col("keep_g"))
