@@ -95,44 +95,64 @@ class ChunkStore(val root: String, val keyCol: String) {
   private def manifestPath(version: Long): Path =
     new Path(logPath, f"v$version%08d.manifest")
 
-  /** Atomic pointer swap: write the segment list to a temp file, rename
-    * to the final version name via `FileContext.rename(…, Rename.NONE)`
-    * — the NO-OVERWRITE rename, which throws when the destination
-    * exists; that failure means a concurrent writer won this version —
-    * surface it; the caller retries against the re-read state.
-    * FileContext (not `FileSystem.rename`) is load-bearing: stock
-    * Hadoop `LocalFileSystem.rename` onto an existing file returns true
-    * and silently REPLACES it (verified against this distribution's
-    * Hadoop 3.4.2; the `file:` scheme resolving to Hive's
-    * ProxyLocalFileSystem — which does return false — is a classpath
-    * accident the protocol must not depend on). Same reasoning as
-    * Delta's HDFSLogStore.
+  /** Atomic pointer swap: write the segment list to a temp file, then
+    * install it at the final version name via an atomic fail-if-exists
+    * primitive; a loss means a concurrent writer won this version —
+    * surface it; the caller retries against the re-read state. The
+    * primitive is scheme-dependent, mirroring [[LayoutLog.tryCommit]]
+    * (where the cross-process racer empirically broke the old
+    * FileContext-only version): kernel `link(2)` on `file:`
+    * (FileContext's Rename.NONE is check-then-act there, and ChecksumFs
+    * renames the `.crc` sidecar separately — two racing drivers can
+    * tear a manifest's data/checksum pair; the NIO tmp write also mints
+    * no `.crc`); `FileContext.rename(…, Rename.NONE)` on remote
+    * schemes, where it is namenode-atomic — Delta's HDFSLogStore
+    * reasoning. (Stock `FileSystem.rename` silently REPLACES on local —
+    * verified against this distribution's Hadoop 3.4.2 — and is never
+    * used here.)
     */
   private def commit(spark: SparkSession, version: Long, segments: Seq[Segment]): Unit = {
     val f = fs(spark)
     if (!f.exists(logPath)) f.mkdirs(logPath)
-    val tmp = new Path(logPath, s"_tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(
-      segments.sortBy(_.seq).map(s => s"${s.seq} ${s.dir}").mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val body = segments.sortBy(_.seq).map(s => s"${s.seq} ${s.dir}").mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
     val dst = manifestPath(version)
     val won =
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          dst.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if f.exists(dst)             => false
+      if (f.getUri.getScheme == "file") {
+        val lpNio = java.nio.file.Paths.get(f.makeQualified(logPath).toUri.getPath)
+        val tmp = lpNio.resolve(s"_tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, body)
+        try {
+          java.nio.file.Files.createLink(lpNio.resolve(dst.getName), tmp)
+          java.nio.file.Files.delete(tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.delete(tmp); false
+          case e: Throwable =>
+            try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+            throw e
+        }
+      } else {
+        val tmp = new Path(logPath, s"_tmp-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(body)
+        finally out.close()
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+          case _: java.io.IOException if f.exists(dst) =>
+            f.delete(tmp, false); false
+        }
       }
-    if (!won) {
-      f.delete(tmp, false)
+    if (!won)
       throw new java.util.ConcurrentModificationException(
         s"manifest v$version already committed by a concurrent writer at $root")
-    }
   }
 
   /** Land `rows` as a fresh invisible segment dir, then commit the new

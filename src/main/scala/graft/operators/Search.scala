@@ -186,25 +186,36 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val dl = tokens.groupBy(col(groupCol), col(idCol))
-      .agg(count(lit(1)).cast("double").as("dl"))
-    val stats = dl.groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-    val qt = tokens.filter(col("term").isin(queryTerms: _*))
-    val tf = qt.groupBy(col(groupCol), col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dfs = qt.groupBy(col(groupCol), col("term"))
-      .agg(count_distinct(col(idCol)).cast("double").as("df"))
-    val scored = tf
-      .join(broadcast(dfs), Seq(groupCol, "term"))
-      .join(dl, Seq(groupCol, idCol))
+    // One tokenize pass + one (group, doc) shuffle, the
+    // [[bm25TopKWeighted]] single-pass shape: the old dl/tf/dfs legs
+    // each re-referenced the token table, and Spark shares no common
+    // subtrees within a plan, so the corpus tokenize+explode executed
+    // 3× per action. Per-doc term counts ride the SAME aggregation as
+    // dl (one pivoted count per query term); per-group stats and dfs
+    // derive from the per-doc table (doc-count-sized, never
+    // token-sized) and broadcast back.
+    def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
+    val perDocAggs = count(lit(1)).cast("double").as("dl") +:
+      queryTerms.map(t => count(when(col("term") === t, true)).cast("double").as(tfCol(t)))
+    val perDoc = tokens.groupBy(col(groupCol), col(idCol))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +: avg("dl").as("avgdl") +:
+      queryTerms.map(t =>
+        count(when(col(tfCol(t)) > 0, true)).cast("double").as(s"df_${tfCol(t)}"))
+    val stats = perDoc.groupBy(col(groupCol)).agg(statAggs.head, statAggs.tail: _*)
+    val contribs = queryTerms.map { t =>
+      val tf = col(tfCol(t))
+      val df = col(s"df_${tfCol(t)}")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      val tfNorm = tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * tfNorm).otherwise(lit(0.0))
+    }
+    val scored = perDoc
+      .filter(queryTerms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
       .join(broadcast(stats), Seq(groupCol))
-      .withColumn("_contrib",
-        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col(groupCol), col(idCol))
-      .agg(round(sum(col("_contrib")), 5).as("bm25"))
+      .withColumn("bm25", round(contribs.reduce(_ + _), 5))
+      .select(col(groupCol), col(idCol), col("bm25"))
     graft.plans.TopK
       .perKey(scored, Seq(groupCol), Seq(("bm25", false), (idCol, true)), k)
       .select(col(groupCol), col(idCol), col("bm25"), col("rk"))
