@@ -173,9 +173,20 @@ object Dedup {
     // so a fully-covered 100k-token document costs O(T log T), never
     // the O(T²) a per-token membership scan over a position ARRAY
     // would (the adversarial case: heavy genuine contamination).
-    val toksDf = corpus
+    // toksDf feeds THREE subtrees (the gram pass, the contaminated
+    // rebuild's semi-join, the clean anti-join) and Spark shares no
+    // common subtrees within a plan — without materialization the
+    // corpus tokenize (and any caller-side planted join under it) ran
+    // 3× per action. One cached pass per invocation (instance-keyed —
+    // every run still computes from parquet; MEMORY_AND_DISK spills
+    // instead of OOMing on a corpus-sized token table), bounded
+    // retention via the same pool as the postings caches. persist
+    // beats localCheckpoint here because the cached subtree stays
+    // visible in the plan (PushedFilters/scan shape remain auditable).
+    val toksDf = retainCached(corpus
       .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gr = TextOps.posexplodeShingles(
         toksDf.select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh")),
         col("_sh"), "gpos", "gram", col(idCol))
@@ -483,7 +494,7 @@ object Dedup {
   // a long-lived driver sweeping many corpora cannot accumulate
   // cached postings forever, and an evicted entry merely recomputes.
   private val retained = new java.util.ArrayDeque[DataFrame]()
-  private def retainCached(dfc: DataFrame, max: Int = 4): DataFrame = {
+  private[graft] def retainCached(dfc: DataFrame, max: Int = 4): DataFrame = {
     retained.synchronized {
       retained.addLast(dfc)
       while (retained.size > max) retained.removeFirst().unpersist(false)

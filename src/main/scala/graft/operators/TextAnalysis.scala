@@ -330,10 +330,42 @@ object TextAnalysis {
     * divergence is ROUNDed like every score in this repo (the BM25
     * precedent).
     */
-  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
-    corpusDriftFromCounts(
-      driftTermCounts(a, textCol, "ca"), driftTermCounts(b, textCol, "cb"),
-      driftShape(a, textCol), driftShape(b, textCol))
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    // ONE tokenize pass per snapshot: a rollup over the posexploded
+    // tokens yields the per-term counts AND the (n docs, token sum)
+    // shape row in the same aggregation (posexplode_outer keeps
+    // empty docs as a null-term row, so the doc count is exact;
+    // grouping() separates the rollup's global row from a genuine
+    // null-term group). The previous composition referenced each
+    // snapshot's corpus from term counts AND shape — and
+    // corpusDriftFromCounts references the counts twice (totals +
+    // join) — so with no in-plan subtree sharing the corpus tokenize
+    // ran 3× per side. The rollup result is vocab-sized; caching it
+    // (instance-keyed — recomputed every invocation, bounded retention
+    // via Dedup's shared pool) lets its three consumers share one
+    // computation while the corpus scan stays visible in the plan
+    // (unlike a localCheckpoint barrier, which hides PushedFilters
+    // from the audit surface). The streamed face keeps the monoid
+    // partials (driftTermCounts / driftShapePartials) unchanged.
+    def sketch(df: DataFrame, cntName: String): (DataFrame, DataFrame) = {
+      val ex = df.select(
+        posexplode_outer(TextOps.tokenize(col(textCol))).as(Seq("_p", "term")))
+      val agg = Dedup.retainCached(ex.rollup(col("term"))
+        .agg(grouping(col("term")).as("_g"),
+          count(col("term")).as("_cnt"),
+          count(when(col("_p") === 0 || col("_p").isNull, 1)).as("_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val counts = agg.filter(col("_g") === 0 && col("term").isNotNull)
+        .select(col("term"), col("_cnt").as(cntName))
+      val shape = agg.filter(col("_g") === 1)
+        .select(col("_docs").as("n"),
+          round(col("_cnt").cast("double") / col("_docs").cast("double"), 4).as("len"))
+      (counts, shape)
+    }
+    val (ta, shapeA) = sketch(a, "ca")
+    val (tb, shapeB) = sketch(b, "cb")
+    corpusDriftFromCounts(ta, tb, shapeA, shapeB)
+  }
 
   /** (term, cnt) table for one snapshot — the MONOID half of the
     * drift computation: partial counts from any split of the corpus
