@@ -2881,7 +2881,12 @@ object OracleSql {
       // because 256 divides 2^32); weights come from the fixture
       // closed-form formulas while the Spark side loads the artifact
       // FILE — the hash gate proves file, formulas and both engines
-      // agree.
+      // agree. The final `+ 0.0e0` normalizes IEEE negative zero:
+      // DuckDB's ROUND of a tiny negative (|x| < 5e-6) yields -0.0
+      // while Spark's BigDecimal HALF_UP yields +0.0 — value-equal to
+      // pandas but NOT to a bit/text hash (the round-16 driver-only
+      // hash mismatch: exactly 2 of 8000 cells). x + 0.0 == x for
+      // every other double, so nothing else moves.
       s"""WITH $bpeChainCtes,
          |$bpeSymbolCtes,
          |sid AS MATERIALIZED (SELECT w, si, $javaHash32 & 255 AS id FROM wid),
@@ -2895,7 +2900,7 @@ object OracleSql {
          |ov AS MATERIALIZED (SELECT pl.doc_id, pl.j, CASE WHEN nsq.nsq = 0 THEN 0.0e0
          |        ELSE CAST(pl.p AS DOUBLE) / sqrt(CAST(nsq.nsq AS DOUBLE)) END AS x
          |       FROM pl JOIN nsq USING (doc_id))
-         |SELECT d.doc_id AS doc_id, dj.j AS k, ROUND(COALESCE(ov.x, 0.0e0), 5) AS x
+         |SELECT d.doc_id AS doc_id, dj.j AS k, ROUND(COALESCE(ov.x, 0.0e0), 5) + 0.0e0 AS x
          |FROM documents d CROSS JOIN dj LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.j = dj.j
          |ORDER BY d.doc_id, k""".stripMargin,
 

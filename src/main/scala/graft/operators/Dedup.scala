@@ -177,16 +177,15 @@ object Dedup {
     // rebuild's semi-join, the clean anti-join) and Spark shares no
     // common subtrees within a plan — without materialization the
     // corpus tokenize (and any caller-side planted join under it) ran
-    // 3× per action. One cached pass per invocation (instance-keyed —
-    // every run still computes from parquet; MEMORY_AND_DISK spills
-    // instead of OOMing on a corpus-sized token table), bounded
-    // retention via the same pool as the postings caches. persist
+    // 3× per action. One cached pass per invocation — the nonce salt
+    // in saltedCached makes per-invocation PROVABLE (sameResult can
+    // never match an earlier call's pooled entry); MEMORY_AND_DISK
+    // spills instead of OOMing on a corpus-sized token table. persist
     // beats localCheckpoint here because the cached subtree stays
     // visible in the plan (PushedFilters/scan shape remain auditable).
-    val toksDf = retainCached(corpus
+    val toksDf = saltedCached(corpus
       .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
-      .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .filter(size(col("_toks")) > 0)) // empty docs had no token rows before either
     val gr = TextOps.posexplodeShingles(
         toksDf.select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh")),
         col("_sh"), "gpos", "gram", col(idCol))
@@ -197,10 +196,9 @@ object Dedup {
     // would execute twice per action — cache the (small: positions
     // inside contaminated docs only) pair set instead. Bounded
     // retention, same lifecycle as containmentPairs' postings.
-    val covPairs = retainCached(gr.join(broadcast(benchGrams), "g")
+    val covPairs = saltedCached(gr.join(broadcast(benchGrams), "g")
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .distinct())
     val contaminatedIds = covPairs.select(col(idCol)).distinct()
     val rebuilt = TextOps.posexplodeShingles(
         toksDf.join(contaminatedIds, Seq(idCol), "left_semi"),
@@ -502,6 +500,27 @@ object Dedup {
     dfc
   }
 
+  /** Persist an operator-internal DataFrame PROVABLY per-invocation:
+    * a literal nonce column is appended before the persist, so the
+    * cached plan is unique to this call and CacheManager's
+    * sameResult substitution can never serve a previous invocation's
+    * entry to a later run (a bench warm pass recomputes from parquet
+    * by construction, not by pool-eviction luck — CacheSaltSpec pins
+    * this). The salt is dropped before the frame is handed back, so
+    * consumers see the original schema; retention stays bounded via
+    * [[retainCached]].
+    */
+  private val invNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def saltedCached(
+      dfc: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val salted = dfc.withColumn("_inv", lit(invNonce.incrementAndGet()))
+      .persist(level)
+    retainCached(salted)
+    salted.drop("_inv")
+  }
+
   /** Asymmetric CONTAINMENT pairs — excerpt/quote detection:
     * containment(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ finds documents
     * whose shingles are (mostly) a subset of another's. Jaccard-keyed
@@ -564,16 +583,17 @@ object Dedup {
     // slower here (36 s vs 5.5 s for the postings at sf0.1).
     // persist: the postings feed the df guard, the size leg and both
     // join sides (4 consumers — previously 4 rebuilds); materialized
-    // by the topDf action. Retention is BOUNDED: the CacheManager
-    // holds cached blocks by strong reference (MEMORY_AND_DISK spills
-    // under pressure, it does not drop), so each call registers its
-    // postings in a small queue that unpersists the oldest — an
-    // evicted entry's downstream consumers recompute, never break.
-    val ex = retainCached(TextOps.explodeShingles(
+    // by the topDf action, and nonce-salted so a later invocation
+    // (e.g. a bench warm rep) can never be served this call's cache.
+    // Retention is BOUNDED: the CacheManager holds cached blocks by
+    // strong reference (MEMORY_AND_DISK spills under pressure, it
+    // does not drop), so each call registers its postings in a small
+    // queue that unpersists the oldest — an evicted entry's
+    // downstream consumers recompute, never break.
+    val ex = saltedCached(TextOps.explodeShingles(
         df.select(col(idCol).as("_id"), TextOps.tokenize(col(textCol)).as("_toks")),
         array_distinct(TextOps.rawShingles(col("_toks"), shingleK)), "_raw", col("_id"))
-      .select(col("_id"), md5(col("_raw")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .select(col("_id"), md5(col("_raw")).as("g")))
     val sizes = ex.groupBy(col("_id")).agg(count(lit(1)).cast("double").as("_na"))
     val dfs = ex.groupBy("g").agg(count(lit(1)).as("_df"))
     val topDf = dfs.agg(max(col("_df"))).first().getLong(0)

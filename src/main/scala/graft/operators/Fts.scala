@@ -290,11 +290,16 @@ object Fts extends IndexMaintenance {
     val posts = tf.withColumn("tf", col("tfl").cast("double")).drop("tfl")
       .join(dl, Seq(idCol))
     // Delta appends (parts > 0) hash-partition by term instead of
-    // range-partitioning: each term still lands in exactly one file
-    // (term-local min/max pruning for absent terms is preserved — files
-    // stay term-sorted within), and the RangePartitioner's extra
-    // sampling job over the batch disappears. The FULL build keeps the
-    // global term-range order (that is the documented compacted layout).
+    // range-partitioning: each term still lands in exactly one file and
+    // files stay term-sorted WITHIN, so row-group min/max pruning
+    // inside each delta file survives — but FILE-level pruning for
+    // absent terms is largely lost on deltas (each hash-partitioned
+    // file's term min/max spans nearly the whole vocabulary). The
+    // trade is deliberate: the RangePartitioner's extra sampling job
+    // over every micro-batch disappears, and the maintain policy
+    // bounds the delta count until compaction restores the global
+    // term-range layout (the FULL build keeps range order — that is
+    // the documented compacted layout).
     val postsOut =
       (if (parts > 0) posts.repartition(parts, col("term"))
        else posts.repartitionByRange(col("term")))
@@ -331,12 +336,17 @@ object Fts extends IndexMaintenance {
       val st = Await.result(
         for (_ <- fPost; _ <- fDims; _ <- fNorms; s <- fStats) yield s,
         scala.concurrent.duration.Duration.Inf)
-      tf.unpersist()
       LayoutLog.commitVerb(spark, outDir,
         if (overwrite) "build" else "append", observed): Unit
       // sum over zero rows is NULL: an empty corpus/batch yields (0, 0)
       if (st.isNullAt(1)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
-    } finally pool.shutdown()
+    } finally {
+      // in the finally: a failed concurrent write must not leave the
+      // corpus-sized tf cached (plan-keyed — a later identical build
+      // could silently be served this invocation's blocks)
+      tf.unpersist()
+      pool.shutdown()
+    }
   }
 
   /** Text-query cosine top-k served from the index sidecar — the same

@@ -193,26 +193,37 @@ object Search {
     // 3× per action. Per-doc term counts ride the SAME aggregation as
     // dl (one pivoted count per query term); per-group stats and dfs
     // derive from the per-doc table (doc-count-sized, never
-    // token-sized) and broadcast back.
-    def tfCol(t: String) = s"tf_${t.hashCode.toHexString}"
+    // token-sized) and broadcast back. Pivot columns are named by
+    // POSITION over the deduplicated term list — a hashCode-derived
+    // name collides for distinct terms (e.g. "Aa"/"BB") and a
+    // duplicated term would mint duplicate agg aliases; an empty term
+    // list short-circuits to the empty result the old isin-filter
+    // shape produced instead of throwing on reduce().
+    val terms = queryTerms.distinct
+    if (terms.isEmpty) {
+      return tokens.select(col(groupCol), col(idCol)).limit(0)
+        .withColumn("bm25", lit(0.0)).withColumn("rk", lit(1L))
+    }
+    val tfCols = terms.indices.map(i => s"tf_$i")
     val perDocAggs = count(lit(1)).cast("double").as("dl") +:
-      queryTerms.map(t => count(when(col("term") === t, true)).cast("double").as(tfCol(t)))
+      terms.zip(tfCols).map { case (t, c) =>
+        count(when(col("term") === t, true)).cast("double").as(c)
+      }
     val perDoc = tokens.groupBy(col(groupCol), col(idCol))
       .agg(perDocAggs.head, perDocAggs.tail: _*)
     val statAggs = count(lit(1)).cast("double").as("n") +: avg("dl").as("avgdl") +:
-      queryTerms.map(t =>
-        count(when(col(tfCol(t)) > 0, true)).cast("double").as(s"df_${tfCol(t)}"))
+      tfCols.map(c => count(when(col(c) > 0, true)).cast("double").as(s"df_$c"))
     val stats = perDoc.groupBy(col(groupCol)).agg(statAggs.head, statAggs.tail: _*)
-    val contribs = queryTerms.map { t =>
-      val tf = col(tfCol(t))
-      val df = col(s"df_${tfCol(t)}")
+    val contribs = tfCols.map { c =>
+      val tf = col(c)
+      val df = col(s"df_$c")
       val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
       val tfNorm = tf * lit(k1 + 1) /
         (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
       when(tf > 0, idf * tfNorm).otherwise(lit(0.0))
     }
     val scored = perDoc
-      .filter(queryTerms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
+      .filter(tfCols.map(c => col(c) > 0).reduce(_ || _))
       .join(broadcast(stats), Seq(groupCol))
       .withColumn("bm25", round(contribs.reduce(_ + _), 5))
       .select(col(groupCol), col(idCol), col("bm25"))

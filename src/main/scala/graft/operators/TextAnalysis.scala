@@ -323,49 +323,22 @@ object TextAnalysis {
     *   - `oov_rate_b`: share of B's token MASS on terms A never saw;
     *   - `mean_len_a/b`: per-snapshot mean token counts.
     *
-    * Scale shape: two token aggregations + one full-outer term join +
-    * one scalar aggregate — all hash-partitioned on the term, no
-    * windows, no collects; the two one-row total tables broadcast.
-    * Sums of ln-terms are order-dependent in the last ulps, so the
-    * divergence is ROUNDed like every score in this repo (the BM25
-    * precedent).
+    * Scale shape: one token aggregation per snapshot (the corpus-sized
+    * work, term-hash partitioned), one full-outer term join, then the
+    * cross-term totals as partition-less WINDOW sums over the
+    * vocab-sized joined table — sub-linear in the corpus (Heaps'
+    * law), so the single-partition window pass is strictly cheaper
+    * than the extra corpus tokenize the broadcast-totals shape paid
+    * (the mix_doremi/mix_unimax precedent). The doc counts come from
+    * one tokenize-free count-star per snapshot. No persist, no
+    * checkpoint — nothing for a warm pass to reuse. Sums of ln-terms
+    * are order-dependent in the last ulps, so the divergence is
+    * ROUNDed like every score in this repo (the BM25 precedent).
     */
-  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    // ONE tokenize pass per snapshot: a rollup over the posexploded
-    // tokens yields the per-term counts AND the (n docs, token sum)
-    // shape row in the same aggregation (posexplode_outer keeps
-    // empty docs as a null-term row, so the doc count is exact;
-    // grouping() separates the rollup's global row from a genuine
-    // null-term group). The previous composition referenced each
-    // snapshot's corpus from term counts AND shape — and
-    // corpusDriftFromCounts references the counts twice (totals +
-    // join) — so with no in-plan subtree sharing the corpus tokenize
-    // ran 3× per side. The rollup result is vocab-sized; caching it
-    // (instance-keyed — recomputed every invocation, bounded retention
-    // via Dedup's shared pool) lets its three consumers share one
-    // computation while the corpus scan stays visible in the plan
-    // (unlike a localCheckpoint barrier, which hides PushedFilters
-    // from the audit surface). The streamed face keeps the monoid
-    // partials (driftTermCounts / driftShapePartials) unchanged.
-    def sketch(df: DataFrame, cntName: String): (DataFrame, DataFrame) = {
-      val ex = df.select(
-        posexplode_outer(TextOps.tokenize(col(textCol))).as(Seq("_p", "term")))
-      val agg = Dedup.retainCached(ex.rollup(col("term"))
-        .agg(grouping(col("term")).as("_g"),
-          count(col("term")).as("_cnt"),
-          count(when(col("_p") === 0 || col("_p").isNull, 1)).as("_docs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val counts = agg.filter(col("_g") === 0 && col("term").isNotNull)
-        .select(col("term"), col("_cnt").as(cntName))
-      val shape = agg.filter(col("_g") === 1)
-        .select(col("_docs").as("n"),
-          round(col("_cnt").cast("double") / col("_docs").cast("double"), 4).as("len"))
-      (counts, shape)
-    }
-    val (ta, shapeA) = sketch(a, "ca")
-    val (tb, shapeB) = sketch(b, "cb")
-    corpusDriftFromCounts(ta, tb, shapeA, shapeB)
-  }
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    driftCore(
+      driftTermCounts(a, textCol, "ca"), driftTermCounts(b, textCol, "cb"),
+      a.agg(count(lit(1)).as("n")), b.agg(count(lit(1)).as("n")))
 
   /** (term, cnt) table for one snapshot — the MONOID half of the
     * drift computation: partial counts from any split of the corpus
@@ -382,9 +355,6 @@ object TextAnalysis {
     .select(size(TextOps.tokenize(col(textCol))).cast("long").as("_len"))
     .agg(count(lit(1)).as("n"), sum(col("_len")).as("len_sum"))
 
-  private def driftShape(df: DataFrame, textCol: String): DataFrame =
-    shapeFromPartials(driftShapePartials(df, textCol))
-
   /** Merge shape partials → (n docs, mean length): the division
     * happens ONCE after the exact integer sums merge, so streamed
     * partials reproduce the batch mean bit-for-bit.
@@ -395,15 +365,30 @@ object TextAnalysis {
       round(col("_s").cast("double") / col("_n").cast("double"), 4).as("len"))
 
   /** [[corpusDrift]] from pre-aggregated counts — shared by the batch
-    * and streamed faces. `shapeA`/`shapeB` are one-row (n, len).
+    * and streamed faces. `shapeA`/`shapeB` are one-row (n, len); only
+    * `n` is consumed — the mean lengths re-derive exactly from the
+    * term-count masses (Σcnt == Σ size(tokenize) by construction), so
+    * each counts subtree is referenced ONCE (no second corpus pass for
+    * the totals, no cache needed to prevent one).
     */
   def corpusDriftFromCounts(
-      ta: DataFrame, tb: DataFrame, shapeA: DataFrame, shapeB: DataFrame): DataFrame = {
-    val totA = ta.agg(sum("ca").cast("double").as("tot_a"))
-    val totB = tb.agg(sum("cb").cast("double").as("tot_b"))
+      ta: DataFrame, tb: DataFrame, shapeA: DataFrame, shapeB: DataFrame): DataFrame =
+    driftCore(ta, tb, shapeA.select(col("n")), shapeB.select(col("n")))
+
+  /** Shared drift arithmetic over (term, ca) / (term, cb) count tables
+    * and one-row doc-count tables. The cross-term totals are
+    * partition-less window sums over the vocab-sized joined table —
+    * exact BIGINT sums, cast to double only at the division, so every
+    * value is bit-identical to the former broadcast-totals shape.
+    */
+  private def driftCore(
+      ta: DataFrame, tb: DataFrame, nA: DataFrame, nB: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
     val joined = ta.join(tb, Seq("term"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
-      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .select(col("ca"), col("cb")) // the window pass carries two longs per term
+      .withColumn("tot_a", sum(col("ca")).over(w).cast("double"))
+      .withColumn("tot_b", sum(col("cb")).over(w).cast("double"))
     val p = col("ca").cast("double") / col("tot_a")
     val q = col("cb").cast("double") / col("tot_b")
     val m = (p + q) / 2.0
@@ -412,12 +397,18 @@ object TextAnalysis {
         when(q > 0, q * log(q / m) * 0.5).otherwise(0.0)
     val divergence = joined.agg(
       round(sum(jsTerm), 4).as("js_divergence"),
-      round(sum(when(col("ca") === 0, q).otherwise(0.0)), 4).as("oov_rate_b"))
-    shapeA.select(col("n").as("n_docs_a"), col("len").as("mean_len_a"))
-      .crossJoin(shapeB.select(col("n").as("n_docs_b"), col("len").as("mean_len_b")))
+      round(sum(when(col("ca") === 0, q).otherwise(0.0)), 4).as("oov_rate_b"),
+      sum(col("ca")).as("_suma"),
+      sum(col("cb")).as("_sumb"))
+    nA.select(col("n").as("n_docs_a"))
+      .crossJoin(nB.select(col("n").as("n_docs_b")))
       .crossJoin(divergence)
-      .select("n_docs_a", "n_docs_b", "mean_len_a", "mean_len_b",
-        "oov_rate_b", "js_divergence")
+      .select(col("n_docs_a"), col("n_docs_b"),
+        round(col("_suma").cast("double") / col("n_docs_a").cast("double"), 4)
+          .as("mean_len_a"),
+        round(col("_sumb").cast("double") / col("n_docs_b").cast("double"), 4)
+          .as("mean_len_b"),
+        col("oov_rate_b"), col("js_divergence"))
   }
 
   /** Zipf power-law fit over the term-frequency distribution — the
