@@ -156,12 +156,18 @@ class ChunkStore(val root: String, val keyCol: String) {
   }
 
   /** Land `rows` as a fresh invisible segment dir, then commit the new
-    * manifest referencing it with the next sequence number.
+    * manifest referencing it with the next sequence number. `parts > 0`
+    * bounds the segment's file count (a narrow coalesce, no shuffle):
+    * a micro-batch CDC writer otherwise mints one file per upstream
+    * partition (32 near-empty files per segment at local[32]), and
+    * every merge-on-read pays the accumulated file fan-in until
+    * compaction (guide §6 output sizing — the Fts delta `parts`
+    * precedent). Batch-sized appends keep the default (0 = as-is).
     */
-  private def appendSegment(rows: DataFrame, tombstone: Boolean): Unit = {
+  private def appendSegment(rows: DataFrame, tombstone: Boolean, parts: Int): Unit = {
     val spark = spark0(rows)
     val dir = s"seg-${java.util.UUID.randomUUID()}"
-    rows
+    (if (parts > 0) rows.coalesce(parts) else rows)
       .withColumn("_tombstone", lit(tombstone))
       .write.mode("errorifexists").parquet(s"$root/$dir")
     val (version, segs) = currentManifest(spark).getOrElse((0L, Seq.empty[Segment]))
@@ -170,13 +176,14 @@ class ChunkStore(val root: String, val keyCol: String) {
   }
 
   /** Append an upsert batch (latest segment wins per key on read). */
-  def upsert(rows: DataFrame): Unit = appendSegment(rows, tombstone = false)
+  def upsert(rows: DataFrame, parts: Int = 0): Unit =
+    appendSegment(rows, tombstone = false, parts)
 
   /** Append tombstones for a set of keys. Deleting from an empty store
     * commits a tombstone-only first segment (a later upsert of the same
     * key still wins by sequence order).
     */
-  def delete(keys: DataFrame): Unit = {
+  def delete(keys: DataFrame, parts: Int = 0): Unit = {
     val spark = spark0(keys)
     val withPayload =
       if (currentManifest(spark).forall(_._2.isEmpty)) keys.select(col(keyCol))
@@ -184,7 +191,7 @@ class ChunkStore(val root: String, val keyCol: String) {
         val template = read(spark).limit(0)
         keys.select(col(keyCol)).join(template, Seq(keyCol), "left_outer") // null-fill payload columns
       }
-    appendSegment(withPayload, tombstone = true)
+    appendSegment(withPayload, tombstone = true, parts)
   }
 
   private def readSegments(spark: SparkSession, segs: Seq[Segment]): DataFrame = {

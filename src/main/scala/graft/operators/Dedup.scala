@@ -332,9 +332,11 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       numHashes: Int = 8,
-      shingleK: Int = 3
+      shingleK: Int = 3,
+      parts: Int = 0 // >0 bounds the segment's files (micro-batch deltas)
   ): Unit =
-    store.upsert(minHashSignatures(delta, textCol, store.keyCol, numHashes, shingleK))
+    store.upsert(
+      minHashSignatures(delta, textCol, store.keyCol, numHashes, shingleK), parts)
 
   /** Exact Jaccard over md5-shingle sets for given candidate pairs. */
   private def verifyJaccard(

@@ -149,8 +149,31 @@ object StreamPipeline {
     */
   private def distributeBatch(batch: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
+    // LAZY checkpoint: the blocks materialize inside the first
+    // consumer's job instead of an extra eager job per micro-batch
+    // (same barrier, same distribution — one fewer fixed job latency
+    // in every foreachBatch body)
     batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .localCheckpoint(false)
+
+  /** Run independent per-batch actions CONCURRENTLY (guide §2.6 — the
+    * Fts.writeSegments recipe: actions are only sequential because the
+    * driver calls them sequentially; a micro-batch body paying k
+    * sequential job latencies pays max-of-k instead). Awaits ALL,
+    * propagates the first failure, always shuts the pool down — no
+    * timing bleed outside the batch body.
+    */
+  private def concurrently(actions: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      Await.result(
+        Future.sequence(actions.map(a => Future(a()))),
+        scala.concurrent.duration.Duration.Inf): Unit
+    } finally pool.shutdown()
+  }
 
   /** Recursively delete `root` at JVM exit. The staging and index temp
     * dirs must outlive the LAZY probe DataFrame that reads them, so
@@ -182,7 +205,8 @@ object StreamPipeline {
       queryText: String,
       dims: Int = 64,
       nProbe: Int = 3,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      cells: Option[Seq[Int]] = None): DataFrame = {
     val stream = documentStream(spark, dir).select("doc_id", "text")
     val q = stream.writeStream
       .outputMode("append")
@@ -197,8 +221,15 @@ object StreamPipeline {
     try q.processAllAvailable() finally q.stop()
 
     val queryDf = queryEmbedding(spark, queryText, dims)
-    Ann.probePersisted(spark, indexDir, centroids, queryDf,
-      "q_vec", "embedding", "doc_id", nProbe, k)
+    // a caller that already derived the probe cells (Queries.streamPipeline
+    // computes them for the oracle artifact) skips the probe-side
+    // re-collect of the query vector — one fewer driver job
+    cells match {
+      case Some(cs) => Ann.probePersistedCells(spark, indexDir, cs, queryDf,
+        "q_vec", "embedding", "doc_id", k)
+      case None => Ann.probePersisted(spark, indexDir, centroids, queryDf,
+        "q_vec", "embedding", "doc_id", nProbe, k)
+    }
   }
 
   /** One-row hashed-BoW embedding of a query text (the same featurizer
@@ -248,6 +279,7 @@ object StreamPipeline {
         if (!corpus.isEmpty) {
           graft.operators.Dedup
             .decontaminateSpansPrecomputed(corpus, benchGrams, "text", "doc_id")
+            .coalesce(4) // micro-batch landing: bound files, not 1/partition
             .write.mode("append").parquet(landDir)
         }
         System.err.println(f"[graft-stream] decontaminate batch ${nBatches.incrementAndGet()}: " +
@@ -279,7 +311,8 @@ object StreamPipeline {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = distributeBatch(batch)
-        if (!b.isEmpty) graft.operators.Dedup.appendSignatures(store, augment(b), "text")
+        if (!b.isEmpty)
+          graft.operators.Dedup.appendSignatures(store, augment(b), "text", parts = 4)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -377,11 +410,16 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = distributeBatch(batch)
         if (!b.isEmpty) {
-          store.upsert(b)
+          // parts=4 bounds each CDC segment's file count: the
+          // checkpointed micro-batch carries defaultParallelism
+          // near-empty partitions, and without the bound the drain's
+          // merge-on-read scanned 85 files after three segments
+          // (JobAudit: three 85-task stages at sf0.001)
+          store.upsert(b, parts = 4)
           store.upsert(b.filter(col("doc_id") % 7 === 3)
             .withColumn("text", upper(col("text")))
-            .withColumn("lang", lit("xx")))
-          store.delete(b.filter(col("doc_id") % 13 === 5).select("doc_id"))
+            .withColumn("lang", lit("xx")), parts = 4)
+          store.delete(b.filter(col("doc_id") % 13 === 5).select("doc_id"), parts = 4)
         }
       }
       .start()
@@ -663,10 +701,15 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = distributeBatch(batch)
         if (!b.isEmpty) {
-          graft.operators.TextAnalysis.driftTermCounts(b, "text", "cb")
-            .write.mode("append").parquet(landTerms)
-          graft.operators.TextAnalysis.driftShapePartials(b, "text")
-            .write.mode("append").parquet(landShape)
+          // the two partial writes are independent consumers of the
+          // checkpointed batch — overlap them (guide §2.6, the
+          // Fts.writeSegments recipe); terms ride a 32-partition
+          // shuffle, so bound the landed files too
+          concurrently(
+            () => graft.operators.TextAnalysis.driftTermCounts(b, "text", "cb")
+              .coalesce(4).write.mode("append").parquet(landTerms),
+            () => graft.operators.TextAnalysis.driftShapePartials(b, "text")
+              .write.mode("append").parquet(landShape))
         }
       }
       .start()
@@ -725,9 +768,13 @@ object StreamPipeline {
         if (!b.isEmpty) {
           val items = b.select(
             explode(graft.functions.TextOps.tokenize(col("text"))).as("term"))
-          items.write.mode("append").parquet(landTerms)
-          graft.operators.Freq.mgCandidates(items, "term", m)
-            .write.mode("append").parquet(landCand)
+          // independent consumers of the checkpointed batch — overlap
+          // (guide §2.6); the exploded-term landing keeps the batch's
+          // partitioning (map-only, corpus-sized per batch)
+          concurrently(
+            () => items.write.mode("append").parquet(landTerms),
+            () => graft.operators.Freq.mgCandidates(items, "term", m)
+              .coalesce(4).write.mode("append").parquet(landCand))
         }
       }
       .start()
