@@ -39,4 +39,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // codegen + index builds allocate heavily) are comparable across
   // boxes/JDK builds; Bench records the effective flags in its JSON.
   "-XX:+UseG1GC",
+  // 196 queries x whole-stage codegen (plus the two quantized-forward
+  // transformer queries' very large generated classes) overflow the
+  // JDK-17 default 240 MB code cache late in a full two-pass bench on
+  // a slow/loaded box (more methods cross the JIT thresholds there):
+  // once full, the sweeper flushes hot compiled stages and the round-16
+  // driver measured identical plans at cpu x4-6 with warm jit_ms x3-4
+  // (dedup_minhash_incremental / docsim_incremental / docsim_topk).
+  // 1 GiB of reserved (not committed) address space removes the cliff;
+  // env-overridable like the heap.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
