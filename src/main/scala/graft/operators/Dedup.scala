@@ -175,30 +175,29 @@ object Dedup {
     // would (the adversarial case: heavy genuine contamination).
     // toksDf feeds THREE subtrees (the gram pass, the contaminated
     // rebuild's semi-join, the clean anti-join) and Spark shares no
-    // common subtrees within a plan — without materialization the
-    // corpus tokenize (and any caller-side planted join under it) ran
-    // 3× per action. One cached pass per invocation — the nonce salt
-    // in saltedCached makes per-invocation PROVABLE (sameResult can
-    // never match an earlier call's pooled entry); MEMORY_AND_DISK
-    // spills instead of OOMing on a corpus-sized token table. persist
-    // beats localCheckpoint here because the cached subtree stays
-    // visible in the plan (PushedFilters/scan shape remain auditable).
-    val toksDf = saltedCached(corpus
+    // common subtrees within a plan — the tokenize therefore runs 3×
+    // per action. That is DELIBERATE (round 17, measured): persisting
+    // toksDf (r16's eb7b2f1) made decontaminate_xlingual 2× SLOWER at
+    // sf0.1 (min-of-3 warm 3.01 s persisted vs 1.51 s recomputed;
+    // the r16 driver saw the same 1.64× raw) — a corpus-sized token
+    // table costs more to materialize and reread than three pipelined
+    // tokenize passes, the curation_disposition lesson. The map-side
+    // work stays scan-pruned per consumer.
+    val toksDf = corpus
       .select(col(idCol), TextOps.tokenize(normalize(col(textCol))).as("_toks"))
-      .filter(size(col("_toks")) > 0)) // empty docs had no token rows before either
+      .filter(size(col("_toks")) > 0) // empty docs had no token rows before either
     val gr = TextOps.posexplodeShingles(
         toksDf.select(col(idCol), TextOps.rawShingles(col("_toks"), n).as("_sh")),
         col("_sh"), "gpos", "gram", col(idCol))
       .select(col(idCol), col("gpos"), md5(col("gram")).as("g"))
     // covPairs has TWO consumers (contaminated-id set + the rebuild's
-    // anti-coverage join) whose subtrees diverge after optimization, so
-    // exchange reuse never fires and the whole corpus gram pipeline
-    // would execute twice per action — cache the (small: positions
-    // inside contaminated docs only) pair set instead. Bounded
-    // retention, same lifecycle as containmentPairs' postings.
-    val covPairs = saltedCached(gr.join(broadcast(benchGrams), "g")
+    // anti-coverage join); like toksDf it is NOT cached — the same
+    // round-17 measurement covers it (the gram pipeline re-runs are
+    // pipelined map work + one hash join, cheaper at every measured
+    // scale than materializing and rereading the pair set).
+    val covPairs = gr.join(broadcast(benchGrams), "g")
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
-      .distinct())
+      .distinct()
     val contaminatedIds = covPairs.select(col(idCol)).distinct()
     val rebuilt = TextOps.posexplodeShingles(
         toksDf.join(contaminatedIds, Seq(idCol), "left_semi"),
@@ -306,6 +305,9 @@ object Dedup {
     verifyJaccard(candidates, sig.select(col(idCol), col("sh")), idCol, threshold)
   }
 
+  // newest-corpus signature-table cache slot (see minHashLshPairs)
+  private val lastSig = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   def minHashLshPairs(
       df: DataFrame,
       textCol: String,
@@ -314,8 +316,21 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.3
   ): DataFrame = {
-    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK)
-      .cache() // read 3x below (bands + both verify sides); O(docs) rows
+    // read 3x below (bands + both verify sides); O(docs) rows. Plain
+    // plan-keyed cache, intentionally shared across invocations over
+    // the SAME corpus (the signature table is index-like state — the
+    // batch face of the ChunkStore-persisted incremental variant), but
+    // retention was UNBOUNDED before round 17: nothing ever unpersisted
+    // it, so a long-lived driver sweeping many corpora accumulated one
+    // cached signature table per corpus forever. Keep exactly the
+    // NEWEST corpus's table: a different-plan invocation evicts the
+    // previous one (recompute, never break), a same-plan invocation
+    // keeps sharing the entry as before.
+    val sig = minHashSignatures(df, textCol, idCol, numHashes, shingleK).cache()
+    val prev = lastSig.getAndSet(sig)
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(sig.queryExecution.analyzed))
+      prev.unpersist(false)
     pairsFromSignatures(sig, idCol, numHashes, threshold)
   }
 
