@@ -148,6 +148,13 @@ class ChunkStore(val root: String, val keyCol: String) {
             f.delete(tmp, false); false
           case _: java.io.IOException if f.exists(dst) =>
             f.delete(tmp, false); false
+          case e: Throwable =>
+            // genuine infrastructure failure (dst absent): reap the
+            // temp file before propagating, or a long-lived driver
+            // accumulates _tmp-* debris in _log/ (LayoutLog.tryCommit's
+            // clause, mirrored per round-16 advice)
+            try f.delete(tmp, false) catch { case _: Throwable => () }
+            throw e
         }
       }
     if (!won)
